@@ -1,0 +1,35 @@
+"""The fused analysis chain: html_strip -> tokenize -> stop -> lowercase.
+
+Chain order follows the reference ``text_general`` index analyzer
+(managed-schema.xml:299-315): StandardTokenizer, then StopFilter with
+ignoreCase=true, then LowerCaseFilter.  The HTML strip stage corresponds to
+the char-filter slot / extraction path (TokenizerChain.java:37).
+
+These are plain deterministic Python functions; the Spark layer wraps them
+in Arrow-batched pandas UDFs (analysis/udfs.py) so the cluster runs the
+exact same bytes the single-process oracle runs.
+"""
+
+from __future__ import annotations
+
+from apache___solr_spark.analysis.html_strip import html_strip
+from apache___solr_spark.analysis.stopwords import ENGLISH_STOP_WORDS
+from apache___solr_spark.analysis.tokenizer import standard_tokenize
+
+
+def extract_text(html: bytes | str | None, text: str | None) -> str:
+    """Visible text for a page: pre-extracted ``text`` wins, else strip html.
+
+    (input_hint: ``text`` may be null, engine must derive from ``html``;
+    byte-identical per url is the north-rule invariant.)
+    """
+    if text is not None:
+        return text
+    return html_strip(html)
+
+
+def analyze(text: str | None, max_token_len: int = 255) -> list[str]:
+    """Tokenize + stop (ignoreCase) + lowercase.  Index == query analyzer
+    (minus query-time synonyms, which v1 does not ship)."""
+    toks = standard_tokenize(text, max_token_len=max_token_len)
+    return [t.lower() for t in toks if t.lower() not in ENGLISH_STOP_WORDS]

@@ -1,0 +1,44 @@
+"""StandardTokenizer-equivalent word tokenizer.
+
+Reproduces the *shape* of Lucene's StandardTokenizer (UAX#29 word-break
+rules, maxTokenLen=255) as configured by the reference default schema
+(``<tokenizer name="standard"/>``, managed-schema.xml:301,310).
+
+Implemented as a single compiled regex approximating the UAX#29 word rules
+that matter for web text:
+
+- a word is a run of letters/digits (any Unicode alphanumeric except ``_``),
+- MidLetter/MidNumLet characters (``'``, U+2019, ``.``) glue two
+  alphanumeric runs into one token (``don't``, ``3.14``, ``node.js``),
+- everything else (punctuation, symbols, whitespace, ``_``) is a boundary,
+- tokens longer than ``max_token_len`` are split into max_token_len chunks
+  (Lucene emits the overlong run as successive clipped tokens).
+
+This is a documented approximation, not a full ICU port; it is the single
+source of truth for BOTH the distributed engine and the single-process
+oracle, mirroring Solr's control-vs-distributed equivalence testing pattern
+(solr/test-framework/.../BaseDistributedSearchTestCase.java:98).
+"""
+
+from __future__ import annotations
+
+import re
+
+# [^\W_] == unicode alphanumeric minus underscore
+_WORD = re.compile(r"[^\W_]+(?:['’.][^\W_]+)*", re.UNICODE)
+
+
+def standard_tokenize(text: str | None, max_token_len: int = 255) -> list[str]:
+    """Split text into UAX#29-style word tokens (case preserved)."""
+    if not text:
+        return []
+    out: list[str] = []
+    for m in _WORD.finditer(text):
+        tok = m.group(0)
+        if len(tok) <= max_token_len:
+            out.append(tok)
+        else:
+            out.extend(
+                tok[i : i + max_token_len] for i in range(0, len(tok), max_token_len)
+            )
+    return out

@@ -1,0 +1,57 @@
+"""Engine configuration.
+
+BM25 constants match the Solr defaults
+(solr/core/src/java/org/apache/solr/search/similarities/BM25SimilarityFactory.java:41-51:
+k1=1.2, b=0.75, discountOverlaps=true).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Configuration for an index build + the query engine reading it.
+
+    block_range: postings blocks are aligned on fixed doc_id ranges
+        (block_id = doc_id // block_range).  Aligned blocks make block-max
+        pruning sound for multi-term queries: a whole doc range can be
+        skipped when the sum of per-term block max-scores is below the
+        top-k threshold.  This replaces Lucene's per-list 128-doc blocks +
+        impacts (Lucene101PostingsFormat semantics) with a layout that
+        distributes: one DataFrame row per (term, block).
+    salt_range: doc_id range per merge salt.  The postings merge groups by
+        (term, doc_id // salt_range) instead of bare term so a head term
+        appearing in 30%+ of docs is built by many tasks, not one
+        (north_rule: explicit skew handling).  Must be a multiple of
+        block_range so blocks never straddle salt boundaries.
+    bm25_k1 / bm25_b: BM25Similarity parameters.
+    max_token_len: StandardTokenizer maxTokenLen (Lucene default 255).
+    n_buckets: the postings table is written partitioned by
+        pmod(xxhash64(term), n_buckets) so a query touching T terms prunes
+        the scan to <=T partitions (Catalyst partition pruning stands in
+        for Solr's term-dictionary seek).
+    """
+
+    block_range: int = 128
+    salt_range: int = 8192
+    bm25_k1: float = 1.2
+    bm25_b: float = 0.75
+    max_token_len: int = 255
+    n_buckets: int = 64
+    field: str = "text"
+
+    def __post_init__(self) -> None:
+        if self.salt_range % self.block_range != 0:
+            raise ValueError("salt_range must be a multiple of block_range")
+
+    def digest(self) -> str:
+        """Stable digest used by checkpoint manifests to detect config drift."""
+        payload = json.dumps(asdict(self), sort_keys=True).encode()
+        return hashlib.sha256(payload).hexdigest()[:16]
+
+
+DEFAULT_CONFIG = IndexConfig()

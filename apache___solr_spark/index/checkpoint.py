@@ -1,0 +1,80 @@
+"""Per-stage checkpoint manifests: resume + lineage + metrics.
+
+Stands in for the reference's transaction-log / commit machinery
+(solr/core/src/java/org/apache/solr/update/UpdateLog.java:105,
+CommitTracker.java:47) in a batch-Spark world: every build stage writes its
+output to parquet and then atomically publishes a ``_MANIFEST.json`` carrying
+the config digest, input fingerprint, row count, per-partition lineage and
+wall time.  A re-run with the same config + input skips completed stages
+(north_rule: resumable from per-partition checkpoints with lineage and
+metrics).  Atomicity: manifest written to a temp name then os.replace.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+MANIFEST_NAME = "_MANIFEST.json"
+
+
+def manifest_path(stage_dir: str) -> str:
+    return os.path.join(stage_dir, MANIFEST_NAME)
+
+
+def load_manifest(stage_dir: str) -> dict | None:
+    p = manifest_path(stage_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def stage_complete(stage_dir: str, config_digest: str, input_digest: str) -> bool:
+    m = load_manifest(stage_dir)
+    return (
+        m is not None
+        and m.get("config_digest") == config_digest
+        and m.get("input_digest") == input_digest
+    )
+
+
+def publish_manifest(
+    stage_dir: str,
+    *,
+    stage: str,
+    config_digest: str,
+    input_digest: str,
+    rows: int,
+    partitions: list[dict[str, Any]] | None = None,
+    started_at: float,
+    extra: dict | None = None,
+) -> None:
+    m = {
+        "stage": stage,
+        "config_digest": config_digest,
+        "input_digest": input_digest,
+        "rows": rows,
+        "partitions": partitions or [],
+        "wall_sec": round(time.time() - started_at, 3),
+        "extra": extra or {},
+    }
+    tmp = manifest_path(stage_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(m, f, indent=1, sort_keys=True)
+    os.replace(tmp, manifest_path(stage_dir))
+
+
+def partition_lineage(df) -> list[dict[str, Any]]:
+    """Per-output-partition row counts (lineage/metrics for the manifest)."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        df.groupBy(F.spark_partition_id().alias("pid"))
+        .count()
+        .orderBy("pid")
+        .collect()
+    )
+    return [{"partition": r["pid"], "rows": r["count"]} for r in rows]

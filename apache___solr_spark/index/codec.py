@@ -1,0 +1,94 @@
+"""Vectorized variable-byte posting-list codec.
+
+Encodes non-negative int64 arrays (delta-gapped docIDs, term frequencies,
+norm bytes) as VByte: little-endian 7-bit groups, high bit set on every byte
+except the last of each value.  This reproduces the *capability* of Lucene's
+postings compression (Lucene101PostingsFormat: delta-gap + bit-packed blocks
+consumed via solr/core/src/java/org/apache/solr/update/DirectUpdateHandler2.java:513)
+with a codec that is efficient to drive from numpy — both encode and decode
+are whole-array vectorized, no per-element Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MASKS = (np.uint64(0x7F), np.uint64(7))
+
+
+def encode_vbyte(values: np.ndarray) -> bytes:
+    """VByte-encode a 1-D array of non-negative ints. Vectorized."""
+    v = np.asarray(values, dtype=np.uint64)
+    n = v.size
+    if n == 0:
+        return b""
+    # bytes needed per value: ceil(bit_length/7), min 1
+    nbits = np.zeros(n, dtype=np.int64)
+    nz = v > 0
+    # bit_length via log2 on float64 is unsafe near 2^53; use frexp on uint64
+    # through successive shifts instead: count bytes directly.
+    tmp = v.copy()
+    nbytes = np.ones(n, dtype=np.int64)
+    tmp >>= _MASKS[0].dtype.type(7)
+    while tmp.any():
+        more = tmp > 0
+        nbytes[more] += 1
+        tmp >>= _MASKS[0].dtype.type(7)
+    del nbits, nz
+    total = int(nbytes.sum())
+    out = np.empty(total, dtype=np.uint8)
+    # position of the FIRST byte of each value
+    starts = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+    # write byte k of every value that has >= k+1 bytes
+    max_b = int(nbytes.max())
+    seven = np.uint64(7)
+    for k in range(max_b):
+        sel = nbytes > k
+        chunk = (v[sel] >> np.uint64(7 * k)) & np.uint64(0x7F)
+        chunk = chunk.astype(np.uint8)
+        is_last = nbytes[sel] == (k + 1)
+        chunk[~is_last] |= 0x80
+        out[starts[sel] + k] = chunk
+    return out.tobytes()
+
+
+def decode_vbyte(buf: bytes, n: int | None = None) -> np.ndarray:
+    """Decode a VByte buffer back to uint64. Vectorized.
+
+    ``n`` (expected count) is optional and only used as a sanity check.
+    """
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    if raw.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (raw & 0x80) == 0
+    ends = np.flatnonzero(is_last)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    payload = (raw & 0x7F).astype(np.uint64)
+    # shift amount of each byte = 7 * (offset within its value)
+    idx = np.arange(raw.size, dtype=np.int64)
+    value_id = np.cumsum(is_last) - is_last  # 0-based id of the value each byte belongs to
+    offset = idx - starts[value_id]
+    payload <<= (offset.astype(np.uint64) * np.uint64(7))
+    values = np.zeros(ends.size, dtype=np.uint64)
+    np.add.at(values, value_id, payload)
+    if n is not None and values.size != n:
+        raise ValueError(f"decoded {values.size} values, expected {n}")
+    return values
+
+
+def delta_encode(sorted_ids: np.ndarray, base: int) -> np.ndarray:
+    """Gaps from ``base``: first gap = ids[0]-base, then successive diffs.
+
+    ``sorted_ids`` must be strictly increasing and >= base.
+    """
+    ids = np.asarray(sorted_ids, dtype=np.int64)
+    gaps = np.empty(ids.size, dtype=np.int64)
+    if ids.size:
+        gaps[0] = ids[0] - base
+        np.subtract(ids[1:], ids[:-1], out=gaps[1:])
+    return gaps
+
+
+def delta_decode(gaps: np.ndarray, base: int) -> np.ndarray:
+    g = np.asarray(gaps, dtype=np.int64)
+    return np.cumsum(g) + base

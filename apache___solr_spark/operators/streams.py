@@ -1,0 +1,337 @@
+"""Relational dataflow operators: Solr streaming expressions as DataFrame
+combinators.
+
+The reference's "streaming expressions" (solr/solrj-streaming/src/java/org/
+apache/solr/client/solrj/io/stream/) form a volcano-style pull dataflow over
+sorted tuple iterators.  Spark's lazy DataFrames subsume the iterator model
+(whole-stage codegen pipelines), so each operator here is a thin, documented
+combinator that builds the equivalent logical plan and lets Catalyst pick
+the physical strategy:
+
+- merge joins (InnerJoinStream.java) -> sort-merge join
+- hashJoin (HashJoinStream.java:46-291) -> broadcast hash join
+- rollup/hashRollup (RollupStream.java:216, HashRollupStream.java) ->
+  hash aggregate with partial (map-side) aggregation for free
+- parallel() (ParallelStream.java:40-49) -> Spark's own partitioned
+  execution; never re-implemented.
+
+Keeping these as functions (not a class hierarchy) is deliberate: the
+reference's open/read/close plumbing is runtime machinery Spark already has.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+# ---- projection / filtering -------------------------------------------------
+
+
+def select_stream(df: DataFrame, *cols: Column | str, **renames: str) -> DataFrame:
+    """select() stream: projection + rename (SelectStream.java, 369 LoC)."""
+    out = df.select(*cols) if cols else df
+    for new, old in renames.items():
+        out = out.withColumnRenamed(old, new)
+    return out
+
+
+def having(df: DataFrame, predicate: Column | str) -> DataFrame:
+    """having() stream: predicate over (usually aggregated) tuples
+    (HavingStream.java, 184 LoC)."""
+    return df.where(predicate)
+
+
+# ---- joins ------------------------------------------------------------------
+
+
+def inner_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
+    """innerJoin() merge join (InnerJoinStream.java; base JoinStream.java:245).
+    Catalyst picks sort-merge for large sides — the same algorithm the
+    reference requires pre-sorted inputs for, minus the manual sorting."""
+    return left.join(right, list(on), "inner")
+
+
+def left_outer_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
+    """leftOuterJoin() stream (LeftOuterJoinStream.java)."""
+    return left.join(right, list(on), "left_outer")
+
+
+def full_outer_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
+    """fullOuterJoin() stream (FullOuterJoinStream.java)."""
+    return left.join(right, list(on), "full_outer")
+
+
+def hash_join(
+    probe: DataFrame, hashed: DataFrame, on: Sequence[str]
+) -> DataFrame:
+    """hashJoin() stream (HashJoinStream.java:46,54,233-291): build a hash map
+    on the ``hashed`` input, stream the probe side.  Spark-first: broadcast
+    the hashed side so no shuffle touches the probe stream."""
+    return probe.join(F.broadcast(hashed), list(on), "inner")
+
+
+def outer_hash_join(
+    probe: DataFrame, hashed: DataFrame, on: Sequence[str]
+) -> DataFrame:
+    """outerHashJoin() stream (OuterHashJoinStream.java)."""
+    return probe.join(F.broadcast(hashed), list(on), "left_outer")
+
+
+def fetch(
+    stream: DataFrame, lookup: DataFrame, on: Sequence[str], fields: Sequence[str]
+) -> DataFrame:
+    """fetch() stream (FetchStream.java, 345 LoC): batched lookup join that
+    enriches tuples with extra fields from a collection."""
+    keep = lookup.select(*list(on), *list(fields))
+    return stream.join(F.broadcast(keep), list(on), "left_outer")
+
+
+def intersect(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
+    """intersect() stream (IntersectStream.java, 231 LoC): keep left tuples
+    whose key appears in right — a semi-join, not a set intersect."""
+    return left.join(right.select(*list(on)), list(on), "left_semi")
+
+
+def complement(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
+    """complement() stream (ComplementStream.java, 229 LoC): left tuples whose
+    key does NOT appear in right — an anti-join."""
+    return left.join(right.select(*list(on)), list(on), "left_anti")
+
+
+def cartesian_product(df: DataFrame, field: str, alias: str | None = None) -> DataFrame:
+    """cartesianProduct() stream (CartesianProductStream.java, 359 LoC):
+    unnest a multivalued field into N tuples."""
+    return df.withColumn(alias or field, F.explode(F.col(field)))
+
+
+# ---- aggregation ------------------------------------------------------------
+
+
+def rollup(
+    df: DataFrame, over: Sequence[str], aggs: dict[str, Column]
+) -> DataFrame:
+    """rollup()/hashRollup() streams (RollupStream.java:216,
+    HashRollupStream.java): group-by + metric accumulators.  The
+    sorted-vs-hashed distinction is physical and Spark owns it (hash agg
+    with spill); partial aggregation (the reference's parallel()+rollup
+    merge, ParallelMetricsRollup.java) is automatic."""
+    return df.groupBy(*over).agg(*[c.alias(n) for n, c in aggs.items()])
+
+
+def stats(df: DataFrame, aggs: dict[str, Column]) -> DataFrame:
+    """stats() stream (StatsStream.java, 441 LoC): whole-input aggregates."""
+    return df.agg(*[c.alias(n) for n, c in aggs.items()])
+
+
+def facet(
+    df: DataFrame,
+    field: str | Sequence[str],
+    aggs: dict[str, Column] | None = None,
+    limit: int = 10,
+    sort_by: str = "count",
+    ascending: bool = False,
+) -> DataFrame:
+    """terms facet / facet() stream (FacetFieldProcessorByArrayDV.java:42,
+    FacetStream.java:690): bucket by field value(s), aggregate, top-N
+    buckets.  Exact — no shard refinement needed (FacetModule.java's
+    overrequest/refine dance is an approximation artifact of scatter-gather
+    that a shuffle-based engine doesn't have)."""
+    fields = [field] if isinstance(field, str) else list(field)
+    aggs = dict(aggs or {})
+    if "count" not in aggs:
+        aggs["count"] = F.count(F.lit(1))
+    out = df.groupBy(*fields).agg(*[c.alias(n) for n, c in aggs.items()])
+    key = F.col(sort_by)
+    order = [key.asc() if ascending else key.desc()] + [F.col(f).asc() for f in fields]
+    return out.orderBy(*order).limit(limit)
+
+
+def facet2d(
+    df: DataFrame,
+    x: str,
+    y: str,
+    dim_x: int,
+    dim_y: int,
+    agg: Column | None = None,
+) -> DataFrame:
+    """facet2D() stream (Facet2DStream.java, 533 LoC): top dimX values of x,
+    and per x-bucket the top dimY values of y."""
+    agg = agg if agg is not None else F.count(F.lit(1))
+    counts = df.groupBy(x, y).agg(agg.alias("agg"))
+    top_x = (
+        counts.groupBy(x)
+        .agg(F.sum("agg").alias("_tot"))
+        .orderBy(F.col("_tot").desc(), F.col(x).asc())
+        .limit(dim_x)
+        .select(x)
+    )
+    w = Window.partitionBy(x).orderBy(F.col("agg").desc(), F.col(y).asc())
+    return (
+        counts.join(F.broadcast(top_x), [x], "left_semi")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= dim_y)
+        .drop("_rn")
+    )
+
+
+def range_facet(
+    df: DataFrame,
+    field: str,
+    start: float,
+    end: float,
+    gap: float,
+    aggs: dict[str, Column] | None = None,
+) -> DataFrame:
+    """range facet (FacetRangeProcessor.java:51): bucket numeric values into
+    [start+i*gap, start+(i+1)*gap) bins; values outside [start,end) dropped
+    (the reference's before/after buckets are separate queries)."""
+    aggs = dict(aggs or {"count": F.count(F.lit(1))})
+    bucket = F.floor((F.col(field) - F.lit(start)) / F.lit(gap)).cast("long")
+    return (
+        df.filter((F.col(field) >= start) & (F.col(field) < end))
+        .withColumn("bucket_start", (F.lit(start) + bucket * F.lit(gap)))
+        .groupBy("bucket_start")
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+        .orderBy("bucket_start")
+    )
+
+
+def timeseries(
+    df: DataFrame,
+    ts_field: str,
+    gap: str,
+    aggs: dict[str, Column],
+) -> DataFrame:
+    """timeseries() stream (TimeSeriesStream.java:53,59): date-range facet
+    with a gap — tumbling time windows via window()/date_trunc."""
+    w = F.window(F.col(ts_field), gap)
+    return (
+        df.groupBy(w.alias("w"))
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+        .select(F.col("w.start").alias("window_start"), *aggs.keys())
+        .orderBy("window_start")
+    )
+
+
+def significant_terms(
+    fg: DataFrame, bg: DataFrame, term_col: str, min_doc_freq: int = 1, limit: int = 10
+) -> DataFrame:
+    """significantTerms() stream (SignificantTermsStream.java, 438 LoC):
+    terms over-represented in the foreground set vs the background corpus,
+    scored by foreground/background frequency ratio."""
+    n_fg = fg.count()
+    n_bg = bg.count()
+    fg_counts = fg.groupBy(term_col).agg(F.count(F.lit(1)).alias("fg_count"))
+    bg_counts = bg.groupBy(term_col).agg(F.count(F.lit(1)).alias("bg_count"))
+    return (
+        fg_counts.join(bg_counts, term_col)
+        .filter(F.col("bg_count") >= min_doc_freq)
+        .withColumn(
+            "score",
+            (F.col("fg_count") / F.lit(float(n_fg)))
+            / (F.col("bg_count") / F.lit(float(n_bg))),
+        )
+        .orderBy(F.col("score").desc(), F.col(term_col).asc())
+        .limit(limit)
+    )
+
+
+# ---- grouping / collapse ----------------------------------------------------
+
+
+def collapse(df: DataFrame, group_by: str, order_by: Sequence[Column]) -> DataFrame:
+    """CollapsingQParserPlugin (search/CollapsingQParserPlugin.java:121,
+    3812 LoC of custom collector): keep the single best tuple per group.
+    Spark-first this is one window function."""
+    w = Window.partitionBy(group_by).orderBy(*order_by)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def group_top_n(
+    df: DataFrame, group_by: str, order_by: Sequence[Column], n: int
+) -> DataFrame:
+    """Result grouping group.field/group.limit (search/Grouping.java:73):
+    top-N tuples per group."""
+    w = Window.partitionBy(group_by).orderBy(*order_by)
+    return (
+        df.withColumn("group_rank", F.row_number().over(w))
+        .filter(F.col("group_rank") <= n)
+    )
+
+
+def expand(
+    collapsed: DataFrame, full: DataFrame, group_by: str, order_by: Sequence[Column], n: int
+) -> DataFrame:
+    """ExpandComponent (handler/component/ExpandComponent.java:110): for each
+    collapsed head, re-attach up to n of the other members of its group."""
+    heads = collapsed.select(group_by).distinct()
+    w = Window.partitionBy(group_by).orderBy(*order_by)
+    return (
+        full.join(F.broadcast(heads), [group_by], "left_semi")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .filter(F.col("_rn") <= n + 1)
+        .drop("_rn")
+    )
+
+
+# ---- sort / top-k / pagination / set ops -------------------------------------
+
+
+def sort_stream(df: DataFrame, *order_by: Column) -> DataFrame:
+    """sort() stream (SortStream.java, 223 LoC): full re-sort. Spark's
+    external sort replaces the reference's in-memory materialization."""
+    return df.orderBy(*order_by)
+
+
+def top(df: DataFrame, k: int, *order_by: Column) -> DataFrame:
+    """top()/rank stream (RankStream.java:54): bounded top-k priority queue.
+    orderBy().limit() compiles to TakeOrderedAndProject: partition-local
+    top-k + driver merge — exactly the reference's distributed PQ merge
+    (QueryComponent.mergeIds:970)."""
+    return df.orderBy(*order_by).limit(k)
+
+
+def cursor_page(
+    df: DataFrame,
+    sort_col: str,
+    unique_key: str,
+    k: int,
+    after: tuple | None = None,
+    ascending: bool = True,
+) -> DataFrame:
+    """CursorMark deep paging (search/CursorMark.java:46,129,301): keyset
+    pagination on (sort value, uniqueKey) — no offset scan."""
+    s, u = F.col(sort_col), F.col(unique_key)
+    out = df
+    if after is not None:
+        a_s, a_u = after
+        if ascending:
+            out = out.filter((s > a_s) | ((s == a_s) & (u > a_u)))
+        else:
+            out = out.filter((s < a_s) | ((s == a_s) & (u > a_u)))
+    order = [s.asc() if ascending else s.desc(), u.asc()]
+    return out.orderBy(*order).limit(k)
+
+
+def merge(*dfs: DataFrame) -> DataFrame:
+    """merge() stream (MergeStream.java, 270 LoC): ordered union of sorted
+    streams.  Spark keeps order a property of the consumer, so this is
+    unionByName; add sort_stream() downstream when order matters."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def unique(df: DataFrame, on: Sequence[str]) -> DataFrame:
+    """unique() stream (UniqueStream.java, 197 LoC): dedup on key."""
+    return df.dropDuplicates(list(on))

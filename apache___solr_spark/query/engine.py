@@ -1,0 +1,299 @@
+"""BM25 top-k query engine with block-max pruning.
+
+Reproduces the reference /select retrieval path
+(solr/core/src/java/org/apache/solr/search/SolrIndexSearcher.java:1633-1916:
+filter -> score -> top-k priority queue; distributed merge in
+handler/component/QueryComponent.java:970) as a DataFrame plan:
+
+  postings blocks (bucket-pruned scan, term pushdown)
+    -> [optional] block-max pruning against a threshold from a cheap pass
+    -> vectorized decode + BM25 score (mapInPandas, numpy)
+    -> groupBy(doc_id) sum + boolean semantics (MUST count, MUST_NOT anti)
+    -> orderBy(score desc, doc_id asc).limit(k)    [TakeOrderedAndProject]
+    -> join docs for url.
+
+Scoring: BM25 with k1=1.2, b=0.75
+(search/similarities/BM25SimilarityFactory.java:41-51):
+  idf  = ln(1 + (N - df + 0.5)/(df + 0.5))                 [float32]
+  s_td = idf * tf / (tf + k1*((1-b) + b*dl/avgdl))          [float32]
+  doc score = float32(sum_f64(s_td over query terms))
+dl is the SmallFloat-quantized doc length (1-byte norms, decoded through the
+256-entry table — FieldLengthFeature.java:74-88 semantics), exactly as
+Lucene's BM25 length cache does.
+
+Block-max pruning (Lucene block-max WAND capability, MaxScoreCollector.java:
+45-58, adapted for a distributed batch engine): postings blocks are aligned
+on global doc_id ranges, so for block b the quantity
+  ub(b) = sum over query terms t of idf_t * max_impact(t, b)
+upper-bounds every doc score in that range.  A cheap pass scores ONLY the
+rarest term's postings; the k-th best partial score is a valid lower bound
+theta on the final k-th best full score, and every block with ub(b) < theta
+is skipped before decode.  Pruning never changes results (tested A/B).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from apache___solr_spark.config import DEFAULT_CONFIG, IndexConfig
+from apache___solr_spark.index.builder import IndexPaths
+from apache___solr_spark.index.codec import decode_vbyte, delta_decode
+from apache___solr_spark.index.smallfloat import NORM_TABLE
+from apache___solr_spark.query.parser import ParsedQuery, parse_query
+
+_SCORE_SCHEMA = "term string, doc_id long, score float"
+
+
+def bm25_idf(n_docs: int, df: int) -> np.float32:
+    return np.float32(math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+
+
+def _score_blocks(idf_by_term: dict[str, float], k1: float, b: float, avgdl: float):
+    """mapInPandas fn: decode posting blocks -> (term, doc_id, score) rows."""
+    norm_table_f32 = NORM_TABLE.astype(np.float32)
+    k1f = np.float32(k1)
+    one_minus_b = np.float32(1.0 - b)
+    bf = np.float32(b)
+    avgdlf = np.float32(avgdl)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            terms_out: list[np.ndarray] = []
+            docs_out: list[np.ndarray] = []
+            scores_out: list[np.ndarray] = []
+            # vectorized per block row (block contents decoded with numpy)
+            for (
+                term,
+                block_id,
+                n,
+                gaps_bin,
+                tfs_bin,
+                norms_bin,
+                block_range,
+            ) in zip(
+                pdf["term"],
+                pdf["block_id"],
+                pdf["n_docs"],
+                pdf["doc_gaps"],
+                pdf["tfs"],
+                pdf["norms"],
+                pdf["block_range"],
+            ):
+                base = int(block_id) * int(block_range)
+                doc_ids = delta_decode(
+                    decode_vbyte(gaps_bin, int(n)).astype(np.int64), base
+                )
+                tfs = decode_vbyte(tfs_bin, int(n)).astype(np.float32)
+                norms = np.frombuffer(norms_bin, dtype=np.uint8)
+                dl = norm_table_f32[norms]
+                cache = k1f * (one_minus_b + bf * dl / avgdlf)
+                score = np.float32(idf_by_term[term]) * tfs / (tfs + cache)
+                terms_out.append(np.full(int(n), term, dtype=object))
+                docs_out.append(doc_ids)
+                scores_out.append(score)
+            if docs_out:
+                yield pd.DataFrame(
+                    {
+                        "term": np.concatenate(terms_out),
+                        "doc_id": np.concatenate(docs_out),
+                        "score": np.concatenate(scores_out),
+                    }
+                )
+
+    return run
+
+
+class SearchEngine:
+    """Query-side handle on a built index directory."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        cfg: IndexConfig = DEFAULT_CONFIG,
+    ) -> None:
+        self.spark = spark
+        self.cfg = cfg
+        self.paths = IndexPaths(index_dir)
+        with open(self.paths.stats) as f:
+            self.stats = json.load(f)
+        self.postings = spark.read.parquet(self.paths.postings)
+        self.dictionary = spark.read.parquet(self.paths.dictionary)
+        self.docs = spark.read.parquet(self.paths.docs)
+
+    # -- term metadata -----------------------------------------------------
+    def _term_meta(self, terms: list[str]) -> pd.DataFrame:
+        if not terms:
+            return pd.DataFrame(columns=["term", "df", "cf", "max_impact", "bucket"])
+        buckets = self._buckets(terms)
+        return (
+            self.dictionary.filter(
+                F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+            )
+            .toPandas()
+        )
+
+    def _buckets(self, terms: list[str]) -> list[int]:
+        row = (
+            self.spark.range(1)
+            .select(
+                *[
+                    F.pmod(F.xxhash64(F.lit(t)), F.lit(self.cfg.n_buckets))
+                    .cast("int")
+                    .alias(f"b{i}")
+                    for i, t in enumerate(terms)
+                ]
+            )
+            .collect()[0]
+        )
+        return sorted({row[f"b{i}"] for i in range(len(terms))})
+
+    def _blocks_for(self, terms: list[str]) -> DataFrame:
+        buckets = self._buckets(terms)
+        # bucket predicate prunes the partitioned scan; term predicate pushes
+        # down to parquet row groups.
+        return self.postings.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+
+    # -- scoring -----------------------------------------------------------
+    def _scored(self, blocks: DataFrame, idf_by_term: dict[str, float]) -> DataFrame:
+        fn = _score_blocks(
+            idf_by_term, self.cfg.bm25_k1, self.cfg.bm25_b, self.stats["avgdl"]
+        )
+        cols = blocks.select(
+            "term",
+            "block_id",
+            "n_docs",
+            "doc_gaps",
+            "tfs",
+            "norms",
+            F.lit(self.cfg.block_range).alias("block_range"),
+        )
+        return cols.mapInPandas(fn, schema=_SCORE_SCHEMA)
+
+    def _theta(
+        self, meta: pd.DataFrame, idf_by_term: dict[str, float], k: int
+    ) -> float:
+        """Lower bound on the k-th best final score: fully score the rarest
+        term alone; partial scores lower-bound full scores."""
+        scorable = meta[meta["df"] >= k]
+        if scorable.empty:
+            return 0.0
+        rarest = scorable.sort_values(["df", "term"]).iloc[0]["term"]
+        blocks = self._blocks_for([rarest])
+        part = self._scored(blocks, {rarest: idf_by_term[rarest]})
+        rows = part.orderBy(F.col("score").desc()).limit(k).collect()
+        if len(rows) < k:
+            return 0.0
+        return float(rows[-1]["score"])
+
+    def search(
+        self,
+        query: str | ParsedQuery,
+        k: int = 10,
+        prune: bool = True,
+        with_url: bool = True,
+    ) -> DataFrame:
+        """Top-k docs for a query. Returns (rank, doc_id[, url], score)."""
+        pq = parse_query(query) if isinstance(query, str) else query
+        spark = self.spark
+        if pq.is_empty:
+            schema = "rank int, doc_id long, url string, score float"
+            return spark.createDataFrame([], schema)
+
+        terms = pq.scoring_terms
+        meta = self._term_meta(terms)
+        found = set(meta["term"])
+        terms = [t for t in terms if t in found]
+        must = [t for t in pq.must if t in found]
+        if (pq.must and len(must) < len(pq.must)) or not terms:
+            # a required term is absent from the corpus -> empty result
+            return spark.createDataFrame(
+                [], "rank int, doc_id long, url string, score float"
+            )
+        n_docs = self.stats["N"]
+        idf_by_term = {
+            r["term"]: float(bm25_idf(n_docs, int(r["df"])))
+            for _, r in meta.iterrows()
+        }
+
+        blocks = self._blocks_for(terms)
+
+        if prune and not pq.must_not:
+            theta = self._theta(meta, idf_by_term, k)
+            if theta > 0.0:
+                # per-term scores are float32-rounded, so a doc score can sit
+                # one ulp ABOVE the float64 upper bound — prune with a small
+                # relative slack so boundary ties are never dropped (the
+                # prune-on == prune-off invariant is enforced by tests).
+                cutoff = theta * (1.0 - 1e-4)
+                idf_expr = F.create_map(
+                    *[x for t in terms for x in (F.lit(t), F.lit(idf_by_term[t]))]
+                )
+                ub = (
+                    blocks.select(
+                        "block_id",
+                        (idf_expr[F.col("term")] * F.col("max_impact")).alias("ub"),
+                    )
+                    .groupBy("block_id")
+                    .agg(F.sum("ub").alias("ub"))
+                    .filter(F.col("ub") >= cutoff)
+                    .select("block_id")
+                )
+                blocks = blocks.join(ub, "block_id", "left_semi")
+
+        if must:
+            # a doc-range block can only contain MUST-satisfying docs if every
+            # MUST term has postings in that range — prune the rest up front.
+            must_blocks = (
+                blocks.filter(F.col("term").isin(must))
+                .groupBy("block_id")
+                .agg(F.count_distinct("term").alias("nt"))
+                .filter(F.col("nt") == len(must))
+                .select("block_id")
+            )
+            blocks = blocks.join(must_blocks, "block_id", "left_semi")
+
+        scored = self._scored(blocks, idf_by_term)
+        agg = scored.groupBy("doc_id").agg(
+            F.sum("score").alias("_s"),
+            F.count(F.when(F.col("term").isin(must), 1)).alias("_nmust"),
+        )
+        if must:
+            agg = agg.filter(F.col("_nmust") == len(must))
+        if pq.must_not:
+            nb = self._blocks_for(pq.must_not)
+            excluded = self._scored(
+                nb, {t: 0.0 for t in pq.must_not}
+            ).select("doc_id").distinct()
+            agg = agg.join(excluded, "doc_id", "left_anti")
+
+        topk = (
+            agg.select("doc_id", F.col("_s").cast("float").alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
+        if with_url:
+            # two-phase fields fetch (QueryComponent.java:1000): rank on the
+            # narrow columns, then join back for display fields — broadcast
+            # the tiny top-k side.
+            topk = self.docs.select("doc_id", "url").join(
+                F.broadcast(topk), "doc_id", "inner"
+            )
+        out = topk.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            ),
+        )
+        cols = ["rank", "doc_id"] + (["url"] if with_url else []) + ["score"]
+        return out.select(*cols)

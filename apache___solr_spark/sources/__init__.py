@@ -1,0 +1,7 @@
+from apache___solr_spark.sources.loaders import (  # noqa: F401
+    export_sorted,
+    read_csv_docs,
+    read_jdbc_stream,
+    read_json_docs,
+    write_response,
+)

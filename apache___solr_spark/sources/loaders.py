@@ -1,0 +1,86 @@
+"""Sources / sinks: the reference's loaders and response writers, Spark-first.
+
+Solr parses update payloads into SolrInputDocuments via per-format loaders
+(solr/core/src/java/org/apache/solr/handler/loader/: JsonLoader ~700 LoC,
+CSVLoaderBase, XMLLoader) and serializes results via response writers
+(solr/core/src/java/org/apache/solr/response/).  Spark's readers/writers
+subsume the parsing; these wrappers pin down the engine-facing conventions
+(schema-on-read, uniqueKey enforcement, sorted export).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def read_json_docs(
+    spark: SparkSession, path: str, schema: str | None = None, unique_key: str = "id"
+) -> DataFrame:
+    """JsonLoader equivalent (handler/loader/JsonLoader.java): JSON lines ->
+    docs; duplicate uniqueKey keeps the LAST occurrence, matching Solr's
+    overwrite-on-add semantics (DirectUpdateHandler2.addDoc: updateDocument
+    replaces by id)."""
+    reader = spark.read
+    if schema:
+        reader = reader.schema(schema)
+    df = reader.json(path)
+    return (
+        df.withColumn("_arrival", F.monotonically_increasing_id())
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(unique_key).orderBy(F.col("_arrival").desc())
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_arrival")
+    )
+
+
+def read_csv_docs(
+    spark: SparkSession, path: str, schema: str | None = None, **options
+) -> DataFrame:
+    """CSVLoader equivalent (handler/loader/CSVLoaderBase.java)."""
+    reader = spark.read.option("header", options.pop("header", "true"))
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def read_jdbc_stream(
+    spark: SparkSession, url: str, table: str, **options
+) -> DataFrame:
+    """JDBCStream equivalent (solrj-streaming/.../stream/JDBCStream.java,
+    751 LoC): pull rows from an RDBMS into the dataflow."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def export_sorted(
+    df: DataFrame, path: str, sort_cols: list[Column], fmt: str = "parquet"
+) -> None:
+    """/export handler equivalent (handler/export/ExportWriter.java:98,388):
+    full sorted result-set export.  The reference streams 30k-doc batches
+    through a queue of docValues iterators; Spark's external sort +
+    columnar write is the same capability without the hand-built queue."""
+    out = df.sort(*sort_cols)
+    getattr(out.write.mode("overwrite"), fmt)(path)
+
+
+def write_response(df: DataFrame, path: str, fmt: str = "json") -> None:
+    """Response writers (response/JSONResponseWriter.java,
+    CSVResponseWriter.java, ...) -> df.write.<fmt>."""
+    writer = df.write.mode("overwrite")
+    if fmt == "json":
+        writer.json(path)
+    elif fmt == "csv":
+        writer.option("header", "true").csv(path)
+    elif fmt == "parquet":
+        writer.parquet(path)
+    else:
+        raise NotImplementedError(f"format {fmt!r}")

@@ -1,0 +1,188 @@
+"""End-to-end: distributed index + BM25 query engine vs the pure-Python
+oracle (Solr control-vs-distributed equivalence pattern,
+BaseDistributedSearchTestCase.java:98)."""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from apache___solr_spark.config import IndexConfig
+from apache___solr_spark.corpus import generate_pages, generate_queries
+from apache___solr_spark.index.builder import build_index
+from apache___solr_spark.oracle import build_oracle_index, oracle_search
+from apache___solr_spark.query.engine import SearchEngine
+
+N_DOCS = 400
+CFG = IndexConfig(block_range=32, salt_range=128, n_buckets=8)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    path = str(d / "pages.parquet")
+    table = generate_pages(N_DOCS, seed=42)
+    pq.write_table(table, path)
+    return path, table
+
+
+@pytest.fixture(scope="module")
+def oracle_idx(corpus):
+    _, table = corpus
+    rows = table.to_pylist()
+    return build_oracle_index(rows)
+
+
+@pytest.fixture(scope="module")
+def built(spark, corpus, tmp_path_factory):
+    path, _ = corpus
+    out = str(tmp_path_factory.mktemp("index") / "idx")
+    build_index(spark, path, out, cfg=CFG)
+    return out
+
+
+def test_corpus_deterministic(corpus):
+    _, table = corpus
+    again = generate_pages(N_DOCS, seed=42)
+    assert table.equals(again)
+    assert not table.equals(generate_pages(N_DOCS, seed=7))
+
+
+def test_extracted_text_byte_identical(spark, corpus, oracle_idx, built):
+    # engine docs table must agree with oracle on every doclen + norm byte
+    # (doclen is a pure function of the extracted text, so byte-identical
+    # analysis is a precondition of this passing for all 400 docs)
+    docs = spark.read.parquet(os.path.join(built, "docs")).orderBy("doc_id")
+    rows = docs.collect()
+    assert len(rows) == oracle_idx.n_docs
+    for r in rows:
+        assert r["url"] == oracle_idx.url_by_doc[r["doc_id"]]
+        assert r["doclen"] == oracle_idx.doclen[r["doc_id"]]
+        assert r["norm_byte"] == oracle_idx.norm_byte[r["doc_id"]]
+
+
+def test_stats_exact(built, oracle_idx):
+    with open(os.path.join(built, "stats.json")) as f:
+        stats = json.load(f)
+    assert stats["N"] == oracle_idx.n_docs
+    assert math.isclose(stats["avgdl"], oracle_idx.avgdl, rel_tol=1e-12)
+
+
+def test_dictionary_matches_oracle(spark, built, oracle_idx):
+    d = spark.read.parquet(os.path.join(built, "dictionary")).collect()
+    got = {r["term"]: (r["df"], r["cf"]) for r in d}
+    want = {
+        t: (len(pl), sum(pl.values())) for t, pl in oracle_idx.postings.items()
+    }
+    assert got == want
+
+
+def test_postings_blocks_decode_to_oracle(spark, built, oracle_idx):
+    from apache___solr_spark.index.codec import decode_vbyte, delta_decode
+
+    blocks = spark.read.parquet(os.path.join(built, "postings")).collect()
+    per_term: dict[str, dict[int, int]] = {}
+    for b in blocks:
+        ids = delta_decode(
+            decode_vbyte(bytes(b["doc_gaps"]), b["n_docs"]).astype(np.int64),
+            b["block_id"] * CFG.block_range,
+        )
+        tfs = decode_vbyte(bytes(b["tfs"]), b["n_docs"])
+        assert b["first_doc"] == ids[0] and b["last_doc"] == ids[-1]
+        assert (ids // CFG.block_range == b["block_id"]).all()
+        assert b["max_tf"] == tfs.max()
+        for i, t in zip(ids, tfs):
+            assert per_term.setdefault(b["term"], {}).setdefault(int(i), int(t)) == int(t)
+    assert per_term == oracle_idx.postings
+
+
+def _run_query_pair(spark, built, oracle_idx, q, k, prune):
+    eng = SearchEngine(spark, built, cfg=CFG)
+    got = [r.asDict() for r in eng.search(q, k=k, prune=prune).collect()]
+    want = oracle_search(oracle_idx, q, k=k)
+    assert [g["doc_id"] for g in got] == [w["doc_id"] for w in want], q
+    assert [g["url"] for g in got] == [w["url"] for w in want], q
+    for g, w in zip(got, want):
+        assert math.isclose(g["score"], w["score"], rel_tol=1e-6), (q, g, w)
+    return got
+
+
+@pytest.mark.parametrize("prune", [False, True])
+def test_reference_queries_rank_identical(spark, built, oracle_idx, prune):
+    for spec in generate_queries():
+        _run_query_pair(
+            spark, built, oracle_idx, spec["query"], spec["k"], prune
+        )
+
+
+def test_prune_equals_noprune(spark, built):
+    eng = SearchEngine(spark, built, cfg=CFG)
+    for spec in generate_queries():
+        a = [tuple(r) for r in eng.search(spec["query"], k=spec["k"], prune=True).collect()]
+        b = [tuple(r) for r in eng.search(spec["query"], k=spec["k"], prune=False).collect()]
+        assert a == b, spec
+
+
+def test_partitioning_invariance(spark, corpus, built, tmp_path_factory):
+    """1-partition build == many-partition build (control vs distributed)."""
+    path, _ = corpus
+    out2 = str(tmp_path_factory.mktemp("index1p") / "idx")
+    pages1 = spark.read.parquet(path).repartition(1)
+    build_index(spark, pages1, out2, cfg=CFG, n_parts=1)
+    a = (
+        spark.read.parquet(os.path.join(built, "docs"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    b = (
+        spark.read.parquet(os.path.join(out2, "docs"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert a == b
+    da = spark.read.parquet(os.path.join(built, "dictionary")).orderBy("term").collect()
+    db = spark.read.parquet(os.path.join(out2, "dictionary")).orderBy("term").collect()
+    assert [(r["term"], r["df"], r["cf"]) for r in da] == [
+        (r["term"], r["df"], r["cf"]) for r in db
+    ]
+
+
+def test_resume_skips_completed_stages(spark, corpus, built):
+    """Re-running build on a finished index is a no-op (manifests match)."""
+    path, _ = corpus
+    import time
+
+    t0 = time.time()
+    build_index(spark, path, built, cfg=CFG)
+    assert time.time() - t0 < 5.0  # no stage re-ran (full build takes longer)
+
+
+def test_resume_after_partial_failure(spark, corpus, tmp_path_factory):
+    """Deleting a later stage's manifest re-runs only that stage and yields
+    identical output (north_rule: resumable from per-partition checkpoints)."""
+    path, _ = corpus
+    out = str(tmp_path_factory.mktemp("resume") / "idx")
+    build_index(spark, path, out, cfg=CFG)
+    before = (
+        spark.read.parquet(os.path.join(out, "dictionary")).orderBy("term").collect()
+    )
+    os.remove(os.path.join(out, "dictionary", "_MANIFEST.json"))
+    build_index(spark, path, out, cfg=CFG)
+    after = (
+        spark.read.parquet(os.path.join(out, "dictionary")).orderBy("term").collect()
+    )
+    assert before == after
+
+
+def test_manifests_carry_lineage(built):
+    for stage in ("analyzed", "docs", "postings", "dictionary"):
+        with open(os.path.join(built, stage, "_MANIFEST.json")) as f:
+            m = json.load(f)
+        assert m["rows"] > 0
+        assert m["rows"] == sum(p["rows"] for p in m["partitions"])
+        assert m["wall_sec"] >= 0
