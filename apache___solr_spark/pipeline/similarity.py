@@ -74,7 +74,7 @@ def lsh_bucket_ids(
     for i in range(n_planes):
         p = F.array(*[F.lit(float(x)) for x in planes[i]])
         bit = (_dot(F.col(vec_col), p) > 0).cast("long")
-        bucket = bucket + (bit << i)
+        bucket = bucket + bit * F.lit(int(1 << i))
     return df.withColumn("lsh_bucket", bucket)
 
 

@@ -1,0 +1,95 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline set = the north-rule core (fulltext index build + BM25 queries over
+the documents corpus) plus representative operators from each SURVEY.md §2
+family (joins, rollups, facets, top-k, dedup, ANN).  Index build time is
+measured cold (fresh output dir, no resume) and reported both as seconds and
+docs/sec.
+
+Scaling evidence (north_rule: efficiency >= 0.8 from N to 4N executors) is
+produced by bench_scaling.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+HEADLINE = [
+    "bm25_topk",
+    "bm25_and_not",
+    "term_stats",
+    "boolean_and_search",
+    "rollup_lineitem",
+    "hash_join_parts",
+    "inner_join_rollup",
+    "topk_orders",
+    "collapse",
+    "timeseries",
+    "facet_event_types",
+    "significant_terms",
+    "exact_dedup",
+    "minhash_lsh_candidates",
+    "cosine_topk",
+    "quality_score",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from apache___solr_spark.index.builder import build_index
+    from apache___solr_spark.session import get_spark
+
+    spark = get_spark("bench", cores=CPUS)
+    n_docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).count()
+
+    timings: dict[str, float] = {}
+
+    # cold fulltext index build over the documents corpus
+    idx_dir = tempfile.mkdtemp(prefix="bench_idx_")
+    t0 = time.time()
+    build_index(
+        spark, entrymod._docs_as_pages(spark, SF_DIR), os.path.join(idx_dir, "idx")
+    )
+    build_sec = time.time() - t0
+    timings["index_build"] = round(build_sec, 3)
+    # reuse the built index for the bm25 query entries
+    entrymod._INDEX_CACHE[os.path.abspath(SF_DIR)] = os.path.join(idx_dir, "idx")
+
+    qs = entrymod.queries()
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                "cpus": CPUS,
+                "index_docs_per_sec": round(n_docs / build_sec, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

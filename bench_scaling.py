@@ -1,0 +1,93 @@
+"""Scaling-efficiency evidence for the north rule.
+
+The rule requires indexing throughput to scale with efficiency >= 0.8 from
+N to 4N executors.  This sandbox has no real cluster, so (per driver
+instruction) we run the SAME index-build job on the SAME generated corpus at
+two parallelism levels — local[8] (N) and local[32] (4N) — and report
+throughput at both plus efficiency = T(4N) / (4 * T(N)) ... in throughput
+terms: eff = (docs_per_sec_32 / docs_per_sec_8) / 4.
+
+Each level runs in a fresh subprocess (a JVM can't change core count
+mid-flight); results land in BENCH/BASELINE.md.
+
+Usage: python bench_scaling.py [n_docs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 40_000
+
+_CHILD = r"""
+import json, os, sys, tempfile, time
+sys.path.insert(0, {repo!r})
+from apache___solr_spark.session import get_spark
+from apache___solr_spark.index.builder import build_index
+from apache___solr_spark.query.engine import SearchEngine
+
+cores = int(sys.argv[1]); pages_path = sys.argv[2]
+spark = get_spark(f"scaling-{{cores}}", cores=cores)
+out = tempfile.mkdtemp(prefix=f"scale_idx_{{cores}}_")
+t0 = time.time()
+build_index(spark, pages_path, os.path.join(out, "idx"))
+build_sec = time.time() - t0
+
+eng = SearchEngine(spark, os.path.join(out, "idx"))
+from apache___solr_spark.corpus import generate_queries
+lat = []
+for spec in generate_queries()[:8]:
+    q0 = time.time()
+    eng.search(spec["query"], k=spec["k"]).collect()
+    lat.append(time.time() - q0)
+lat.sort()
+n = spark.read.parquet(pages_path).count()
+print("RESULT " + json.dumps({
+    "cores": cores, "build_sec": round(build_sec, 2),
+    "docs_per_sec": round(n / build_sec, 1),
+    "query_p50_sec": round(lat[len(lat)//2], 3),
+    "query_p99_sec": round(lat[-1], 3),
+    "n_docs": n,
+}))
+spark.stop()
+"""
+
+
+def run_level(cores: int, pages_path: str) -> dict:
+    script = _CHILD.format(repo=os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "-c", script, str(cores), pages_path],
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"no RESULT from cores={cores}:\n{out.stdout[-2000:]}\n{out.stderr[-4000:]}")
+
+
+def main() -> None:
+    from apache___solr_spark.corpus import write_pages_parquet
+
+    work = tempfile.mkdtemp(prefix="scaling_corpus_")
+    pages = os.path.join(work, "pages.parquet")
+    write_pages_parquet(pages, n_docs=N_DOCS, seed=42)
+
+    r8 = run_level(8, pages)
+    r32 = run_level(32, pages)
+    eff = (r32["docs_per_sec"] / r8["docs_per_sec"]) / 4.0
+    result = {"N=local[8]": r8, "4N=local[32]": r32, "scaling_efficiency": round(eff, 3)}
+    print(json.dumps(result, indent=2))
+
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/scaling.json", "w") as f:
+        json.dump(result, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,95 @@
+"""Operator-layer checks: physical plan shape + semantics on tiny frames.
+
+The semantics at sf0.01 are covered by the DuckDB oracle in
+test_entry_contract.py; here we assert the PLANS are the ones we want at
+scale (broadcast where small, TakeOrderedAndProject for top-k, pushdown)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache___solr_spark.operators import (
+    collapse,
+    complement,
+    cursor_page,
+    hash_join,
+    intersect,
+    merge,
+    top,
+    unique,
+)
+from apache___solr_spark.plans.inspect import explain_str
+
+
+@pytest.fixture(scope="module")
+def li(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+@pytest.fixture(scope="module")
+def part(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/part.parquet")
+
+
+def test_hash_join_broadcasts(li, part):
+    p = part.withColumnRenamed("p_partkey", "l_partkey")
+    plan = explain_str(hash_join(li, p, ["l_partkey"]))
+    assert "BroadcastHashJoin" in plan
+    # the probe side must NOT shuffle
+    assert "Exchange hashpartitioning(l_partkey" not in plan
+
+
+def test_top_compiles_to_take_ordered(li):
+    plan = explain_str(top(li, 10, F.col("l_extendedprice").desc()))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_filter_pushdown_reaches_scan(li):
+    q = li.filter(F.col("l_shipdate") < "1996-01-01").select("l_orderkey")
+    plan = explain_str(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan
+    # column pruning: scan reads only the two needed columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_shipdate:timestamp" in plan
+
+
+def test_semi_and_anti_joins(spark):
+    a = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], "k int, v string")
+    b = spark.createDataFrame([(2,), (3,), (4,)], "k int")
+    assert sorted(r["k"] for r in intersect(a, b, ["k"]).collect()) == [2, 3]
+    assert sorted(r["k"] for r in complement(a, b, ["k"]).collect()) == [1]
+    plan_semi = explain_str(intersect(a, b, ["k"]))
+    plan_anti = explain_str(complement(a, b, ["k"]))
+    assert "LeftSemi" in plan_semi
+    assert "LeftAnti" in plan_anti
+
+
+def test_collapse_keeps_one_per_group(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (1, 20.0, "b"), (2, 5.0, "c")], "g int, s double, v string"
+    )
+    out = collapse(df, "g", [F.col("s").desc()]).collect()
+    got = {r["g"]: r["v"] for r in out}
+    assert got == {1: "b", 2: "c"}
+
+
+def test_cursor_page_walks_whole_set(spark):
+    df = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(50)], "id int, s double"
+    )
+    seen = []
+    after = None
+    while True:
+        page = cursor_page(df, "s", "id", 12, after=after).collect()
+        if not page:
+            break
+        seen.extend((r["s"], r["id"]) for r in page)
+        after = (page[-1]["s"], page[-1]["id"])
+    assert len(seen) == 50
+    assert seen == sorted(seen)  # keyset order, no dup/skip
+
+
+def test_merge_unique(spark):
+    a = spark.createDataFrame([(1,), (2,)], "k int")
+    b = spark.createDataFrame([(2,), (3,)], "k int")
+    assert sorted(r["k"] for r in unique(merge(a, b), ["k"]).collect()) == [1, 2, 3]

@@ -1,0 +1,127 @@
+"""Training-pipeline ops: near-dup estimators vs exact ground truth,
+ANN recall vs brute force, multimodal stub plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from apache___solr_spark.pipeline.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_dedup_candidates,
+)
+from apache___solr_spark.pipeline.multimodal import extract_image_features
+from apache___solr_spark.pipeline.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+)
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill every single afternoon in summer"
+    )
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("summer", "winter")),  # near dup
+        (3, "completely different content about spark dataframes and shuffles"),
+        (4, "completely different content about spark dataframes and shuffles"),
+        (5, "unrelated short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(dup_docs):
+    out = {r["id"]: r for r in exact_dedup(dup_docs, "text", "doc_id").collect()}
+    assert out[1]["canonical_id"] == 0 and out[1]["is_duplicate"]
+    assert out[4]["canonical_id"] == 3 and out[4]["is_duplicate"]
+    assert not out[0]["is_duplicate"] and not out[5]["is_duplicate"]
+
+
+def test_minhash_finds_near_dups_and_estimates_jaccard(dup_docs):
+    cands = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_candidates(dup_docs, "text", "doc_id").collect()
+    }
+    assert cands.get((0, 1)) == 1.0  # exact dup: all minhashes equal
+    assert (0, 2) in cands or (1, 2) in cands  # near dup found
+    assert (3, 4) in cands
+    # estimate roughly tracks exact jaccard for the near-dup pair
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(dup_docs, "text", "doc_id", n=3).collect()
+    }
+    if (0, 2) in cands:
+        assert abs(cands[(0, 2)] - exact[(0, 2)]) < 0.35
+
+
+def test_simhash_near_dups(dup_docs):
+    cands = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_dedup_candidates(dup_docs, "text", "doc_id").collect()
+    }
+    assert cands.get((0, 1)) == 0
+    assert cands.get((3, 4)) == 0
+    if (0, 2) in cands:
+        assert cands[(0, 2)] <= 12
+
+
+def test_lsh_ann_recall(spark):
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((300, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(300)],
+        "vec_id long, embedding array<float>",
+    )
+    q = [float(x) for x in vecs[0]]
+    exact = [r["vec_id"] for r in cosine_topk_bruteforce(df, q, k=10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in cosine_topk_lsh(
+            df, q, k=10, n_planes=8, multiprobe_hamming=2
+        ).collect()
+    ]
+    assert exact[0] == 0  # self is nearest
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5  # multiprobe LSH over random data
+
+
+def test_multimodal_stub_plumbing(spark):
+    rows = [(i, bytes([i] * 32), "image/png", 8, 6) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "media_id long, content binary, mime string, width int, height int"
+    )
+    out = extract_image_features(df, fake=True).collect()
+    assert len(out) == 10
+    assert all(len(r["feature"]) == 8 for r in out)
+    # deterministic across runs
+    again = extract_image_features(df, fake=True).collect()
+    assert [r["feature"] for r in out] == [r["feature"] for r in again]
+    # real decoder is stubbed
+    with pytest.raises(Exception, match="NotImplementedError|PIL|decoding"):
+        extract_image_features(df, fake=False).collect()
+
+
+def test_fingerprint_and_quality(spark, sf_dir):
+    from apache___solr_spark.pipeline.textqual import (
+        document_fingerprint,
+        quality_score,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp = document_fingerprint(d, "text", "doc_id")
+    assert fp.count() == d.count()
+    # same normalized content -> same fingerprint
+    two = spark.createDataFrame(
+        [(1, "Hello,   WORLD!"), (2, "hello world")], "doc_id long, text string"
+    )
+    vals = [r["fingerprint"] for r in document_fingerprint(two, "text", "doc_id").collect()]
+    assert vals[0] == vals[1]
+    q = quality_score(d, "text", "doc_id")
+    assert q.filter(F.col("quality") > 1.0).count() == 0
