@@ -14,6 +14,8 @@ script/style blocks, comments, CDATA.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -139,5 +141,57 @@ def generate_queries(seed: int = 42) -> list[dict]:
     return qs
 
 
-def write_pages_parquet(path: str, n_docs: int, seed: int = 42) -> None:
-    pq.write_table(generate_pages(n_docs, seed), path)
+def write_pages_parquet(
+    path: str,
+    n_docs: int,
+    seed: int = 42,
+    docs_per_file: int = 5000,
+    n_jobs: int = 1,
+) -> None:
+    """Write the corpus as a DIRECTORY of part files so Spark's scan
+    parallelizes (a single parquet file caps the input stage at
+    ~size/maxPartitionBytes tasks — a real Common-Crawl dump is thousands of
+    WARC files, so multi-file is also the realistic shape).
+
+    Chunks are generated per-file from the same deterministic generator
+    (chunk seed = seed + file index), so content is reproducible for a given
+    (n_docs, seed, docs_per_file) regardless of ``n_jobs`` (chunks are
+    independent; n_jobs only parallelizes their generation)."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    specs = []
+    written = 0
+    i = 0
+    while written < n_docs:
+        n = min(docs_per_file, n_docs - written)
+        specs.append((path, n, seed, i, written))
+        written += n
+        i += 1
+    if n_jobs <= 1 or len(specs) <= 1:
+        for spec in specs:
+            _write_chunk(spec)
+    else:
+        from multiprocessing import Pool
+
+        with Pool(min(n_jobs, len(specs))) as pool:
+            pool.map(_write_chunk, specs)
+
+
+def _write_chunk(spec) -> None:
+    path, n, seed, chunk_idx, doc_offset = spec
+    table = _generate_pages_chunk(n, seed, chunk_idx, doc_offset)
+    pq.write_table(table, os.path.join(path, f"part-{chunk_idx:05d}.parquet"))
+
+
+def _generate_pages_chunk(n: int, seed: int, chunk_idx: int, doc_offset: int) -> pa.Table:
+    """A chunk with globally-unique urls: same generator, chunk-local seed,
+    urls offset by the chunk's global position."""
+    t = generate_pages(n, seed=seed + 7919 * chunk_idx)
+    urls = [
+        f"https://host{h}.example/p/{seed}/{doc_offset + j}"
+        for j, h in enumerate(
+            int(u.split("host")[1].split(".")[0]) for u in t.column("url").to_pylist()
+        )
+    ]
+    return t.set_column(0, "url", pa.array(urls, pa.string()))

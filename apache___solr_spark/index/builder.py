@@ -4,31 +4,38 @@ Pipeline (reference parity: the /update indexing path,
 solr/core/src/java/org/apache/solr/update/DirectUpdateHandler2.java:407-513 +
 DocumentBuilder.toDocument:99-123, re-expressed Spark-first):
 
-  pages ──extract_text/analyze (Arrow UDFs)──► analyzed(url, terms[], tfs[], doclen)
-        ──global url sort + dense doc_id──►   docs(url, doc_id, doclen, norm_byte)
-        ──explode──►                          (term, doc_id, tf, norm_byte)
-        ──repartition by (term, doc-range salt) + encode──► postings blocks
-        ──block metadata agg──►               dictionary(term, df, cf, max_impact)
+  pages ──repartitionByRange(url) + sort──► url-ordered partitions
+        ──fused mapInPandas: dense doc_id + extract_text + analyze──►
+          analyzed(url, doc_id, terms[], tfs[], doclen)           [1 UDF pass]
+        ──explode──► (term, doc_id, tf, norm_byte)
+        ──repartition(term, salt) + sorted streaming encode──► postings rows
+        ──metadata agg──► dictionary(term, df, cf, max_impact)
         plus scalar stats(N, avgdl).
 
-Key scale decisions:
-- doc_id is the global rank of url (deterministic, partitioning-invariant):
-  computed with a range repartition + per-partition offsets — two passes,
-  no single-partition window.  Mirrors Lucene's stable per-segment docIDs
-  while staying reproducible under any input split.
-- postings blocks are aligned on fixed doc_id ranges (block_id =
-  doc_id // block_range) so multi-term block-max pruning is sound; blocks
-  carry max_impact = max over the block of the BM25 tf/(tf+K*dl-norm)
-  factor — Lucene's per-block impacts, adapted (Lucene101PostingsFormat
-  semantics).
-- the encode groupBy key is (term, doc_id // salt_range), NOT bare term:
+Scale decisions (each one exists because the naive version measurably
+failed — see BENCH/BASELINE.md history):
+
+- doc_id = global rank of url: range-shuffle on the raw pages FIRST, then
+  run the (expensive) analysis UDF exactly once on the shuffled partitions.
+  Analyzing before the range shuffle runs the UDF twice (the range
+  partitioner's sampling pass re-executes its child) and an unshuffled
+  single-file corpus would analyze on one task.
+- postings rows are keyed (term, salt) with salt = doc_id // salt_range:
   head terms (>30% of docs) are encoded by many tasks (north_rule skew
-  handling — salted repartition + split posting blocks).  Because
-  salt_range is a multiple of block_range, blocks never straddle salts and
-  the union over salts is exactly the per-term block list.
+  handling), and because salt ranges are doc-aligned ACROSS terms, the
+  block-max pruning ub(salt) = sum_t idf_t * max_impact(t, salt) is sound.
+- one row per (term, salt), not per 128-doc block: rare terms cost one row
+  instead of df rows.  Inside the row, postings are delta-gap varbyte with
+  128-POSTING skip blocks (block_first_docs / block_n / block_max_impacts
+  array columns = skip pointers + per-block max-score, Lucene
+  Lucene101PostingsFormat impact semantics).
+- encoding is a per-PARTITION streaming pass over rows sorted by
+  (term, salt, doc_id) — groups are delimited with numpy, never one pandas
+  call per group (applyInPandas per (term,salt) group was ~2ms overhead x
+  #groups = the build bottleneck).
 - the postings table is written partitioned by pmod(xxhash64(term),
-  n_buckets): a query's scan prunes to the buckets of its terms (stands in
-  for the term-dictionary seek of a local index).
+  n_buckets): a query prunes its scan to the buckets of its terms (the
+  term-dictionary-seek analog).
 """
 
 from __future__ import annotations
@@ -45,16 +52,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from apache___solr_spark.analysis.udfs import extract_text_udf, term_freqs_udf
+from apache___solr_spark.analysis.chain import analyze, extract_text
 from apache___solr_spark.config import DEFAULT_CONFIG, IndexConfig
 from apache___solr_spark.index import checkpoint as ckpt
 from apache___solr_spark.index.codec import delta_encode, encode_vbyte
 from apache___solr_spark.index.smallfloat import NORM_TABLE, int_to_byte4_np
 
+ANALYZED_SCHEMA = (
+    "url string, doc_id long, terms array<string>, tfs array<int>, doclen int"
+)
+
 POSTINGS_SCHEMA = (
-    "term string, block_id long, n_docs int, first_doc long, last_doc long, "
+    "term string, salt long, n_docs int, first_doc long, last_doc long, "
     "doc_gaps binary, tfs binary, norms binary, sum_tf long, max_tf int, "
-    "max_impact float"
+    "max_impact float, block_first_docs array<long>, block_n array<int>, "
+    "block_max_impacts array<float>, bucket int"
 )
 
 
@@ -88,28 +100,53 @@ def _input_digest(pages: DataFrame, source: str | None) -> str:
     return f"{source or 'df'}::{','.join(pages.columns)}"
 
 
-def _analyze_stage(pages: DataFrame) -> DataFrame:
-    tf = term_freqs_udf(F.col("_text"))
-    return (
-        pages.withColumn("_text", extract_text_udf(F.col("html"), F.col("text")))
-        .select("url", tf.alias("_tf"))
-        .select(
-            "url",
-            F.col("_tf.terms").alias("terms"),
-            F.col("_tf.tfs").alias("tfs"),
-            F.col("_tf.doclen").alias("doclen"),
-        )
-    )
+def _analyze_and_number(spark: SparkSession, pages: DataFrame, n_parts: int):
+    """Analysis UDF on the INPUT partitions (html never crosses a shuffle),
+    then a range shuffle of the narrow analyzed rows to assign the dense
+    global doc_id = rank of url.
 
+    Ordering matters at scale: shuffling raw pages first moves the whole
+    html payload through the exchange (plus the range sampler's extra pass),
+    which measurably dominated the build; analyzed rows are ~5x narrower.
+    Both intermediates are persisted so the UDF runs exactly once and the
+    range sampler reads from cache.
 
-def _assign_doc_ids(spark: SparkSession, analyzed: DataFrame, n_parts: int) -> DataFrame:
-    """doc_id = global rank of url: range-partition, count, offset, number.
-
-    Two narrow passes; no global window.  Deterministic for a given input
-    set regardless of how the input was partitioned (the sort is total).
+    doc_id is deterministic and invariant to input partitioning (mirrors
+    Lucene's stable docIDs; control-vs-distributed tests depend on it).
     """
-    ranged = analyzed.repartitionByRange(n_parts, "url").sortWithinPartitions("url")
-    ranged = ranged.persist()
+    max_token_len = DEFAULT_CONFIG.max_token_len
+
+    def analyze_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            terms_col: list[list[str]] = []
+            tfs_col: list[list[int]] = []
+            lens: list[int] = []
+            for h, t in zip(pdf["html"], pdf["text"]):
+                toks = analyze(extract_text(h, t), max_token_len=max_token_len)
+                counts_: dict[str, int] = {}
+                for tok in toks:
+                    counts_[tok] = counts_.get(tok, 0) + 1
+                items = sorted(counts_.items())
+                terms_col.append([k for k, _ in items])
+                tfs_col.append([v for _, v in items])
+                lens.append(len(toks))
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"].to_numpy(),
+                    "terms": terms_col,
+                    "tfs": tfs_col,
+                    "doclen": lens,
+                }
+            )
+
+    raw = pages.select("url", "html", "text").mapInPandas(
+        analyze_batch,
+        schema="url string, terms array<string>, tfs array<int>, doclen int",
+    )
+    raw = raw.persist()
+    ranged = (
+        raw.repartitionByRange(n_parts, "url").sortWithinPartitions("url").persist()
+    )
     counts = (
         ranged.groupBy(F.spark_partition_id().alias("pid"))
         .count()
@@ -123,10 +160,6 @@ def _assign_doc_ids(spark: SparkSession, analyzed: DataFrame, n_parts: int) -> D
         acc += r["count"]
     b_offsets = spark.sparkContext.broadcast(offsets)
 
-    schema = (
-        "url string, terms array<string>, tfs array<int>, doclen int, doc_id long"
-    )
-
     def number(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
@@ -134,66 +167,107 @@ def _assign_doc_ids(spark: SparkSession, analyzed: DataFrame, n_parts: int) -> D
         base = b_offsets.value.get(pid, 0)
         seen = 0
         for pdf in batches:
-            pdf = pdf.copy()
-            pdf["doc_id"] = np.arange(base + seen, base + seen + len(pdf), dtype=np.int64)
-            seen += len(pdf)
-            yield pdf
+            n = len(pdf)
+            out = pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "doc_id": np.arange(base + seen, base + seen + n, dtype=np.int64),
+                    "terms": pdf["terms"],
+                    "tfs": pdf["tfs"],
+                    "doclen": pdf["doclen"],
+                }
+            )
+            seen += n
+            yield out
 
-    out = ranged.mapInPandas(number, schema=schema)
-    return out, ranged
+    numbered = ranged.mapInPandas(number, schema=ANALYZED_SCHEMA)
+    return numbered, (raw, ranged)
 
 
-def _encode_group(cfg_block_range: int, k1: float, b: float, avgdl: float):
-    """Returns the applyInPandas function encoding one (term, salt) group."""
+def _encode_partition(cfg: IndexConfig, avgdl: float):
+    """Streaming encoder over a partition sorted by (term, salt, doc_id):
+    emits one postings row per (term, salt) group, batching across Arrow
+    batch boundaries (a group may span batches — the tail group is carried).
+    """
     norm_table_f32 = NORM_TABLE.astype(np.float32)
-    k1f = np.float32(k1)
-    one_minus_b = np.float32(1.0 - b)
-    bf = np.float32(b)
+    k1f = np.float32(cfg.bm25_k1)
+    one_minus_b = np.float32(1.0 - cfg.bm25_b)
+    bf = np.float32(cfg.bm25_b)
     avgdlf = np.float32(avgdl)
+    block = cfg.block_range
+    salt_range = cfg.salt_range
 
-    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        term = pdf["term"].iloc[0]
-        order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
-        doc_ids = pdf["doc_id"].to_numpy()[order].astype(np.int64)
-        tfs = pdf["tf"].to_numpy()[order].astype(np.int64)
-        norms = pdf["norm_byte"].to_numpy()[order].astype(np.uint8)
+    def encode_region(region: pd.DataFrame) -> pd.DataFrame:
+        terms = region["term"].to_numpy()
+        salts = region["salt"].to_numpy()
+        buckets = region["bucket"].to_numpy()
+        ids = region["doc_id"].to_numpy().astype(np.int64)
+        tfs = region["tf"].to_numpy().astype(np.int64)
+        norms = region["norm_byte"].to_numpy().astype(np.uint8)
 
-        block_ids = doc_ids // cfg_block_range
-        # contiguous runs of equal block_id
-        boundaries = np.flatnonzero(np.diff(block_ids)) + 1
-        starts = np.concatenate(([0], boundaries))
-        ends = np.concatenate((boundaries, [doc_ids.size]))
-
-        # BM25 impact per posting: tf / (tf + k1*((1-b) + b*dl/avgdl)),
-        # float32 throughout (matches the query-time scorer bit-for-bit).
         dl = norm_table_f32[norms]
         tf_f = tfs.astype(np.float32)
-        cache = k1f * (one_minus_b + bf * dl / avgdlf)
-        impact = tf_f / (tf_f + cache)
+        impact = tf_f / (tf_f + k1f * (one_minus_b + bf * dl / avgdlf))
 
+        change = np.flatnonzero((terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(region)]))
         rows = []
         for s, e in zip(starts, ends):
-            bid = int(block_ids[s])
-            base = bid * cfg_block_range
-            ids = doc_ids[s:e]
+            g_ids = ids[s:e]
+            g_tfs = tfs[s:e]
+            g_norms = norms[s:e]
+            g_imp = impact[s:e]
+            n = int(e - s)
+            base = int(salts[s]) * salt_range
+            bl_starts = np.arange(0, n, block)
             rows.append(
                 {
-                    "term": term,
-                    "block_id": bid,
-                    "n_docs": int(e - s),
-                    "first_doc": int(ids[0]),
-                    "last_doc": int(ids[-1]),
-                    "doc_gaps": encode_vbyte(delta_encode(ids, base)),
-                    "tfs": encode_vbyte(tfs[s:e]),
-                    "norms": norms[s:e].tobytes(),
-                    "sum_tf": int(tfs[s:e].sum()),
-                    "max_tf": int(tfs[s:e].max()),
-                    "max_impact": np.float32(impact[s:e].max()),
+                    "term": terms[s],
+                    "salt": int(salts[s]),
+                    "n_docs": n,
+                    "first_doc": int(g_ids[0]),
+                    "last_doc": int(g_ids[-1]),
+                    "doc_gaps": encode_vbyte(delta_encode(g_ids, base)),
+                    "tfs": encode_vbyte(g_tfs),
+                    "norms": g_norms.tobytes(),
+                    "sum_tf": int(g_tfs.sum()),
+                    "max_tf": int(g_tfs.max()),
+                    "max_impact": np.float32(g_imp.max()),
+                    "block_first_docs": g_ids[bl_starts].tolist(),
+                    "block_n": np.diff(np.append(bl_starts, n)).astype(np.int32).tolist(),
+                    "block_max_impacts": np.maximum.reduceat(g_imp, bl_starts).tolist(),
+                    "bucket": int(buckets[s]),
                 }
             )
         return pd.DataFrame(rows)
 
-    return encode
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if pdf.empty:
+                continue
+            terms = pdf["term"].to_numpy()
+            salts = pdf["salt"].to_numpy()
+            last_t, last_s = terms[-1], salts[-1]
+            eq_last = (terms == last_t) & (salts == last_s)
+            # length of the trailing run belonging to the last (term, salt)
+            tail_len = int(np.argmin(eq_last[::-1])) if not eq_last.all() else len(pdf)
+            if tail_len == len(pdf):
+                carry = pdf  # whole batch is one group; may continue
+                continue
+            cut = len(pdf) - tail_len
+            carry = pdf.iloc[cut:]
+            out = encode_region(pdf.iloc[:cut])
+            if not out.empty:
+                yield out
+        if carry is not None and not carry.empty:
+            yield encode_region(carry)
+
+    return run
 
 
 def build_index(
@@ -215,14 +289,14 @@ def build_index(
     cfg_digest = cfg.digest()
     in_digest = _input_digest(pages, source)
 
-    # ---- stage 1: analyze + doc ids -> docs + analyzed ------------------
+    # ---- stage 1: range shuffle + fused doc_id/analysis pass -------------
     t0 = time.time()
     if not (resume and ckpt.stage_complete(paths.analyzed, cfg_digest, in_digest)):
-        analyzed, ranged = _assign_doc_ids(spark, _analyze_stage(pages), n_parts)
+        analyzed, cached = _analyze_and_number(spark, pages, n_parts)
         analyzed.write.mode("overwrite").parquet(paths.analyzed)
-        ranged.unpersist()
-        adf = spark.read.parquet(paths.analyzed)
-        lineage = ckpt.partition_lineage(adf)
+        for c in cached:
+            c.unpersist()
+        lineage = ckpt.parquet_lineage(paths.analyzed)
         ckpt.publish_manifest(
             paths.analyzed,
             stage="analyzed",
@@ -240,8 +314,7 @@ def build_index(
             "norm_byte", _norm_byte_udf(F.col("doclen"))
         )
         docs.write.mode("overwrite").parquet(paths.docs)
-        ddf = spark.read.parquet(paths.docs)
-        lineage = ckpt.partition_lineage(ddf)
+        lineage = ckpt.parquet_lineage(paths.docs)
         ckpt.publish_manifest(
             paths.docs,
             stage="docs",
@@ -273,7 +346,7 @@ def build_index(
     with open(paths.stats) as f:
         stats = json.load(f)
 
-    # ---- stage 3: postings blocks ---------------------------------------
+    # ---- stage 3: postings (salted repartition + streaming encode) ------
     t0 = time.time()
     if not (resume and ckpt.stage_complete(paths.postings, cfg_digest, in_digest)):
         exploded = (
@@ -289,20 +362,27 @@ def build_index(
                 F.col("z.tfs").alias("tf"),
                 "norm_byte",
             )
+            .withColumn(
+                "salt", (F.col("doc_id") / F.lit(cfg.salt_range)).cast("long")
+            )
+            .withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("term"), F.lit(cfg.n_buckets)).cast("int"),
+            )
         )
-        salted = exploded.withColumn(
-            "salt", (F.col("doc_id") / F.lit(cfg.salt_range)).cast("long")
-        )
-        encode = _encode_group(cfg.block_range, cfg.bm25_k1, cfg.bm25_b, stats["avgdl"])
-        blocks = salted.groupBy("term", "salt").applyInPandas(
-            encode, schema=POSTINGS_SCHEMA
-        )
-        blocks = blocks.withColumn(
-            "bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.n_buckets)).cast("int")
+        encode = _encode_partition(cfg, stats["avgdl"])
+        # shuffle key (bucket, salt), NOT bare term: (a) head terms split
+        # across salts (skew), (b) each task holds few buckets, so the
+        # bucket-partitioned write emits few files per task instead of
+        # tasks x buckets tiny files.  Sorting by (term, salt, doc_id) keeps
+        # encode groups contiguous (bucket is a function of term).
+        blocks = (
+            exploded.repartition(n_parts, "bucket", "salt")
+            .sortWithinPartitions("bucket", "term", "salt", "doc_id")
+            .mapInPandas(encode, schema=POSTINGS_SCHEMA)
         )
         blocks.write.mode("overwrite").partitionBy("bucket").parquet(paths.postings)
-        pdf_blocks = spark.read.parquet(paths.postings)
-        lineage = ckpt.partition_lineage(pdf_blocks)
+        lineage = ckpt.parquet_lineage(paths.postings)
         ckpt.publish_manifest(
             paths.postings,
             stage="postings",
@@ -325,8 +405,7 @@ def build_index(
             F.first("bucket").alias("bucket"),
         )
         dictionary.write.mode("overwrite").parquet(paths.dictionary)
-        dd = spark.read.parquet(paths.dictionary)
-        lineage = ckpt.partition_lineage(dd)
+        lineage = ckpt.parquet_lineage(paths.dictionary)
         ckpt.publish_manifest(
             paths.dictionary,
             stage="dictionary",

@@ -78,3 +78,23 @@ def partition_lineage(df) -> list[dict[str, Any]]:
         .collect()
     )
     return [{"partition": r["pid"], "rows": r["count"]} for r in rows]
+
+
+def parquet_lineage(stage_dir: str) -> list[dict[str, Any]]:
+    """Per-output-file row counts straight from parquet footers — no Spark
+    job (each written file is one task's output, so this IS the partition
+    lineage, captured for free on the driver)."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for root, _dirs, files in os.walk(stage_dir):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                full = os.path.join(root, f)
+                out.append(
+                    {
+                        "file": os.path.relpath(full, stage_dir),
+                        "rows": pq.ParquetFile(full).metadata.num_rows,
+                    }
+                )
+    return out

@@ -40,7 +40,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from apache___solr_spark.config import DEFAULT_CONFIG, IndexConfig
@@ -69,25 +69,17 @@ def _score_blocks(idf_by_term: dict[str, float], k1: float, b: float, avgdl: flo
             terms_out: list[np.ndarray] = []
             docs_out: list[np.ndarray] = []
             scores_out: list[np.ndarray] = []
-            # vectorized per block row (block contents decoded with numpy)
-            for (
-                term,
-                block_id,
-                n,
-                gaps_bin,
-                tfs_bin,
-                norms_bin,
-                block_range,
-            ) in zip(
+            # vectorized per (term, salt) row — numpy decode of the whole row
+            for term, salt, n, gaps_bin, tfs_bin, norms_bin, salt_range in zip(
                 pdf["term"],
-                pdf["block_id"],
+                pdf["salt"],
                 pdf["n_docs"],
                 pdf["doc_gaps"],
                 pdf["tfs"],
                 pdf["norms"],
-                pdf["block_range"],
+                pdf["salt_range"],
             ):
-                base = int(block_id) * int(block_range)
+                base = int(salt) * int(salt_range)
                 doc_ids = delta_decode(
                     decode_vbyte(gaps_bin, int(n)).astype(np.int64), base
                 )
@@ -142,19 +134,12 @@ class SearchEngine:
         )
 
     def _buckets(self, terms: list[str]) -> list[int]:
-        row = (
-            self.spark.range(1)
-            .select(
-                *[
-                    F.pmod(F.xxhash64(F.lit(t)), F.lit(self.cfg.n_buckets))
-                    .cast("int")
-                    .alias(f"b{i}")
-                    for i, t in enumerate(terms)
-                ]
-            )
-            .collect()[0]
-        )
-        return sorted({row[f"b{i}"] for i in range(len(terms))})
+        # driver-side XXH64 (index/xxhash.py) == Spark's xxhash64, so the
+        # term->bucket map costs no Spark job (the term-dictionary-seek
+        # analog; equality is asserted in tests/test_codec.py).
+        from apache___solr_spark.index.xxhash import term_bucket
+
+        return sorted({term_bucket(t, self.cfg.n_buckets) for t in terms})
 
     def _blocks_for(self, terms: list[str]) -> DataFrame:
         buckets = self._buckets(terms)
@@ -171,12 +156,12 @@ class SearchEngine:
         )
         cols = blocks.select(
             "term",
-            "block_id",
+            "salt",
             "n_docs",
             "doc_gaps",
             "tfs",
             "norms",
-            F.lit(self.cfg.block_range).alias("block_range"),
+            F.lit(self.cfg.salt_range).alias("salt_range"),
         )
         return cols.mapInPandas(fn, schema=_SCORE_SCHEMA)
 
@@ -241,27 +226,27 @@ class SearchEngine:
                 )
                 ub = (
                     blocks.select(
-                        "block_id",
+                        "salt",
                         (idf_expr[F.col("term")] * F.col("max_impact")).alias("ub"),
                     )
-                    .groupBy("block_id")
+                    .groupBy("salt")
                     .agg(F.sum("ub").alias("ub"))
                     .filter(F.col("ub") >= cutoff)
-                    .select("block_id")
+                    .select("salt")
                 )
-                blocks = blocks.join(ub, "block_id", "left_semi")
+                blocks = blocks.join(ub, "salt", "left_semi")
 
         if must:
-            # a doc-range block can only contain MUST-satisfying docs if every
+            # a doc range can only contain MUST-satisfying docs if every
             # MUST term has postings in that range — prune the rest up front.
             must_blocks = (
                 blocks.filter(F.col("term").isin(must))
-                .groupBy("block_id")
+                .groupBy("salt")
                 .agg(F.count_distinct("term").alias("nt"))
                 .filter(F.col("nt") == len(must))
-                .select("block_id")
+                .select("salt")
             )
-            blocks = blocks.join(must_blocks, "block_id", "left_semi")
+            blocks = blocks.join(must_blocks, "salt", "left_semi")
 
         scored = self._scored(blocks, idf_by_term)
         agg = scored.groupBy("doc_id").agg(
@@ -277,23 +262,37 @@ class SearchEngine:
             ).select("doc_id").distinct()
             agg = agg.join(excluded, "doc_id", "left_anti")
 
-        topk = (
+        topk_rows = (
             agg.select("doc_id", F.col("_s").cast("float").alias("score"))
             .orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .limit(k)
+            .collect()
         )
+        # two-phase fields fetch (QueryComponent.java:1000): phase 1 ranks on
+        # the narrow (doc_id, score) via TakeOrderedAndProject; phase 2
+        # fetches display fields for JUST the k winners — the isin predicate
+        # prunes the docs scan by parquet row-group stats instead of joining
+        # against the full table.
+        schema = (
+            "rank int, doc_id long"
+            + (", url string" if with_url else "")
+            + ", score float"
+        )
+        if not topk_rows:
+            return spark.createDataFrame([], schema)
+        url_by_id: dict[int, str] = {}
         if with_url:
-            # two-phase fields fetch (QueryComponent.java:1000): rank on the
-            # narrow columns, then join back for display fields — broadcast
-            # the tiny top-k side.
-            topk = self.docs.select("doc_id", "url").join(
-                F.broadcast(topk), "doc_id", "inner"
-            )
-        out = topk.withColumn(
-            "rank",
-            F.row_number().over(
-                Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-            ),
-        )
-        cols = ["rank", "doc_id"] + (["url"] if with_url else []) + ["score"]
-        return out.select(*cols)
+            ids = [r["doc_id"] for r in topk_rows]
+            for r in (
+                self.docs.filter(F.col("doc_id").isin(ids))
+                .select("doc_id", "url")
+                .collect()
+            ):
+                url_by_id[r["doc_id"]] = r["url"]
+        out_rows = []
+        for i, r in enumerate(topk_rows):
+            row = {"rank": i + 1, "doc_id": r["doc_id"], "score": r["score"]}
+            if with_url:
+                row["url"] = url_by_id[r["doc_id"]]
+            out_rows.append(row)
+        return spark.createDataFrame(out_rows, schema)

@@ -21,18 +21,21 @@ import subprocess
 import sys
 import tempfile
 
-N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 40_000
+# Big enough that per-doc CPU (analysis + encode) dominates Spark's fixed
+# stage/scheduling overheads — at 40k docs the job is overhead-bound and
+# scaling looks flat regardless of the code.
+N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 1_500_000
 
 _CHILD = r"""
 import json, os, sys, tempfile, time
-sys.path.insert(0, {repo!r})
+sys.path.insert(0, "@REPO@")
 from apache___solr_spark.session import get_spark
 from apache___solr_spark.index.builder import build_index
 from apache___solr_spark.query.engine import SearchEngine
 
 cores = int(sys.argv[1]); pages_path = sys.argv[2]
-spark = get_spark(f"scaling-{{cores}}", cores=cores)
-out = tempfile.mkdtemp(prefix=f"scale_idx_{{cores}}_")
+spark = get_spark(f"scaling-{cores}", cores=cores)
+out = tempfile.mkdtemp(prefix=f"scale_idx_{cores}_")
 t0 = time.time()
 build_index(spark, pages_path, os.path.join(out, "idx"))
 build_sec = time.time() - t0
@@ -58,7 +61,7 @@ spark.stop()
 
 
 def run_level(cores: int, pages_path: str) -> dict:
-    script = _CHILD.format(repo=os.path.dirname(os.path.abspath(__file__)))
+    script = _CHILD.replace("@REPO@", os.path.dirname(os.path.abspath(__file__)))
     out = subprocess.run(
         [sys.executable, "-c", script, str(cores), pages_path],
         capture_output=True,
@@ -76,7 +79,7 @@ def main() -> None:
 
     work = tempfile.mkdtemp(prefix="scaling_corpus_")
     pages = os.path.join(work, "pages.parquet")
-    write_pages_parquet(pages, n_docs=N_DOCS, seed=42)
+    write_pages_parquet(pages, n_docs=N_DOCS, seed=42, n_jobs=os.cpu_count() or 8)
 
     r8 = run_level(8, pages)
     r32 = run_level(32, pages)

@@ -82,20 +82,29 @@ def test_dictionary_matches_oracle(spark, built, oracle_idx):
     assert got == want
 
 
-def test_postings_blocks_decode_to_oracle(spark, built, oracle_idx):
+def test_postings_rows_decode_to_oracle(spark, built, oracle_idx):
     from apache___solr_spark.index.codec import decode_vbyte, delta_decode
 
-    blocks = spark.read.parquet(os.path.join(built, "postings")).collect()
+    rows = spark.read.parquet(os.path.join(built, "postings")).collect()
     per_term: dict[str, dict[int, int]] = {}
-    for b in blocks:
+    for b in rows:
         ids = delta_decode(
             decode_vbyte(bytes(b["doc_gaps"]), b["n_docs"]).astype(np.int64),
-            b["block_id"] * CFG.block_range,
+            b["salt"] * CFG.salt_range,
         )
         tfs = decode_vbyte(bytes(b["tfs"]), b["n_docs"])
         assert b["first_doc"] == ids[0] and b["last_doc"] == ids[-1]
-        assert (ids // CFG.block_range == b["block_id"]).all()
+        assert (ids // CFG.salt_range == b["salt"]).all()
+        assert (np.diff(ids) > 0).all()  # strictly increasing within a row
         assert b["max_tf"] == tfs.max()
+        assert b["sum_tf"] == tfs.sum()
+        # inner skip blocks: first docs at every block_range-th posting,
+        # per-block counts sum to n_docs
+        bl = np.arange(0, b["n_docs"], CFG.block_range)
+        assert b["block_first_docs"] == [int(x) for x in ids[bl]]
+        assert sum(b["block_n"]) == b["n_docs"]
+        assert len(b["block_max_impacts"]) == len(bl)
+        assert max(b["block_max_impacts"]) == pytest.approx(b["max_impact"])
         for i, t in zip(ids, tfs):
             assert per_term.setdefault(b["term"], {}).setdefault(int(i), int(t)) == int(t)
     assert per_term == oracle_idx.postings

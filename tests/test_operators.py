@@ -89,6 +89,25 @@ def test_cursor_page_walks_whole_set(spark):
     assert seen == sorted(seen)  # keyset order, no dup/skip
 
 
+def test_python_xxhash_matches_spark(spark):
+    """term_bucket (driver-side XXH64) must equal Spark's xxhash64 — the
+    engine's bucket pruning depends on it."""
+    import random
+    import string
+
+    from apache___solr_spark.index.xxhash import xxhash64
+
+    rnd = random.Random(7)
+    terms = [
+        "".join(rnd.choices(string.ascii_lowercase + "0123456789'é中", k=rnd.randint(1, 40)))
+        for _ in range(200)
+    ] + ["", "a", "web", "don't"]
+    df = spark.createDataFrame([(t,) for t in terms], "t string")
+    got = {r["t"]: r["h"] for r in df.select("t", F.xxhash64("t").alias("h")).collect()}
+    for t in terms:
+        assert got[t] == xxhash64(t), t
+
+
 def test_merge_unique(spark):
     a = spark.createDataFrame([(1,), (2,)], "k int")
     b = spark.createDataFrame([(2,), (3,)], "k int")
