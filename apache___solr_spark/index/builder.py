@@ -55,19 +55,27 @@ from pyspark.sql import types as T
 from apache___solr_spark.analysis.chain import analyze, extract_text
 from apache___solr_spark.config import DEFAULT_CONFIG, IndexConfig
 from apache___solr_spark.index import checkpoint as ckpt
-from apache___solr_spark.index.codec import delta_encode, encode_vbyte
+from apache___solr_spark.index.codec import (
+    decode_vbyte,
+    delta_decode,
+    delta_encode,
+    encode_vbyte,
+    encode_vbyte_packed,
+)
 from apache___solr_spark.index.smallfloat import NORM_TABLE, int_to_byte4_np
 
 ANALYZED_SCHEMA = (
     "url string, doc_id long, terms array<string>, tfs array<int>, doclen int"
 )
 
-POSTINGS_SCHEMA = (
+SEGMENT_SCHEMA = (
     "term string, salt long, n_docs int, first_doc long, last_doc long, "
     "doc_gaps binary, tfs binary, norms binary, sum_tf long, max_tf int, "
     "max_impact float, block_first_docs array<long>, block_n array<int>, "
-    "block_max_impacts array<float>, bucket int"
+    "block_max_impacts array<float>"
 )
+
+POSTINGS_SCHEMA = SEGMENT_SCHEMA + ", bucket int"
 
 
 @dataclass
@@ -77,6 +85,10 @@ class IndexPaths:
     @property
     def docs(self) -> str:
         return os.path.join(self.root, "docs")
+
+    @property
+    def analyzed_raw(self) -> str:
+        return os.path.join(self.root, "analyzed_raw")
 
     @property
     def analyzed(self) -> str:
@@ -100,20 +112,11 @@ def _input_digest(pages: DataFrame, source: str | None) -> str:
     return f"{source or 'df'}::{','.join(pages.columns)}"
 
 
-def _analyze_and_number(spark: SparkSession, pages: DataFrame, n_parts: int):
-    """Analysis UDF on the INPUT partitions (html never crosses a shuffle),
-    then a range shuffle of the narrow analyzed rows to assign the dense
-    global doc_id = rank of url.
-
-    Ordering matters at scale: shuffling raw pages first moves the whole
-    html payload through the exchange (plus the range sampler's extra pass),
-    which measurably dominated the build; analyzed rows are ~5x narrower.
-    Both intermediates are persisted so the UDF runs exactly once and the
-    range sampler reads from cache.
-
-    doc_id is deterministic and invariant to input partitioning (mirrors
-    Lucene's stable docIDs; control-vs-distributed tests depend on it).
-    """
+def _analyze_raw(pages: DataFrame) -> DataFrame:
+    """Analysis UDF on the INPUT partitions: html never crosses a shuffle
+    (raw pages through the exchange measurably dominated the build; analyzed
+    rows are ~5x narrower), and the expensive UDF pass checkpoints on its
+    own before any id assignment."""
     max_token_len = DEFAULT_CONFIG.max_token_len
 
     def analyze_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -139,11 +142,22 @@ def _analyze_and_number(spark: SparkSession, pages: DataFrame, n_parts: int):
                 }
             )
 
-    raw = pages.select("url", "html", "text").mapInPandas(
+    return pages.select("url", "html", "text").mapInPandas(
         analyze_batch,
         schema="url string, terms array<string>, tfs array<int>, doclen int",
     )
-    raw = raw.persist()
+
+
+def _number_docs(spark: SparkSession, raw: DataFrame, n_parts: int) -> DataFrame:
+    """Range shuffle of the narrow analyzed rows to assign the dense global
+    doc_id = rank of url — deterministic and invariant to input partitioning
+    (mirrors Lucene's stable docIDs; control-vs-distributed tests depend on
+    it).
+
+    The ranged frame is persisted so the offsets pass and the numbering pass
+    see the SAME partition boundaries — a separate url-only shuffle was
+    tried and produced different range-sampler boundaries (caught by
+    _check_doc_id_permutation, which stays as a permanent guard)."""
     ranged = (
         raw.repartitionByRange(n_parts, "url").sortWithinPartitions("url").persist()
     )
@@ -160,87 +174,274 @@ def _analyze_and_number(spark: SparkSession, pages: DataFrame, n_parts: int):
         acc += r["count"]
     b_offsets = spark.sparkContext.broadcast(offsets)
 
-    def number(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def number(batches):  # Iterator[pa.RecordBatch] -> Iterator[pa.RecordBatch]
+        import pyarrow as pa
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
         base = b_offsets.value.get(pid, 0)
         seen = 0
-        for pdf in batches:
-            n = len(pdf)
-            out = pd.DataFrame(
-                {
-                    "url": pdf["url"],
-                    "doc_id": np.arange(base + seen, base + seen + n, dtype=np.int64),
-                    "terms": pdf["terms"],
-                    "tfs": pdf["tfs"],
-                    "doclen": pdf["doclen"],
-                }
-            )
+        for rb in batches:
+            n = rb.num_rows
+            ids = pa.array(np.arange(base + seen, base + seen + n, dtype=np.int64))
             seen += n
-            yield out
+            # zero-copy passthrough of the array columns
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(0), ids, rb.column(1), rb.column(2), rb.column(3)],
+                names=["url", "doc_id", "terms", "tfs", "doclen"],
+            )
 
-    numbered = ranged.mapInPandas(number, schema=ANALYZED_SCHEMA)
-    return numbered, (raw, ranged)
+    return ranged.mapInArrow(number, schema=ANALYZED_SCHEMA)
 
 
-def _encode_partition(cfg: IndexConfig, avgdl: float):
-    """Streaming encoder over a partition sorted by (term, salt, doc_id):
-    emits one postings row per (term, salt) group, batching across Arrow
-    batch boundaries (a group may span batches — the tail group is carried).
+def _check_doc_id_permutation(spark: SparkSession, analyzed_path: str) -> None:
+    """Assert doc_id is exactly {0..n-1}: (count, max, sum, sumsq) jointly
+    pin the multiset.  Cheap (single column scan); guards the shadow-shuffle
+    offset assumption in _number_docs."""
+    row = (
+        spark.read.parquet(analyzed_path)
+        .agg(
+            F.count("doc_id").alias("n"),
+            F.max("doc_id").alias("mx"),
+            F.sum("doc_id").alias("s"),
+            F.sum(F.col("doc_id") * F.col("doc_id")).alias("sq"),
+        )
+        .collect()[0]
+    )
+    n = row["n"]
+    if n == 0:
+        return
+    want_s = n * (n - 1) // 2
+    want_sq = (n - 1) * n * (2 * n - 1) // 6
+    if not (row["mx"] == n - 1 and row["s"] == want_s and row["sq"] == want_sq):
+        raise RuntimeError(
+            "doc_id assignment is not a dense permutation — range boundary "
+            f"mismatch between counts and shuffle passes (n={n}, max={row['mx']})"
+        )
+
+
+class _Scorer:
+    """Shared float32 BM25 impact math (must match query/engine.py)."""
+
+    def __init__(self, cfg: IndexConfig, avgdl: float) -> None:
+        self.norm_table_f32 = NORM_TABLE.astype(np.float32)
+        self.k1f = np.float32(cfg.bm25_k1)
+        self.one_minus_b = np.float32(1.0 - cfg.bm25_b)
+        self.bf = np.float32(cfg.bm25_b)
+        self.avgdlf = np.float32(avgdl)
+
+    def impact(self, tfs: np.ndarray, norms: np.ndarray) -> np.ndarray:
+        dl = self.norm_table_f32[norms]
+        tf_f = tfs.astype(np.float32)
+        return tf_f / (
+            tf_f + self.k1f * (self.one_minus_b + self.bf * dl / self.avgdlf)
+        )
+
+
+def _encode_group_row(
+    cfg: IndexConfig,
+    scorer: _Scorer,
+    term,
+    salt: int,
+    g_ids: np.ndarray,
+    g_tfs: np.ndarray,
+    g_norms: np.ndarray,
+) -> dict:
+    """One postings row for one (term, salt) group (doc_ids ascending)."""
+    n = g_ids.size
+    base = salt * cfg.salt_range
+    bl_starts = np.arange(0, n, cfg.block_range)
+    g_imp = scorer.impact(g_tfs, g_norms)
+    return {
+        "term": term,
+        "salt": int(salt),
+        "n_docs": int(n),
+        "first_doc": int(g_ids[0]),
+        "last_doc": int(g_ids[-1]),
+        "doc_gaps": encode_vbyte(delta_encode(g_ids, base)),
+        "tfs": encode_vbyte(g_tfs),
+        "norms": g_norms.tobytes(),
+        "sum_tf": int(g_tfs.sum()),
+        "max_tf": int(g_tfs.max()),
+        "max_impact": np.float32(g_imp.max()),
+        "block_first_docs": g_ids[bl_starts].tolist(),
+        "block_n": np.diff(np.append(bl_starts, n)).astype(np.int32).tolist(),
+        "block_max_impacts": np.maximum.reduceat(g_imp, bl_starts).tolist(),
+    }
+
+
+def _segment_encode(cfg: IndexConfig, avgdl: float):
+    """MAP-SIDE segment build (the reference's per-segment index model,
+    SolrIndexConfig ramBuffer->segment flush semantics): for one analyzed
+    partition, explode to postings IN NUMPY (never through a JVM explode or
+    a raw-posting shuffle), sort by (term, salt, doc_id), and emit packed
+    segment rows with the SAME schema as the final index.
+
+    Because stage-1 partitions are doc_id-contiguous, a (term, salt) group
+    rarely spans partitions — the reduce-side merge mostly passes rows
+    through untouched.  Shuffle bytes drop ~15x vs shuffling raw
+    (term, doc_id, tf, norm) rows; this was the build bottleneck at 10^6
+    docs and is the difference between shuffling ~2 bytes/posting and ~50.
     """
-    norm_table_f32 = NORM_TABLE.astype(np.float32)
-    k1f = np.float32(cfg.bm25_k1)
-    one_minus_b = np.float32(1.0 - cfg.bm25_b)
-    bf = np.float32(cfg.bm25_b)
-    avgdlf = np.float32(avgdl)
+    scorer = _Scorer(cfg, avgdl)
+    salt_range = cfg.salt_range
     block = cfg.block_range
+
+    def _binary_from(buf: np.ndarray, bounds: np.ndarray) -> "pa.Array":
+        import pyarrow as pa
+
+        return pa.BinaryArray.from_buffers(
+            pa.binary(),
+            len(bounds) - 1,
+            [None, pa.py_buffer(bounds.astype(np.int32).tobytes()), pa.py_buffer(buf.tobytes())],
+        )
+
+    def run(batches):  # Iterator[pa.RecordBatch] -> Iterator[pa.RecordBatch]
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            terms_col = rb.column(rb.schema.get_field_index("terms"))
+            tfs_col = rb.column(rb.schema.get_field_index("tfs"))
+            lens = pc.list_value_length(terms_col).to_numpy().astype(np.int64)
+            if lens.sum() == 0:
+                continue
+            # flatten WITHOUT creating Python string objects: the term column
+            # stays an Arrow StringArray; grouping runs on its C++-computed
+            # dictionary codes.
+            flat_terms = pc.list_flatten(terms_col)
+            enc = pc.dictionary_encode(flat_terms)
+            codes = enc.indices.to_numpy().astype(np.int64)
+            uniques = enc.dictionary
+            tfs = pc.list_flatten(tfs_col).to_numpy().astype(np.int64)
+            doc_ids_col = rb.column(rb.schema.get_field_index("doc_id")).to_numpy()
+            doclen_col = rb.column(rb.schema.get_field_index("doclen")).to_numpy()
+            doc_ids = np.repeat(doc_ids_col, lens)
+            norms = np.repeat(int_to_byte4_np(doclen_col.astype(np.int64)), lens)
+
+            salts = doc_ids // salt_range
+            order = np.lexsort((doc_ids, salts, codes))
+            codes, salts, doc_ids, tfs, norms = (
+                codes[order], salts[order], doc_ids[order], tfs[order], norms[order]
+            )
+            n = codes.size
+            change = (
+                np.flatnonzero((codes[1:] != codes[:-1]) | (salts[1:] != salts[:-1]))
+                + 1
+            )
+            gstarts = np.concatenate(([0], change))
+            gends = np.concatenate((change, [n]))
+            glens = gends - gstarts
+
+            # whole-batch vectorized math; outputs are zero-copy Arrow arrays
+            imp = scorer.impact(tfs, norms)
+            gaps = np.empty(n, dtype=np.int64)
+            gaps[1:] = doc_ids[1:] - doc_ids[:-1]
+            gaps[gstarts] = doc_ids[gstarts] - salts[gstarts] * salt_range
+            gap_buf, gap_bounds = encode_vbyte_packed(gaps, gstarts)
+            tf_buf, tf_bounds = encode_vbyte_packed(tfs, gstarts)
+            norm_bounds = np.append(gstarts, n)
+            sum_tf = np.add.reduceat(tfs, gstarts)
+            max_tf = np.maximum.reduceat(tfs, gstarts)
+            max_imp = np.maximum.reduceat(imp, gstarts)
+
+            # inner skip blocks across ALL groups at once
+            idx_in_group = np.arange(n, dtype=np.int64) - np.repeat(gstarts, glens)
+            bl_starts = np.flatnonzero(idx_in_group % block == 0)
+            bl_counts = -(-glens // block)
+            bl_offsets = np.concatenate(([0], np.cumsum(bl_counts)))
+            bl_ends = np.minimum(bl_starts + block, np.repeat(gends, bl_counts))
+            bl_first = doc_ids[bl_starts]
+            bl_n = (bl_ends - bl_starts).astype(np.int32)
+            bl_maximp = np.maximum.reduceat(imp, bl_starts)
+            bl_offs32 = pa.array(bl_offsets.astype(np.int32))
+
+            arrays = [
+                pc.take(uniques, pa.array(codes[gstarts])),
+                pa.array(salts[gstarts]),
+                pa.array(glens.astype(np.int32)),
+                pa.array(doc_ids[gstarts]),
+                pa.array(doc_ids[gends - 1]),
+                _binary_from(gap_buf, gap_bounds),
+                _binary_from(tf_buf, tf_bounds),
+                _binary_from(norms.astype(np.uint8), norm_bounds),
+                pa.array(sum_tf),
+                pa.array(max_tf.astype(np.int32)),
+                pa.array(max_imp.astype(np.float32)),
+                pa.ListArray.from_arrays(bl_offs32, pa.array(bl_first)),
+                pa.ListArray.from_arrays(bl_offs32, pa.array(bl_n)),
+                pa.ListArray.from_arrays(
+                    bl_offs32, pa.array(bl_maximp.astype(np.float32))
+                ),
+            ]
+            names = [
+                "term", "salt", "n_docs", "first_doc", "last_doc", "doc_gaps",
+                "tfs", "norms", "sum_tf", "max_tf", "max_impact",
+                "block_first_docs", "block_n", "block_max_impacts",
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return run
+
+
+def _merge_segments(cfg: IndexConfig, avgdl: float):
+    """REDUCE-SIDE merge over rows sorted by (term, salt, first_doc):
+    single-fragment groups pass through without decode; multi-fragment
+    groups (a salt range that straddled two input partitions) are decoded,
+    concatenated in doc order (fragments never overlap), and re-encoded.
+    The streaming carry handles groups spanning Arrow batches.
+    """
+    scorer = _Scorer(cfg, avgdl)
     salt_range = cfg.salt_range
 
-    def encode_region(region: pd.DataFrame) -> pd.DataFrame:
+    def merge_region(region: pd.DataFrame) -> pd.DataFrame:
         terms = region["term"].to_numpy()
         salts = region["salt"].to_numpy()
-        buckets = region["bucket"].to_numpy()
-        ids = region["doc_id"].to_numpy().astype(np.int64)
-        tfs = region["tf"].to_numpy().astype(np.int64)
-        norms = region["norm_byte"].to_numpy().astype(np.uint8)
-
-        dl = norm_table_f32[norms]
-        tf_f = tfs.astype(np.float32)
-        impact = tf_f / (tf_f + k1f * (one_minus_b + bf * dl / avgdlf))
-
-        change = np.flatnonzero((terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])) + 1
+        change = (
+            np.flatnonzero((terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])) + 1
+        )
         starts = np.concatenate(([0], change))
         ends = np.concatenate((change, [len(region)]))
-        rows = []
+        out_rows = []
+        passthrough_idx = []
         for s, e in zip(starts, ends):
-            g_ids = ids[s:e]
-            g_tfs = tfs[s:e]
-            g_norms = norms[s:e]
-            g_imp = impact[s:e]
-            n = int(e - s)
+            if e - s == 1:
+                passthrough_idx.append(s)
+                continue
             base = int(salts[s]) * salt_range
-            bl_starts = np.arange(0, n, block)
-            rows.append(
-                {
-                    "term": terms[s],
-                    "salt": int(salts[s]),
-                    "n_docs": n,
-                    "first_doc": int(g_ids[0]),
-                    "last_doc": int(g_ids[-1]),
-                    "doc_gaps": encode_vbyte(delta_encode(g_ids, base)),
-                    "tfs": encode_vbyte(g_tfs),
-                    "norms": g_norms.tobytes(),
-                    "sum_tf": int(g_tfs.sum()),
-                    "max_tf": int(g_tfs.max()),
-                    "max_impact": np.float32(g_imp.max()),
-                    "block_first_docs": g_ids[bl_starts].tolist(),
-                    "block_n": np.diff(np.append(bl_starts, n)).astype(np.int32).tolist(),
-                    "block_max_impacts": np.maximum.reduceat(g_imp, bl_starts).tolist(),
-                    "bucket": int(buckets[s]),
-                }
+            frags = region.iloc[s:e]
+            ids = np.concatenate(
+                [
+                    delta_decode(
+                        decode_vbyte(bytes(g), int(n)).astype(np.int64), base
+                    )
+                    for g, n in zip(frags["doc_gaps"], frags["n_docs"])
+                ]
             )
-        return pd.DataFrame(rows)
+            tfs = np.concatenate(
+                [
+                    decode_vbyte(bytes(t), int(n)).astype(np.int64)
+                    for t, n in zip(frags["tfs"], frags["n_docs"])
+                ]
+            )
+            norms = np.concatenate(
+                [np.frombuffer(bytes(x), dtype=np.uint8) for x in frags["norms"]]
+            )
+            order = np.argsort(ids, kind="stable")
+            out_rows.append(
+                _encode_group_row(
+                    cfg, scorer, terms[s], int(salts[s]),
+                    ids[order], tfs[order], norms[order],
+                )
+            )
+        frames = []
+        if passthrough_idx:
+            frames.append(region.iloc[passthrough_idx])
+        if out_rows:
+            frames.append(pd.DataFrame(out_rows))
+        return pd.concat(frames, ignore_index=True) if frames else region.iloc[:0]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None
@@ -252,20 +453,18 @@ def _encode_partition(cfg: IndexConfig, avgdl: float):
                 continue
             terms = pdf["term"].to_numpy()
             salts = pdf["salt"].to_numpy()
-            last_t, last_s = terms[-1], salts[-1]
-            eq_last = (terms == last_t) & (salts == last_s)
-            # length of the trailing run belonging to the last (term, salt)
+            eq_last = (terms == terms[-1]) & (salts == salts[-1])
             tail_len = int(np.argmin(eq_last[::-1])) if not eq_last.all() else len(pdf)
             if tail_len == len(pdf):
-                carry = pdf  # whole batch is one group; may continue
+                carry = pdf
                 continue
             cut = len(pdf) - tail_len
-            carry = pdf.iloc[cut:]
-            out = encode_region(pdf.iloc[:cut])
+            carry = pdf.iloc[cut:].reset_index(drop=True)
+            out = merge_region(pdf.iloc[:cut])
             if not out.empty:
                 yield out
         if carry is not None and not carry.empty:
-            yield encode_region(carry)
+            yield merge_region(carry)
 
     return run
 
@@ -289,13 +488,28 @@ def build_index(
     cfg_digest = cfg.digest()
     in_digest = _input_digest(pages, source)
 
-    # ---- stage 1: range shuffle + fused doc_id/analysis pass -------------
+    # ---- stage 1a: analysis UDF -> analyzed_raw checkpoint ---------------
+    t0 = time.time()
+    if not (resume and ckpt.stage_complete(paths.analyzed_raw, cfg_digest, in_digest)):
+        _analyze_raw(pages).write.mode("overwrite").parquet(paths.analyzed_raw)
+        lineage = ckpt.parquet_lineage(paths.analyzed_raw)
+        ckpt.publish_manifest(
+            paths.analyzed_raw,
+            stage="analyzed_raw",
+            config_digest=cfg_digest,
+            input_digest=in_digest,
+            rows=sum(p["rows"] for p in lineage),
+            partitions=lineage,
+            started_at=t0,
+        )
+
+    # ---- stage 1b: dense doc_id assignment -> analyzed -------------------
     t0 = time.time()
     if not (resume and ckpt.stage_complete(paths.analyzed, cfg_digest, in_digest)):
-        analyzed, cached = _analyze_and_number(spark, pages, n_parts)
+        raw = spark.read.parquet(paths.analyzed_raw)
+        analyzed = _number_docs(spark, raw, n_parts)
         analyzed.write.mode("overwrite").parquet(paths.analyzed)
-        for c in cached:
-            c.unpersist()
+        _check_doc_id_permutation(spark, paths.analyzed)
         lineage = ckpt.parquet_lineage(paths.analyzed)
         ckpt.publish_manifest(
             paths.analyzed,
@@ -346,40 +560,23 @@ def build_index(
     with open(paths.stats) as f:
         stats = json.load(f)
 
-    # ---- stage 3: postings (salted repartition + streaming encode) ------
+    # ---- stage 3: postings (map-side segments -> salted merge) ----------
     t0 = time.time()
     if not (resume and ckpt.stage_complete(paths.postings, cfg_digest, in_digest)):
-        exploded = (
-            analyzed.withColumn("norm_byte", _norm_byte_udf(F.col("doclen")))
-            .select(
-                "doc_id",
-                "norm_byte",
-                F.explode(F.arrays_zip("terms", "tfs")).alias("z"),
-            )
-            .select(
-                F.col("z.terms").alias("term"),
-                "doc_id",
-                F.col("z.tfs").alias("tf"),
-                "norm_byte",
-            )
-            .withColumn(
-                "salt", (F.col("doc_id") / F.lit(cfg.salt_range)).cast("long")
-            )
-            .withColumn(
-                "bucket",
-                F.pmod(F.xxhash64("term"), F.lit(cfg.n_buckets)).cast("int"),
-            )
+        # segments: numpy explode+sort+encode inside the UDF — raw postings
+        # never cross the JVM or a shuffle
+        segments = analyzed.select("doc_id", "doclen", "terms", "tfs").mapInArrow(
+            _segment_encode(cfg, stats["avgdl"]), schema=SEGMENT_SCHEMA
         )
-        encode = _encode_partition(cfg, stats["avgdl"])
-        # shuffle key (bucket, salt), NOT bare term: (a) head terms split
-        # across salts (skew), (b) each task holds few buckets, so the
-        # bucket-partitioned write emits few files per task instead of
-        # tasks x buckets tiny files.  Sorting by (term, salt, doc_id) keeps
-        # encode groups contiguous (bucket is a function of term).
+        # merge shuffle moves only packed rows; key (term-bucket, salt) so
+        # head terms split across salts (skew) and each task writes into few
+        # bucket dirs.  first_doc in the sort keeps fragments in doc order.
+        bucket_expr = F.pmod(F.xxhash64("term"), F.lit(cfg.n_buckets)).cast("int")
         blocks = (
-            exploded.repartition(n_parts, "bucket", "salt")
-            .sortWithinPartitions("bucket", "term", "salt", "doc_id")
-            .mapInPandas(encode, schema=POSTINGS_SCHEMA)
+            segments.repartition(n_parts, bucket_expr, F.col("salt"))
+            .sortWithinPartitions("term", "salt", "first_doc")
+            .mapInPandas(_merge_segments(cfg, stats["avgdl"]), schema=SEGMENT_SCHEMA)
+            .withColumn("bucket", bucket_expr)
         )
         blocks.write.mode("overwrite").partitionBy("bucket").parquet(paths.postings)
         lineage = ckpt.parquet_lineage(paths.postings)

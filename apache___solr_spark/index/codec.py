@@ -76,6 +76,47 @@ def decode_vbyte(buf: bytes, n: int | None = None) -> np.ndarray:
     return values
 
 
+def encode_vbyte_packed(
+    values: np.ndarray, group_starts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """VByte-encode ``values`` once; return (buffer uint8, group byte bounds
+    int64 of size n_groups+1).  Groups are [group_starts[i], group_starts[i+1]).
+
+    One vectorized pass for millions of groups; callers slice the buffer (or
+    hand it zero-copy to an Arrow BinaryArray) at the returned bounds.
+    Calling :func:`encode_vbyte` per group costs ~20us fixed overhead each,
+    which dominated the index build.
+    """
+    v = np.asarray(values, dtype=np.uint64)
+    n = v.size
+    starts = np.asarray(group_starts, dtype=np.int64)
+    if n == 0:
+        return np.empty(0, dtype=np.uint8), np.zeros(starts.size + 1, dtype=np.int64)
+    nbytes = np.ones(n, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nbytes[tmp > 0] += 1
+        tmp >>= np.uint64(7)
+    byte_pos = np.concatenate(([0], np.cumsum(nbytes)))  # n+1 positions
+    out = np.empty(int(byte_pos[-1]), dtype=np.uint8)
+    vstarts = byte_pos[:-1]
+    max_b = int(nbytes.max())
+    for k in range(max_b):
+        sel = nbytes > k
+        chunk = ((v[sel] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
+        chunk[nbytes[sel] != (k + 1)] |= 0x80
+        out[vstarts[sel] + k] = chunk
+    bounds = byte_pos[np.append(starts, n)]
+    return out, bounds
+
+
+def encode_vbyte_slices(values: np.ndarray, group_starts: np.ndarray) -> list[bytes]:
+    """Per-group bytes view of :func:`encode_vbyte_packed` (test helper)."""
+    buf, bounds = encode_vbyte_packed(values, group_starts)
+    raw = buf.tobytes()
+    return [raw[int(bounds[i]) : int(bounds[i + 1])] for i in range(len(bounds) - 1)]
+
+
 def delta_encode(sorted_ids: np.ndarray, base: int) -> np.ndarray:
     """Gaps from ``base``: first gap = ids[0]-base, then successive diffs.
 

@@ -15,9 +15,14 @@ def ship_package(spark: SparkSession) -> None:
     ModuleNotFoundError in UDF workers)."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     pkg_name = os.path.basename(pkg_dir)
-    zpath = os.path.join(
-        tempfile.gettempdir(), f"{pkg_name}-{os.path.getmtime(pkg_dir):.0f}.zip"
-    )
+    # key the zip on the NEWEST nested .py mtime — the dir's own mtime does
+    # not change when a file inside a subpackage is edited (stale-zip bug)
+    newest = 0.0
+    for root, _dirs, files in os.walk(pkg_dir):
+        for f in files:
+            if f.endswith(".py"):
+                newest = max(newest, os.path.getmtime(os.path.join(root, f)))
+    zpath = os.path.join(tempfile.gettempdir(), f"{pkg_name}-{newest:.0f}.zip")
     if not os.path.exists(zpath):
         with zipfile.ZipFile(zpath + ".tmp", "w") as z:
             for root, _dirs, files in os.walk(pkg_dir):
@@ -67,6 +72,17 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # smaller split targets than the 128MB/4MB defaults: our corpora are
+        # heavily-compressed parquet, and the expensive part is the Python
+        # analysis per ROW, not the scan bytes — without this a 1M-doc corpus
+        # yields ~16 input splits and caps the UDF stage's parallelism far
+        # below the core count.  On a real PB-scale deployment these can go
+        # back up via env.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(16 * 1024 * 1024)),
+        )
+        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -25,6 +25,32 @@ def test_vbyte_roundtrip(xs):
     assert (decode_vbyte(encode_vbyte(v), len(v)) == v).all()
 
 
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=500),
+    st.data(),
+)
+@settings(max_examples=100, deadline=None)
+def test_vbyte_slices_match_per_group_encode(xs, data):
+    from apache___solr_spark.index.codec import encode_vbyte_slices
+
+    v = np.array(xs, dtype=np.uint64)
+    n_groups = data.draw(st.integers(min_value=1, max_value=min(10, len(xs))))
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(min_value=1, max_value=len(xs) - 1),
+                max_size=n_groups - 1,
+                unique=True,
+            )
+        )
+    ) if len(xs) > 1 else []
+    starts = np.array([0] + cuts, dtype=np.int64)
+    ends = np.append(starts[1:], len(xs))
+    got = encode_vbyte_slices(v, starts)
+    want = [encode_vbyte(v[s:e]) for s, e in zip(starts, ends)]
+    assert got == want
+
+
 def test_vbyte_empty():
     assert decode_vbyte(b"").size == 0
     assert encode_vbyte(np.array([], dtype=np.uint64)) == b""
