@@ -543,6 +543,44 @@ def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion (ReciprocalRankFusion.java:37): fuse two
+    rankings of orders (by totalprice, by recency)."""
+    from apache___solr_spark.query.extras import reciprocal_rank_fusion
+
+    o = _t(spark, sf_dir, "orders")
+    w1 = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    w2 = Window.orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").asc())
+    a = o.select("o_orderkey", F.row_number().over(w1).alias("rank")).filter(
+        F.col("rank") <= 100
+    )
+    b = o.select("o_orderkey", F.row_number().over(w2).alias("rank")).filter(
+        F.col("rank") <= 100
+    )
+    return reciprocal_rank_fusion([a, b], "o_orderkey", k=60, limit=20)
+
+
+def q_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rerank (ReRankQParserPlugin): rescore BM25 top-100 with a second
+    query — fulltext, rows-only check (golden-tested in tests/)."""
+    idx = _fulltext_index(spark, sf_dir)
+    from apache___solr_spark.query.engine import SearchEngine
+    from apache___solr_spark.query.extras import rerank
+
+    eng = SearchEngine(spark, idx)
+    return rerank(eng, "table query", "merge", k=20, rerank_docs=100)
+
+
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MoreLikeThis (MoreLikeThisHandler): docs similar to doc 0."""
+    idx = _fulltext_index(spark, sf_dir)
+    from apache___solr_spark.query.engine import SearchEngine
+    from apache___solr_spark.query.extras import more_like_this
+
+    eng = SearchEngine(spark, idx)
+    return more_like_this(eng, doc_id=0, k=10)
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile agg (PercentileAgg.java — t-digest in the reference; we
     use Spark's exact percentile so DuckDB's quantile_cont matches)."""
@@ -598,6 +636,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_stream": q_stats_stream,
         "significant_terms": q_significant_terms,
         "percentiles": q_percentiles,
+        "rrf": q_rrf,
+        "rerank": q_rerank,
+        "more_like_this": q_more_like_this,
     }
 
 
@@ -874,5 +915,23 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.5), 6) AS p50,
                    round(quantile_cont(value, 0.99), 6) AS p99
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "rrf": """
+            WITH a AS (
+                SELECT o_orderkey, row_number() OVER (
+                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+                FROM orders ORDER BY rank LIMIT 100
+            ), b AS (
+                SELECT o_orderkey, row_number() OVER (
+                    ORDER BY o_orderdate DESC, o_orderkey ASC) AS rank
+                FROM orders ORDER BY rank LIMIT 100
+            ), u AS (
+                SELECT o_orderkey, CAST(1.0 AS DOUBLE) / (60 + rank) AS c FROM a
+                UNION ALL
+                SELECT o_orderkey, CAST(1.0 AS DOUBLE) / (60 + rank) AS c FROM b
+            )
+            SELECT o_orderkey, round(sum(c), 6) AS rrf_score
+            FROM u GROUP BY o_orderkey
+            ORDER BY rrf_score DESC, o_orderkey ASC LIMIT 20
         """,
     }

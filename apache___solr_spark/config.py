@@ -36,6 +36,9 @@ class IndexConfig:
         for Solr's term-dictionary seek).
     """
 
+    format_version: int = 2  # bump on any postings-layout change: stale
+    # checkpoints then fail the manifest digest check and rebuild instead of
+    # resuming with an incompatible schema
     block_range: int = 128
     salt_range: int = 8192
     bm25_k1: float = 1.2

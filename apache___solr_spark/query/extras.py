@@ -1,0 +1,121 @@
+"""Second-pass ranking operators: rerank, RRF, MoreLikeThis.
+
+Reference surface:
+- Rerank (search/ReRankQParserPlugin.java, AbstractReRankQuery.java):
+  rescore the top-N docs of the main query by adding
+  reRankWeight * score(reRankQuery).
+- Reciprocal Rank Fusion (handler/component/combine/ReciprocalRankFusion.java:37):
+  fuse ranked lists by sum of 1/(k + rank).
+- MoreLikeThis (handler/MoreLikeThisHandler.java,
+  component/MoreLikeThisComponent.java:63): build a query from the top
+  tf-idf terms of a source document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from apache___solr_spark.query.engine import SearchEngine, bm25_idf
+from apache___solr_spark.query.parser import ParsedQuery
+
+
+def rerank(
+    engine: SearchEngine,
+    query: str,
+    rerank_query: str,
+    k: int = 10,
+    rerank_docs: int = 100,
+    rerank_weight: float = 2.0,
+) -> DataFrame:
+    """ReRankQParserPlugin semantics: first-pass top ``rerank_docs`` by the
+    main query, rescored as main + weight * rerank-query score; docs outside
+    the first pass are never promoted (matches the reference)."""
+    first = engine.search(query, k=rerank_docs, prune=True, with_url=True)
+    second = engine.search(rerank_query, k=engine.stats["N"], prune=False, with_url=False)
+    s2 = second.select("doc_id", F.col("score").alias("_rr"))
+    out = (
+        first.join(s2, "doc_id", "left_outer")
+        .withColumn(
+            "score",
+            (
+                F.col("score")
+                + F.lit(float(rerank_weight)) * F.coalesce(F.col("_rr"), F.lit(0.0))
+            ).cast("float"),
+        )
+        .drop("_rr")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+    return out.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())),
+    ).select("rank", "doc_id", "url", "score")
+
+
+def reciprocal_rank_fusion(
+    ranked: list[DataFrame], id_col: str, k: int = 60, limit: int = 10
+) -> DataFrame:
+    """ReciprocalRankFusion.java:37: fused_score(d) = sum over lists of
+    1/(k + rank_i(d)).  Each input must carry a ``rank`` column."""
+    scored = [
+        df.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col("rank"))).alias("_c"),
+        )
+        for df in ranked
+    ]
+    un = scored[0]
+    for s in scored[1:]:
+        un = un.unionByName(s)
+    return (
+        un.groupBy(id_col)
+        .agg(F.round(F.sum("_c"), 6).alias("rrf_score"))
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+        .limit(limit)
+    )
+
+
+def more_like_this(
+    engine: SearchEngine,
+    doc_id: int,
+    k: int = 10,
+    max_query_terms: int = 10,
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """MoreLikeThisHandler capability: take the source doc's top tf*idf
+    terms from the index's analyzed table, issue them as an OR query, and
+    drop the source doc from the hits."""
+    analyzed = engine.spark.read.parquet(engine.paths.analyzed)
+    row = (
+        analyzed.filter(F.col("doc_id") == doc_id)
+        .select("terms", "tfs")
+        .collect()
+    )
+    if not row:
+        return engine.spark.createDataFrame(
+            [], "rank int, doc_id long, url string, score float"
+        )
+    terms, tfs = row[0]["terms"], row[0]["tfs"]
+    meta = engine._term_meta(list(terms))
+    df_by_term = dict(zip(meta["term"], meta["df"]))
+    n = engine.stats["N"]
+    weighted = sorted(
+        (
+            (float(bm25_idf(n, int(df_by_term[t]))) * tf, t)
+            for t, tf in zip(terms, tfs)
+            if int(df_by_term.get(t, 0)) >= min_doc_freq
+        ),
+        key=lambda x: (-x[0], x[1]),
+    )
+    qterms = [t for _, t in weighted[:max_query_terms]]
+    if not qterms:
+        return engine.spark.createDataFrame(
+            [], "rank int, doc_id long, url string, score float"
+        )
+    hits = engine.search(ParsedQuery(should=qterms), k=k + 1)
+    hits = hits.filter(F.col("doc_id") != doc_id).limit(k)
+    return hits.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())),
+    )
