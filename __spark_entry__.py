@@ -196,11 +196,19 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups (SignatureUpdateProcessorFactory capability) —
-    oracle-checkable on raw content equality."""
-    d = _t(spark, sf_dir, "documents")
-    canon = d.groupBy("text").agg(F.min("doc_id").alias("canonical_id"))
+    oracle-checkable on raw content equality.  The corpus is augmented with
+    planted exact duplicates (doc_id+1000000 carrying the same text) so the
+    expected output contains real duplicate groups at every SF — the raw
+    synthetic table has no duplicate texts, which made the round-1 check
+    vacuous (VERDICT.md)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = d.unionByName(planted)
+    canon = corpus.groupBy("text").agg(F.min("doc_id").alias("canonical_id"))
     return (
-        d.join(canon, "text")
+        corpus.join(canon, "text")
         .select(
             F.col("doc_id").alias("id"),
             "canonical_id",
@@ -211,10 +219,20 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs over a corpus with PLANTED near
+    duplicates (doc_id+100000 = same text minus its first 29 chars), so the
+    threshold=0.5 output is non-empty and every planted pair must surface."""
     from apache___solr_spark.pipeline.dedup import ngram_jaccard_pairs
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
-    pairs = ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.2)
+    d = _t(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") < 80).select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, 30)").alias("text"),
+    )
+    pairs = ngram_jaccard_pairs(
+        base.unionByName(planted), "text", "doc_id", n=3, threshold=0.5
+    )
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     ).orderBy("id_a", "id_b")
@@ -333,12 +351,18 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_complement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """complement() stream (ComplementStream.java): customers w/o orders."""
+    """complement() stream (ComplementStream.java): customers with no order
+    above 300k.  (The round-1 customers-without-orders variant returned 0
+    rows at every SF — vacuous; this one is non-empty at sf0.001 and sf0.01.)"""
     from apache___solr_spark.operators import complement
 
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    return complement(c, o, ["c_custkey"]).orderBy("c_custkey")
+    big = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return complement(c, big, ["c_custkey"]).orderBy("c_custkey")
 
 
 def q_cartesian_product(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -523,13 +547,20 @@ def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole corpus."""
     d = _t(spark, sf_dir, "documents")
     tok = d.select("lang", F.explode(_toks(F.col("text"))).alias("term"))
-    fg = tok.filter(F.col("lang") != "en")
-    n_fg = fg.count()
-    n_bg = tok.count()
-    fg_c = fg.groupBy("term").agg(F.count(F.lit(1)).alias("fg_count"))
-    bg_c = tok.groupBy("term").agg(F.count(F.lit(1)).alias("bg_count"))
+    # one tokenize pass: fg/bg per-term counts come out of a single shuffle,
+    # and the global totals are an agg over the (small) per-term frame — the
+    # round-1 version re-tokenized the corpus 4x (VERDICT.md wrong #6).
+    counts = tok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("bg_count"),
+        F.count(F.when(F.col("lang") != "en", F.lit(1))).alias("fg_count"),
+    ).persist()
+    totals = counts.agg(
+        F.sum("bg_count").alias("n_bg"), F.sum("fg_count").alias("n_fg")
+    ).collect()[0]
+    n_fg, n_bg = int(totals["n_fg"]), int(totals["n_bg"])
     return (
-        fg_c.join(bg_c, "term")
+        counts.filter(F.col("fg_count") > 0)
+        .select("term", "fg_count", "bg_count")
         .withColumn(
             "score",
             F.round(
@@ -715,17 +746,27 @@ def oracle_sql() -> dict[str, str]:
             FROM m ORDER BY doc_id
         """,
         "exact_dedup": """
-            WITH canon AS (
-                SELECT text, min(doc_id) AS canonical_id FROM documents GROUP BY text
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, text FROM documents
+                WHERE doc_id < 50
+            ), canon AS (
+                SELECT text, min(doc_id) AS canonical_id FROM corpus GROUP BY text
             )
             SELECT d.doc_id AS id, c.canonical_id,
                    d.doc_id <> c.canonical_id AS is_duplicate
-            FROM documents d JOIN canon c ON d.text = c.text
+            FROM corpus d JOIN canon c ON d.text = c.text
             ORDER BY id
         """,
         "ngram_jaccard": f"""
-            WITH toks AS (
-                SELECT doc_id, {_TOKS_SQL} AS t FROM documents WHERE doc_id < 80
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents WHERE doc_id < 80
+                UNION ALL
+                SELECT doc_id + 100000 AS doc_id, substr(text, 30) AS text
+                FROM documents WHERE doc_id < 20
+            ), toks AS (
+                SELECT doc_id, {_TOKS_SQL} AS t FROM corpus
             ), sh AS (
                 SELECT doc_id,
                        list_distinct(
@@ -740,7 +781,7 @@ def oracle_sql() -> dict[str, str]:
                    round(count(*) / CAST(a.n_sh + b.n_sh - count(*) AS DOUBLE), 6) AS jaccard
             FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
-            HAVING count(*) / CAST(a.n_sh + b.n_sh - count(*) AS DOUBLE) >= 0.2
+            HAVING count(*) / CAST(a.n_sh + b.n_sh - count(*) AS DOUBLE) >= 0.5
             ORDER BY id_a, id_b
         """,
         "cosine_topk": """
@@ -756,9 +797,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rollup_lineitem": f"""
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-                   sum({_CENTS}) AS sum_price_cents,
-                   sum({_CENTS} * (100 - {_DISC_PCT})) AS revenue_milli,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum({_CENTS}) AS BIGINT) AS sum_price_cents,
+                   CAST(sum({_CENTS} * (100 - {_DISC_PCT})) AS BIGINT) AS revenue_milli,
                    count(*) AS n_rows
             FROM lineitem
             GROUP BY l_returnflag, l_linestatus
@@ -766,14 +807,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "inner_join_rollup": """
             SELECT c_mktsegment,
-                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
                    count(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment ORDER BY c_mktsegment
         """,
         "hash_join_parts": """
             SELECT p_brand,
-                   sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
                    count(*) AS n_rows
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand ORDER BY p_brand
@@ -790,7 +831,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "complement": """
             SELECT c_custkey, c_mktsegment FROM customer
-            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            WHERE c_custkey NOT IN (
+                SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
             ORDER BY c_custkey
         """,
         "cartesian_product": """
@@ -886,10 +928,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stats_stream": """
             SELECT count(*) AS n,
-                   sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
                    min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS min_price_cents,
                    max(CAST(round(l_extendedprice * 100) AS BIGINT)) AS max_price_cents,
-                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
                    count(DISTINCT l_partkey) AS n_parts
             FROM lineitem
         """,

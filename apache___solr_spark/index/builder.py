@@ -542,7 +542,23 @@ def build_index(
 
     # ---- stage 2: global stats (exact — ExactStatsCache semantics, ------
     # solr/core/src/java/org/apache/solr/search/stats/ExactStatsCache.java)
-    if not (resume and os.path.exists(paths.stats)):
+    def _stats_reusable() -> bool:
+        # like every other stage, reuse is gated on config AND input digests:
+        # a rebuild with a changed config (e.g. max_token_len changes doclens)
+        # or different input must not bake a stale N/avgdl into the impacts.
+        if not os.path.exists(paths.stats):
+            return False
+        try:
+            with open(paths.stats) as f:
+                prev = json.load(f)
+        except (OSError, ValueError):
+            return False
+        return (
+            prev.get("config_digest") == cfg_digest
+            and prev.get("input_digest") == in_digest
+        )
+
+    if not (resume and _stats_reusable()):
         agg = docs.agg(
             F.count("*").alias("n"), F.sum("doclen").alias("total_len")
         ).collect()[0]
@@ -552,6 +568,7 @@ def build_index(
             "total_len": total,
             "avgdl": (total / n_docs) if n_docs else 0.0,
             "config_digest": cfg_digest,
+            "input_digest": in_digest,
         }
         tmp = paths.stats + ".tmp"
         with open(tmp, "w") as f:

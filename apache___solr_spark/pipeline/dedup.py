@@ -236,11 +236,9 @@ def ngram_jaccard_pairs(
     an inverted shingle index (shuffle on shingle, not a cross join).
     """
     right = right if right is not None else left
-    toks = F.array_distinct(
-        F.array_remove(
-            F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), ""
-        )
-    )
+    # shingles are built over the RAW token stream (standard shingle Jaccard;
+    # matches the SQL oracle) — only the shingle SET is deduplicated below.
+    toks = F.array_remove(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), "")
 
     def shingled(df: DataFrame, side: str) -> DataFrame:
         t = df.select(F.col(id_col).alias(f"id_{side}"), toks.alias("_t"))

@@ -187,8 +187,15 @@ class SearchEngine:
         k: int = 10,
         prune: bool = True,
         with_url: bool = True,
+        doc_filter: list[int] | None = None,
     ) -> DataFrame:
-        """Top-k docs for a query. Returns (rank, doc_id[, url], score)."""
+        """Top-k docs for a query. Returns (rank, doc_id[, url], score).
+
+        ``doc_filter`` restricts scoring to an explicit (small) doc_id set —
+        the rescoring path (ReRankQParserPlugin semantics): the postings scan
+        is pruned to the salt ranges containing those ids and only their
+        postings are decoded, so rescoring 100 docs never scans the corpus.
+        """
         pq = parse_query(query) if isinstance(query, str) else query
         spark = self.spark
         if pq.is_empty:
@@ -213,7 +220,19 @@ class SearchEngine:
 
         blocks = self._blocks_for(terms)
 
-        if prune and not pq.must_not:
+        if doc_filter is not None:
+            salts = sorted({int(d) // self.cfg.salt_range for d in doc_filter})
+            blocks = blocks.filter(F.col("salt").isin(salts))
+            prune = False  # the scan is already tiny; theta pass costs more
+
+        # theta pruning is only sound for pure-SHOULD queries: theta is the
+        # k-th best PARTIAL score over docs containing the rarest term, and
+        # under MUST semantics those docs need not satisfy the other required
+        # terms, so theta would overestimate the true qualifying threshold and
+        # silently drop correct results (adversarial A/B fixture in
+        # tests/test_index_query.py::test_must_prune_adversarial).  MUST
+        # queries still get the salt-level pruning below, which is sound.
+        if prune and not pq.must_not and not must:
             theta = self._theta(meta, idf_by_term, k)
             if theta > 0.0:
                 # per-term scores are float32-rounded, so a doc score can sit
@@ -249,6 +268,8 @@ class SearchEngine:
             blocks = blocks.join(must_blocks, "salt", "left_semi")
 
         scored = self._scored(blocks, idf_by_term)
+        if doc_filter is not None:
+            scored = scored.filter(F.col("doc_id").isin([int(d) for d in doc_filter]))
         agg = scored.groupBy("doc_id").agg(
             F.sum("score").alias("_s"),
             F.count(F.when(F.col("term").isin(must), 1)).alias("_nmust"),

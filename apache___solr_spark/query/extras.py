@@ -32,7 +32,18 @@ def rerank(
     main query, rescored as main + weight * rerank-query score; docs outside
     the first pass are never promoted (matches the reference)."""
     first = engine.search(query, k=rerank_docs, prune=True, with_url=True)
-    second = engine.search(rerank_query, k=engine.stats["N"], prune=False, with_url=False)
+    # second pass scores ONLY the first-pass winners: search() prunes the
+    # postings scan to their salt ranges and filters decode to their ids, so
+    # rescoring stays O(rerank_docs) regardless of corpus size (the k=N
+    # full-corpus variant was a driver OOM at scale — VERDICT.md round 1 #2).
+    ids = [r["doc_id"] for r in first.select("doc_id").collect()]
+    if not ids:
+        return first.select(
+            F.lit(0).alias("rank"), "doc_id", "url", "score"
+        ).limit(0)
+    second = engine.search(
+        rerank_query, k=len(ids), prune=False, with_url=False, doc_filter=ids
+    )
     s2 = second.select("doc_id", F.col("score").alias("_rr"))
     out = (
         first.join(s2, "doc_id", "left_outer")

@@ -195,3 +195,53 @@ def test_manifests_carry_lineage(built):
         assert m["rows"] > 0
         assert m["rows"] == sum(p["rows"] for p in m["partitions"])
         assert m["wall_sec"] >= 0
+
+
+def _adversarial_pages(spark):
+    """Theta-decoy corpus (VERDICT.md round-1 wrong #1): the rarest MUST term
+    ('beta') has its highest partial scores in docs that do NOT contain the
+    other MUST term, and the 3 truly qualifying docs live in a different salt
+    range with low per-term scores.  An unsound theta derived from partial
+    scores prunes the qualifying salt range entirely."""
+    rows = []
+    # 5 beta-only decoys, urls sorting first -> doc_ids 0..4 (salt 0)
+    for i in range(5):
+        rows.append((f"a{i:03d}", " ".join(["beta"] * 50)))
+    # 195 alpha-only fillers -> doc_ids 5..199 (salts 0..1)
+    for i in range(195):
+        rows.append((f"m{i:03d}", f"alpha filler{i} text"))
+    # 3 qualifying alpha+beta docs, urls sorting last -> doc_ids 200..202
+    for i in range(3):
+        rows.append((f"z{i:03d}", "alpha beta common words here"))
+    return spark.createDataFrame(
+        [(u, None, None, t, "en") for u, t in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+
+
+def test_must_prune_adversarial(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("adv") / "idx")
+    build_index(spark, _adversarial_pages(spark), out, cfg=CFG)
+    eng = SearchEngine(spark, out, cfg=CFG)
+    pruned = [tuple(r) for r in eng.search("alpha AND beta", k=3, prune=True).collect()]
+    full = [tuple(r) for r in eng.search("alpha AND beta", k=3, prune=False).collect()]
+    assert pruned == full
+    assert len(full) == 3  # exactly the three alpha+beta docs qualify
+    assert {r[1] for r in full} == {200, 201, 202}
+
+
+def test_doc_filter_restricts_and_matches(spark, built):
+    """search(doc_filter=ids) == full search restricted to ids (the rerank
+    second-pass path; ReRankQParserPlugin semantics)."""
+    eng = SearchEngine(spark, built, cfg=CFG)
+    full = eng.search("web page", k=N_DOCS, prune=False, with_url=False).collect()
+    ids = [r["doc_id"] for r in full[:7]]
+    sub = eng.search(
+        "web page", k=len(ids), prune=False, with_url=False, doc_filter=ids
+    ).collect()
+    want = sorted(
+        [(r["doc_id"], r["score"]) for r in full if r["doc_id"] in set(ids)],
+        key=lambda x: (-x[1], x[0]),
+    )
+    got = [(r["doc_id"], r["score"]) for r in sub]
+    assert got == want
