@@ -44,7 +44,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # fulltext index (built once per sf_dir over the documents table)
 # --------------------------------------------------------------------------
 
-_INDEX_CACHE: dict[str, str] = {}
+_INDEX_CACHE: dict[tuple[str, str], str] = {}
 
 
 def _docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,17 +58,31 @@ def _docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _fulltext_index(spark: SparkSession, sf_dir: str) -> str:
-    key = os.path.abspath(sf_dir)
+def _index_cfg(mode: str):
+    from apache___solr_spark.config import DEFAULT_CONFIG, IndexConfig
+
+    if mode == "simple":
+        # ANSI-SQL-expressible analysis + double scoring: this index's BM25
+        # results are value-hash-checked against the DuckDB oracle (the
+        # standard chain's UAX#29 tokenizer is not SQL-expressible, so the
+        # standard-mode entries are rows-only + pytest-golden checked).
+        return IndexConfig(analyzer="simple", score_dtype="float64")
+    return DEFAULT_CONFIG
+
+
+def _fulltext_index(spark: SparkSession, sf_dir: str, mode: str = "standard") -> str:
+    key = (os.path.abspath(sf_dir), mode)
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
     _prep(spark)
     from apache___solr_spark.index.builder import build_index
 
+    suffix = "" if mode == "standard" else f"_{mode}"
     out = os.path.join(
-        tempfile.gettempdir(), "solr_spark_idx_" + key.strip("/").replace("/", "_")
+        tempfile.gettempdir(),
+        "solr_spark_idx_" + key[0].strip("/").replace("/", "_") + suffix,
     )
-    build_index(spark, _docs_as_pages(spark, sf_dir), out)
+    build_index(spark, _docs_as_pages(spark, sf_dir), out, cfg=_index_cfg(mode))
     _INDEX_CACHE[key] = out
     return out
 
@@ -125,6 +139,45 @@ def q_bm25_and(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     eng = SearchEngine(spark, idx)
     return eng.search("spark AND window -error", k=50)
+
+
+def _simple_engine(spark: SparkSession, sf_dir: str):
+    idx = _fulltext_index(spark, sf_dir, "simple")
+    from apache___solr_spark.query.engine import SearchEngine
+
+    return SearchEngine(spark, idx, cfg=_index_cfg("simple"))
+
+
+def _rounded_hits(out: DataFrame) -> DataFrame:
+    # deterministic comparable form: round to 6dp and order by the ROUNDED
+    # score (ties broken by doc_id) so both engines sort identical values.
+    return out.select("doc_id", F.round("score", 6).alias("score")).orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+
+
+def q_bm25_simple_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k through the REAL index + engine (postings codec, SmallFloat
+    norms, salted scan, block-max machinery) on the SQL-expressible analyzer
+    — the driver value-hash-checks the engine's scoring itself."""
+    eng = _simple_engine(spark, sf_dir)
+    return _rounded_hits(eng.search("table query merge", k=50, with_url=False))
+
+
+def q_bm25_simple_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUST + MUST_NOT boolean retrieval with BM25 scores, oracle-checked."""
+    eng = _simple_engine(spark, sf_dir)
+    return _rounded_hits(eng.search("table AND query -merge", k=50, with_url=False))
+
+
+def q_bm25_simple_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReRank (ReRankQParserPlugin): first-pass top-100, rescored by
+    main + 2.0 * score(rerank query) — oracle-checked end to end."""
+    eng = _simple_engine(spark, sf_dir)
+    from apache___solr_spark.query.extras import rerank
+
+    out = rerank(eng, "table query", "merge", k=20, rerank_docs=100)
+    return _rounded_hits(out)
 
 
 def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -626,12 +679,66 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bm25_sql_prefix() -> str:
+    """Shared CTEs for the BM25 oracles: SQL tokens, corpus stats, the
+    SmallFloat 256-entry norm table (index/smallfloat.py — encode rounds a
+    doclen DOWN to the nearest representable value, i.e. max(v) <= doclen),
+    and the quantized doc length per doc."""
+    from apache___solr_spark.index.smallfloat import NORM_TABLE
+
+    norm_vals = ", ".join(str(int(v)) for v in NORM_TABLE)
+    return f"""
+        toks AS (
+            SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+        ), stats AS (
+            SELECT (SELECT count(*) FROM documents) AS n,
+                   (SELECT count(*) FROM toks) AS total_len
+        ), norm AS (
+            SELECT unnest([{norm_vals}]) AS v
+        ), dl AS (
+            SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id
+        ), qdl AS (
+            SELECT doc_id,
+                   (SELECT max(v) FROM norm WHERE v <= doclen) AS dlq
+            FROM dl
+        )"""
+
+
+def _bm25_scored_cte(name: str, terms: list[str]) -> str:
+    """BM25 (k1=1.2, b=0.75) per-doc score over ``terms`` — written with the
+    exact operation nesting of query/engine.py so float64 results agree to
+    the last ulps:  idf*tf / (tf + k1*((1-b) + b*dlq/avgdl))."""
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return f""", tf_{name} AS (
+            SELECT doc_id, term, count(*) AS tf FROM toks
+            WHERE term IN ({tl}) GROUP BY doc_id, term
+        ), df_{name} AS (
+            SELECT term, count(DISTINCT doc_id) AS df FROM toks
+            WHERE term IN ({tl}) GROUP BY term
+        ), scored_{name} AS (
+            SELECT t.doc_id,
+                   sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                       * t.tf / (t.tf + 1.2 * ((1 - 0.75) + 0.75 * q.dlq
+                                 / (CAST(s.total_len AS DOUBLE) / s.n)))) AS score
+            FROM tf_{name} t
+            JOIN df_{name} d USING (term)
+            JOIN qdl q USING (doc_id)
+            CROSS JOIN stats s
+            GROUP BY t.doc_id
+        )"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # fulltext core (north rule) — non-SQL-expressible (custom analysis
-        # chain + BM25 float32 scoring); golden-checked in tests/ vs oracle
+        # fulltext core (north rule), standard chain — non-SQL-expressible
+        # (UAX#29 + stopwords + float32); golden-checked in tests/ vs oracle
         "bm25_topk": q_bm25_topk,
         "bm25_and_not": q_bm25_and,
+        # fulltext core, SQL-expressible analyzer: the REAL index + engine,
+        # value-hash-checked against DuckDB BM25 arithmetic end to end
+        "bm25_simple_topk": q_bm25_simple_topk,
+        "bm25_simple_and": q_bm25_simple_and,
+        "bm25_simple_rerank": q_bm25_simple_rerank,
         # SQL-checkable text/search ops
         "term_stats": q_term_stats,
         "boolean_and_search": q_boolean_and_search,
@@ -675,7 +782,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     stops = _stops_sql()
+    bm25 = _bm25_sql_prefix()
     return {
+        "bm25_simple_topk": f"""
+            WITH {bm25}{_bm25_scored_cte("q", ["table", "query", "merge"])},
+            hits AS (
+                SELECT doc_id, score FROM scored_q
+                ORDER BY score DESC, doc_id ASC LIMIT 50
+            )
+            SELECT doc_id, round(score, 6) AS score FROM hits
+            ORDER BY round(score, 6) DESC, doc_id ASC
+        """,
+        "bm25_simple_and": f"""
+            WITH {bm25}{_bm25_scored_cte("m", ["table", "query"])},
+            qual AS (
+                SELECT doc_id FROM tf_m GROUP BY doc_id
+                HAVING count(DISTINCT term) = 2
+            ),
+            hits AS (
+                SELECT s.doc_id, s.score FROM scored_m s
+                JOIN qual USING (doc_id)
+                WHERE s.doc_id NOT IN (
+                    SELECT DISTINCT doc_id FROM toks WHERE term = 'merge')
+                ORDER BY s.score DESC, s.doc_id ASC LIMIT 50
+            )
+            SELECT doc_id, round(score, 6) AS score FROM hits
+            ORDER BY round(score, 6) DESC, doc_id ASC
+        """,
+        "bm25_simple_rerank": f"""
+            WITH {bm25}{_bm25_scored_cte("m", ["table", "query"])}
+                 {_bm25_scored_cte("r", ["merge"])},
+            first AS (
+                SELECT doc_id, score FROM scored_m
+                ORDER BY score DESC, doc_id ASC LIMIT 100
+            ),
+            combined AS (
+                SELECT f.doc_id, f.score + 2.0 * coalesce(r.score, 0.0) AS score
+                FROM first f LEFT JOIN scored_r r USING (doc_id)
+            ),
+            top AS (
+                SELECT doc_id, score FROM combined
+                ORDER BY score DESC, doc_id ASC LIMIT 20
+            )
+            SELECT doc_id, round(score, 6) AS score FROM top
+            ORDER BY round(score, 6) DESC, doc_id ASC
+        """,
         "term_stats": f"""
             SELECT tok AS term,
                    count(DISTINCT doc_id) AS df,

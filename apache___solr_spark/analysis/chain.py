@@ -12,6 +12,8 @@ exact same bytes the single-process oracle runs.
 
 from __future__ import annotations
 
+import re
+
 from apache___solr_spark.analysis.html_strip import html_strip
 from apache___solr_spark.analysis.stopwords import ENGLISH_STOP_WORDS
 from apache___solr_spark.analysis.tokenizer import standard_tokenize
@@ -33,3 +35,21 @@ def analyze(text: str | None, max_token_len: int = 255) -> list[str]:
     (minus query-time synonyms, which v1 does not ship)."""
     toks = standard_tokenize(text, max_token_len=max_token_len)
     return [t.lower() for t in toks if t.lower() not in ENGLISH_STOP_WORDS]
+
+
+_SIMPLE_RE = re.compile(r"[a-z0-9]+")
+
+
+def simple_analyze(text: str | None, max_token_len: int = 255) -> list[str]:
+    """The SQL-expressible chain (analyzer="simple"): lowercase then
+    ``[a-z0-9]+`` runs, no stopwords — byte-identical to DuckDB's
+    ``regexp_extract_all(lower(text), '[a-z0-9]+')``, which is what makes an
+    index built with it value-checkable end-to-end against a SQL oracle."""
+    return _SIMPLE_RE.findall((text or "").lower())
+
+
+def analyzer_fn(analyzer: str):
+    """Resolve an IndexConfig.analyzer name to its chain function."""
+    if analyzer == "simple":
+        return simple_analyze
+    return analyze

@@ -46,10 +46,24 @@ class IndexConfig:
     max_token_len: int = 255
     n_buckets: int = 64
     field: str = "text"
+    # analyzer: "standard" = html_strip -> StandardTokenizer(UAX#29 approx)
+    # -> stop -> lowercase (the reference text_general chain).  "simple" =
+    # lowercase + [a-z0-9]+ regex, no stopwords — ANSI-SQL-expressible, so an
+    # index built with it is value-checkable against a DuckDB oracle
+    # end-to-end (the driver's correctness gate for BM25 itself).
+    analyzer: str = "standard"
+    # score_dtype: "float32" matches Lucene/Solr scoring exactly
+    # (BM25Similarity computes in float); "float64" exists for the
+    # SQL-oracle-checked configuration where DuckDB computes in double.
+    score_dtype: str = "float32"
 
     def __post_init__(self) -> None:
         if self.salt_range % self.block_range != 0:
             raise ValueError("salt_range must be a multiple of block_range")
+        if self.analyzer not in ("standard", "simple"):
+            raise ValueError(f"unknown analyzer {self.analyzer!r}")
+        if self.score_dtype not in ("float32", "float64"):
+            raise ValueError(f"unknown score_dtype {self.score_dtype!r}")
 
     def digest(self) -> str:
         """Stable digest used by checkpoint manifests to detect config drift."""

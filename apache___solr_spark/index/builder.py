@@ -52,7 +52,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from apache___solr_spark.analysis.chain import analyze, extract_text
+from apache___solr_spark.analysis.chain import analyzer_fn, extract_text
 from apache___solr_spark.config import DEFAULT_CONFIG, IndexConfig
 from apache___solr_spark.index import checkpoint as ckpt
 from apache___solr_spark.index.codec import (
@@ -112,12 +112,13 @@ def _input_digest(pages: DataFrame, source: str | None) -> str:
     return f"{source or 'df'}::{','.join(pages.columns)}"
 
 
-def _analyze_raw(pages: DataFrame) -> DataFrame:
+def _analyze_raw(pages: DataFrame, cfg: IndexConfig = DEFAULT_CONFIG) -> DataFrame:
     """Analysis UDF on the INPUT partitions: html never crosses a shuffle
     (raw pages through the exchange measurably dominated the build; analyzed
     rows are ~5x narrower), and the expensive UDF pass checkpoints on its
     own before any id assignment."""
-    max_token_len = DEFAULT_CONFIG.max_token_len
+    max_token_len = cfg.max_token_len
+    analyze_ = analyzer_fn(cfg.analyzer)
 
     def analyze_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -125,7 +126,7 @@ def _analyze_raw(pages: DataFrame) -> DataFrame:
             tfs_col: list[list[int]] = []
             lens: list[int] = []
             for h, t in zip(pdf["html"], pdf["text"]):
-                toks = analyze(extract_text(h, t), max_token_len=max_token_len)
+                toks = analyze_(extract_text(h, t), max_token_len=max_token_len)
                 counts_: dict[str, int] = {}
                 for tok in toks:
                     counts_[tok] = counts_.get(tok, 0) + 1
@@ -491,7 +492,7 @@ def build_index(
     # ---- stage 1a: analysis UDF -> analyzed_raw checkpoint ---------------
     t0 = time.time()
     if not (resume and ckpt.stage_complete(paths.analyzed_raw, cfg_digest, in_digest)):
-        _analyze_raw(pages).write.mode("overwrite").parquet(paths.analyzed_raw)
+        _analyze_raw(pages, cfg).write.mode("overwrite").parquet(paths.analyzed_raw)
         lineage = ckpt.parquet_lineage(paths.analyzed_raw)
         ckpt.publish_manifest(
             paths.analyzed_raw,

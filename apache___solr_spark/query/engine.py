@@ -43,26 +43,33 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from apache___solr_spark.analysis.chain import analyzer_fn
 from apache___solr_spark.config import DEFAULT_CONFIG, IndexConfig
 from apache___solr_spark.index.builder import IndexPaths
 from apache___solr_spark.index.codec import decode_vbyte, delta_decode
 from apache___solr_spark.index.smallfloat import NORM_TABLE
 from apache___solr_spark.query.parser import ParsedQuery, parse_query
 
-_SCORE_SCHEMA = "term string, doc_id long, score float"
+def bm25_idf(n_docs: int, df: int, dtype=np.float32):
+    return dtype(math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
 
 
-def bm25_idf(n_docs: int, df: int) -> np.float32:
-    return np.float32(math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+def _score_blocks(
+    idf_by_term: dict[str, float],
+    k1: float,
+    b: float,
+    avgdl: float,
+    dtype=np.float32,
+):
+    """mapInPandas fn: decode posting blocks -> (term, doc_id, score) rows.
 
-
-def _score_blocks(idf_by_term: dict[str, float], k1: float, b: float, avgdl: float):
-    """mapInPandas fn: decode posting blocks -> (term, doc_id, score) rows."""
-    norm_table_f32 = NORM_TABLE.astype(np.float32)
-    k1f = np.float32(k1)
-    one_minus_b = np.float32(1.0 - b)
-    bf = np.float32(b)
-    avgdlf = np.float32(avgdl)
+    ``dtype`` is float32 by default (Lucene BM25Similarity computes in
+    float); float64 backs the SQL-oracle-checked configuration."""
+    norm_table_f32 = NORM_TABLE.astype(dtype)
+    k1f = dtype(k1)
+    one_minus_b = dtype(1.0 - b)
+    bf = dtype(b)
+    avgdlf = dtype(avgdl)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -83,11 +90,11 @@ def _score_blocks(idf_by_term: dict[str, float], k1: float, b: float, avgdl: flo
                 doc_ids = delta_decode(
                     decode_vbyte(gaps_bin, int(n)).astype(np.int64), base
                 )
-                tfs = decode_vbyte(tfs_bin, int(n)).astype(np.float32)
+                tfs = decode_vbyte(tfs_bin, int(n)).astype(dtype)
                 norms = np.frombuffer(norms_bin, dtype=np.uint8)
                 dl = norm_table_f32[norms]
                 cache = k1f * (one_minus_b + bf * dl / avgdlf)
-                score = np.float32(idf_by_term[term]) * tfs / (tfs + cache)
+                score = dtype(idf_by_term[term]) * tfs / (tfs + cache)
                 terms_out.append(np.full(int(n), term, dtype=object))
                 docs_out.append(doc_ids)
                 scores_out.append(score)
@@ -120,6 +127,9 @@ class SearchEngine:
         self.postings = spark.read.parquet(self.paths.postings)
         self.dictionary = spark.read.parquet(self.paths.dictionary)
         self.docs = spark.read.parquet(self.paths.docs)
+        self._dtype = np.float64 if cfg.score_dtype == "float64" else np.float32
+        self._sql_t = "double" if cfg.score_dtype == "float64" else "float"
+        self._analyze = analyzer_fn(cfg.analyzer)
 
     # -- term metadata -----------------------------------------------------
     def _term_meta(self, terms: list[str]) -> pd.DataFrame:
@@ -152,7 +162,11 @@ class SearchEngine:
     # -- scoring -----------------------------------------------------------
     def _scored(self, blocks: DataFrame, idf_by_term: dict[str, float]) -> DataFrame:
         fn = _score_blocks(
-            idf_by_term, self.cfg.bm25_k1, self.cfg.bm25_b, self.stats["avgdl"]
+            idf_by_term,
+            self.cfg.bm25_k1,
+            self.cfg.bm25_b,
+            self.stats["avgdl"],
+            dtype=self._dtype,
         )
         cols = blocks.select(
             "term",
@@ -163,7 +177,9 @@ class SearchEngine:
             "norms",
             F.lit(self.cfg.salt_range).alias("salt_range"),
         )
-        return cols.mapInPandas(fn, schema=_SCORE_SCHEMA)
+        return cols.mapInPandas(
+            fn, schema=f"term string, doc_id long, score {self._sql_t}"
+        )
 
     def _theta(
         self, meta: pd.DataFrame, idf_by_term: dict[str, float], k: int
@@ -196,10 +212,14 @@ class SearchEngine:
         is pruned to the salt ranges containing those ids and only their
         postings are decoded, so rescoring 100 docs never scans the corpus.
         """
-        pq = parse_query(query) if isinstance(query, str) else query
+        pq = (
+            parse_query(query, analyze_fn=self._analyze)
+            if isinstance(query, str)
+            else query
+        )
         spark = self.spark
         if pq.is_empty:
-            schema = "rank int, doc_id long, url string, score float"
+            schema = f"rank int, doc_id long, url string, score {self._sql_t}"
             return spark.createDataFrame([], schema)
 
         terms = pq.scoring_terms
@@ -210,11 +230,11 @@ class SearchEngine:
         if (pq.must and len(must) < len(pq.must)) or not terms:
             # a required term is absent from the corpus -> empty result
             return spark.createDataFrame(
-                [], "rank int, doc_id long, url string, score float"
+                [], f"rank int, doc_id long, url string, score {self._sql_t}"
             )
         n_docs = self.stats["N"]
         idf_by_term = {
-            r["term"]: float(bm25_idf(n_docs, int(r["df"])))
+            r["term"]: float(bm25_idf(n_docs, int(r["df"]), dtype=self._dtype))
             for _, r in meta.iterrows()
         }
 
@@ -284,7 +304,7 @@ class SearchEngine:
             agg = agg.join(excluded, "doc_id", "left_anti")
 
         topk_rows = (
-            agg.select("doc_id", F.col("_s").cast("float").alias("score"))
+            agg.select("doc_id", F.col("_s").cast(self._sql_t).alias("score"))
             .orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .limit(k)
             .collect()
@@ -297,7 +317,7 @@ class SearchEngine:
         schema = (
             "rank int, doc_id long"
             + (", url string" if with_url else "")
-            + ", score float"
+            + f", score {self._sql_t}"
         )
         if not topk_rows:
             return spark.createDataFrame([], schema)

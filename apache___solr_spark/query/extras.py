@@ -52,7 +52,7 @@ def rerank(
             (
                 F.col("score")
                 + F.lit(float(rerank_weight)) * F.coalesce(F.col("_rr"), F.lit(0.0))
-            ).cast("float"),
+            ).cast(engine._sql_t),
         )
         .drop("_rr")
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())

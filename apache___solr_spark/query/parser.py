@@ -47,7 +47,10 @@ def _dedup(xs: list[str]) -> list[str]:
     return out
 
 
-def parse_query(q: str) -> ParsedQuery:
+def parse_query(q: str, analyze_fn=analyze) -> ParsedQuery:
+    """Parse ``q`` with the given query-time analysis function (defaults to
+    the standard chain; the engine passes its index's configured analyzer so
+    query analysis always matches index analysis)."""
     for ch in _UNSUPPORTED:
         if ch in q:
             raise NotImplementedError(
@@ -73,7 +76,7 @@ def parse_query(q: str) -> ParsedQuery:
         elif tok.startswith("+"):
             forced_must = True
             tok = tok[1:]
-        terms = analyze(tok)  # query-time analysis: lowercase + stop
+        terms = analyze_fn(tok)  # query-time analysis (matches the index)
         if not terms:
             continue
         if neg:
