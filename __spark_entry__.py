@@ -180,6 +180,14 @@ def q_bm25_simple_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rounded_hits(out)
 
 
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-adjacency phrase query mixed with a SHOULD term (PhraseQuery
+    semantics: tf=phrase freq, idf=sum of constituent idfs), through the
+    real positions codec — oracle-checked."""
+    eng = _simple_engine(spark, sf_dir)
+    return _rounded_hits(eng.search('"part filter" merge', k=50, with_url=False))
+
+
 def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TermsComponent capability (handler/component/TermsComponent.java:76):
     term dictionary with df/cf, top by df."""
@@ -739,6 +747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_simple_topk": q_bm25_simple_topk,
         "bm25_simple_and": q_bm25_simple_and,
         "bm25_simple_rerank": q_bm25_simple_rerank,
+        "phrase_search": q_phrase_search,
         # SQL-checkable text/search ops
         "term_stats": q_term_stats,
         "boolean_and_search": q_boolean_and_search,
@@ -825,6 +834,46 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY score DESC, doc_id ASC LIMIT 20
             )
             SELECT doc_id, round(score, 6) AS score FROM top
+            ORDER BY round(score, 6) DESC, doc_id ASC
+        """,
+        "phrase_search": f"""
+            WITH {bm25}{_bm25_scored_cte("m", ["merge"])},
+            ptoks AS (
+                SELECT doc_id, unnest(t) AS term,
+                       unnest(range(1, len(t) + 1)) AS pos
+                FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+            ),
+            pf AS (
+                SELECT a.doc_id, count(*) AS pf
+                FROM ptoks a JOIN ptoks b
+                  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                WHERE a.term = 'part' AND b.term = 'filter'
+                GROUP BY a.doc_id
+            ),
+            dfp AS (SELECT count(DISTINCT doc_id) AS df FROM toks
+                    WHERE term = 'part'),
+            dff AS (SELECT count(DISTINCT doc_id) AS df FROM toks
+                    WHERE term = 'filter'),
+            phsc AS (
+                SELECT pf.doc_id,
+                       (ln(1 + (s.n - dfp.df + 0.5) / (dfp.df + 0.5))
+                        + ln(1 + (s.n - dff.df + 0.5) / (dff.df + 0.5)))
+                       * pf.pf / (pf.pf + 1.2 * ((1 - 0.75) + 0.75 * q.dlq
+                                  / (CAST(s.total_len AS DOUBLE) / s.n))) AS score
+                FROM pf JOIN qdl q USING (doc_id)
+                CROSS JOIN stats s CROSS JOIN dfp CROSS JOIN dff
+            ),
+            allsc AS (
+                SELECT doc_id, sum(score) AS score FROM (
+                    SELECT doc_id, score FROM scored_m
+                    UNION ALL SELECT doc_id, score FROM phsc
+                ) GROUP BY doc_id
+            ),
+            hits AS (
+                SELECT doc_id, score FROM allsc
+                ORDER BY score DESC, doc_id ASC LIMIT 50
+            )
+            SELECT doc_id, round(score, 6) AS score FROM hits
             ORDER BY round(score, 6) DESC, doc_id ASC
         """,
         "term_stats": f"""

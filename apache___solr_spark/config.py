@@ -36,9 +36,10 @@ class IndexConfig:
         for Solr's term-dictionary seek).
     """
 
-    format_version: int = 2  # bump on any postings-layout change: stale
+    format_version: int = 3  # bump on any postings-layout change: stale
     # checkpoints then fail the manifest digest check and rebuild instead of
-    # resuming with an incompatible schema
+    # resuming with an incompatible schema.  v3 added per-posting position
+    # streams (phrase queries / highlighting).
     block_range: int = 128
     salt_range: int = 8192
     bm25_k1: float = 1.2
@@ -56,6 +57,14 @@ class IndexConfig:
     # (BM25Similarity computes in float); "float64" exists for the
     # SQL-oracle-checked configuration where DuckDB computes in double.
     score_dtype: str = "float32"
+    # store_positions: per-posting position streams (third vbyte stream in
+    # the postings row), enabling phrase queries — text fields index
+    # positions by default in the reference (IndexOptions
+    # DOCS_AND_FREQS_AND_POSITIONS, schema TextField default).  Positions are
+    # indices in the POST-FILTER token stream: the standard chain drops
+    # stopwords without leaving position gaps (documented divergence from
+    # Lucene's posIncrement gaps; exact for analyzer="simple").
+    store_positions: bool = True
 
     def __post_init__(self) -> None:
         if self.salt_range % self.block_range != 0:

@@ -65,12 +65,17 @@ from apache___solr_spark.index.codec import (
 from apache___solr_spark.index.smallfloat import NORM_TABLE, int_to_byte4_np
 
 ANALYZED_SCHEMA = (
-    "url string, doc_id long, terms array<string>, tfs array<int>, doclen int"
+    "url string, doc_id long, terms array<string>, tfs array<int>, "
+    "positions array<int>, doclen int"
 )
 
+# positions: one vbyte stream per (term, salt) row — for each posting, tf
+# position values (first raw, rest delta-gapped), indices into the
+# post-filter token stream.  Empty when store_positions=False.
 SEGMENT_SCHEMA = (
     "term string, salt long, n_docs int, first_doc long, last_doc long, "
-    "doc_gaps binary, tfs binary, norms binary, sum_tf long, max_tf int, "
+    "doc_gaps binary, tfs binary, norms binary, positions binary, "
+    "sum_tf long, max_tf int, "
     "max_impact float, block_first_docs array<long>, block_n array<int>, "
     "block_max_impacts array<float>"
 )
@@ -119,33 +124,44 @@ def _analyze_raw(pages: DataFrame, cfg: IndexConfig = DEFAULT_CONFIG) -> DataFra
     own before any id assignment."""
     max_token_len = cfg.max_token_len
     analyze_ = analyzer_fn(cfg.analyzer)
+    store_positions = cfg.store_positions
 
     def analyze_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             terms_col: list[list[str]] = []
             tfs_col: list[list[int]] = []
+            pos_col: list[list[int]] = []
             lens: list[int] = []
             for h, t in zip(pdf["html"], pdf["text"]):
                 toks = analyze_(extract_text(h, t), max_token_len=max_token_len)
-                counts_: dict[str, int] = {}
-                for tok in toks:
-                    counts_[tok] = counts_.get(tok, 0) + 1
-                items = sorted(counts_.items())
+                occ: dict[str, list[int]] = {}
+                for i, tok in enumerate(toks):
+                    occ.setdefault(tok, []).append(i)
+                items = sorted(occ.items())
                 terms_col.append([k for k, _ in items])
-                tfs_col.append([v for _, v in items])
+                tfs_col.append([len(v) for _, v in items])
+                # flat, term-major (ascending within each term) — consumed
+                # positionally against (terms, tfs)
+                pos_col.append(
+                    [p for _, v in items for p in v] if store_positions else []
+                )
                 lens.append(len(toks))
             yield pd.DataFrame(
                 {
                     "url": pdf["url"].to_numpy(),
                     "terms": terms_col,
                     "tfs": tfs_col,
+                    "positions": pos_col,
                     "doclen": lens,
                 }
             )
 
     return pages.select("url", "html", "text").mapInPandas(
         analyze_batch,
-        schema="url string, terms array<string>, tfs array<int>, doclen int",
+        schema=(
+            "url string, terms array<string>, tfs array<int>, "
+            "positions array<int>, doclen int"
+        ),
     )
 
 
@@ -188,8 +204,15 @@ def _number_docs(spark: SparkSession, raw: DataFrame, n_parts: int) -> DataFrame
             seen += n
             # zero-copy passthrough of the array columns
             yield pa.RecordBatch.from_arrays(
-                [rb.column(0), ids, rb.column(1), rb.column(2), rb.column(3)],
-                names=["url", "doc_id", "terms", "tfs", "doclen"],
+                [
+                    rb.column(0),
+                    ids,
+                    rb.column(1),
+                    rb.column(2),
+                    rb.column(3),
+                    rb.column(4),
+                ],
+                names=["url", "doc_id", "terms", "tfs", "positions", "doclen"],
             )
 
     return ranged.mapInArrow(number, schema=ANALYZED_SCHEMA)
@@ -239,6 +262,26 @@ class _Scorer:
         )
 
 
+def _delta_positions(g_pos: np.ndarray, g_tfs: np.ndarray) -> np.ndarray:
+    """Per-posting delta encoding of flat absolute positions: each posting's
+    first position stays raw, the rest become gaps."""
+    starts = np.concatenate(([0], np.cumsum(g_tfs)))[:-1]
+    gaps = np.empty(g_pos.size, dtype=np.int64)
+    if g_pos.size:
+        gaps[1:] = g_pos[1:] - g_pos[:-1]
+        gaps[starts] = g_pos[starts]
+    return gaps
+
+
+def _undelta_positions(gaps: np.ndarray, g_tfs: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`_delta_positions` (flat absolute positions)."""
+    starts = np.concatenate(([0], np.cumsum(g_tfs)))[:-1].astype(np.int64)
+    cs = np.cumsum(gaps.astype(np.int64))
+    before = cs[starts] - gaps[starts]  # running total just before each posting
+    tfs64 = np.asarray(g_tfs, dtype=np.int64)
+    return cs - np.repeat(before, tfs64)
+
+
 def _encode_group_row(
     cfg: IndexConfig,
     scorer: _Scorer,
@@ -247,6 +290,7 @@ def _encode_group_row(
     g_ids: np.ndarray,
     g_tfs: np.ndarray,
     g_norms: np.ndarray,
+    g_pos: np.ndarray | None = None,
 ) -> dict:
     """One postings row for one (term, salt) group (doc_ids ascending)."""
     n = g_ids.size
@@ -262,6 +306,11 @@ def _encode_group_row(
         "doc_gaps": encode_vbyte(delta_encode(g_ids, base)),
         "tfs": encode_vbyte(g_tfs),
         "norms": g_norms.tobytes(),
+        "positions": (
+            encode_vbyte(_delta_positions(g_pos, g_tfs))
+            if g_pos is not None and g_pos.size
+            else b""
+        ),
         "sum_tf": int(g_tfs.sum()),
         "max_tf": int(g_tfs.max()),
         "max_impact": np.float32(g_imp.max()),
@@ -317,6 +366,12 @@ def _segment_encode(cfg: IndexConfig, avgdl: float):
             codes = enc.indices.to_numpy().astype(np.int64)
             uniques = enc.dictionary
             tfs = pc.list_flatten(tfs_col).to_numpy().astype(np.int64)
+            pos_flat = (
+                pc.list_flatten(rb.column(rb.schema.get_field_index("positions")))
+                .to_numpy()
+                .astype(np.int64)
+            )
+            store_pos = pos_flat.size > 0
             doc_ids_col = rb.column(rb.schema.get_field_index("doc_id")).to_numpy()
             doclen_col = rb.column(rb.schema.get_field_index("doclen")).to_numpy()
             doc_ids = np.repeat(doc_ids_col, lens)
@@ -324,6 +379,9 @@ def _segment_encode(cfg: IndexConfig, avgdl: float):
 
             salts = doc_ids // salt_range
             order = np.lexsort((doc_ids, salts, codes))
+            if store_pos:
+                # flat position offsets of each posting BEFORE reordering
+                pos_sel_starts = (np.cumsum(tfs) - tfs)[order]
             codes, salts, doc_ids, tfs, norms = (
                 codes[order], salts[order], doc_ids[order], tfs[order], norms[order]
             )
@@ -344,6 +402,21 @@ def _segment_encode(cfg: IndexConfig, avgdl: float):
             gap_buf, gap_bounds = encode_vbyte_packed(gaps, gstarts)
             tf_buf, tf_bounds = encode_vbyte_packed(tfs, gstarts)
             norm_bounds = np.append(gstarts, n)
+            # positions: gather occurrence groups into posting order, delta
+            # per posting, pack per (term, salt) group — all vectorized
+            if store_pos:
+                new_starts = np.cumsum(tfs) - tfs
+                within = np.arange(pos_flat.size, dtype=np.int64) - np.repeat(
+                    new_starts, tfs
+                )
+                pos_sorted = pos_flat[np.repeat(pos_sel_starts, tfs) + within]
+                pgaps = _delta_positions(pos_sorted, tfs)
+                pos_buf, pos_bounds = encode_vbyte_packed(
+                    pgaps, new_starts[gstarts]
+                )
+            else:
+                pos_buf = np.empty(0, dtype=np.uint8)
+                pos_bounds = np.zeros(gstarts.size + 1, dtype=np.int64)
             sum_tf = np.add.reduceat(tfs, gstarts)
             max_tf = np.maximum.reduceat(tfs, gstarts)
             max_imp = np.maximum.reduceat(imp, gstarts)
@@ -368,6 +441,7 @@ def _segment_encode(cfg: IndexConfig, avgdl: float):
                 _binary_from(gap_buf, gap_bounds),
                 _binary_from(tf_buf, tf_bounds),
                 _binary_from(norms.astype(np.uint8), norm_bounds),
+                _binary_from(pos_buf, pos_bounds),
                 pa.array(sum_tf),
                 pa.array(max_tf.astype(np.int32)),
                 pa.array(max_imp.astype(np.float32)),
@@ -379,7 +453,7 @@ def _segment_encode(cfg: IndexConfig, avgdl: float):
             ]
             names = [
                 "term", "salt", "n_docs", "first_doc", "last_doc", "doc_gaps",
-                "tfs", "norms", "sum_tf", "max_tf", "max_impact",
+                "tfs", "norms", "positions", "sum_tf", "max_tf", "max_impact",
                 "block_first_docs", "block_n", "block_max_impacts",
             ]
             yield pa.RecordBatch.from_arrays(arrays, names=names)
@@ -421,20 +495,42 @@ def _merge_segments(cfg: IndexConfig, avgdl: float):
                     for g, n in zip(frags["doc_gaps"], frags["n_docs"])
                 ]
             )
-            tfs = np.concatenate(
-                [
-                    decode_vbyte(bytes(t), int(n)).astype(np.int64)
-                    for t, n in zip(frags["tfs"], frags["n_docs"])
-                ]
-            )
+            tf_arrays = [
+                decode_vbyte(bytes(t), int(n)).astype(np.int64)
+                for t, n in zip(frags["tfs"], frags["n_docs"])
+            ]
+            tfs = np.concatenate(tf_arrays)
             norms = np.concatenate(
                 [np.frombuffer(bytes(x), dtype=np.uint8) for x in frags["norms"]]
             )
             order = np.argsort(ids, kind="stable")
+            g_pos = None
+            if any(len(bytes(p)) > 0 for p in frags["positions"]):
+                # decode each fragment to absolute positions, concat in the
+                # fragments' doc order, then gather occurrence groups into
+                # the merged posting order
+                pos_abs = np.concatenate(
+                    [
+                        _undelta_positions(
+                            decode_vbyte(bytes(p), int(st)).astype(np.int64),
+                            tfa,
+                        )
+                        for p, st, tfa in zip(
+                            frags["positions"], frags["sum_tf"], tf_arrays
+                        )
+                    ]
+                )
+                sel = (np.cumsum(tfs) - tfs)[order]
+                otfs = tfs[order]
+                new_starts = np.cumsum(otfs) - otfs
+                within = np.arange(pos_abs.size, dtype=np.int64) - np.repeat(
+                    new_starts, otfs
+                )
+                g_pos = pos_abs[np.repeat(sel, otfs) + within]
             out_rows.append(
                 _encode_group_row(
                     cfg, scorer, terms[s], int(salts[s]),
-                    ids[order], tfs[order], norms[order],
+                    ids[order], tfs[order], norms[order], g_pos,
                 )
             )
         frames = []
@@ -583,9 +679,9 @@ def build_index(
     if not (resume and ckpt.stage_complete(paths.postings, cfg_digest, in_digest)):
         # segments: numpy explode+sort+encode inside the UDF — raw postings
         # never cross the JVM or a shuffle
-        segments = analyzed.select("doc_id", "doclen", "terms", "tfs").mapInArrow(
-            _segment_encode(cfg, stats["avgdl"]), schema=SEGMENT_SCHEMA
-        )
+        segments = analyzed.select(
+            "doc_id", "doclen", "terms", "tfs", "positions"
+        ).mapInArrow(_segment_encode(cfg, stats["avgdl"]), schema=SEGMENT_SCHEMA)
         # merge shuffle moves only packed rows; key (term-bucket, salt) so
         # head terms split across salts (skew) and each task writes into few
         # bucket dirs.  first_doc in the sort keeps fragments in doc order.

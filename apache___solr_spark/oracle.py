@@ -35,6 +35,8 @@ class OracleIndex:
     postings: dict[str, dict[int, int]]  # term -> {doc_id: tf}
     n_docs: int
     avgdl: float
+    # term -> {doc_id: [positions in the post-filter token stream]}
+    positions: dict[str, dict[int, list[int]]] = None
 
 
 def build_oracle_index(rows: list[dict]) -> OracleIndex:
@@ -44,6 +46,7 @@ def build_oracle_index(rows: list[dict]) -> OracleIndex:
         by_url[r["url"]] = analyze(extract_text(r.get("html"), r.get("text")))
     urls = sorted(by_url)  # doc_id = global rank of url
     postings: dict[str, dict[int, int]] = {}
+    positions: dict[str, dict[int, list[int]]] = {}
     doclen: list[int] = []
     norm_byte: list[int] = []
     total = 0
@@ -54,6 +57,8 @@ def build_oracle_index(rows: list[dict]) -> OracleIndex:
         total += len(toks)
         for term, tf in Counter(toks).items():
             postings.setdefault(term, {})[doc_id] = tf
+        for i, term in enumerate(toks):
+            positions.setdefault(term, {}).setdefault(doc_id, []).append(i)
     n = len(urls)
     return OracleIndex(
         url_by_doc=urls,
@@ -62,6 +67,7 @@ def build_oracle_index(rows: list[dict]) -> OracleIndex:
         postings=postings,
         n_docs=n,
         avgdl=(total / n) if n else 0.0,
+        positions=positions,
     )
 
 
@@ -77,14 +83,24 @@ def oracle_search(
     final float32; ties broken by doc_id asc."""
     pq = parse_query(query) if isinstance(query, str) else query
     terms = [t for t in pq.scoring_terms if t in idx.postings]
+    phrases = [
+        ph for ph in pq.scoring_phrases if all(t in idx.postings for t in ph)
+    ]
     if pq.must and any(t not in idx.postings for t in pq.must):
         return []
-    if not terms:
+    if any(any(t not in idx.postings for t in ph) for ph in pq.must_phrases):
+        return []
+    if not terms and not phrases:
         return []
     must = set(t for t in pq.must if t in idx.postings)
     excluded: set[int] = set()
     for t in pq.must_not:
         excluded.update(idx.postings.get(t, {}).keys())
+    for ph in pq.must_not_phrases:
+        if all(t in idx.postings for t in ph):
+            excluded.update(
+                d for d in _phrase_candidates(idx, ph) if _pf(idx, ph, d) > 0
+            )
 
     k1f = np.float32(k1)
     one_minus_b = np.float32(1.0 - b)
@@ -106,11 +122,32 @@ def oracle_search(
             if t in must:
                 nmust[doc_id] = nmust.get(doc_id, 0) + 1
 
+    n_must_clauses = len(must) + len(pq.must_phrases)
+    for ph in phrases:
+        idf = np.float32(0.0)
+        for t in ph:
+            df = len(idx.postings[t])
+            idf = idf + np.float32(
+                math.log(1.0 + (idx.n_docs - df + 0.5) / (df + 0.5))
+            )
+        is_must = ph in pq.must_phrases
+        for doc_id in _phrase_candidates(idx, ph):
+            pf = _pf(idx, ph, doc_id)
+            if pf == 0:
+                continue
+            dl = np.float32(byte4_to_int(idx.norm_byte[doc_id]))
+            cache = k1f * (one_minus_b + bf * dl / avgdlf)
+            pff = np.float32(pf)
+            s = idf * pff / (pff + cache)
+            acc[doc_id] = acc.get(doc_id, 0.0) + float(s)
+            if is_must:
+                nmust[doc_id] = nmust.get(doc_id, 0) + 1
+
     hits = []
     for doc_id, s in acc.items():
         if doc_id in excluded:
             continue
-        if must and nmust.get(doc_id, 0) != len(must):
+        if n_must_clauses and nmust.get(doc_id, 0) != n_must_clauses:
             continue
         hits.append((np.float32(s), doc_id))
     hits.sort(key=lambda x: (-float(x[0]), x[1]))
@@ -123,3 +160,21 @@ def oracle_search(
         }
         for i, (s, doc_id) in enumerate(hits[:k])
     ]
+
+
+def _phrase_candidates(idx: OracleIndex, ph: list[str]) -> set[int]:
+    docs = set(idx.postings[ph[0]].keys())
+    for t in ph[1:]:
+        docs &= set(idx.postings[t].keys())
+    return docs
+
+
+def _pf(idx: OracleIndex, ph: list[str], doc_id: int) -> int:
+    """Exact-adjacency phrase frequency in the post-filter token stream."""
+    cand = idx.positions[ph[0]][doc_id]
+    for i, t in enumerate(ph[1:], start=1):
+        nxt = set(idx.positions[t][doc_id])
+        cand = [p for p in cand if p + i in nxt]
+        if not cand:
+            return 0
+    return len(cand)

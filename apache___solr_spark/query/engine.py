@@ -45,10 +45,16 @@ from pyspark.sql import functions as F
 
 from apache___solr_spark.analysis.chain import analyzer_fn
 from apache___solr_spark.config import DEFAULT_CONFIG, IndexConfig
-from apache___solr_spark.index.builder import IndexPaths
+from apache___solr_spark.index.builder import IndexPaths, _undelta_positions
 from apache___solr_spark.index.codec import decode_vbyte, delta_decode
 from apache___solr_spark.index.smallfloat import NORM_TABLE
 from apache___solr_spark.query.parser import ParsedQuery, parse_query
+
+
+def phrase_label(ptoks: list[str]) -> str:
+    """Clause label for a phrase in the scored stream (terms never contain
+    spaces or quotes, so labels cannot collide with terms)."""
+    return '"' + " ".join(ptoks) + '"'
 
 def bm25_idf(n_docs: int, df: int, dtype=np.float32):
     return dtype(math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
@@ -106,6 +112,87 @@ def _score_blocks(
                         "score": np.concatenate(scores_out),
                     }
                 )
+
+    return run
+
+
+def _decode_positions_fn(salt_range: int):
+    """mapInPandas fn: postings rows -> (term, doc_id, norm, positions[])."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            terms_out, docs_out, norms_out, pos_out = [], [], [], []
+            for term, salt, n, gaps_bin, tfs_bin, norms_bin, pos_bin, sum_tf in zip(
+                pdf["term"],
+                pdf["salt"],
+                pdf["n_docs"],
+                pdf["doc_gaps"],
+                pdf["tfs"],
+                pdf["norms"],
+                pdf["positions"],
+                pdf["sum_tf"],
+            ):
+                base = int(salt) * salt_range
+                ids = delta_decode(
+                    decode_vbyte(gaps_bin, int(n)).astype(np.int64), base
+                )
+                tfs = decode_vbyte(tfs_bin, int(n)).astype(np.int64)
+                pgaps = decode_vbyte(pos_bin, int(sum_tf)).astype(np.int64)
+                pos_abs = _undelta_positions(pgaps, tfs)
+                splits = np.split(pos_abs, np.cumsum(tfs)[:-1])
+                terms_out.extend([term] * int(n))
+                docs_out.append(ids)
+                norms_out.append(np.frombuffer(norms_bin, dtype=np.uint8))
+                pos_out.extend(splits)
+            if docs_out:
+                yield pd.DataFrame(
+                    {
+                        "term": terms_out,
+                        "doc_id": np.concatenate(docs_out),
+                        "norm": np.concatenate(norms_out).astype(np.int32),
+                        "positions": pos_out,
+                    }
+                )
+
+    return run
+
+
+def _phrase_score_fn(
+    ptoks: list[str], sum_idf: float, k1: float, b: float, avgdl: float, dtype
+):
+    """mapInPandas fn over (doc_id, norm, plists): exact-adjacency phrase
+    frequency, then BM25 with tf=pf and idf=sum of constituent idfs
+    (Lucene PhraseQuery scoring: BM25Similarity sums idf over the phrase's
+    term statistics)."""
+    norm_table = NORM_TABLE.astype(dtype)
+    k1f = dtype(k1)
+    one_minus_b = dtype(1.0 - b)
+    bf = dtype(b)
+    avgdlf = dtype(avgdl)
+    idff = dtype(sum_idf)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            docs, norms, pfs = [], [], []
+            for doc_id, norm, plists in zip(
+                pdf["doc_id"], pdf["norm"], pdf["plists"]
+            ):
+                by_term = {r["term"]: np.asarray(r["positions"]) for r in plists}
+                cand = by_term[ptoks[0]]
+                for i, t in enumerate(ptoks[1:], start=1):
+                    if cand.size == 0:
+                        break
+                    cand = cand[np.isin(cand + i, by_term[t])]
+                if cand.size:
+                    docs.append(doc_id)
+                    norms.append(norm)
+                    pfs.append(cand.size)
+            if docs:
+                pf = np.asarray(pfs, dtype=dtype)
+                dl = norm_table[np.asarray(norms, dtype=np.uint8)]
+                cache = k1f * (one_minus_b + bf * dl / avgdlf)
+                score = idff * pf / (pf + cache)
+                yield pd.DataFrame({"doc_id": docs, "score": score})
 
     return run
 
@@ -197,6 +284,53 @@ class SearchEngine:
             return 0.0
         return float(rows[-1]["score"])
 
+    def _phrase_frame(
+        self, ptoks: list[str], idf_by_term: dict[str, float]
+    ) -> DataFrame:
+        """(doc_id, score) of docs matching the exact-adjacency phrase.
+
+        Scale shape: the scan prunes to the phrase terms' buckets AND to the
+        salt ranges containing ALL constituent terms before any decode; the
+        position intersection then runs only on docs carrying every term
+        (count_distinct gate), which for a selective phrase is a tiny set.
+        """
+        uniq = sorted(set(ptoks))
+        blocks = self._blocks_for(uniq)
+        ok_salts = (
+            blocks.groupBy("salt")
+            .agg(F.count_distinct("term").alias("nt"))
+            .filter(F.col("nt") == len(uniq))
+            .select("salt")
+        )
+        blocks = blocks.join(ok_salts, "salt", "left_semi")
+        decoded = blocks.select(
+            "term", "salt", "n_docs", "doc_gaps", "tfs", "norms",
+            "positions", "sum_tf",
+        ).mapInPandas(
+            _decode_positions_fn(self.cfg.salt_range),
+            schema="term string, doc_id long, norm int, positions array<long>",
+        )
+        grouped = (
+            decoded.groupBy("doc_id")
+            .agg(
+                F.first("norm").alias("norm"),
+                F.count_distinct("term").alias("nt"),
+                F.collect_list(F.struct("term", "positions")).alias("plists"),
+            )
+            .filter(F.col("nt") == len(uniq))
+            .select("doc_id", "norm", "plists")
+        )
+        sum_idf = float(sum(idf_by_term[t] for t in ptoks))
+        fn = _phrase_score_fn(
+            ptoks,
+            sum_idf,
+            self.cfg.bm25_k1,
+            self.cfg.bm25_b,
+            self.stats["avgdl"],
+            self._dtype,
+        )
+        return grouped.mapInPandas(fn, schema=f"doc_id long, score {self._sql_t}")
+
     def search(
         self,
         query: str | ParsedQuery,
@@ -223,26 +357,42 @@ class SearchEngine:
             return spark.createDataFrame([], schema)
 
         terms = pq.scoring_terms
-        meta = self._term_meta(terms)
+        phrase_terms = [
+            t
+            for ph in pq.scoring_phrases + pq.must_not_phrases
+            for t in ph
+            if t not in terms
+        ]
+        meta = self._term_meta(list(dict.fromkeys(terms + phrase_terms)))
         found = set(meta["term"])
         terms = [t for t in terms if t in found]
         must = [t for t in pq.must if t in found]
-        if (pq.must and len(must) < len(pq.must)) or not terms:
+        scoring_phrases = [
+            ph for ph in pq.scoring_phrases if all(t in found for t in ph)
+        ]
+        empty_schema = f"rank int, doc_id long, url string, score {self._sql_t}"
+        if pq.must and len(must) < len(pq.must):
             # a required term is absent from the corpus -> empty result
-            return spark.createDataFrame(
-                [], f"rank int, doc_id long, url string, score {self._sql_t}"
-            )
+            return spark.createDataFrame([], empty_schema)
+        if any(
+            any(t not in found for t in ph) for ph in pq.must_phrases
+        ):
+            # a required phrase can never match
+            return spark.createDataFrame([], empty_schema)
+        if not terms and not scoring_phrases:
+            return spark.createDataFrame([], empty_schema)
         n_docs = self.stats["N"]
         idf_by_term = {
             r["term"]: float(bm25_idf(n_docs, int(r["df"]), dtype=self._dtype))
             for _, r in meta.iterrows()
         }
 
-        blocks = self._blocks_for(terms)
+        blocks = self._blocks_for(terms) if terms else None
 
-        if doc_filter is not None:
+        if doc_filter is not None and blocks is not None:
             salts = sorted({int(d) // self.cfg.salt_range for d in doc_filter})
             blocks = blocks.filter(F.col("salt").isin(salts))
+        if doc_filter is not None:
             prune = False  # the scan is already tiny; theta pass costs more
 
         # theta pruning is only sound for pure-SHOULD queries: theta is the
@@ -252,8 +402,18 @@ class SearchEngine:
         # silently drop correct results (adversarial A/B fixture in
         # tests/test_index_query.py::test_must_prune_adversarial).  MUST
         # queries still get the salt-level pruning below, which is sound.
-        if prune and not pq.must_not and not must:
-            theta = self._theta(meta, idf_by_term, k)
+        # ... and phrase clauses are excluded from ub(salt), so any phrase
+        # in the query also disables the theta pass.
+        if (
+            prune
+            and blocks is not None
+            and not pq.must_not
+            and not must
+            and not scoring_phrases
+            and not pq.must_not_phrases
+        ):
+            term_meta = meta[meta["term"].isin(terms)]
+            theta = self._theta(term_meta, idf_by_term, k)
             if theta > 0.0:
                 # per-term scores are float32-rounded, so a doc score can sit
                 # one ulp ABOVE the float64 upper bound — prune with a small
@@ -275,7 +435,7 @@ class SearchEngine:
                 )
                 blocks = blocks.join(ub, "salt", "left_semi")
 
-        if must:
+        if must and blocks is not None:
             # a doc range can only contain MUST-satisfying docs if every
             # MUST term has postings in that range — prune the rest up front.
             must_blocks = (
@@ -287,21 +447,45 @@ class SearchEngine:
             )
             blocks = blocks.join(must_blocks, "salt", "left_semi")
 
-        scored = self._scored(blocks, idf_by_term)
+        frames = []
+        if blocks is not None:
+            frames.append(
+                self._scored(blocks, {t: idf_by_term[t] for t in terms})
+            )
+        for ph in scoring_phrases:
+            frames.append(
+                self._phrase_frame(ph, idf_by_term).select(
+                    F.lit(phrase_label(ph)).alias("term"), "doc_id", "score"
+                )
+            )
+        scored = frames[0]
+        for fr in frames[1:]:
+            scored = scored.unionByName(fr)
         if doc_filter is not None:
             scored = scored.filter(F.col("doc_id").isin([int(d) for d in doc_filter]))
+        must_labels = must + [
+            phrase_label(ph) for ph in pq.must_phrases
+        ]
         agg = scored.groupBy("doc_id").agg(
             F.sum("score").alias("_s"),
-            F.count(F.when(F.col("term").isin(must), 1)).alias("_nmust"),
+            F.count(F.when(F.col("term").isin(must_labels), 1)).alias("_nmust"),
         )
-        if must:
-            agg = agg.filter(F.col("_nmust") == len(must))
+        if must_labels:
+            agg = agg.filter(F.col("_nmust") == len(must_labels))
         if pq.must_not:
             nb = self._blocks_for(pq.must_not)
             excluded = self._scored(
                 nb, {t: 0.0 for t in pq.must_not}
             ).select("doc_id").distinct()
             agg = agg.join(excluded, "doc_id", "left_anti")
+        for ph in pq.must_not_phrases:
+            if any(t not in found for t in ph):
+                continue  # phrase cannot match any doc -> excludes nothing
+            agg = agg.join(
+                self._phrase_frame(ph, idf_by_term).select("doc_id"),
+                "doc_id",
+                "left_anti",
+            )
 
         topk_rows = (
             agg.select("doc_id", F.col("_s").cast(self._sql_t).alias("score"))

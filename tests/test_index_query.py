@@ -245,3 +245,66 @@ def test_doc_filter_restricts_and_matches(spark, built):
     )
     got = [(r["doc_id"], r["score"]) for r in sub]
     assert got == want
+
+
+def test_phrase_queries_match_oracle(spark, corpus, built, oracle_idx):
+    """Exact-adjacency phrase scoring (PhraseQuery semantics: tf=phrase
+    freq, idf=sum of constituent idfs) in SHOULD/MUST/MUST_NOT roles."""
+    from apache___solr_spark.analysis.chain import analyze, extract_text
+
+    _, table = corpus
+    rows = table.to_pylist()
+    toks0 = analyze(extract_text(rows[0].get("html"), rows[0].get("text")))
+    ph = f'"{toks0[3]} {toks0[4]}"'
+    queries = [
+        ph,
+        f"{ph} web",
+        f"+{ph} data",
+        f"web -{ph}",
+        f'"{toks0[3]} {toks0[4]} {toks0[5]}"',
+        '"zzz yyy"',
+        f"{ph} AND web",
+    ]
+    for q in queries:
+        _run_query_pair(spark, built, oracle_idx, q, 10, prune=True)
+
+
+def test_and_binds_adjacent_clauses():
+    """QueryParser.jj conjunction semantics: 'a AND b c' == '+a +b c'."""
+    from apache___solr_spark.query.parser import parse_query
+
+    pq = parse_query("alpha AND beta gamma")
+    assert pq.must == ["alpha", "beta"]
+    assert pq.should == ["gamma"]
+    pq2 = parse_query('alpha AND "beta gamma" delta')
+    assert pq2.must == ["alpha"]
+    assert pq2.must_phrases == [["beta", "gamma"]]
+    assert pq2.should == ["delta"]
+
+
+def test_positions_roundtrip(spark, built, oracle_idx):
+    """Decoded position streams equal the oracle's occurrence lists."""
+    import numpy as np
+    from apache___solr_spark.index.builder import _undelta_positions
+    from apache___solr_spark.index.codec import decode_vbyte
+
+    rows = (
+        spark.read.parquet(os.path.join(built, "postings"))
+        .orderBy("term", "salt")
+        .collect()
+    )
+    checked = 0
+    for b in rows[:200]:
+        ids = np.cumsum(
+            decode_vbyte(bytes(b["doc_gaps"]), b["n_docs"]).astype(np.int64)
+        ) + b["salt"] * CFG.salt_range
+        tfs = decode_vbyte(bytes(b["tfs"]), b["n_docs"]).astype(np.int64)
+        gaps = decode_vbyte(bytes(b["positions"]), int(b["sum_tf"])).astype(
+            np.int64
+        )
+        pos = _undelta_positions(gaps, tfs)
+        splits = np.split(pos, np.cumsum(tfs)[:-1])
+        for doc_id, plist in zip(ids, splits):
+            assert list(plist) == oracle_idx.positions[b["term"]][int(doc_id)]
+            checked += 1
+    assert checked > 100
