@@ -673,6 +673,153 @@ def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     return more_like_this(eng, doc_id=0, k=10)
 
 
+def q_score_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{!join score=max} (ScoreJoinQParserPlugin.java:92): customers scored
+    by their best order's totalprice."""
+    from apache___solr_spark.operators import score_join
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    j = score_join(c, o, "c_custkey", "o_custkey", "o_totalprice", mode="max")
+    return j.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("join_score", 2).alias("join_score"),
+    ).orderBy("c_custkey")
+
+
+def q_block_join_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{!parent which=...} (BlockJoinParentQParserPlugin.java): orders having
+    a returned full-quantity line item."""
+    from apache___solr_spark.operators import block_join_parent
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    out = block_join_parent(
+        o, li, "o_orderkey", "l_orderkey",
+        (F.col("l_quantity") >= 49) & (F.col("l_returnflag") == "R"),
+    )
+    return out.select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    ).orderBy("o_orderkey")
+
+
+def q_block_join_children(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{!child of=...} (BlockJoinChildQParserPlugin.java): line items of
+    orders above 300k."""
+    from apache___solr_spark.operators import block_join_children
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    out = block_join_children(
+        o, li, "o_orderkey", "l_orderkey", F.col("o_totalprice") > 300000
+    )
+    return out.select("l_orderkey", "l_linenumber").orderBy(
+        "l_orderkey", "l_linenumber"
+    )
+
+
+def q_unique_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """uniqueBlock(_root_) (facet/UniqueBlockAgg.java): distinct parent
+    orders per return flag."""
+    from apache___solr_spark.operators import unique_block
+
+    li = _t(spark, sf_dir, "lineitem")
+    return unique_block(li, "l_returnflag", "l_orderkey").orderBy("l_returnflag")
+
+
+def q_relatedness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """relatedness() agg (facet/RelatednessAgg.java:756): association of
+    event types with a deterministic foreground user slice."""
+    from apache___solr_spark.operators import relatedness_facet
+
+    e = _t(spark, sf_dir, "events")
+    out = relatedness_facet(
+        e, "event_type", F.col("user_id") % 7 == 0, "event_id"
+    )
+    return out.select(
+        "event_type",
+        "fg_count",
+        "bg_count",
+        F.round("relatedness", 5).alias("relatedness"),
+    )
+
+
+def q_gather_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nodes() graph expression (io/graph/GatherNodesStream.java): two-hop
+    BFS over the order<->part bipartite graph from order 1 (parts offset by
+    1e6 into a disjoint node-id space)."""
+    from apache___solr_spark.operators import gather_nodes
+
+    li = _t(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.col("l_orderkey").alias("src"),
+        (F.col("l_partkey") + 1000000).alias("dst"),
+    )
+    edges = fwd.unionByName(
+        li.select(
+            (F.col("l_partkey") + 1000000).alias("src"),
+            F.col("l_orderkey").alias("dst"),
+        )
+    )
+    seeds = spark.createDataFrame([(1,)], "src long")
+    out = gather_nodes(edges, seeds, "src", "dst", hops=2)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("depth").cast("int").alias("depth"),
+    ).orderBy("depth", "node")
+
+
+def q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spellcheck candidates (SpellCheckComponent.java:90): dictionary terms
+    within levenshtein<=2 of the misspelling 'tabel', ranked by df."""
+    from apache___solr_spark.query.suggest import suggest_terms
+
+    d = _t(spark, sf_dir, "documents")
+    dictionary = (
+        d.select(F.explode(_toks(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return suggest_terms(dictionary, "tabel", freq_col="df", limit=10)
+
+
+def q_range_facet_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """range facet other=all (FacetRangeProcessor.java:51): gap buckets plus
+    before/after/between."""
+    from apache___solr_spark.operators import range_facet_other
+
+    o = _t(spark, sf_dir, "orders")
+    return range_facet_other(o, "o_totalprice", 100000.0, 400000.0, 100000.0)
+
+
+def q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HighlightComponent (handler/component/HighlightComponent.java:55):
+    top-10 BM25 hits with whole-word query-term occurrences marked."""
+    from apache___solr_spark.query.extras import highlight
+
+    eng = _simple_engine(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    out = highlight(eng, "table query", d, "doc_id", "text", k=10)
+    return out.select(
+        "doc_id", F.round("score", 6).alias("score"), "snippet"
+    ).orderBy(F.col("score").desc(), "doc_id")
+
+
+def q_pivot_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot facet (PivotFacetComponent): nation x mktsegment count tree,
+    flattened with a level column."""
+    from apache___solr_spark.operators import pivot_facet
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    j = c.join(n, c.c_nationkey == n.n_nationkey)
+    out = pivot_facet(j, ["n_name", "c_mktsegment"])
+    return out.select(
+        "n_name", "c_mktsegment", "count", F.col("level").cast("int").alias("level")
+    ).orderBy("level", "n_name", "c_mktsegment")
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile agg (PercentileAgg.java — t-digest in the reference; we
     use Spark's exact percentile so DuckDB's quantile_cont matches)."""
@@ -782,6 +929,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "having": q_having,
         "stats_stream": q_stats_stream,
         "significant_terms": q_significant_terms,
+        "score_join": q_score_join,
+        "block_join_parent": q_block_join_parent,
+        "block_join_children": q_block_join_children,
+        "unique_block": q_unique_block,
+        "relatedness": q_relatedness,
+        "gather_nodes": q_gather_nodes,
+        "suggest": q_suggest,
+        "range_facet_other": q_range_facet_other,
+        "highlight": q_highlight,
+        "pivot_facet": q_pivot_facet,
         "percentiles": q_percentiles,
         "rrf": q_rrf,
         "rerank": q_rerank,
@@ -1151,6 +1308,142 @@ def oracle_sql() -> dict[str, str]:
                        / (bg.bg_count / CAST(n.n_bg AS DOUBLE)), 6) AS score
             FROM fg JOIN bg USING (term), n
             ORDER BY score DESC, term ASC LIMIT 20
+        """,
+        "score_join": """
+            SELECT c.c_custkey, c.c_mktsegment,
+                   round(max(o.o_totalprice), 2) AS join_score
+            FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey, c.c_mktsegment
+            ORDER BY c.c_custkey
+        """,
+        "block_join_parent": """
+            SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+            FROM orders o
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_quantity >= 49 AND l.l_returnflag = 'R')
+            ORDER BY o_orderkey
+        """,
+        "block_join_children": """
+            SELECT l_orderkey, l_linenumber FROM lineitem
+            WHERE l_orderkey IN (
+                SELECT o_orderkey FROM orders WHERE o_totalprice > 300000)
+            ORDER BY l_orderkey, l_linenumber
+        """,
+        "unique_block": """
+            SELECT l_returnflag, count(DISTINCT l_orderkey) AS unique_block
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "relatedness": """
+            WITH sizes AS (
+                SELECT count(DISTINCT event_id) AS bg,
+                       count(DISTINCT CASE WHEN user_id % 7 = 0
+                                           THEN event_id END) AS fg
+                FROM events
+            ), counts AS (
+                SELECT event_type,
+                       count(DISTINCT CASE WHEN user_id % 7 = 0
+                                           THEN event_id END) AS fg_count,
+                       count(DISTINCT event_id) AS bg_count
+                FROM events GROUP BY event_type
+            ), calc AS (
+                SELECT event_type, fg_count, bg_count,
+                       (CAST(fg_count AS DOUBLE)
+                        - CAST(s.fg AS DOUBLE)
+                          * (CAST(bg_count AS DOUBLE) / CAST(s.bg AS DOUBLE)))
+                       / (CASE WHEN sqrt(CAST(s.fg AS DOUBLE)
+                                 * (CAST(bg_count AS DOUBLE) / CAST(s.bg AS DOUBLE))
+                                 * (1.0 - CAST(bg_count AS DOUBLE) / CAST(s.bg AS DOUBLE))) = 0
+                               THEN 1e-10
+                               ELSE sqrt(CAST(s.fg AS DOUBLE)
+                                 * (CAST(bg_count AS DOUBLE) / CAST(s.bg AS DOUBLE))
+                                 * (1.0 - CAST(bg_count AS DOUBLE) / CAST(s.bg AS DOUBLE)))
+                          END) AS z
+                FROM counts CROSS JOIN sizes s
+            )
+            SELECT event_type, fg_count, bg_count,
+                   round(round((0.2 * ((z + -80) / (50 + abs(z + -80)))
+                              + 0.2 * ((z + -30) / (30 + abs(z + -30)))
+                              + 0.2 * ((z + 0) / (30 + abs(z + 0)))
+                              + 0.2 * ((z + 30) / (30 + abs(z + 30)))
+                              + 0.2 * ((z + 80) / (50 + abs(z + 80)))) * 1e5)
+                         / 1e5, 5) AS relatedness
+            FROM calc
+            ORDER BY relatedness DESC, event_type ASC
+        """,
+        "gather_nodes": """
+            WITH edges AS (
+                SELECT l_orderkey AS src, l_partkey + 1000000 AS dst
+                FROM lineitem
+                UNION ALL
+                SELECT l_partkey + 1000000 AS src, l_orderkey AS dst
+                FROM lineitem
+            ), d1 AS (
+                SELECT DISTINCT dst AS node FROM edges WHERE src = 1
+            ), d2 AS (
+                SELECT DISTINCT e.dst AS node
+                FROM edges e JOIN d1 ON e.src = d1.node
+                WHERE e.dst <> 1 AND e.dst NOT IN (SELECT node FROM d1)
+            )
+            SELECT CAST(node AS BIGINT) AS node, CAST(depth AS INT) AS depth
+            FROM (
+                SELECT 1 AS node, 0 AS depth
+                UNION ALL SELECT node, 1 FROM d1
+                UNION ALL SELECT node, 2 FROM d2
+            ) ORDER BY depth, node
+        """,
+        "suggest": f"""
+            WITH dict AS (
+                SELECT tok AS term, count(*) AS df
+                FROM (SELECT unnest({_TOKS_SQL}) AS tok FROM documents)
+                GROUP BY tok
+            )
+            SELECT term, df AS freq,
+                   CAST(levenshtein(term, 'tabel') AS INT) AS distance
+            FROM dict
+            WHERE abs(length(term) - 5) <= 2
+              AND levenshtein(term, 'tabel') <= 2 AND term <> 'tabel'
+            ORDER BY distance ASC, freq DESC, term ASC LIMIT 10
+        """,
+        "range_facet_other": """
+            WITH g AS (
+                SELECT CASE WHEN o_totalprice < 100000 THEN 'before'
+                            WHEN o_totalprice >= 400000 THEN 'after'
+                            ELSE CAST(CAST(100000 + floor((o_totalprice - 100000)
+                                 / 100000) * 100000 AS BIGINT) AS VARCHAR)
+                       END AS bucket,
+                       count(*) AS n
+                FROM orders GROUP BY 1
+            )
+            SELECT bucket, n FROM (
+                SELECT bucket, n FROM g
+                UNION ALL
+                SELECT 'between',
+                       CAST(coalesce(sum(n), 0) AS BIGINT) FROM g
+                WHERE bucket NOT IN ('before', 'after')
+            ) ORDER BY bucket
+        """,
+        "highlight": f"""
+            WITH {bm25}{_bm25_scored_cte("m", ["table", "query"])},
+            hits AS (
+                SELECT doc_id, score FROM scored_m
+                ORDER BY score DESC, doc_id ASC LIMIT 10
+            )
+            SELECT h.doc_id, round(h.score, 6) AS score,
+                   regexp_replace(d.text, '(?i)\\b(query|table)\\b',
+                                  '<em>\\1</em>', 'g') AS snippet
+            FROM hits h JOIN documents d ON h.doc_id = d.doc_id
+            ORDER BY round(h.score, 6) DESC, h.doc_id ASC
+        """,
+        "pivot_facet": """
+            SELECT n_name, c_mktsegment, count(*) AS count,
+                   CAST(2 - grouping(n_name) - grouping(c_mktsegment) AS INT)
+                       AS level
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY ROLLUP(n_name, c_mktsegment)
+            HAVING 2 - grouping(n_name) - grouping(c_mktsegment) > 0
+            ORDER BY level, n_name, c_mktsegment NULLS FIRST
         """,
         "percentiles": """
             SELECT event_type,

@@ -335,3 +335,194 @@ def merge(*dfs: DataFrame) -> DataFrame:
 def unique(df: DataFrame, on: Sequence[str]) -> DataFrame:
     """unique() stream (UniqueStream.java, 197 LoC): dedup on key."""
     return df.dropDuplicates(list(on))
+
+
+# ---- scored / block joins ----------------------------------------------------
+
+
+def score_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    score_col: str,
+    mode: str = "max",
+) -> DataFrame:
+    """Cross-collection scored semi-join ({!join score=...},
+    search/join/ScoreJoinQParserPlugin.java:92): rows of ``left`` having at
+    least one match in ``right`` on left_on == right_on, carrying an
+    aggregate of the matching rows' ``score_col``.
+
+    mode: max | min | avg | total (the reference's ScoreMode values; "none"
+    is just a plain semi-join — use intersect()).  Scale shape: one groupBy
+    shuffle on the (usually far smaller) right side, then a broadcast-able
+    join of the aggregated scores into the left scan.
+    """
+    aggf = {"max": F.max, "min": F.min, "avg": F.avg, "total": F.sum}
+    if mode not in aggf:
+        raise ValueError(f"unknown score mode {mode!r}")
+    scores = right.groupBy(F.col(right_on).alias(left_on)).agg(
+        aggf[mode](score_col).alias("join_score")
+    )
+    return left.join(scores, left_on, "inner")
+
+
+def block_join_parent(
+    parents: DataFrame,
+    children: DataFrame,
+    parent_key: str,
+    child_root: str,
+    child_predicate: Column,
+) -> DataFrame:
+    """Block join, parent side ({!parent which=...},
+    search/join/BlockJoinParentQParserPlugin.java): parents having at least
+    one child matching the predicate.  The reference stores children in the
+    same index block with a _root_ pointer; here children carry
+    ``child_root`` = their parent's key (SURVEY.md §1.1 maps _root_ to a
+    child-table column or an exploded ArrayType(Struct))."""
+    matched = (
+        children.filter(child_predicate)
+        .select(F.col(child_root).alias(parent_key))
+        .distinct()
+    )
+    return parents.join(matched, parent_key, "left_semi")
+
+
+def block_join_children(
+    parents: DataFrame,
+    children: DataFrame,
+    parent_key: str,
+    child_root: str,
+    parent_predicate: Column,
+) -> DataFrame:
+    """Block join, child side ({!child of=...},
+    search/join/BlockJoinChildQParserPlugin.java): children whose parent
+    matches the predicate."""
+    matched = (
+        parents.filter(parent_predicate)
+        .select(F.col(parent_key).alias(child_root))
+        .distinct()
+    )
+    return children.join(matched, child_root, "left_semi")
+
+
+def unique_block(df: DataFrame, group_by: str, root_col: str) -> DataFrame:
+    """uniqueBlock(_root_) aggregation (search/facet/UniqueBlockAgg.java):
+    per facet bucket, the number of distinct parent blocks touched."""
+    return df.groupBy(group_by).agg(
+        F.countDistinct(root_col).alias("unique_block")
+    )
+
+
+# ---- relatedness (semantic knowledge graph) ---------------------------------
+
+
+def _sigmoid_helper(x: Column, offset: float, scale: float) -> Column:
+    return (x + F.lit(offset)) / (F.lit(scale) + F.abs(x + F.lit(offset)))
+
+
+def relatedness_expr(
+    fg_count: Column, fg_size: Column, bg_count: Column, bg_size: Column
+) -> Column:
+    """relatedness() aggregation (search/facet/RelatednessAgg.java:756-772):
+    z-score of the foreground count against the background probability,
+    squashed through five sigmoids and rounded to 5 digits."""
+    bg_prob = bg_count / bg_size.cast("double")
+    num = fg_count - fg_size.cast("double") * bg_prob
+    denom = F.sqrt(fg_size.cast("double") * bg_prob * (F.lit(1.0) - bg_prob))
+    denom = F.when(denom == 0, F.lit(1e-10)).otherwise(denom)
+    z = num / denom
+    result = (
+        F.lit(0.2) * _sigmoid_helper(z, -80, 50)
+        + F.lit(0.2) * _sigmoid_helper(z, -30, 30)
+        + F.lit(0.2) * _sigmoid_helper(z, 0, 30)
+        + F.lit(0.2) * _sigmoid_helper(z, 30, 30)
+        + F.lit(0.2) * _sigmoid_helper(z, 80, 50)
+    )
+    return F.round(result * 1e5) / F.lit(1e5)
+
+
+def relatedness_facet(
+    df: DataFrame,
+    bucket_col: str,
+    fg_predicate: Column,
+    id_col: str,
+    limit: int | None = None,
+) -> DataFrame:
+    """Terms facet with a relatedness() sub-aggregation: for each bucket,
+    fg_count = matching docs in the foreground set, bg_count = matching docs
+    overall, scored by RelatednessAgg.computeRelatedness.  One aggregation
+    pass; the global fg/bg sizes ride along as literals from a first agg."""
+    sizes = df.agg(
+        F.countDistinct(id_col).alias("bg"),
+        F.countDistinct(F.when(fg_predicate, F.col(id_col))).alias("fg"),
+    ).collect()[0]
+    fg_size, bg_size = int(sizes["fg"]), int(sizes["bg"])
+    counts = df.groupBy(bucket_col).agg(
+        F.countDistinct(F.when(fg_predicate, F.col(id_col))).alias("fg_count"),
+        F.countDistinct(id_col).alias("bg_count"),
+    )
+    out = counts.select(
+        bucket_col,
+        "fg_count",
+        "bg_count",
+        relatedness_expr(
+            F.col("fg_count").cast("double"),
+            F.lit(float(fg_size)),
+            F.col("bg_count").cast("double"),
+            F.lit(float(bg_size)),
+        ).alias("relatedness"),
+    ).orderBy(F.col("relatedness").desc(), F.col(bucket_col).asc())
+    return out.limit(limit) if limit else out
+
+
+def range_facet_other(
+    df: DataFrame,
+    field: str,
+    start: float,
+    end: float,
+    gap: float,
+) -> DataFrame:
+    """range facet with other=all (FacetRangeProcessor.java:51
+    other=before/after/between): the regular gap buckets plus the three
+    out-of-range summary buckets, as (bucket string, n) rows.  One pass:
+    a single conditional-bucket aggregation, then the between/before/after
+    rows derive from the same grouped result — no second scan."""
+    bucket = (
+        F.when(F.col(field) < start, F.lit("before"))
+        .when(F.col(field) >= end, F.lit("after"))
+        .otherwise(
+            (F.lit(start) + F.floor((F.col(field) - F.lit(start)) / F.lit(gap))
+             * F.lit(gap)).cast("long").cast("string")
+        )
+    )
+    grouped = df.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    between = (
+        grouped.filter(~F.col("bucket").isin("before", "after"))
+        .agg(F.sum("n").alias("n"))
+        .select(F.lit("between").alias("bucket"), "n")
+        .na.fill(0, ["n"])
+    )
+    return grouped.unionByName(between).orderBy("bucket")
+
+
+def pivot_facet(df: DataFrame, fields: Sequence[str]) -> DataFrame:
+    """Pivot facet (handler/component/PivotFacetComponent.java,
+    PivotFacetProcessor): hierarchical counts along ``fields``, flattened as
+    one row per tree node with a ``level`` column (1 = top field only).
+    Spark's rollup() computes every prefix level in ONE aggregation pass
+    (partial aggregation map-side); the grand-total row the reference does
+    not emit is filtered out."""
+    cols = list(fields)
+    out = (
+        df.rollup(*cols)
+        .agg(F.count(F.lit(1)).alias("count"))
+        .withColumn(
+            "level",
+            sum(F.when(F.col(c).isNotNull(), 1).otherwise(0) for c in cols),
+        )
+        .filter(F.col("level") > 0)
+    )
+    return out.orderBy("level", *cols)

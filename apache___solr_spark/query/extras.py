@@ -130,3 +130,54 @@ def more_like_this(
         "rank",
         F.row_number().over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())),
     )
+
+
+def highlight_text(
+    text_col: str,
+    terms: list[str],
+    pre: str = "<em>",
+    post: str = "</em>",
+) -> "Column":
+    """Column expression wrapping every whole-word occurrence of ``terms``
+    (case-insensitive) in pre/post markers — the HighlightComponent
+    capability (handler/component/HighlightComponent.java:55) re-expressed
+    as a JVM-side regexp over the stored text (the reference's default
+    highlighter likewise re-analyzes the stored field at query time)."""
+    import re as _re
+
+    pat = "(?i)\\b(" + "|".join(_re.escape(t) for t in sorted(terms)) + ")\\b"
+    return F.regexp_replace(F.col(text_col), pat, pre + "$1" + post)
+
+
+def highlight(
+    engine: SearchEngine,
+    query: str,
+    source: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 10,
+    pre: str = "<em>",
+    post: str = "</em>",
+) -> DataFrame:
+    """Search + highlight: top-k hits joined back to the stored text with
+    query terms marked.  The join input is k rows (driver-materialized by
+    search), so Catalyst broadcasts it into the source scan; only the k
+    winners' text is ever fetched."""
+    from apache___solr_spark.query.parser import parse_query
+
+    pq = parse_query(query, analyze_fn=engine._analyze)
+    terms = pq.scoring_terms + [t for ph in pq.scoring_phrases for t in ph]
+    hits = engine.search(query, k=k, with_url=False)
+    src = source.select(
+        F.col(id_col).alias("_hl_id"), F.col(text_col).alias("_hl_text")
+    )
+    return (
+        hits.join(src, hits["doc_id"] == src["_hl_id"])
+        .select(
+            "rank",
+            "doc_id",
+            "score",
+            highlight_text("_hl_text", terms, pre, post).alias("snippet"),
+        )
+        .orderBy("rank")
+    )
