@@ -104,6 +104,28 @@ def minhash_signatures(
     )
 
 
+def _cap_buckets(
+    banded: DataFrame, max_bucket_size: int | None
+) -> DataFrame:
+    """Drop degenerate LSH buckets (boilerplate / empty pages all hashing
+    together): a bucket of B docs yields B^2/2 candidate pairs, so one bad
+    bucket turns the band join quadratic.  Capping trades recall on
+    pathological near-dup cliques for a bounded join — at 100 TB a capped
+    clique is rediscovered transitively through its other bands/members.
+    The count runs over the same (band, bucket) partitioning the self-join
+    shuffles on anyway."""
+    if not max_bucket_size:
+        return banded
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bucket")
+    return (
+        banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bsz") <= max_bucket_size)
+        .drop("_bsz")
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
@@ -111,13 +133,16 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b.  Pairs sharing >=1
     full band collide; est_jaccard = fraction of matching minhashes.
     Scale shape: the only shuffle is groupBy(band_key); the self-join runs
-    inside buckets, so a 100 TB corpus never sees a cross join.
+    inside buckets, so a 100 TB corpus never sees a cross join, and buckets
+    above ``max_bucket_size`` are dropped before the join (see
+    :func:`_cap_buckets`).
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
@@ -138,6 +163,7 @@ def minhash_lsh_candidates(
             )
         ).alias("bk"),
     ).select("id", "sig", "bk.band", "bk.bucket")
+    banded = _cap_buckets(banded, max_bucket_size)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -163,10 +189,15 @@ def minhash_lsh_candidates(
 
 
 def simhash_dedup_candidates(
-    df: DataFrame, text_col: str, id_col: str, shingle_n: int = 2
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 2,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """SimHash near-dup candidates: 64-bit fingerprints, candidates collide
-    on at least one of four 16-bit bands (catches Hamming distance <= 3)."""
+    on at least one of four 16-bit bands (catches Hamming distance <= 3).
+    Buckets above ``max_bucket_size`` are dropped (see :func:`_cap_buckets`)."""
 
     def fingerprint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bit_idx = np.arange(64, dtype=np.uint64)
@@ -203,6 +234,7 @@ def simhash_dedup_candidates(
             )
         ).alias("bk"),
     ).select("id", "simhash", "bk.band", "bk.bucket")
+    banded = _cap_buckets(banded, max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (

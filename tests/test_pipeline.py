@@ -125,3 +125,58 @@ def test_fingerprint_and_quality(spark, sf_dir):
     assert vals[0] == vals[1]
     q = quality_score(d, "text", "doc_id")
     assert q.filter(F.col("quality") > 1.0).count() == 0
+
+
+def test_minhash_bucket_cap_bounds_degenerate_cliques(spark):
+    """A degenerate bucket (many identical docs) must not go O(n^2): with a
+    cap the clique's pairs are dropped, while normal near-dup pairs in small
+    buckets survive."""
+    rows = [(i, "the same boilerplate page content repeated verbatim " * 5)
+            for i in range(30)]
+    rows += [
+        (100, "a unique document about distributed inverted index builds"),
+        (101, "a unique document about distributed inverted index build"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = minhash_lsh_candidates(
+        df, "text", "doc_id", max_bucket_size=None
+    ).count()
+    capped = minhash_lsh_candidates(
+        df, "text", "doc_id", max_bucket_size=10
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert uncapped >= 30 * 29 // 2  # the clique exploded without a cap
+    assert (100, 101) in pairs  # normal candidates survive the cap
+    assert all(a >= 100 for a, _ in pairs)  # clique pairs are gone
+
+
+def test_ann_index_persists_and_prunes(spark, tmp_path):
+    """build_ann_index + query_ann_index: partition-pruned probe scan with
+    decent recall vs exact brute force."""
+    from apache___solr_spark.pipeline.similarity import (
+        build_ann_index,
+        query_ann_index,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((400, 16)).astype("float32")
+    # plant 9 true near neighbors of vec 0 (ids 1..9) so exact top-10 is
+    # structured, not gaussian noise
+    for i in range(1, 10):
+        vecs[i] = vecs[0] + 0.05 * rng.standard_normal(16).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(400)],
+        "vec_id long, embedding array<float>",
+    )
+    out = str(tmp_path / "ann")
+    build_ann_index(df, out, dim=16)
+    q = [float(x) for x in vecs[0]]
+    got = query_ann_index(spark, out, q, k=10, multiprobe_hamming=2)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "lsh_bucket" in plan and "PartitionFilters" in plan
+    ids = {r["vec_id"] for r in got.collect()}
+    assert 0 in ids  # the query vector itself is its own nearest neighbor
+    exact = {
+        r["vec_id"] for r in cosine_topk_bruteforce(df, q, k=10).collect()
+    }
+    assert len(ids & exact) / 10 >= 0.5
