@@ -36,10 +36,11 @@ class IndexConfig:
         for Solr's term-dictionary seek).
     """
 
-    format_version: int = 3  # bump on any postings-layout change: stale
-    # checkpoints then fail the manifest digest check and rebuild instead of
-    # resuming with an incompatible schema.  v3 added per-posting position
-    # streams (phrase queries / highlighting).
+    format_version: int = 4  # bump on any layout change (postings OR the
+    # intermediate analyzed table): stale checkpoints then fail the manifest
+    # digest check and rebuild instead of resuming with an incompatible
+    # schema.  v3 added per-posting position streams (phrase queries /
+    # highlighting); v4 vbyte-packed analyzed.tfs/positions (shuffle payload).
     block_range: int = 128
     salt_range: int = 8192
     bm25_k1: float = 1.2

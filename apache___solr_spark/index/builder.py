@@ -64,9 +64,15 @@ from apache___solr_spark.index.codec import (
 )
 from apache___solr_spark.index.smallfloat import NORM_TABLE, int_to_byte4_np
 
+# tfs / positions are vbyte-packed binaries, NOT int arrays: the doc-id
+# numbering range-shuffle moves every analyzed row through an exchange, and
+# packed bytes cut that payload ~4x vs UnsafeRow int arrays (measured: the
+# numbering stage was the #2 cost of the build after positions landed).
+# tfs holds one count per term (term-major); positions holds doclen raw
+# position values (term-major, ascending within term).
 ANALYZED_SCHEMA = (
-    "url string, doc_id long, terms array<string>, tfs array<int>, "
-    "positions array<int>, doclen int"
+    "url string, doc_id long, terms array<string>, tfs binary, "
+    "positions binary, doclen int"
 )
 
 # positions: one vbyte stream per (term, salt) row — for each posting, tf
@@ -129,8 +135,10 @@ def _analyze_raw(pages: DataFrame, cfg: IndexConfig = DEFAULT_CONFIG) -> DataFra
     def analyze_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             terms_col: list[list[str]] = []
-            tfs_col: list[list[int]] = []
-            pos_col: list[list[int]] = []
+            tfs_flat: list[int] = []
+            pos_flat: list[int] = []
+            tf_starts: list[int] = [0]
+            pos_starts: list[int] = [0]
             lens: list[int] = []
             for h, t in zip(pdf["html"], pdf["text"]):
                 toks = analyze_(extract_text(h, t), max_token_len=max_token_len)
@@ -139,19 +147,36 @@ def _analyze_raw(pages: DataFrame, cfg: IndexConfig = DEFAULT_CONFIG) -> DataFra
                     occ.setdefault(tok, []).append(i)
                 items = sorted(occ.items())
                 terms_col.append([k for k, _ in items])
-                tfs_col.append([len(v) for _, v in items])
-                # flat, term-major (ascending within each term) — consumed
-                # positionally against (terms, tfs)
-                pos_col.append(
-                    [p for _, v in items for p in v] if store_positions else []
-                )
+                tfs_flat.extend(len(v) for _, v in items)
+                tf_starts.append(len(tfs_flat))
+                if store_positions:
+                    # flat, term-major (ascending within each term)
+                    pos_flat.extend(p for _, v in items for p in v)
+                pos_starts.append(len(pos_flat))
                 lens.append(len(toks))
+            # ONE vectorized vbyte pass per batch, sliced per doc (a per-doc
+            # encode_vbyte call costs ~20us fixed -> minutes at 10^6 docs)
+            tf_buf, tf_bounds = encode_vbyte_packed(
+                np.asarray(tfs_flat, dtype=np.int64),
+                np.asarray(tf_starts[:-1], dtype=np.int64),
+            )
+            pos_buf, pos_bounds = encode_vbyte_packed(
+                np.asarray(pos_flat, dtype=np.int64),
+                np.asarray(pos_starts[:-1], dtype=np.int64),
+            )
+            tf_raw, pos_raw = tf_buf.tobytes(), pos_buf.tobytes()
             yield pd.DataFrame(
                 {
                     "url": pdf["url"].to_numpy(),
                     "terms": terms_col,
-                    "tfs": tfs_col,
-                    "positions": pos_col,
+                    "tfs": [
+                        tf_raw[int(tf_bounds[i]) : int(tf_bounds[i + 1])]
+                        for i in range(len(lens))
+                    ],
+                    "positions": [
+                        pos_raw[int(pos_bounds[i]) : int(pos_bounds[i + 1])]
+                        for i in range(len(lens))
+                    ],
                     "doclen": lens,
                 }
             )
@@ -159,8 +184,8 @@ def _analyze_raw(pages: DataFrame, cfg: IndexConfig = DEFAULT_CONFIG) -> DataFra
     return pages.select("url", "html", "text").mapInPandas(
         analyze_batch,
         schema=(
-            "url string, terms array<string>, tfs array<int>, "
-            "positions array<int>, doclen int"
+            "url string, terms array<string>, tfs binary, "
+            "positions binary, doclen int"
         ),
     )
 
@@ -260,6 +285,15 @@ class _Scorer:
         return tf_f / (
             tf_f + self.k1f * (self.one_minus_b + self.bf * dl / self.avgdlf)
         )
+
+
+def _flat_binary(arr) -> np.ndarray:
+    """Contiguous uint8 view over ALL values of an Arrow BinaryArray (no
+    nulls): the concatenation of the per-row byte strings, zero-copy."""
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)
+    lo = int(offs[arr.offset])
+    hi = int(offs[arr.offset + len(arr)])
+    return np.frombuffer(arr.buffers()[2], dtype=np.uint8)[lo:hi]
 
 
 def _delta_positions(g_pos: np.ndarray, g_tfs: np.ndarray) -> np.ndarray:
@@ -365,12 +399,10 @@ def _segment_encode(cfg: IndexConfig, avgdl: float):
             enc = pc.dictionary_encode(flat_terms)
             codes = enc.indices.to_numpy().astype(np.int64)
             uniques = enc.dictionary
-            tfs = pc.list_flatten(tfs_col).to_numpy().astype(np.int64)
-            pos_flat = (
-                pc.list_flatten(rb.column(rb.schema.get_field_index("positions")))
-                .to_numpy()
-                .astype(np.int64)
-            )
+            tfs = decode_vbyte(_flat_binary(tfs_col)).astype(np.int64)
+            pos_flat = decode_vbyte(
+                _flat_binary(rb.column(rb.schema.get_field_index("positions")))
+            ).astype(np.int64)
             store_pos = pos_flat.size > 0
             doc_ids_col = rb.column(rb.schema.get_field_index("doc_id")).to_numpy()
             doclen_col = rb.column(rb.schema.get_field_index("doclen")).to_numpy()

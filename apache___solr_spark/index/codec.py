@@ -57,7 +57,11 @@ def decode_vbyte(buf: bytes, n: int | None = None) -> np.ndarray:
 
     ``n`` (expected count) is optional and only used as a sanity check.
     """
-    raw = np.frombuffer(buf, dtype=np.uint8)
+    raw = (
+        np.frombuffer(buf, dtype=np.uint8)
+        if isinstance(buf, (bytes, bytearray, memoryview))
+        else np.ascontiguousarray(buf, dtype=np.uint8)
+    )
     if raw.size == 0:
         return np.empty(0, dtype=np.uint64)
     is_last = (raw & 0x80) == 0

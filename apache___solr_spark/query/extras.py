@@ -107,7 +107,10 @@ def more_like_this(
         return engine.spark.createDataFrame(
             [], "rank int, doc_id long, url string, score float"
         )
-    terms, tfs = row[0]["terms"], row[0]["tfs"]
+    from apache___solr_spark.index.codec import decode_vbyte
+
+    terms = row[0]["terms"]
+    tfs = decode_vbyte(bytes(row[0]["tfs"]), len(terms)).astype(int)
     meta = engine._term_meta(list(terms))
     df_by_term = dict(zip(meta["term"], meta["df"]))
     n = engine.stats["N"]
