@@ -188,6 +188,15 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rounded_hits(eng.search('"part filter" merge', k=50, with_url=False))
 
 
+def q_prefix_boost_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix expansion + boost through the real engine (SolrQueryParserBase
+    getPrefixQuery + boost semantics): 's*' expands against the term
+    dictionary (capped by df desc), 'merge' scores with a 2x boost —
+    oracle-checked."""
+    eng = _simple_engine(spark, sf_dir)
+    return _rounded_hits(eng.search("s* merge^2", k=50, with_url=False))
+
+
 def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TermsComponent capability (handler/component/TermsComponent.java:76):
     term dictionary with df/cf, top by df."""
@@ -875,11 +884,14 @@ def _bm25_sql_prefix() -> str:
         )"""
 
 
-def _bm25_scored_cte(name: str, terms: list[str]) -> str:
+def _bm25_scored_cte(name: str, terms: list[str], boost: float = 1.0) -> str:
     """BM25 (k1=1.2, b=0.75) per-doc score over ``terms`` — written with the
     exact operation nesting of query/engine.py so float64 results agree to
-    the last ulps:  idf*tf / (tf + k1*((1-b) + b*dlq/avgdl))."""
+    the last ulps:  (idf*boost)*tf / (tf + k1*((1-b) + b*dlq/avgdl))."""
     tl = ", ".join(f"'{t}'" for t in terms)
+    idf = f"ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))"
+    if boost != 1.0:
+        idf = f"({idf} * {boost!r})"
     return f""", tf_{name} AS (
             SELECT doc_id, term, count(*) AS tf FROM toks
             WHERE term IN ({tl}) GROUP BY doc_id, term
@@ -888,7 +900,7 @@ def _bm25_scored_cte(name: str, terms: list[str]) -> str:
             WHERE term IN ({tl}) GROUP BY term
         ), scored_{name} AS (
             SELECT t.doc_id,
-                   sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                   sum({idf}
                        * t.tf / (t.tf + 1.2 * ((1 - 0.75) + 0.75 * q.dlq
                                  / (CAST(s.total_len AS DOUBLE) / s.n)))) AS score
             FROM tf_{name} t
@@ -911,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_simple_and": q_bm25_simple_and,
         "bm25_simple_rerank": q_bm25_simple_rerank,
         "phrase_search": q_phrase_search,
+        "prefix_boost_search": q_prefix_boost_search,
         # SQL-checkable text/search ops
         "term_stats": q_term_stats,
         "boolean_and_search": q_boolean_and_search,
@@ -1007,6 +1020,25 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY score DESC, doc_id ASC LIMIT 20
             )
             SELECT doc_id, round(score, 6) AS score FROM top
+            ORDER BY round(score, 6) DESC, doc_id ASC
+        """,
+        "prefix_boost_search": f"""
+            WITH {bm25}{_bm25_scored_cte("e", ["scan", "slow", "small", "sort", "spark", "stream"])}
+                 {_bm25_scored_cte("m", ["merge"], boost=2.0)},
+            gsum AS (
+                SELECT doc_id, sum(score) AS score FROM scored_e GROUP BY doc_id
+            ),
+            allsc AS (
+                SELECT doc_id, sum(score) AS score FROM (
+                    SELECT doc_id, score FROM gsum
+                    UNION ALL SELECT doc_id, score FROM scored_m
+                ) GROUP BY doc_id
+            ),
+            hits AS (
+                SELECT doc_id, score FROM allsc
+                ORDER BY score DESC, doc_id ASC LIMIT 50
+            )
+            SELECT doc_id, round(score, 6) AS score FROM hits
             ORDER BY round(score, 6) DESC, doc_id ASC
         """,
         "phrase_search": f"""

@@ -90,12 +90,24 @@ def oracle_search(
         return []
     if any(any(t not in idx.postings for t in ph) for ph in pq.must_phrases):
         return []
-    if not terms and not phrases:
-        return []
     must = set(t for t in pq.must if t in idx.postings)
     excluded: set[int] = set()
     for t in pq.must_not:
         excluded.update(idx.postings.get(t, {}).keys())
+    exp_groups = []
+    for cl in pq.expand:
+        matched = _expand_oracle(idx, cl)
+        if cl.occur == "MUST_NOT":
+            for t in matched:
+                excluded.update(idx.postings[t].keys())
+            continue
+        if not matched:
+            if cl.occur == "MUST":
+                return []
+            continue
+        exp_groups.append((cl.occur, matched, cl.boost))
+    if not terms and not phrases and not exp_groups:
+        return []
     for ph in pq.must_not_phrases:
         if all(t in idx.postings for t in ph):
             excluded.update(
@@ -113,6 +125,9 @@ def oracle_search(
         plist = idx.postings[t]
         df = len(plist)
         idf = np.float32(math.log(1.0 + (idx.n_docs - df + 0.5) / (df + 0.5)))
+        bst = float(pq.boosts.get(t, 1.0))
+        if bst != 1.0:
+            idf = np.float32(float(idf) * bst)
         for doc_id, tf in plist.items():
             dl = np.float32(byte4_to_int(idx.norm_byte[doc_id]))
             cache = k1f * (one_minus_b + bf * dl / avgdlf)
@@ -122,14 +137,44 @@ def oracle_search(
             if t in must:
                 nmust[doc_id] = nmust.get(doc_id, 0) + 1
 
-    n_must_clauses = len(must) + len(pq.must_phrases)
+    for occ, matched, boost in exp_groups:
+        group_docs: set[int] = set()
+        for t in matched:
+            plist = idx.postings[t]
+            df = len(plist)
+            idf = np.float32(
+                float(
+                    np.float32(
+                        math.log(1.0 + (idx.n_docs - df + 0.5) / (df + 0.5))
+                    )
+                )
+                * float(boost)
+            )
+            for doc_id, tf in plist.items():
+                dl = np.float32(byte4_to_int(idx.norm_byte[doc_id]))
+                cache = k1f * (one_minus_b + bf * dl / avgdlf)
+                tff = np.float32(tf)
+                s = idf * tff / (tff + cache)
+                acc[doc_id] = acc.get(doc_id, 0.0) + float(s)
+                group_docs.add(doc_id)
+        if occ == "MUST":
+            for d in group_docs:
+                nmust[d] = nmust.get(d, 0) + 1
+
+    n_must_clauses = (
+        len(must)
+        + len(pq.must_phrases)
+        + sum(1 for occ, _m, _b in exp_groups if occ == "MUST")
+    )
     for ph in phrases:
-        idf = np.float32(0.0)
+        idf_sum = 0.0
         for t in ph:
             df = len(idx.postings[t])
-            idf = idf + np.float32(
-                math.log(1.0 + (idx.n_docs - df + 0.5) / (df + 0.5))
+            idf_sum += float(
+                np.float32(math.log(1.0 + (idx.n_docs - df + 0.5) / (df + 0.5)))
             )
+        label = '"' + " ".join(ph) + '"'
+        idf = np.float32(idf_sum * float(pq.boosts.get(label, 1.0)))
         is_must = ph in pq.must_phrases
         for doc_id in _phrase_candidates(idx, ph):
             pf = _pf(idx, ph, doc_id)
@@ -178,3 +223,60 @@ def _pf(idx: OracleIndex, ph: list[str], doc_id: int) -> int:
         if not cand:
             return 0
     return len(cand)
+
+
+def _levenshtein(a: str, b: str) -> int:
+    if a == b:
+        return 0
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _expand_oracle(idx: OracleIndex, cl, max_expansions: int = 128) -> list[str]:
+    """Mirror of SearchEngine._expand_clause over the oracle's dict."""
+    import re as _re
+
+    terms = idx.postings.keys()
+    if cl.kind == "prefix":
+        m = [t for t in terms if t.startswith(cl.value[:-1])]
+    elif cl.kind == "wildcard":
+        rx = _re.compile(
+            "^"
+            + "".join(
+                ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+                for c in cl.value
+            )
+            + "$"
+        )
+        m = [t for t in terms if rx.match(t)]
+    elif cl.kind == "fuzzy":
+        if cl.fuzz <= 0:
+            return [cl.value] if cl.value in idx.postings else []
+        m = [
+            t
+            for t in terms
+            if abs(len(t) - len(cl.value)) <= cl.fuzz
+            and _levenshtein(t, cl.value) <= cl.fuzz
+        ]
+    elif cl.kind == "range":
+        m = [
+            t
+            for t in terms
+            if (
+                cl.lo is None
+                or (t >= cl.lo if cl.inclusive else t > cl.lo)
+            )
+            and (
+                cl.hi is None
+                or (t <= cl.hi if cl.inclusive else t < cl.hi)
+            )
+        ]
+    else:
+        raise ValueError(cl.kind)
+    m.sort(key=lambda t: (-len(idx.postings[t]), t))
+    return m[:max_expansions]

@@ -284,8 +284,52 @@ class SearchEngine:
             return 0.0
         return float(rows[-1]["score"])
 
+    def _expand_clause(self, cl, max_expansions: int = 128) -> list[str]:
+        """Resolve a prefix/wildcard/fuzzy/range clause against the term
+        dictionary (the FST-seek analog: one scan of the small aggregated
+        dictionary table, never the corpus), capped at ``max_expansions``
+        terms by df desc (Lucene MultiTermQuery rewrite cap semantics;
+        scoring divergence: each expansion scores with its own idf instead
+        of the constant-score rewrite — documented)."""
+        import re as _re
+
+        if cl.kind == "prefix":
+            cond = F.col("term").startswith(cl.value[:-1])
+        elif cl.kind == "wildcard":
+            regex = "^" + "".join(
+                ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+                for c in cl.value
+            ) + "$"
+            cond = F.col("term").rlike(regex)
+        elif cl.kind == "fuzzy":
+            if cl.fuzz <= 0:
+                return [cl.value] if not self._term_meta([cl.value]).empty else []
+            cond = (
+                F.abs(F.length("term") - F.lit(len(cl.value))) <= cl.fuzz
+            ) & (F.levenshtein(F.col("term"), F.lit(cl.value)) <= cl.fuzz)
+        elif cl.kind == "range":
+            cond = F.lit(True)
+            if cl.lo is not None:
+                cond = cond & (
+                    F.col("term") >= cl.lo if cl.inclusive else F.col("term") > cl.lo
+                )
+            if cl.hi is not None:
+                cond = cond & (
+                    F.col("term") <= cl.hi if cl.inclusive else F.col("term") < cl.hi
+                )
+        else:
+            raise ValueError(f"unknown expansion kind {cl.kind!r}")
+        rows = (
+            self.dictionary.filter(cond)
+            .select("term", "df")
+            .orderBy(F.col("df").desc(), F.col("term").asc())
+            .limit(max_expansions)
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
     def _phrase_frame(
-        self, ptoks: list[str], idf_by_term: dict[str, float]
+        self, ptoks: list[str], idf_by_term: dict[str, float], boost: float = 1.0
     ) -> DataFrame:
         """(doc_id, score) of docs matching the exact-adjacency phrase.
 
@@ -320,7 +364,7 @@ class SearchEngine:
             .filter(F.col("nt") == len(uniq))
             .select("doc_id", "norm", "plists")
         )
-        sum_idf = float(sum(idf_by_term[t] for t in ptoks))
+        sum_idf = float(sum(idf_by_term[t] for t in ptoks)) * float(boost)
         fn = _phrase_score_fn(
             ptoks,
             sum_idf,
@@ -356,6 +400,21 @@ class SearchEngine:
             schema = f"rank int, doc_id long, url string, score {self._sql_t}"
             return spark.createDataFrame([], schema)
 
+        empty_schema = f"rank int, doc_id long, url string, score {self._sql_t}"
+        # resolve dictionary-expanded clauses (prefix/wildcard/fuzzy/range)
+        exp_groups: list[tuple[str, str, list[str], float]] = []
+        exclude_exp_terms: list[str] = []
+        for cl in pq.expand:
+            matched = self._expand_clause(cl)
+            if cl.occur == "MUST_NOT":
+                exclude_exp_terms.extend(matched)
+                continue
+            if not matched:
+                if cl.occur == "MUST":
+                    return spark.createDataFrame([], empty_schema)
+                continue
+            exp_groups.append((cl.label, cl.occur, matched, cl.boost))
+
         terms = pq.scoring_terms
         phrase_terms = [
             t
@@ -363,14 +422,16 @@ class SearchEngine:
             for t in ph
             if t not in terms
         ]
-        meta = self._term_meta(list(dict.fromkeys(terms + phrase_terms)))
+        group_terms = [t for g in exp_groups for t in g[2]]
+        meta = self._term_meta(
+            list(dict.fromkeys(terms + phrase_terms + group_terms))
+        )
         found = set(meta["term"])
         terms = [t for t in terms if t in found]
         must = [t for t in pq.must if t in found]
         scoring_phrases = [
             ph for ph in pq.scoring_phrases if all(t in found for t in ph)
         ]
-        empty_schema = f"rank int, doc_id long, url string, score {self._sql_t}"
         if pq.must and len(must) < len(pq.must):
             # a required term is absent from the corpus -> empty result
             return spark.createDataFrame([], empty_schema)
@@ -379,12 +440,18 @@ class SearchEngine:
         ):
             # a required phrase can never match
             return spark.createDataFrame([], empty_schema)
-        if not terms and not scoring_phrases:
+        if not terms and not scoring_phrases and not exp_groups:
             return spark.createDataFrame([], empty_schema)
         n_docs = self.stats["N"]
         idf_by_term = {
             r["term"]: float(bm25_idf(n_docs, int(r["df"]), dtype=self._dtype))
             for _, r in meta.iterrows()
+        }
+        # per-clause boosts multiply the clause's idf (score is linear in
+        # idf, so this matches Lucene's boost-times-score semantics); the
+        # boosted map feeds scoring AND the theta/ub pruning consistently.
+        scoring_idf = {
+            t: idf_by_term[t] * float(pq.boosts.get(t, 1.0)) for t in terms
         }
 
         blocks = self._blocks_for(terms) if terms else None
@@ -408,12 +475,14 @@ class SearchEngine:
             prune
             and blocks is not None
             and not pq.must_not
+            and not exclude_exp_terms
             and not must
             and not scoring_phrases
             and not pq.must_not_phrases
+            and not exp_groups
         ):
             term_meta = meta[meta["term"].isin(terms)]
-            theta = self._theta(term_meta, idf_by_term, k)
+            theta = self._theta(term_meta, scoring_idf, k)
             if theta > 0.0:
                 # per-term scores are float32-rounded, so a doc score can sit
                 # one ulp ABOVE the float64 upper bound — prune with a small
@@ -421,7 +490,7 @@ class SearchEngine:
                 # prune-on == prune-off invariant is enforced by tests).
                 cutoff = theta * (1.0 - 1e-4)
                 idf_expr = F.create_map(
-                    *[x for t in terms for x in (F.lit(t), F.lit(idf_by_term[t]))]
+                    *[x for t in terms for x in (F.lit(t), F.lit(scoring_idf[t]))]
                 )
                 ub = (
                     blocks.select(
@@ -449,33 +518,50 @@ class SearchEngine:
 
         frames = []
         if blocks is not None:
-            frames.append(
-                self._scored(blocks, {t: idf_by_term[t] for t in terms})
-            )
+            frames.append(self._scored(blocks, scoring_idf))
         for ph in scoring_phrases:
             frames.append(
-                self._phrase_frame(ph, idf_by_term).select(
-                    F.lit(phrase_label(ph)).alias("term"), "doc_id", "score"
-                )
+                self._phrase_frame(
+                    ph,
+                    idf_by_term,
+                    boost=float(pq.boosts.get(phrase_label(ph), 1.0)),
+                ).select(F.lit(phrase_label(ph)).alias("term"), "doc_id", "score")
+            )
+        for label, _occur, matched, boost in exp_groups:
+            # one disjunction clause: any matching expansion term matches
+            # the clause; its score is the sum of the matched terms' scores
+            gb = self._blocks_for(matched)
+            gscored = self._scored(
+                gb, {t: idf_by_term[t] * float(boost) for t in matched}
+            )
+            frames.append(
+                gscored.groupBy("doc_id")
+                .agg(F.sum("score").cast(self._sql_t).alias("score"))
+                .select(F.lit(label).alias("term"), "doc_id", "score")
             )
         scored = frames[0]
         for fr in frames[1:]:
             scored = scored.unionByName(fr)
         if doc_filter is not None:
             scored = scored.filter(F.col("doc_id").isin([int(d) for d in doc_filter]))
-        must_labels = must + [
-            phrase_label(ph) for ph in pq.must_phrases
-        ]
+        must_labels = (
+            must
+            + [phrase_label(ph) for ph in pq.must_phrases]
+            + [label for label, occ, _m, _b in exp_groups if occ == "MUST"]
+        )
         agg = scored.groupBy("doc_id").agg(
             F.sum("score").alias("_s"),
             F.count(F.when(F.col("term").isin(must_labels), 1)).alias("_nmust"),
         )
         if must_labels:
             agg = agg.filter(F.col("_nmust") == len(must_labels))
-        if pq.must_not:
-            nb = self._blocks_for(pq.must_not)
+        # must_not terms never enter meta; _blocks_for of an absent term is
+        # just an empty scan, so no existence filter is needed here
+        exclude_terms = list(pq.must_not) + exclude_exp_terms
+        if exclude_terms:
+            nb = self._blocks_for(exclude_terms)
             excluded = self._scored(
-                nb, {t: 0.0 for t in pq.must_not}
+                nb, {t: 0.0 for t in exclude_terms}
             ).select("doc_id").distinct()
             agg = agg.join(excluded, "doc_id", "left_anti")
         for ph in pq.must_not_phrases:

@@ -1,16 +1,23 @@
-"""Lucene-syntax query parser: terms, boolean operators, quoted phrases.
+"""Lucene-syntax query parser: terms, boolean ops, phrases, multi-term.
 
-Covers the subset of the classic Solr/Lucene grammar
+Covers the classic Solr/Lucene grammar
 (solr/core/src/java/org/apache/solr/parser/QueryParser.jj:135-172) that the
-engine executes: bare terms (default operator OR, i.e. SHOULD), ``AND``
-binding its ADJACENT clauses to MUST (Lucene conjunction semantics:
-``a AND b c`` == ``+a +b c``), ``+term`` (MUST), ``-term`` / ``NOT term``
-(MUST_NOT), and quoted phrases ``"a b c"`` in any of those roles.  Query
-text is run through the same analysis chain as indexing (the default schema
-uses an equivalent query analyzer minus synonyms, managed-schema.xml:308-314).
+engine executes:
 
-Phrase slop (``"a b"~2``), fields, boosts, wildcards and fuzzy are
-inventoried in SURVEY.md §2.2 and currently raise.
+- bare terms (default operator OR, i.e. SHOULD)
+- ``AND`` binding its ADJACENT clauses to MUST (Lucene conjunction
+  semantics: ``a AND b c`` == ``+a +b c``), ``+term``, ``-term``/``NOT``
+- quoted phrases ``"a b c"`` in any role
+- field prefix ``text:term`` (the engine is single-text-field; any other
+  field name raises)
+- boosts ``term^2.5`` / ``"a b"^3`` (clause score multiplied)
+- multi-term clauses expanded against the term dictionary at query time
+  (SolrQueryParserBase.getWildcardQuery/getPrefixQuery/getFuzzyQuery/
+  getRangeQuery; expansion itself happens in the engine, which owns the
+  dictionary): ``pre*`` prefix, ``w?ld*rd`` wildcard, ``term~``/``term~1``
+  fuzzy (levenshtein), ``[a TO b]`` / ``{a TO b}`` lexicographic term range.
+
+Parentheses/grouping remain unsupported and raise.
 """
 
 from __future__ import annotations
@@ -19,6 +26,29 @@ import re
 from dataclasses import dataclass, field
 
 from apache___solr_spark.analysis.chain import analyze
+
+
+@dataclass
+class Clause:
+    """A multi-term (dictionary-expanded) clause."""
+
+    occur: str  # MUST | SHOULD | MUST_NOT
+    kind: str  # prefix | wildcard | fuzzy | range
+    value: str = ""  # pattern / base term
+    lo: str | None = None  # range bounds
+    hi: str | None = None
+    inclusive: bool = True
+    fuzz: int = 2
+    boost: float = 1.0
+
+    @property
+    def label(self) -> str:
+        if self.kind == "range":
+            br = "[]" if self.inclusive else "{}"
+            return f"{br[0]}{self.lo} TO {self.hi}{br[1]}"
+        if self.kind == "fuzzy":
+            return f"{self.value}~{self.fuzz}"
+        return self.value
 
 
 @dataclass
@@ -32,6 +62,10 @@ class ParsedQuery:
     must_phrases: list[list[str]] = field(default_factory=list)
     should_phrases: list[list[str]] = field(default_factory=list)
     must_not_phrases: list[list[str]] = field(default_factory=list)
+    # clause label (term or phrase label) -> score multiplier, only when != 1
+    boosts: dict[str, float] = field(default_factory=dict)
+    # dictionary-expanded clauses (prefix/wildcard/fuzzy/range)
+    expand: list[Clause] = field(default_factory=list)
 
     @property
     def scoring_terms(self) -> list[str]:
@@ -44,15 +78,29 @@ class ParsedQuery:
     @property
     def is_empty(self) -> bool:
         return not (
-            self.must or self.should or self.must_phrases or self.should_phrases
+            self.must
+            or self.should
+            or self.must_phrases
+            or self.should_phrases
+            or self.expand
         )
 
 
-_UNSUPPORTED = ("~", "*", "?", "[", "]", "^", ":", "(", ")")
+_UNSUPPORTED = ("(", ")")
 
-# a token is either an optionally-signed quoted phrase (with optional ~slop)
-# or a bare word
-_TOKEN_RE = re.compile(r'([+-]?)"([^"]*)"(?:~(\d+))?|(\S+)')
+# a token is either an optionally-signed quoted phrase (with optional ~slop
+# and ^boost) or a bare word
+_TOKEN_RE = re.compile(
+    r'([+-]?)"([^"]*)"(?:~(\d+))?(?:\^(\d+(?:\.\d+)?))?|(\S+)'
+)
+_WORD_RE = re.compile(
+    r"^([+-]?)"  # sign
+    r"(?:(\w+):)?"  # field
+    r"(.+?)"  # body (lazy)
+    r"(?:~(\d*))?"  # fuzzy
+    r"(?:\^(\d+(?:\.\d+)?))?$"  # boost
+)
+_RANGE_RE = re.compile(r"^([\[{])(\S+) TO (\S+)([\]}])$")
 
 
 def _dedup(xs: list[str]) -> list[str]:
@@ -65,18 +113,36 @@ def _dedup(xs: list[str]) -> list[str]:
     return out
 
 
-def parse_query(q: str, analyze_fn=analyze) -> ParsedQuery:
+def parse_query(q: str, analyze_fn=analyze, default_field: str = "text") -> ParsedQuery:
     """Parse ``q`` with the given query-time analysis function (defaults to
     the standard chain; the engine passes its index's configured analyzer so
     query analysis always matches index analysis)."""
-    # clause list: [occur, kind, payload]; occur in MUST/SHOULD/MUST_NOT,
-    # kind in term/phrase.  AND promotes the PREVIOUS should-clause and the
-    # NEXT clause (QueryParser.jj conjunction handling).
+    for ch in _UNSUPPORTED:
+        if ch in q:
+            raise NotImplementedError(
+                f"query syntax {ch!r} not supported (see SURVEY.md §2.2)"
+            )
+    # normalize range clauses so the whitespace in "[a TO b]" survives
+    # tokenization: temporarily replace their inner spaces
+    q = re.sub(
+        r"([\[{])(\S+)\s+TO\s+(\S+)([\]}])",
+        lambda m: f"{m.group(1)}{m.group(2)}\x00TO\x00{m.group(3)}{m.group(4)}",
+        q,
+    )
+    # clause list: [occur, kind, payload, boost]
     clauses: list[list] = []
     pending_not = False
     conj: str | None = None
+
+    def occur_of(sign: str) -> str:
+        return (
+            "MUST_NOT"
+            if (pending_not or sign == "-")
+            else ("MUST" if (sign == "+" or conj == "AND") else "SHOULD")
+        )
+
     for m in _TOKEN_RE.finditer(q):
-        sign, body, slop, word = m.group(1), m.group(2), m.group(3), m.group(4)
+        sign, body, slop, pboost, word = m.groups()
         if word is not None:
             if word in ("AND", "&&"):
                 if clauses and clauses[-1][0] == "SHOULD":
@@ -89,54 +155,113 @@ def parse_query(q: str, analyze_fn=analyze) -> ParsedQuery:
             if word == "NOT":
                 pending_not = True
                 continue
-            sign = ""
-            if word.startswith("-"):
-                sign, word = "-", word[1:]
-            elif word.startswith("+"):
-                sign, word = "+", word[1:]
-            for ch in _UNSUPPORTED + ('"',):
-                if ch in word:
-                    raise NotImplementedError(
-                        f"query syntax {ch!r} not supported (see SURVEY.md §2.2)"
-                    )
-            toks = analyze_fn(word)
-            kind = "term"
+            word = word.replace("\x00", " ")
+            wm = _WORD_RE.match(word)
+            if not wm:
+                raise NotImplementedError(f"cannot parse token {word!r}")
+            sign, fld, body_w, fuzz, boost = wm.groups()
+            if fld is not None and fld != default_field:
+                raise NotImplementedError(
+                    f"unknown field {fld!r} (single-field engine; see SURVEY §1.3)"
+                )
+            boost_v = float(boost) if boost else 1.0
+            rm = _RANGE_RE.match(body_w)
+            if rm:
+                lo, hi = rm.group(2).lower(), rm.group(3).lower()
+                clauses.append(
+                    [
+                        occur_of(sign),
+                        "expand",
+                        Clause(
+                            occur="",
+                            kind="range",
+                            lo=None if lo == "*" else lo,
+                            hi=None if hi == "*" else hi,
+                            inclusive=rm.group(1) == "[",
+                            boost=boost_v,
+                        ),
+                        boost_v,
+                    ]
+                )
+            elif fuzz is not None:
+                base = body_w.lower()
+                clauses.append(
+                    [
+                        occur_of(sign),
+                        "expand",
+                        Clause(
+                            occur="",
+                            kind="fuzzy",
+                            value=base,
+                            fuzz=int(fuzz) if fuzz else 2,
+                            boost=boost_v,
+                        ),
+                        boost_v,
+                    ]
+                )
+            elif "*" in body_w or "?" in body_w:
+                kind = (
+                    "prefix"
+                    if body_w.endswith("*")
+                    and "?" not in body_w
+                    and "*" not in body_w[:-1]
+                    else "wildcard"
+                )
+                clauses.append(
+                    [
+                        occur_of(sign),
+                        "expand",
+                        Clause(
+                            occur="", kind=kind, value=body_w.lower(), boost=boost_v
+                        ),
+                        boost_v,
+                    ]
+                )
+            else:
+                toks = analyze_fn(body_w)
+                if not toks:
+                    pending_not = False
+                    conj = None
+                    continue
+                for t in toks:
+                    clauses.append([occur_of(sign), "term", t, boost_v])
         else:
             if slop and int(slop) > 0:
                 raise NotImplementedError(
                     "phrase slop > 0 not supported (exact adjacency only)"
                 )
             toks = analyze_fn(body)
+            if not toks:
+                pending_not = False
+                conj = None
+                continue
+            boost_v = float(pboost) if pboost else 1.0
             kind = "phrase" if len(toks) > 1 else "term"
-        if not toks:
-            pending_not = False
-            conj = None
-            continue
-        occur = (
-            "MUST_NOT"
-            if (pending_not or sign == "-")
-            else ("MUST" if (sign == "+" or conj == "AND") else "SHOULD")
-        )
-        if kind == "term":
-            for t in toks:
-                clauses.append([occur, "term", t])
-        else:
-            clauses.append([occur, "phrase", toks])
+            clauses.append(
+                [occur_of(sign), kind, toks if kind == "phrase" else toks[0], boost_v]
+            )
         pending_not = False
         conj = None
 
     pq = ParsedQuery()
-    for occur, kind, payload in clauses:
+    for occur, kind, payload, boost in clauses:
         if kind == "term":
             {"MUST": pq.must, "SHOULD": pq.should, "MUST_NOT": pq.must_not}[
                 occur
             ].append(payload)
-        else:
+            if boost != 1.0:
+                pq.boosts[payload] = boost
+        elif kind == "phrase":
             {
                 "MUST": pq.must_phrases,
                 "SHOULD": pq.should_phrases,
                 "MUST_NOT": pq.must_not_phrases,
             }[occur].append(payload)
+            if boost != 1.0:
+                pq.boosts['"' + " ".join(payload) + '"'] = boost
+        else:  # expand
+            payload.occur = occur
+            pq.expand.append(payload)
     pq.must = _dedup(pq.must)
     pq.should = _dedup(pq.should)
     pq.must_not = _dedup(pq.must_not)

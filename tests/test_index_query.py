@@ -308,3 +308,27 @@ def test_positions_roundtrip(spark, built, oracle_idx):
             assert list(plist) == oracle_idx.positions[b["term"]][int(doc_id)]
             checked += 1
     assert checked > 100
+
+
+def test_expansion_and_boost_queries_match_oracle(spark, built, oracle_idx):
+    """Dictionary-expanded clauses (prefix/wildcard/fuzzy/range) and boosts
+    (SolrQueryParserBase getPrefixQuery/getFuzzyQuery/getRangeQuery +
+    boost semantics) in every boolean role."""
+    queries = [
+        "web*",
+        "w?b",
+        "dat* page",
+        "+dat* web",
+        "web -dat*",
+        "webb~1",
+        "page~",
+        "[data TO dog]",
+        "{data TO dog}",
+        "web^2 page",
+        '"web page"^3 data',
+        "text:web",
+        "web AND dat*",
+        "zzz*",
+    ]
+    for q in queries:
+        _run_query_pair(spark, built, oracle_idx, q, 10, prune=True)
