@@ -845,6 +845,21 @@ def q_pivot_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("level", "n_name", "c_mktsegment")
 
 
+def q_query_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query facet (JSON Facet type=query, FacetQuery processor): named
+    predicate buckets with sub-stats, computed in ONE conditional-agg pass
+    over the scan — no per-bucket re-query."""
+    o = _t(spark, sf_dir, "orders")
+    big = F.col("o_totalprice") > 300000
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    return o.agg(
+        F.count(F.when(big, F.lit(1))).alias("big_count"),
+        F.round(F.sum(F.when(big, F.col("o_totalprice"))), 2).alias("big_sum"),
+        F.count(F.when(urgent, F.lit(1))).alias("urgent_count"),
+        F.count(F.when(big & urgent, F.lit(1))).alias("big_urgent_count"),
+    )
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile agg (PercentileAgg.java — t-digest in the reference; we
     use Spark's exact percentile so DuckDB's quantile_cont matches)."""
@@ -968,6 +983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_facet_other": q_range_facet_other,
         "highlight": q_highlight,
         "pivot_facet": q_pivot_facet,
+        "query_facet": q_query_facet,
         "percentiles": q_percentiles,
         "rrf": q_rrf,
         "rerank": q_rerank,
@@ -1492,6 +1508,17 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY ROLLUP(n_name, c_mktsegment)
             HAVING 2 - grouping(n_name) - grouping(c_mktsegment) > 0
             ORDER BY level, n_name, c_mktsegment NULLS FIRST
+        """,
+        "query_facet": """
+            SELECT count(CASE WHEN o_totalprice > 300000 THEN 1 END) AS big_count,
+                   round(sum(CASE WHEN o_totalprice > 300000
+                                  THEN o_totalprice END), 2) AS big_sum,
+                   count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)
+                       AS urgent_count,
+                   count(CASE WHEN o_totalprice > 300000
+                              AND o_orderpriority = '1-URGENT' THEN 1 END)
+                       AS big_urgent_count
+            FROM orders
         """,
         "percentiles": """
             SELECT event_type,

@@ -51,6 +51,31 @@ from apache___solr_spark.index.smallfloat import NORM_TABLE
 from apache___solr_spark.query.parser import ParsedQuery, parse_query
 
 
+def _apply_synonyms(pq: ParsedQuery, synonyms: dict[str, list[str]]) -> ParsedQuery:
+    """Rewrite term clauses whose term has synonyms into disjunction
+    (expansion) clauses; MUST_NOT terms exclude every synonym.  Returns a
+    copy — the caller's ParsedQuery is never mutated."""
+    import copy
+
+    from apache___solr_spark.query.parser import Clause
+
+    pq = copy.deepcopy(pq)
+    for occur, bucket in (("MUST", pq.must), ("SHOULD", pq.should)):
+        for t in [t for t in bucket if t in synonyms]:
+            bucket.remove(t)
+            pq.expand.append(
+                Clause(
+                    occur=occur,
+                    kind="synonym",
+                    value=t,
+                    boost=pq.boosts.pop(t, 1.0),
+                )
+            )
+    for t in [t for t in pq.must_not if t in synonyms]:
+        pq.must_not.extend(x for x in synonyms[t] if x not in pq.must_not)
+    return pq
+
+
 def phrase_label(ptoks: list[str]) -> str:
     """Clause label for a phrase in the scored stream (terms never contain
     spaces or quotes, so labels cannot collide with terms)."""
@@ -205,7 +230,14 @@ class SearchEngine:
         spark: SparkSession,
         index_dir: str,
         cfg: IndexConfig = DEFAULT_CONFIG,
+        synonyms: dict[str, list[str]] | None = None,
     ) -> None:
+        """``synonyms``: query-time synonym map (SynonymGraphFilter in the
+        default schema's QUERY analyzer, managed-schema.xml:308-314) —
+        analyzed lowercase term -> equivalent terms.  A query term with
+        synonyms becomes one disjunction clause over the synonym set
+        (divergence from Lucene's SynonymQuery blended statistics: each
+        synonym scores with its own idf — documented)."""
         self.spark = spark
         self.cfg = cfg
         self.paths = IndexPaths(index_dir)
@@ -217,6 +249,7 @@ class SearchEngine:
         self._dtype = np.float64 if cfg.score_dtype == "float64" else np.float32
         self._sql_t = "double" if cfg.score_dtype == "float64" else "float"
         self._analyze = analyzer_fn(cfg.analyzer)
+        self.synonyms = synonyms or {}
 
     # -- term metadata -----------------------------------------------------
     def _term_meta(self, terms: list[str]) -> pd.DataFrame:
@@ -293,6 +326,10 @@ class SearchEngine:
         of the constant-score rewrite — documented)."""
         import re as _re
 
+        if cl.kind == "synonym":
+            cands = [cl.value] + list(self.synonyms.get(cl.value, []))
+            meta = self._term_meta(list(dict.fromkeys(cands)))
+            return [t for t in cands if t in set(meta["term"])]
         if cl.kind == "prefix":
             cond = F.col("term").startswith(cl.value[:-1])
         elif cl.kind == "wildcard":
@@ -401,6 +438,8 @@ class SearchEngine:
             return spark.createDataFrame([], schema)
 
         empty_schema = f"rank int, doc_id long, url string, score {self._sql_t}"
+        if self.synonyms:
+            pq = _apply_synonyms(pq, self.synonyms)
         # resolve dictionary-expanded clauses (prefix/wildcard/fuzzy/range)
         exp_groups: list[tuple[str, str, list[str], float]] = []
         exclude_exp_terms: list[str] = []

@@ -28,6 +28,9 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 HEADLINE = [
     "bm25_topk",
     "bm25_and_not",
+    "bm25_simple_topk",
+    "phrase_search",
+    "prefix_boost_search",
     "term_stats",
     "boolean_and_search",
     "rollup_lineitem",
@@ -42,6 +45,13 @@ HEADLINE = [
     "minhash_lsh_candidates",
     "cosine_topk",
     "quality_score",
+    "score_join",
+    "block_join_parent",
+    "gather_nodes",
+    "suggest",
+    "relatedness",
+    "highlight",
+    "pivot_facet",
 ]
 
 
@@ -64,7 +74,14 @@ def main() -> None:
     build_sec = time.time() - t0
     timings["index_build"] = round(build_sec, 3)
     # reuse the built index for the bm25 query entries
-    entrymod._INDEX_CACHE[os.path.abspath(SF_DIR)] = os.path.join(idx_dir, "idx")
+    entrymod._INDEX_CACHE[(os.path.abspath(SF_DIR), "standard")] = os.path.join(
+        idx_dir, "idx"
+    )
+    # build the simple-analyzer index once, outside per-query timings, so the
+    # oracle-checked fulltext entries measure query time, not index time
+    t0 = time.time()
+    entrymod._fulltext_index(spark, SF_DIR, "simple")
+    timings["index_build_simple"] = round(time.time() - t0, 3)
 
     qs = entrymod.queries()
     for name in HEADLINE:

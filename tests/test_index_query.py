@@ -332,3 +332,27 @@ def test_expansion_and_boost_queries_match_oracle(spark, built, oracle_idx):
     ]
     for q in queries:
         _run_query_pair(spark, built, oracle_idx, q, 10, prune=True)
+
+
+def test_query_time_synonyms(spark, built, oracle_idx):
+    """SynonymGraphFilter-at-query-time capability: a term with synonyms
+    becomes one disjunction clause; MUST_NOT excludes all synonyms."""
+    syn = {"web": ["data"]}
+    eng = SearchEngine(spark, built, cfg=CFG, synonyms=syn)
+    plain_eng = SearchEngine(spark, built, cfg=CFG)
+    got = [
+        (r["doc_id"], r["score"]) for r in eng.search("web", k=10).collect()
+    ]
+    plain = {
+        r["doc_id"]: r["score"]
+        for r in plain_eng.search("web data", k=N_DOCS).collect()
+    }
+    assert len(got) == 10
+    for doc_id, score in got:
+        assert abs(plain[doc_id] - score) < 1e-5  # sum-disjunction == web+data
+    # MUST_NOT side: -web also excludes docs containing data
+    excl = eng.search("page -web", k=400).collect()
+    from apache___solr_spark.oracle import oracle_search
+
+    want = oracle_search(oracle_idx, "page -web -data", k=400)
+    assert [r["doc_id"] for r in excl] == [w["doc_id"] for w in want]
