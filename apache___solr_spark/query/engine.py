@@ -250,15 +250,28 @@ class SearchEngine:
         self._sql_t = "double" if cfg.score_dtype == "float64" else "float"
         self._analyze = analyzer_fn(cfg.analyzer)
         self.synonyms = synonyms or {}
+        from apache___solr_spark.index.updates import load_deletes
+
+        # tombstoned doc_ids (liveDocs mask) — None when never deleted
+        self.deletes = load_deletes(spark, index_dir)
 
     # -- term metadata -----------------------------------------------------
     def _term_meta(self, terms: list[str]) -> pd.DataFrame:
         if not terms:
             return pd.DataFrame(columns=["term", "df", "cf", "max_impact", "bucket"])
         buckets = self._buckets(terms)
+        # a term may hold several dictionary rows after incremental add_docs
+        # (one per appended segment) — aggregate them (ExactStatsCache merge)
         return (
             self.dictionary.filter(
                 F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+            )
+            .groupBy("term")
+            .agg(
+                F.sum("df").alias("df"),
+                F.sum("cf").alias("cf"),
+                F.max("max_impact").alias("max_impact"),
+                F.first("bucket").alias("bucket"),
             )
             .toPandas()
         )
@@ -358,7 +371,8 @@ class SearchEngine:
             raise ValueError(f"unknown expansion kind {cl.kind!r}")
         rows = (
             self.dictionary.filter(cond)
-            .select("term", "df")
+            .groupBy("term")  # appended segments may duplicate a term's row
+            .agg(F.sum("df").alias("df"))
             .orderBy(F.col("df").desc(), F.col("term").asc())
             .limit(max_expansions)
             .collect()
@@ -594,6 +608,10 @@ class SearchEngine:
         )
         if must_labels:
             agg = agg.filter(F.col("_nmust") == len(must_labels))
+        if self.deletes is not None:
+            # liveDocs semantics: deleted docs remain in the postings but
+            # never surface (DirectUpdateHandler2 deleteById -> tombstones)
+            agg = agg.join(self.deletes, "doc_id", "left_anti")
         # must_not terms never enter meta; _blocks_for of an absent term is
         # just an empty scan, so no existence filter is needed here
         exclude_terms = list(pq.must_not) + exclude_exp_terms

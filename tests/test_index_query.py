@@ -356,3 +356,45 @@ def test_query_time_synonyms(spark, built, oracle_idx):
 
     want = oracle_search(oracle_idx, "page -web -data", k=400)
     assert [r["doc_id"] for r in excl] == [w["doc_id"] for w in want]
+
+
+def test_incremental_add_and_delete(spark, corpus, tmp_path_factory):
+    """/update parity: deleteById tombstones filter every query path;
+    add_docs appends a new immutable segment whose docs are searchable
+    (DirectUpdateHandler2.java:407-513 semantics)."""
+    from apache___solr_spark.index.updates import add_docs, delete_docs
+
+    path, _ = corpus
+    out = str(tmp_path_factory.mktemp("upd") / "idx")
+    build_index(spark, path, out, cfg=CFG)
+    eng = SearchEngine(spark, out, cfg=CFG)
+    before = eng.search("web", k=5).collect()
+    victim = before[0]["doc_id"]
+
+    assert delete_docs(spark, out, doc_ids=[victim]) == 1
+    eng2 = SearchEngine(spark, out, cfg=CFG)
+    after = eng2.search("web", k=5).collect()
+    assert victim not in {r["doc_id"] for r in after}
+    # other results keep their scores (stats stay frozen until rebuild)
+    kept = {r["doc_id"]: r["score"] for r in before if r["doc_id"] != victim}
+    for r in after:
+        if r["doc_id"] in kept:
+            assert abs(kept[r["doc_id"]] - r["score"]) < 1e-6
+
+    # append brand-new docs containing a unique term, then search it
+    new_pages = spark.createDataFrame(
+        [
+            ("zzadd-doc-1", None, None, "qqzzuniq alpha beta web", "en"),
+            ("zzadd-doc-2", None, None, "qqzzuniq gamma", "en"),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    n = add_docs(spark, out, new_pages, cfg=CFG)
+    assert n == 2
+    eng3 = SearchEngine(spark, out, cfg=CFG)
+    hits = eng3.search("qqzzuniq", k=10).collect()
+    assert len(hits) == 2
+    assert {r["url"] for r in hits} == {"zzadd-doc-1", "zzadd-doc-2"}
+    assert all(r["doc_id"] >= N_DOCS for r in hits)
+    # old corpus still searchable alongside the new segment
+    assert eng3.search("web", k=5).count() == 5
