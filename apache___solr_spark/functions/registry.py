@@ -70,6 +70,24 @@ FUNCTION_REGISTRY: dict[str, Callable[..., Column]] = {
     "lte": lambda a, b: a <= b,
     "def": lambda a, d: F.coalesce(a, d),
     "map": lambda v, lo, hi, target: F.when((v >= lo) & (v <= hi), target).otherwise(v),
+    # multi-value / vector (max/min/sum/sqedist/dist — ValueSourceParser)
+    "max": lambda *cs: F.greatest(*cs),
+    "min": lambda *cs: F.least(*cs),
+    "sum": lambda *cs: _fold(lambda a, b: a + b, cs),
+    "sqedist": lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ),
+    "dist": lambda p, a, b: F.pow(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: F.pow(F.abs(x - y), F.lit(float(p)))),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        F.lit(1.0 / float(p)),
+    ),
+    "field": lambda name: F.col(name) if isinstance(name, str) else name,
     # strings (concat/strdist/literal)
     "concat": F.concat,
     "strdist": lambda a, b: F.levenshtein(a, b),

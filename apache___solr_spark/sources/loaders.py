@@ -84,3 +84,57 @@ def write_response(df: DataFrame, path: str, fmt: str = "json") -> None:
         writer.parquet(path)
     else:
         raise NotImplementedError(f"format {fmt!r}")
+
+
+def read_xml_docs(
+    spark: SparkSession, path: str, unique_key: str = "id"
+) -> DataFrame:
+    """XMLLoader equivalent (handler/loader/XMLLoader.java): parse Solr
+    ``<add><doc><field name="...">value</field>...`` update XML into docs.
+
+    Each input file is one update payload (spark.read wholetext), parsed
+    with the stdlib ElementTree inside an Arrow-batched UDF — no external
+    XML package needed.  Multi-valued fields collapse to the LAST value
+    (the engine is schema-on-read; widen to arrays downstream if needed),
+    and duplicate uniqueKeys keep the last occurrence (overwrite-on-add,
+    DirectUpdateHandler2.addDoc semantics).
+    """
+    import json as _json
+    from typing import Iterator
+
+    import pandas as pd
+
+    raw = spark.read.text(path, wholetext=True)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import xml.etree.ElementTree as ET
+
+        for pdf in batches:
+            out = []
+            for payload in pdf["value"]:
+                root = ET.fromstring(payload)
+                docs = root.iter("doc") if root.tag != "doc" else [root]
+                for doc in docs:
+                    rec: dict = {}
+                    for f in doc.iter("field"):
+                        rec[f.attrib["name"]] = f.text
+                    out.append(_json.dumps(rec))
+            yield pd.DataFrame({"value": out})
+
+    jsonl = raw.mapInPandas(parse, schema="value string")
+    df = spark.read.json(jsonl.rdd.map(lambda r: r["value"]))
+    if unique_key in df.columns:
+        df = (
+            df.withColumn("_arrival", F.monotonically_increasing_id())
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy(unique_key).orderBy(
+                        F.col("_arrival").desc()
+                    )
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_arrival")
+        )
+    return df

@@ -114,3 +114,57 @@ def test_date_math(spark):
         date_math(F.col("ts"), "NOPE")
     with pytest.raises(ValueError):
         date_math(F.col("ts"), "/BOGUS")
+
+
+def test_function_registry_values(spark):
+    """Every scalar in FUNCTION_REGISTRY evaluates to the math it names
+    (ValueSourceParser.java parity, unit-level)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from apache___solr_spark.functions.registry import fn
+
+    df = spark.createDataFrame(
+        [(3.0, 4.0, [1.0, 2.0], [4.0, 6.0])], "a double, b double, va array<double>, vb array<double>"
+    )
+    cases = {
+        "add": (fn("add", F.col("a"), F.col("b"), F.lit(1.0)), 8.0),
+        "sub": (fn("sub", F.col("a"), F.col("b")), -1.0),
+        "product": (fn("product", F.col("a"), F.col("b")), 12.0),
+        "div": (fn("div", F.col("a"), F.col("b")), 0.75),
+        "mod": (fn("mod", F.col("b"), F.col("a")), 1.0),
+        "abs": (fn("abs", F.lit(-2.5)), 2.5),
+        "sqrt": (fn("sqrt", F.col("b")), 2.0),
+        "pow": (fn("pow", F.col("a"), F.lit(2.0)), 9.0),
+        "hypot": (fn("hypot", F.col("a"), F.col("b")), 5.0),
+        "ln": (fn("ln", F.lit(math.e)), 1.0),
+        "log": (fn("log", F.lit(100.0)), 2.0),
+        "sin": (fn("sin", F.lit(0.0)), 0.0),
+        "atan2": (fn("atan2", F.lit(1.0), F.lit(1.0)), math.pi / 4),
+        "rad": (fn("rad", F.lit(180.0)), math.pi),
+        "deg": (fn("deg", F.lit(math.pi)), 180.0),
+        "pi": (fn("pi"), math.pi),
+        "if": (fn("if", F.col("a") > F.col("b"), F.lit(1.0), F.lit(0.0)), 0.0),
+        "def": (fn("def", F.lit(None).cast("double"), F.lit(7.0)), 7.0),
+        "map": (fn("map", F.col("a"), F.lit(0.0), F.lit(5.0), F.lit(-1.0)), -1.0),
+        "strdist": (fn("strdist", F.lit("kitten"), F.lit("sitting")), 3),
+        "linear": (fn("linear", F.col("a"), F.lit(2.0), F.lit(1.0)), 7.0),
+        "recip": (fn("recip", F.col("a"), 1.0, 2.0, 1.0), 0.5),
+        "max": (fn("max", F.col("a"), F.col("b")), 4.0),
+        "min": (fn("min", F.col("a"), F.col("b")), 3.0),
+        "sum": (fn("sum", F.col("a"), F.col("b")), 7.0),
+        "sqedist": (fn("sqedist", F.col("va"), F.col("vb")), 25.0),
+        "dist": (fn("dist", 2, F.col("va"), F.col("vb")), 5.0),
+        "exists": (fn("exists", F.col("a")), True),
+        "gt": (fn("gt", F.col("b"), F.col("a")), True),
+    }
+    row = df.select(
+        *[c.alias(n) for n, (c, _) in cases.items()]
+    ).collect()[0]
+    for name, (_, want) in cases.items():
+        got = row[name]
+        if isinstance(want, bool):
+            assert got is want, name
+        else:
+            assert abs(float(got) - float(want)) < 1e-9, (name, got, want)

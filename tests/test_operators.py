@@ -112,3 +112,20 @@ def test_merge_unique(spark):
     a = spark.createDataFrame([(1,), (2,)], "k int")
     b = spark.createDataFrame([(2,), (3,)], "k int")
     assert sorted(r["k"] for r in unique(merge(a, b), ["k"]).collect()) == [1, 2, 3]
+
+
+def test_read_xml_docs(spark, tmp_path):
+    """XMLLoader parity: <add><doc><field name=...> payloads, last-wins
+    uniqueKey overwrite."""
+    from apache___solr_spark.sources.loaders import read_xml_docs
+
+    payload = """<add>
+      <doc><field name="id">1</field><field name="title">first</field></doc>
+      <doc><field name="id">2</field><field name="title">second</field></doc>
+      <doc><field name="id">1</field><field name="title">first-v2</field></doc>
+    </add>"""
+    p = tmp_path / "upd.xml"
+    p.write_text(payload)
+    df = read_xml_docs(spark, str(p))
+    rows = {r["id"]: r["title"] for r in df.collect()}
+    assert rows == {"1": "first-v2", "2": "second"}
