@@ -1,0 +1,201 @@
+"""Stream math-expression evaluators, Spark-first subset.
+
+The reference ships 249 stream evaluators
+(solr/solrj-streaming/src/java/org/apache/solr/client/solrj/io/eval/ —
+AddEvaluator, CorrelationEvaluator, MovingAverageEvaluator, DescribeEvaluator,
+PercentileEvaluator, SequenceEvaluator, CosineSimilarityEvaluator, ...).
+They operate on numbers and numeric arrays flowing through tuples.  Here the
+commonly-used statistical / array / similarity families map to DataFrame
+column expressions (JVM-side, codegen) and aggregations; scalar arithmetic
+lives in functions/registry.py.
+
+Array-valued evaluators take ArrayType columns; aggregation-shaped ones
+(corr, cov, describe, hist, percentile) are exposed as agg helpers so the
+shuffle shape stays explicit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# ---- array evaluators (ArrayEvaluator, AscEvaluator, ReverseEvaluator, ...)
+
+def array_of(*cols: Column) -> Column:
+    return F.array(*cols)
+
+
+def asc_sort(arr: Column) -> Column:
+    """AscEvaluator: sort an array ascending."""
+    return F.array_sort(arr)
+
+
+def rev(arr: Column) -> Column:
+    """ReverseEvaluator."""
+    return F.reverse(arr)
+
+
+def copy_of_range(arr: Column, start: int, end: int) -> Column:
+    """CopyOfRangeEvaluator (0-based [start, end))."""
+    return F.slice(arr, start + 1, end - start)
+
+
+def append_arr(arr: Column, value: Column) -> Column:
+    """AppendEvaluator."""
+    return F.concat(arr, F.array(value))
+
+
+def sequence(length: int, start: int, stride: int) -> Column:
+    """SequenceEvaluator: arithmetic sequence as an array column."""
+    return F.sequence(
+        F.lit(start), F.lit(start + (length - 1) * stride), F.lit(stride)
+    )
+
+
+def ebe_add(a: Column, b: Column) -> Column:
+    """EBEAddEvaluator: element-by-element add (likewise sub/mul/div)."""
+    return F.zip_with(a, b, lambda x, y: x + y)
+
+
+def ebe_subtract(a: Column, b: Column) -> Column:
+    return F.zip_with(a, b, lambda x, y: x - y)
+
+
+def ebe_multiply(a: Column, b: Column) -> Column:
+    return F.zip_with(a, b, lambda x, y: x * y)
+
+
+def ebe_divide(a: Column, b: Column) -> Column:
+    return F.zip_with(a, b, lambda x, y: x / y)
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    """DotProductEvaluator — JVM-side fold, no Python."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """CosineSimilarityEvaluator.java."""
+    norm = lambda v: F.sqrt(  # noqa: E731
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return dot_product(a, b) / (norm(a) * norm(b))
+
+
+def euclidean_distance(a: Column, b: Column) -> Column:
+    """EuclideanDistanceEvaluator."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def manhattan_distance(a: Column, b: Column) -> Column:
+    """ManhattanDistanceEvaluator."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.abs(x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def chebyshev_distance(a: Column, b: Column) -> Column:
+    """ChebyshevDistanceEvaluator (L-infinity)."""
+    return F.array_max(F.zip_with(a, b, lambda x, y: F.abs(x - y)))
+
+
+def scale_arr(factor: Column | float, arr: Column) -> Column:
+    """ScaleEvaluator: multiply every element."""
+    f = F.lit(factor) if not isinstance(factor, Column) else factor
+    return F.transform(arr, lambda x: x * f)
+
+
+def normalize_sum(arr: Column) -> Column:
+    """NormalizeSumEvaluator: scale so elements sum to 1."""
+    total = F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v)
+    return F.transform(arr, lambda x: x / total)
+
+
+def moving_avg(arr: Column, window: int) -> Column:
+    """MovingAverageEvaluator: trailing mean over a window, emitted for
+    every full window (length = len(arr) - window + 1)."""
+    n = F.size(arr)
+    idx = F.sequence(F.lit(1), n - F.lit(window - 1))
+    return F.transform(
+        idx,
+        lambda i: F.aggregate(
+            F.slice(arr, i, window), F.lit(0.0), lambda acc, v: acc + v
+        )
+        / F.lit(float(window)),
+    )
+
+
+def cumulative_sum(arr: Column) -> Column:
+    """CumulativeSumEvaluator — via aggregate with an array accumulator."""
+    return F.aggregate(
+        arr,
+        F.array().cast("array<double>"),
+        lambda acc, v: F.concat(
+            acc,
+            F.array(
+                F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(0.0)) + v
+            ),
+        ),
+    )
+
+
+# ---- aggregation-shaped evaluators ------------------------------------------
+
+def describe(df: DataFrame, col: str) -> DataFrame:
+    """DescribeEvaluator: n/mean/min/max/stddev/var/sum of a column."""
+    return df.agg(
+        F.count(col).alias("n"),
+        F.avg(col).alias("mean"),
+        F.min(col).alias("min"),
+        F.max(col).alias("max"),
+        F.stddev_samp(col).alias("stddev"),
+        F.var_samp(col).alias("var"),
+        F.sum(col).alias("sum"),
+    )
+
+
+def correlation(df: DataFrame, a: str, b: str) -> DataFrame:
+    """CorrelationEvaluator (Pearson)."""
+    return df.agg(F.corr(a, b).alias("corr"))
+
+
+def covariance(df: DataFrame, a: str, b: str) -> DataFrame:
+    """CovarianceEvaluator (sample)."""
+    return df.agg(F.covar_samp(a, b).alias("cov"))
+
+
+def percentile_eval(df: DataFrame, col: str, p: float) -> DataFrame:
+    """PercentileEvaluator (exact; approx_percentile is the sketch path)."""
+    return df.agg(F.expr(f"percentile({col}, {p})").alias("percentile"))
+
+
+def hist(df: DataFrame, col: str, bins: int, lo: float, hi: float) -> DataFrame:
+    """HistogramEvaluator: fixed-width bins over [lo, hi)."""
+    w = (hi - lo) / bins
+    bucket = F.floor((F.col(col) - F.lit(lo)) / F.lit(w)).cast("int")
+    return (
+        df.filter((F.col(col) >= lo) & (F.col(col) < hi))
+        .groupBy(bucket.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy("bin")
+    )
+
+
+def regress(df: DataFrame, x: str, y: str) -> DataFrame:
+    """RegressionEvaluator: OLS slope/intercept/r."""
+    return df.agg(
+        F.regr_slope(y, x).alias("slope"),
+        F.regr_intercept(y, x).alias("intercept"),
+        F.corr(x, y).alias("r"),
+    )

@@ -168,3 +168,62 @@ def test_function_registry_values(spark):
             assert got is want, name
         else:
             assert abs(float(got) - float(want)) < 1e-9, (name, got, want)
+
+
+def test_stream_evaluators(spark):
+    """Math-expression evaluator subset (solrj-streaming io/eval) — array,
+    similarity, and aggregation shapes against hand-computed values."""
+    from pyspark.sql import functions as F
+
+    from apache___solr_spark.functions import evaluators as E
+
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0, 4.0], [2.0, 0.0, 1.0, 3.0])],
+        "a array<double>, b array<double>",
+    )
+    row = df.select(
+        E.asc_sort(F.col("b")).alias("asc"),
+        E.rev(F.col("a")).alias("rev"),
+        E.copy_of_range(F.col("a"), 1, 3).alias("sl"),
+        E.append_arr(F.col("a"), F.lit(9.0)).alias("app"),
+        E.sequence(4, 2, 3).alias("seq"),
+        E.ebe_add(F.col("a"), F.col("b")).alias("add"),
+        E.dot_product(F.col("a"), F.col("b")).alias("dot"),
+        E.cosine_similarity(F.col("a"), F.col("a")).alias("cos_self"),
+        E.euclidean_distance(F.col("a"), F.col("b")).alias("euc"),
+        E.manhattan_distance(F.col("a"), F.col("b")).alias("man"),
+        E.chebyshev_distance(F.col("a"), F.col("b")).alias("che"),
+        E.scale_arr(2.0, F.col("a")).alias("scaled"),
+        E.normalize_sum(F.col("a")).alias("norm"),
+        E.moving_avg(F.col("a"), 2).alias("mavg"),
+        E.cumulative_sum(F.col("a")).alias("csum"),
+    ).collect()[0]
+    assert row["asc"] == [0.0, 1.0, 2.0, 3.0]
+    assert row["rev"] == [4.0, 3.0, 2.0, 1.0]
+    assert row["sl"] == [2.0, 3.0]
+    assert row["app"] == [1.0, 2.0, 3.0, 4.0, 9.0]
+    assert row["seq"] == [2, 5, 8, 11]
+    assert row["add"] == [3.0, 2.0, 4.0, 7.0]
+    assert row["dot"] == 17.0
+    assert abs(row["cos_self"] - 1.0) < 1e-12
+    assert abs(row["euc"] - (1 + 4 + 4 + 1) ** 0.5) < 1e-12
+    assert row["man"] == 6.0
+    assert row["che"] == 2.0
+    assert row["scaled"] == [2.0, 4.0, 6.0, 8.0]
+    assert abs(sum(row["norm"]) - 1.0) < 1e-12
+    assert row["mavg"] == [1.5, 2.5, 3.5]
+    assert row["csum"] == [1.0, 3.0, 6.0, 10.0]
+
+    data = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 4.1), (3.0, 5.9), (4.0, 8.2)], "x double, y double"
+    )
+    d = E.describe(data, "x").collect()[0]
+    assert d["n"] == 4 and d["mean"] == 2.5 and d["sum"] == 10.0
+    c = E.correlation(data, "x", "y").collect()[0]["corr"]
+    assert c > 0.99
+    r = E.regress(data, "x", "y").collect()[0]
+    assert abs(r["slope"] - 2.04) < 0.05
+    h = E.hist(data, "x", 2, 0.0, 4.0).collect()
+    assert [(x["bin"], x["count"]) for x in h] == [(0, 1), (1, 2)]
+    p = E.percentile_eval(data, "x", 0.5).collect()[0]["percentile"]
+    assert p == 2.5
