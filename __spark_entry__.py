@@ -860,6 +860,17 @@ def q_query_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mlt_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MoreLikeThis through the real engine on the SQL-expressible analyzer:
+    top tf*idf terms of doc 0 (min_df 2, max 10 terms) issued as an OR
+    query, source doc dropped — fully oracle-checked."""
+    eng = _simple_engine(spark, sf_dir)
+    from apache___solr_spark.query.extras import more_like_this
+
+    out = more_like_this(eng, doc_id=0, k=10)
+    return _rounded_hits(out)
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile agg (PercentileAgg.java — t-digest in the reference; we
     use Spark's exact percentile so DuckDB's quantile_cont matches)."""
@@ -984,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "highlight": q_highlight,
         "pivot_facet": q_pivot_facet,
         "query_facet": q_query_facet,
+        "mlt_simple": q_mlt_simple,
         "percentiles": q_percentiles,
         "rrf": q_rrf,
         "rerank": q_rerank,
@@ -1508,6 +1520,47 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY ROLLUP(n_name, c_mktsegment)
             HAVING 2 - grouping(n_name) - grouping(c_mktsegment) > 0
             ORDER BY level, n_name, c_mktsegment NULLS FIRST
+        """,
+        "mlt_simple": f"""
+            WITH {bm25},
+            doc0 AS (
+                SELECT term, count(*) AS tf FROM toks WHERE doc_id = 0
+                GROUP BY term
+            ),
+            dfs AS (
+                SELECT term, count(DISTINCT doc_id) AS df FROM toks
+                WHERE term IN (SELECT term FROM doc0) GROUP BY term
+            ),
+            weighted AS (
+                SELECT d0.term,
+                       ln(1 + (s.n - dfs.df + 0.5) / (dfs.df + 0.5)) * d0.tf AS w
+                FROM doc0 d0 JOIN dfs USING (term) CROSS JOIN stats s
+                WHERE dfs.df >= 2
+            ),
+            qterms AS (SELECT term FROM weighted ORDER BY w DESC, term ASC LIMIT 10),
+            tf_q AS (
+                SELECT doc_id, term, count(*) AS tf FROM toks
+                WHERE term IN (SELECT term FROM qterms) GROUP BY doc_id, term
+            ),
+            df_q AS (
+                SELECT term, count(DISTINCT doc_id) AS df FROM toks
+                WHERE term IN (SELECT term FROM qterms) GROUP BY term
+            ),
+            scored_q AS (
+                SELECT t.doc_id,
+                       sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                           * t.tf / (t.tf + 1.2 * ((1 - 0.75) + 0.75 * q.dlq
+                                     / (CAST(s.total_len AS DOUBLE) / s.n)))) AS score
+                FROM tf_q t JOIN df_q d USING (term)
+                JOIN qdl q USING (doc_id) CROSS JOIN stats s
+                GROUP BY t.doc_id
+            ),
+            hits AS (
+                SELECT doc_id, score FROM scored_q WHERE doc_id <> 0
+                ORDER BY score DESC, doc_id ASC LIMIT 10
+            )
+            SELECT doc_id, round(score, 6) AS score FROM hits
+            ORDER BY round(score, 6) DESC, doc_id ASC
         """,
         "query_facet": """
             SELECT count(CASE WHEN o_totalprice > 300000 THEN 1 END) AS big_count,

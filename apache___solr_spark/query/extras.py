@@ -116,7 +116,7 @@ def more_like_this(
     n = engine.stats["N"]
     weighted = sorted(
         (
-            (float(bm25_idf(n, int(df_by_term[t]))) * tf, t)
+            (float(bm25_idf(n, int(df_by_term[t]), dtype=engine._dtype)) * tf, t)
             for t, tf in zip(terms, tfs)
             if int(df_by_term.get(t, 0)) >= min_doc_freq
         ),
