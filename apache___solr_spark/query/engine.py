@@ -7,10 +7,16 @@ handler/component/QueryComponent.java:970) as a DataFrame plan:
 
   postings blocks (bucket-pruned scan, term pushdown)
     -> [optional] block-max pruning against a threshold from a cheap pass
+       (pure-SHOULD term queries only — MUST / phrases / expansions make
+       the theta bound unsound, see the guard in search())
     -> vectorized decode + BM25 score (mapInPandas, numpy)
-    -> groupBy(doc_id) sum + boolean semantics (MUST count, MUST_NOT anti)
+    -> unioned with phrase frames (position intersection) and
+       dictionary-expansion frames (prefix/wildcard/fuzzy/range/synonym
+       disjunction groups, each one clause)
+    -> groupBy(doc_id) sum + boolean semantics (MUST clause count,
+       MUST_NOT anti-join, liveDocs tombstone anti-join)
     -> orderBy(score desc, doc_id asc).limit(k)    [TakeOrderedAndProject]
-    -> join docs for url.
+    -> join docs for url (two-phase fetch).
 
 Scoring: BM25 with k1=1.2, b=0.75
 (search/similarities/BM25SimilarityFactory.java:41-51):
