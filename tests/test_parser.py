@@ -1,0 +1,100 @@
+"""Pure-Python parser unit tests (no Spark): the classic grammar surface
+(solr/core/src/java/org/apache/solr/parser/QueryParser.jj)."""
+
+from __future__ import annotations
+
+import pytest
+
+from apache___solr_spark.query.parser import parse_query
+
+
+def test_default_operator_or():
+    pq = parse_query("alpha beta")
+    assert pq.should == ["alpha", "beta"] and not pq.must
+
+
+def test_and_binds_adjacent_only():
+    pq = parse_query("a1 AND b1 c1")
+    assert pq.must == ["a1", "b1"]
+    assert pq.should == ["c1"]
+
+
+def test_plus_minus_not():
+    pq = parse_query("+a1 -b1 NOT c1 d1")
+    assert pq.must == ["a1"]
+    assert sorted(pq.must_not) == ["b1", "c1"]
+    assert pq.should == ["d1"]
+
+
+def test_phrase_roles_and_slop():
+    pq = parse_query('"alpha beta" +"gamma delta" -"x1 y1"')
+    assert pq.should_phrases == [["alpha", "beta"]]
+    assert pq.must_phrases == [["gamma", "delta"]]
+    assert pq.must_not_phrases == [["x1", "y1"]]
+    with pytest.raises(NotImplementedError):
+        parse_query('"a b"~2')
+
+
+def test_single_token_phrase_is_term():
+    pq = parse_query('"alpha"')
+    assert pq.should == ["alpha"] and not pq.should_phrases
+
+
+def test_boosts():
+    pq = parse_query('alpha^2 "beta gamma"^3.5 delta')
+    assert pq.boosts["alpha"] == 2.0
+    assert pq.boosts['"beta gamma"'] == 3.5
+    assert "delta" not in pq.boosts
+
+
+def test_field_prefix():
+    pq = parse_query("text:alpha")
+    assert pq.should == ["alpha"]
+    with pytest.raises(NotImplementedError):
+        parse_query("title:alpha")
+
+
+def test_multi_term_clauses():
+    pq = parse_query("pre* w?ld fuzz~1 fuzzy~ [aa TO bb] {cc TO dd}")
+    kinds = [(c.kind, c.occur) for c in pq.expand]
+    assert kinds == [
+        ("prefix", "SHOULD"),
+        ("wildcard", "SHOULD"),
+        ("fuzzy", "SHOULD"),
+        ("fuzzy", "SHOULD"),
+        ("range", "SHOULD"),
+        ("range", "SHOULD"),
+    ]
+    assert pq.expand[0].value == "pre*"
+    assert pq.expand[2].fuzz == 1 and pq.expand[3].fuzz == 2
+    assert pq.expand[4].inclusive and not pq.expand[5].inclusive
+    assert pq.expand[4].lo == "aa" and pq.expand[4].hi == "bb"
+
+
+def test_multi_term_roles():
+    pq = parse_query("+pre* -suf* NOT mid?dle")
+    assert [(c.kind, c.occur) for c in pq.expand] == [
+        ("prefix", "MUST"),
+        ("prefix", "MUST_NOT"),
+        ("wildcard", "MUST_NOT"),
+    ]
+
+
+def test_range_star_bounds():
+    pq = parse_query("[alpha TO *]")
+    assert pq.expand[0].lo == "alpha" and pq.expand[0].hi is None
+
+
+def test_parens_unsupported():
+    with pytest.raises(NotImplementedError):
+        parse_query("(a OR b) AND c")
+
+
+def test_stopwords_vanish_from_queries():
+    pq = parse_query("the alpha")  # 'the' is a stopword in the std chain
+    assert pq.should == ["alpha"]
+
+
+def test_dedup_keeps_first():
+    pq = parse_query("alpha beta alpha")
+    assert pq.should == ["alpha", "beta"]
