@@ -797,7 +797,7 @@ def q_gather_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spellcheck candidates (SpellCheckComponent.java:90): dictionary terms
-    within levenshtein<=2 of the misspelling 'tabel', ranked by df."""
+    within levenshtein<=2 of the misspelling 'scon', ranked by df."""
     from apache___solr_spark.query.suggest import suggest_terms
 
     d = _t(spark, sf_dir, "documents")
@@ -806,7 +806,7 @@ def q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
     )
-    return suggest_terms(dictionary, "tabel", freq_col="df", limit=10)
+    return suggest_terms(dictionary, "scon", freq_col="df", limit=10)
 
 
 def q_range_facet_other(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1476,10 +1476,10 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY tok
             )
             SELECT term, df AS freq,
-                   CAST(levenshtein(term, 'tabel') AS INT) AS distance
+                   CAST(levenshtein(term, 'scon') AS INT) AS distance
             FROM dict
-            WHERE abs(length(term) - 5) <= 2
-              AND levenshtein(term, 'tabel') <= 2 AND term <> 'tabel'
+            WHERE abs(length(term) - 4) <= 2
+              AND levenshtein(term, 'scon') <= 2 AND term <> 'scon'
             ORDER BY distance ASC, freq DESC, term ASC LIMIT 10
         """,
         "range_facet_other": """
