@@ -362,6 +362,41 @@ def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact all-pairs baseline on a capped
+    subset with PLANTED near-duplicates: vec_id+100000 = embedding shifted
+    by +0.05 per element) — the LSH bucket-join variant is the scale path,
+    recall-tested in tests/."""
+    from apache___solr_spark.pipeline.similarity import embedding_near_dup_pairs
+
+    base = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 150)
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+    )
+    planted = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda v: v + F.lit(0.05)).alias("embedding"),
+    )
+    corpus = base.unionByName(planted)
+    out = embedding_near_dup_pairs(corpus, threshold=0.9, use_lsh=False)
+    return out.select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    ).orderBy("id_a", "id_b")
+
+
+def q_heatmap_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """heatmap facet (FacetHeatmap capability): 2D grid counts over
+    (l_quantity, l_discount)."""
+    from apache___solr_spark.operators import heatmap_facet
+
+    li = _t(spark, sf_dir, "lineitem")
+    return heatmap_facet(li, "l_quantity", "l_discount", 0.0, 10.0, 0.0, 0.02)
+
+
 def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rollup() stream / terms facet with stats (RollupStream.java:216):
     TPC-H Q1 shape, exact integer-cent arithmetic."""
@@ -963,6 +998,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_candidates": q_simhash,
         "cosine_topk": q_cosine_topk,
         "cosine_topk_lsh": q_cosine_topk_lsh,
+        "embedding_near_dup": q_embedding_near_dup,
+        "heatmap_facet": q_heatmap_facet,
         # relational operator layer (streaming expressions)
         "rollup_lineitem": q_rollup_lineitem,
         "inner_join_rollup": q_inner_join_rollup,
@@ -1227,6 +1264,28 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])) DESC,
                      vec_id ASC
             LIMIT 20
+        """,
+        "embedding_near_dup": """
+            WITH corpus AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id < 150
+                UNION ALL
+                SELECT vec_id + 100000 AS vec_id,
+                       list_transform(CAST(embedding AS DOUBLE[]),
+                                      x -> x + 0.05) AS v
+                FROM embeddings WHERE vec_id < 150
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+            FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+            ORDER BY id_a, id_b
+        """,
+        "heatmap_facet": """
+            SELECT CAST(floor(l_quantity / 10.0) AS BIGINT) AS x_bucket,
+                   CAST(floor(l_discount / 0.02) AS BIGINT) AS y_bucket,
+                   count(*) AS n
+            FROM lineitem GROUP BY 1, 2 ORDER BY x_bucket, y_bucket
         """,
         "rollup_lineitem": f"""
             SELECT l_returnflag, l_linestatus,

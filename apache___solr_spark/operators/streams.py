@@ -526,3 +526,25 @@ def pivot_facet(df: DataFrame, fields: Sequence[str]) -> DataFrame:
         .filter(F.col("level") > 0)
     )
     return out.orderBy("level", *cols)
+
+
+def heatmap_facet(
+    df: DataFrame,
+    x: str,
+    y: str,
+    x_start: float,
+    x_gap: float,
+    y_start: float,
+    y_gap: float,
+) -> DataFrame:
+    """heatmap facet (FacetHeatmap.java capability — spatial grid-cell
+    counting, re-expressed for any two numeric dimensions): counts on a 2D
+    grid, one aggregation pass, (x_bucket, y_bucket, n) rows for non-empty
+    cells."""
+    gx = F.floor((F.col(x) - F.lit(x_start)) / F.lit(x_gap)).cast("long")
+    gy = F.floor((F.col(y) - F.lit(y_start)) / F.lit(y_gap)).cast("long")
+    return (
+        df.groupBy(gx.alias("x_bucket"), gy.alias("y_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("x_bucket", "y_bucket")
+    )

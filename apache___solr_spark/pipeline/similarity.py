@@ -184,3 +184,54 @@ def query_ann_index(
     )
     df = spark.read.parquet(index_dir).filter(F.col("lsh_bucket").isin(probes))
     return cosine_topk_bruteforce(df, query_vec, k, meta["vec_col"], id_col)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    use_lsh: bool = True,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
+    id_a < id_b and cosine >= threshold.
+
+    use_lsh=True is the 100 TB path: candidate pairs only materialize inside
+    matching random-hyperplane buckets (one shuffle on the bucket key), then
+    the exact cosine filters them — recall is tunable via n_planes (fewer
+    planes = bigger buckets = higher recall/cost).  use_lsh=False is the
+    exact all-pairs baseline (quadratic; for capped subsets and as the
+    correctness oracle for the LSH path).
+    """
+    cos = (
+        _dot(F.col("_va"), F.col("_vb"))
+        / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+    ).alias("cosine")
+    if use_lsh:
+        dim = len(df.select(vec_col).first()[0])
+        b = lsh_bucket_ids(df, dim, n_planes, seed, vec_col)
+        left = b.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("_va"),
+            "lsh_bucket",
+        )
+        right = b.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("_vb"),
+            F.col("lsh_bucket").alias("_rb"),
+        )
+        pairs = left.join(
+            right,
+            (F.col("lsh_bucket") == F.col("_rb"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+    else:
+        left = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+        right = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+        pairs = left.join(right, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select("id_a", "id_b", cos)
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -144,3 +144,16 @@ def test_highlight_text(spark):
     )
     out = df.select(highlight_text("text", ["table"]).alias("s")).collect()[0]["s"]
     assert out == "The <em>table</em> has Tables on the <em>table</em>."
+
+
+def test_heatmap_facet(spark):
+    from apache___solr_spark.operators import heatmap_facet
+
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (1.5, 1.2), (11.0, 1.0), (1.0, 25.0)], "x double, y double"
+    )
+    got = {
+        (r["x_bucket"], r["y_bucket"], r["n"])
+        for r in heatmap_facet(df, "x", "y", 0.0, 10.0, 0.0, 10.0).collect()
+    }
+    assert got == {(0, 0, 2), (1, 0, 1), (0, 2, 1)}

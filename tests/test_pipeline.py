@@ -180,3 +180,31 @@ def test_ann_index_persists_and_prunes(spark, tmp_path):
         r["vec_id"] for r in cosine_topk_bruteforce(df, q, k=10).collect()
     }
     assert len(ids & exact) / 10 >= 0.5
+
+
+def test_embedding_near_dup_lsh_recall(spark):
+    """LSH bucket-join near-dup variant finds most of the exact pairs."""
+    from apache___solr_spark.pipeline.similarity import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((200, 16))
+    # plant 20 near-dup pairs
+    for i in range(20):
+        vecs[100 + i] = vecs[i] + 0.02 * rng.standard_normal(16)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(df, 0.95, use_lsh=False).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            df, 0.95, use_lsh=True, n_planes=6
+        ).collect()
+    }
+    assert len(exact) >= 20
+    assert approx <= exact  # no false positives (exact cosine filter)
+    assert len(approx & exact) / len(exact) >= 0.5  # recall
