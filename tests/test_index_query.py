@@ -11,6 +11,7 @@ import os
 import numpy as np
 import pyarrow.parquet as pq
 import pytest
+from pyspark.sql import functions as F
 
 from apache___solr_spark.config import IndexConfig
 from apache___solr_spark.corpus import generate_pages, generate_queries
@@ -398,3 +399,61 @@ def test_incremental_add_and_delete(spark, corpus, tmp_path_factory):
     assert all(r["doc_id"] >= N_DOCS for r in hits)
     # old corpus still searchable alongside the new segment
     assert eng3.search("web", k=5).count() == 5
+
+
+def test_optimize_equals_fresh_build(spark, corpus, tmp_path_factory):
+    """optimize() after delete+add must score identically (per url) to a
+    fresh full build over the equivalent live corpus — exact stats,
+    fresh impacts, no tombstones left (forceMerge/expungeDeletes parity)."""
+    import pyarrow as pa
+    import pyarrow.parquet as paq
+
+    from apache___solr_spark.index.updates import add_docs, delete_docs, optimize
+
+    path, table = corpus
+    out = str(tmp_path_factory.mktemp("opt") / "idx")
+    build_index(spark, path, out, cfg=CFG)
+    eng0 = SearchEngine(spark, out, cfg=CFG)
+    victims = [r["url"] for r in eng0.search("web", k=2).collect()]
+    delete_docs(spark, out, urls=victims)
+    new_pages = spark.createDataFrame(
+        [
+            ("zzopt-1", None, None, "web data qqoptuniq merge", "en"),
+            ("zzopt-2", None, None, "qqoptuniq web", "en"),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    add_docs(spark, out, new_pages, cfg=CFG)
+    stats = optimize(spark, out, cfg=CFG)
+    assert stats["N"] == N_DOCS - 2 + 2
+    assert not os.path.exists(os.path.join(out, "deletes"))
+
+    # equivalent corpus, fresh build
+    rows = [r for r in table.to_pylist() if r["url"] not in victims]
+    rows += [
+        {"url": "zzopt-1", "warc_ts": None, "html": None,
+         "text": "web data qqoptuniq merge", "lang": "en"},
+        {"url": "zzopt-2", "warc_ts": None, "html": None,
+         "text": "qqoptuniq web", "lang": "en"},
+    ]
+    fresh_dir = tmp_path_factory.mktemp("optfresh")
+    fresh_pages = str(fresh_dir / "pages.parquet")
+    paq.write_table(pa.Table.from_pylist(rows, schema=table.schema), fresh_pages)
+    fresh_idx = str(fresh_dir / "idx")
+    build_index(spark, fresh_pages, fresh_idx, cfg=CFG)
+
+    opt_eng = SearchEngine(spark, out, cfg=CFG)
+    fresh_eng = SearchEngine(spark, fresh_idx, cfg=CFG)
+    for q in ("web", "web AND data", "qqoptuniq", '"web page"'):
+        a = {
+            (r["url"], round(r["score"], 5))
+            for r in opt_eng.search(q, k=400, prune=False).collect()
+        }
+        b = {
+            (r["url"], round(r["score"], 5))
+            for r in fresh_eng.search(q, k=400, prune=False).collect()
+        }
+        assert a == b, q
+    # dictionary folded to one row per term
+    d = spark.read.parquet(os.path.join(out, "dictionary"))
+    assert d.groupBy("term").count().filter(F.col("count") > 1).count() == 0
