@@ -242,6 +242,8 @@ def _expand_oracle(idx: OracleIndex, cl, max_expansions: int = 128) -> list[str]
     import re as _re
 
     terms = idx.postings.keys()
+    if cl.kind == "group":
+        return [t for t in (cl.terms or []) if t in idx.postings]
     if cl.kind == "prefix":
         m = [t for t in terms if t.startswith(cl.value[:-1])]
     elif cl.kind == "wildcard":

@@ -345,8 +345,12 @@ class SearchEngine:
         of the constant-score rewrite — documented)."""
         import re as _re
 
-        if cl.kind == "synonym":
-            cands = [cl.value] + list(self.synonyms.get(cl.value, []))
+        if cl.kind in ("synonym", "group"):
+            cands = (
+                list(cl.terms or [])
+                if cl.kind == "group"
+                else [cl.value] + list(self.synonyms.get(cl.value, []))
+            )
             meta = self._term_meta(list(dict.fromkeys(cands)))
             return [t for t in cands if t in set(meta["term"])]
         if cl.kind == "prefix":

@@ -15,9 +15,10 @@ engine executes:
   (SolrQueryParserBase.getWildcardQuery/getPrefixQuery/getFuzzyQuery/
   getRangeQuery; expansion itself happens in the engine, which owns the
   dictionary): ``pre*`` prefix, ``w?ld*rd`` wildcard, ``term~``/``term~1``
-  fuzzy (levenshtein), ``[a TO b]`` / ``{a TO b}`` lexicographic term range.
-
-Parentheses/grouping remain unsupported and raise.
+  fuzzy (levenshtein), ``[a TO b]`` / ``{a TO b}`` lexicographic term range
+- single-level parenthesized OR groups of plain terms — ``(a b) AND c``,
+  ``+(a b)``, ``-(x y)`` — one disjunction clause per group (the common
+  grouped-boolean shape; nested parens or operators inside groups raise).
 """
 
 from __future__ import annotations
@@ -35,6 +36,7 @@ class Clause:
     occur: str  # MUST | SHOULD | MUST_NOT
     kind: str  # prefix | wildcard | fuzzy | range
     value: str = ""  # pattern / base term
+    terms: list[str] | None = None  # literal disjunction group "(a b c)"
     lo: str | None = None  # range bounds
     hi: str | None = None
     inclusive: bool = True
@@ -43,6 +45,8 @@ class Clause:
 
     @property
     def label(self) -> str:
+        if self.kind == "group":
+            return "(" + " ".join(self.terms or []) + ")"
         if self.kind == "range":
             br = "[]" if self.inclusive else "{}"
             return f"{br[0]}{self.lo} TO {self.hi}{br[1]}"
@@ -86,7 +90,7 @@ class ParsedQuery:
         )
 
 
-_UNSUPPORTED = ("(", ")")
+_UNSUPPORTED: tuple = ()
 
 # a token is either an optionally-signed quoted phrase (with optional ~slop
 # and ^boost) or a bare word
@@ -117,11 +121,25 @@ def parse_query(q: str, analyze_fn=analyze, default_field: str = "text") -> Pars
     """Parse ``q`` with the given query-time analysis function (defaults to
     the standard chain; the engine passes its index's configured analyzer so
     query analysis always matches index analysis)."""
-    for ch in _UNSUPPORTED:
-        if ch in q:
+    # single-level parenthesized OR groups: rewrite "(a b)" into one token
+    # with \x01-joined members so tokenization keeps them together
+    def _group_sub(m):
+        toks = [t for t in m.group(2).split() if t not in ("OR", "||")]
+        if not toks or any(
+            t in ("AND", "&&", "NOT")
+            or any(ch in t for ch in '()"+-~^:*?[]{}')
+            for t in toks
+        ):
             raise NotImplementedError(
-                f"query syntax {ch!r} not supported (see SURVEY.md §2.2)"
+                "only flat OR groups of plain terms are supported in parens"
             )
+        return m.group(1) + "\x01".join(toks)
+
+    q = re.sub(r"([+-]?)\(([^()]*)\)", _group_sub, q)
+    if "(" in q or ")" in q:
+        raise NotImplementedError(
+            "nested parentheses are not supported (see SURVEY.md §2.2)"
+        )
     # normalize range clauses so the whitespace in "[a TO b]" survives
     # tokenization: temporarily replace their inner spaces
     q = re.sub(
@@ -156,6 +174,27 @@ def parse_query(q: str, analyze_fn=analyze, default_field: str = "text") -> Pars
                 pending_not = True
                 continue
             word = word.replace("\x00", " ")
+            if "\x01" in word:
+                gsign = ""
+                if word.startswith("-"):
+                    gsign, word = "-", word[1:]
+                elif word.startswith("+"):
+                    gsign, word = "+", word[1:]
+                gtoks = [
+                    t for w in word.split("\x01") for t in analyze_fn(w)
+                ]
+                if gtoks:
+                    clauses.append(
+                        [
+                            occur_of(gsign),
+                            "expand",
+                            Clause(occur="", kind="group", terms=gtoks),
+                            1.0,
+                        ]
+                    )
+                pending_not = False
+                conj = None
+                continue
             wm = _WORD_RE.match(word)
             if not wm:
                 raise NotImplementedError(f"cannot parse token {word!r}")

@@ -457,3 +457,15 @@ def test_optimize_equals_fresh_build(spark, corpus, tmp_path_factory):
     # dictionary folded to one row per term
     d = spark.read.parquet(os.path.join(out, "dictionary"))
     assert d.groupBy("term").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_paren_group_queries_match_oracle(spark, built, oracle_idx):
+    """Flat OR groups in every role: (a b) AND c, +(...), -(...)."""
+    queries = [
+        "(web data) AND page",
+        "+(web data) page",
+        "page -(web data)",
+        "(web OR data) site",
+    ]
+    for q in queries:
+        _run_query_pair(spark, built, oracle_idx, q, 10, prune=True)

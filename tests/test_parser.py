@@ -85,9 +85,12 @@ def test_range_star_bounds():
     assert pq.expand[0].lo == "alpha" and pq.expand[0].hi is None
 
 
-def test_parens_unsupported():
+def test_flat_or_parens_supported_nested_not():
+    pq = parse_query("(a1 OR b1) AND c1")
+    assert pq.expand[0].kind == "group" and pq.expand[0].occur == "MUST"
+    assert pq.must == ["c1"]
     with pytest.raises(NotImplementedError):
-        parse_query("(a OR b) AND c")
+        parse_query('("a b" c) d')
 
 
 def test_stopwords_vanish_from_queries():
@@ -98,3 +101,21 @@ def test_stopwords_vanish_from_queries():
 def test_dedup_keeps_first():
     pq = parse_query("alpha beta alpha")
     assert pq.should == ["alpha", "beta"]
+
+
+def test_paren_groups():
+    pq = parse_query("(alpha beta) AND gamma")
+    assert len(pq.expand) == 1
+    g = pq.expand[0]
+    assert g.kind == "group" and g.occur == "MUST"
+    assert g.terms == ["alpha", "beta"]
+    assert pq.must == ["gamma"]
+    pq2 = parse_query("+(alpha OR beta) -(x1 y1)")
+    assert [(c.kind, c.occur) for c in pq2.expand] == [
+        ("group", "MUST"),
+        ("group", "MUST_NOT"),
+    ]
+    with pytest.raises(NotImplementedError):
+        parse_query("(a AND b) c")
+    with pytest.raises(NotImplementedError):
+        parse_query("((a b)) c")
