@@ -96,7 +96,9 @@ def oracle_search(
         excluded.update(idx.postings.get(t, {}).keys())
     exp_groups = []
     for cl in pq.expand:
-        matched = _expand_oracle(idx, cl)
+        matched = _expand_oracle(
+            idx, cl, max_expansions=None if cl.occur == "MUST_NOT" else 128
+        )
         if cl.occur == "MUST_NOT":
             for t in matched:
                 excluded.update(idx.postings[t].keys())
@@ -110,8 +112,11 @@ def oracle_search(
         return []
     for ph in pq.must_not_phrases:
         if all(t in idx.postings for t in ph):
+            sl = pq.slops.get('"' + " ".join(ph) + '"', 0)
             excluded.update(
-                d for d in _phrase_candidates(idx, ph) if _pf(idx, ph, d) > 0
+                d
+                for d in _phrase_candidates(idx, ph)
+                if _pf(idx, ph, d, slop=sl) > 0
             )
 
     k1f = np.float32(k1)
@@ -177,7 +182,7 @@ def oracle_search(
         idf = np.float32(idf_sum * float(pq.boosts.get(label, 1.0)))
         is_must = ph in pq.must_phrases
         for doc_id in _phrase_candidates(idx, ph):
-            pf = _pf(idx, ph, doc_id)
+            pf = _pf(idx, ph, doc_id, slop=pq.slops.get(label, 0))
             if pf == 0:
                 continue
             dl = np.float32(byte4_to_int(idx.norm_byte[doc_id]))
@@ -214,15 +219,159 @@ def _phrase_candidates(idx: OracleIndex, ph: list[str]) -> set[int]:
     return docs
 
 
-def _pf(idx: OracleIndex, ph: list[str], doc_id: int) -> int:
-    """Exact-adjacency phrase frequency in the post-filter token stream."""
-    cand = idx.positions[ph[0]][doc_id]
-    for i, t in enumerate(ph[1:], start=1):
-        nxt = set(idx.positions[t][doc_id])
-        cand = [p for p in cand if p + i in nxt]
-        if not cand:
-            return 0
-    return len(cand)
+def _pf(idx: OracleIndex, ph: list[str], doc_id: int, slop: int = 0) -> int:
+    """Phrase frequency in the post-filter token stream: the number of
+    first-term positions starting an increasing position chain whose span is
+    <= len(ph)-1+slop (slop=0: exact adjacency).  Greedy smallest-next per
+    start mirrors the engine's matcher exactly."""
+    import bisect
+
+    bound = len(ph) - 1 + slop
+    pf = 0
+    for p0 in idx.positions[ph[0]][doc_id]:
+        cur = p0
+        ok = True
+        for t in ph[1:]:
+            plist = idx.positions[t][doc_id]
+            j = bisect.bisect_right(plist, cur)
+            if j >= len(plist):
+                ok = False
+                break
+            cur = plist[j]
+        if ok and cur - p0 <= bound:
+            pf += 1
+    return pf
+
+
+def oracle_search_tree(
+    idx: OracleIndex,
+    query,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> list[dict]:
+    """Recursive BooleanQuery-tree oracle (golden semantics for
+    SearchEngine._search_tree): each node yields {doc_id: score} over its
+    MATCHING docs; a boolean node sums matching positive children, requires
+    every MUST child, and removes MUST_NOT children's docs.  Same BM25
+    arithmetic as oracle_search (float32 per-term, float64 accumulation)."""
+    from apache___solr_spark.query.parser import (
+        BoolQuery,
+        Clause,
+        PhraseNode,
+        TermNode,
+        parse_query_tree,
+    )
+
+    tree = parse_query_tree(query) if isinstance(query, str) else query
+    k1f = np.float32(k1)
+    one_minus_b = np.float32(1.0 - b)
+    bf = np.float32(b)
+    avgdlf = np.float32(idx.avgdl)
+
+    def term_scores(t: str, boost: float) -> dict[int, float]:
+        plist = idx.postings[t]
+        df = len(plist)
+        idf = np.float32(
+            float(np.float32(math.log(1.0 + (idx.n_docs - df + 0.5) / (df + 0.5))))
+            * float(boost)
+        )
+        out: dict[int, float] = {}
+        for doc_id, tf in plist.items():
+            dl = np.float32(byte4_to_int(idx.norm_byte[doc_id]))
+            cache = k1f * (one_minus_b + bf * dl / avgdlf)
+            tff = np.float32(tf)
+            out[doc_id] = float(idf * tff / (tff + cache))
+        return out
+
+    def ev(node, occur: str) -> dict[int, float] | None:
+        if isinstance(node, TermNode):
+            if node.term not in idx.postings:
+                return None
+            return term_scores(node.term, node.boost)
+        if isinstance(node, PhraseNode):
+            if any(t not in idx.postings for t in node.toks):
+                return None
+            idf_sum = 0.0
+            for t in node.toks:
+                df = len(idx.postings[t])
+                idf_sum += float(
+                    np.float32(
+                        math.log(1.0 + (idx.n_docs - df + 0.5) / (df + 0.5))
+                    )
+                )
+            idf = np.float32(idf_sum * float(node.boost))
+            out: dict[int, float] = {}
+            for doc_id in _phrase_candidates(idx, node.toks):
+                pf = _pf(idx, node.toks, doc_id, slop=node.slop)
+                if pf == 0:
+                    continue
+                dl = np.float32(byte4_to_int(idx.norm_byte[doc_id]))
+                cache = k1f * (one_minus_b + bf * dl / avgdlf)
+                pff = np.float32(pf)
+                out[doc_id] = float(idf * pff / (pff + cache))
+            return out or None
+        if isinstance(node, Clause):
+            matched = _expand_oracle(
+                idx, node, max_expansions=None if occur == "MUST_NOT" else 128
+            )
+            if not matched:
+                return None
+            out = {}
+            for t in matched:
+                for doc_id, s in term_scores(t, node.boost).items():
+                    out[doc_id] = out.get(doc_id, 0.0) + s
+            return out
+        # BoolQuery
+        acc: dict[int, float] = {}
+        nmust: dict[int, int] = {}
+        n_must = 0
+        not_sets: list[set[int]] = []
+        any_pos = False
+        for c in node.children:
+            fr = ev(c.node, c.occur)
+            if c.occur == "MUST_NOT":
+                if fr is not None:
+                    not_sets.append(set(fr))
+                continue
+            if c.occur == "MUST":
+                if fr is None:
+                    return None
+                n_must += 1
+            if fr is None:
+                continue
+            any_pos = True
+            for doc_id, s in fr.items():
+                acc[doc_id] = acc.get(doc_id, 0.0) + s
+                if c.occur == "MUST":
+                    nmust[doc_id] = nmust.get(doc_id, 0) + 1
+        if not any_pos:
+            return None
+        out = {}
+        for doc_id, s in acc.items():
+            if n_must and nmust.get(doc_id, 0) != n_must:
+                continue
+            if any(doc_id in ns for ns in not_sets):
+                continue
+            out[doc_id] = s * float(node.boost)
+        return out or None
+
+    res = ev(tree, "SHOULD")
+    if not res:
+        return []
+    hits = sorted(
+        ((np.float32(s), d) for d, s in res.items()),
+        key=lambda x: (-float(x[0]), x[1]),
+    )
+    return [
+        {
+            "rank": i + 1,
+            "doc_id": d,
+            "url": idx.url_by_doc[d],
+            "score": float(s),
+        }
+        for i, (s, d) in enumerate(hits[:k])
+    ]
 
 
 def _levenshtein(a: str, b: str) -> int:
@@ -237,7 +386,9 @@ def _levenshtein(a: str, b: str) -> int:
     return prev[-1]
 
 
-def _expand_oracle(idx: OracleIndex, cl, max_expansions: int = 128) -> list[str]:
+def _expand_oracle(
+    idx: OracleIndex, cl, max_expansions: int | None = 128
+) -> list[str]:
     """Mirror of SearchEngine._expand_clause over the oracle's dict."""
     import re as _re
 
@@ -281,4 +432,4 @@ def _expand_oracle(idx: OracleIndex, cl, max_expansions: int = 128) -> list[str]
     else:
         raise ValueError(cl.kind)
     m.sort(key=lambda t: (-len(idx.postings[t]), t))
-    return m[:max_expansions]
+    return m if max_expansions is None else m[:max_expansions]

@@ -54,7 +54,16 @@ from apache___solr_spark.config import DEFAULT_CONFIG, IndexConfig
 from apache___solr_spark.index.builder import IndexPaths, _undelta_positions
 from apache___solr_spark.index.codec import decode_vbyte, delta_decode
 from apache___solr_spark.index.smallfloat import NORM_TABLE
-from apache___solr_spark.query.parser import ParsedQuery, parse_query
+from apache___solr_spark.query.parser import (
+    BoolQuery,
+    Clause,
+    NotFlatQuery,
+    ParsedQuery,
+    PhraseNode,
+    TermNode,
+    lower_tree,
+    parse_query_tree,
+)
 
 
 def _apply_synonyms(pq: ParsedQuery, synonyms: dict[str, list[str]]) -> ParsedQuery:
@@ -189,41 +198,87 @@ def _decode_positions_fn(salt_range: int):
 
 
 def _phrase_score_fn(
-    ptoks: list[str], sum_idf: float, k1: float, b: float, avgdl: float, dtype
+    ptoks: list[str],
+    sum_idf: float,
+    k1: float,
+    b: float,
+    avgdl: float,
+    dtype,
+    slop: int = 0,
 ):
-    """mapInPandas fn over (doc_id, norm, plists): exact-adjacency phrase
-    frequency, then BM25 with tf=pf and idf=sum of constituent idfs
-    (Lucene PhraseQuery scoring: BM25Similarity sums idf over the phrase's
-    term statistics)."""
+    """mapInPandas fn over (doc_id, norm, plists): phrase frequency, then
+    BM25 with tf=pf and idf=sum of constituent idfs (Lucene PhraseQuery
+    scoring: BM25Similarity sums idf over the phrase's term statistics).
+
+    pf = number of first-term positions starting an INCREASING position
+    chain of the phrase terms whose span is <= len(ptoks)-1+slop; slop=0 is
+    exact adjacency.  (Lucene's SloppyPhraseScorer additionally allows
+    out-of-order matches at transposition cost and weights each match by
+    1/(1+distance) — documented divergence; ordered-window matching only.)
+
+    The check is batched across ALL docs of an Arrow batch: positions are
+    encoded as row_idx*2^32+pos, so one vectorized searchsorted per phrase
+    term advances every candidate chain in every doc at once — no per-doc
+    Python loop on the hot path (high-df phrase terms stay numpy-bound).
+    Greedy smallest-next is exact: it minimizes the chain end for each
+    start, so a start matches iff its greedy chain satisfies the span bound.
+    """
     norm_table = NORM_TABLE.astype(dtype)
     k1f = dtype(k1)
     one_minus_b = dtype(1.0 - b)
     bf = dtype(b)
     avgdlf = dtype(avgdl)
     idff = dtype(sum_idf)
+    shift = np.int64(32)
+    bound = np.int64(len(ptoks) - 1 + slop)
+    want = set(ptoks)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            docs, norms, pfs = [], [], []
-            for doc_id, norm, plists in zip(
-                pdf["doc_id"], pdf["norm"], pdf["plists"]
-            ):
-                by_term = {r["term"]: np.asarray(r["positions"]) for r in plists}
-                cand = by_term[ptoks[0]]
-                for i, t in enumerate(ptoks[1:], start=1):
-                    if cand.size == 0:
-                        break
-                    cand = cand[np.isin(cand + i, by_term[t])]
-                if cand.size:
-                    docs.append(doc_id)
-                    norms.append(norm)
-                    pfs.append(cand.size)
-            if docs:
-                pf = np.asarray(pfs, dtype=dtype)
-                dl = norm_table[np.asarray(norms, dtype=np.uint8)]
-                cache = k1f * (one_minus_b + bf * dl / avgdlf)
-                score = idff * pf / (pf + cache)
-                yield pd.DataFrame({"doc_id": docs, "score": score})
+            nrows = len(pdf)
+            if nrows == 0:
+                continue
+            parts: dict[str, list[np.ndarray]] = {t: [] for t in want}
+            for row_idx, plists in enumerate(pdf["plists"]):
+                enc_row = np.int64(row_idx) << shift
+                for r in plists:
+                    t = r["term"]
+                    if t in parts:
+                        parts[t].append(
+                            enc_row + np.asarray(r["positions"], dtype=np.int64)
+                        )
+            enc = {
+                t: (np.concatenate(v) if v else np.empty(0, dtype=np.int64))
+                for t, v in parts.items()
+            }
+            start = enc[ptoks[0]]
+            cur = start
+            alive = np.ones(start.shape, dtype=bool)
+            for t in ptoks[1:]:
+                arr = enc[t]
+                if arr.size == 0:
+                    alive = np.zeros(start.shape, dtype=bool)
+                    break
+                idx = np.searchsorted(arr, cur, side="right")
+                ok = idx < arr.size
+                nxt = arr[np.minimum(idx, arr.size - 1)]
+                ok &= (nxt >> shift) == (cur >> shift)  # same doc row
+                alive &= ok
+                cur = np.where(ok, nxt, cur)
+            alive &= (cur - start) <= bound
+            if not alive.any():
+                continue
+            pf_all = np.bincount(
+                (start[alive] >> shift).astype(np.int64), minlength=nrows
+            )
+            hit = np.nonzero(pf_all)[0]
+            pf = pf_all[hit].astype(dtype)
+            dl = norm_table[pdf["norm"].to_numpy()[hit].astype(np.uint8)]
+            cache = k1f * (one_minus_b + bf * dl / avgdlf)
+            score = idff * pf / (pf + cache)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy()[hit], "score": score}
+            )
 
     return run
 
@@ -336,13 +391,18 @@ class SearchEngine:
             return 0.0
         return float(rows[-1]["score"])
 
-    def _expand_clause(self, cl, max_expansions: int = 128) -> list[str]:
+    def _expand_clause(self, cl, max_expansions: int | None = 128) -> list[str]:
         """Resolve a prefix/wildcard/fuzzy/range clause against the term
         dictionary (the FST-seek analog: one scan of the small aggregated
         dictionary table, never the corpus), capped at ``max_expansions``
         terms by df desc (Lucene MultiTermQuery rewrite cap semantics;
         scoring divergence: each expansion scores with its own idf instead
-        of the constant-score rewrite — documented)."""
+        of the constant-score rewrite — documented).
+
+        ``max_expansions=None`` disables the cap — REQUIRED for MUST_NOT
+        clauses: Lucene's prohibited multi-term clauses use constant-score
+        rewrite with no term cap, so exclusion must cover every matching
+        term or prohibited docs would leak back into results."""
         import re as _re
 
         if cl.kind in ("synonym", "group"):
@@ -379,28 +439,41 @@ class SearchEngine:
                 )
         else:
             raise ValueError(f"unknown expansion kind {cl.kind!r}")
-        rows = (
+        matched = (
             self.dictionary.filter(cond)
             .groupBy("term")  # appended segments may duplicate a term's row
             .agg(F.sum("df").alias("df"))
             .orderBy(F.col("df").desc(), F.col("term").asc())
-            .limit(max_expansions)
-            .collect()
         )
-        return [r["term"] for r in rows]
+        if max_expansions is not None:
+            matched = matched.limit(max_expansions)
+        return [r["term"] for r in matched.collect()]
 
     def _phrase_frame(
-        self, ptoks: list[str], idf_by_term: dict[str, float], boost: float = 1.0
+        self,
+        ptoks: list[str],
+        idf_by_term: dict[str, float],
+        boost: float = 1.0,
+        slop: int = 0,
+        salts: list[int] | None = None,
     ) -> DataFrame:
-        """(doc_id, score) of docs matching the exact-adjacency phrase.
+        """(doc_id, score) of docs matching the phrase (``slop=0``: exact
+        adjacency; ``slop>0``: ordered window, see _phrase_score_fn).
 
         Scale shape: the scan prunes to the phrase terms' buckets AND to the
         salt ranges containing ALL constituent terms before any decode; the
         position intersection then runs only on docs carrying every term
         (count_distinct gate), which for a selective phrase is a tiny set.
         """
+        if not self.cfg.store_positions:
+            raise NotImplementedError(
+                "index built with store_positions=False; phrase queries "
+                "unavailable (rebuild with store_positions=True)"
+            )
         uniq = sorted(set(ptoks))
         blocks = self._blocks_for(uniq)
+        if salts is not None:
+            blocks = blocks.filter(F.col("salt").isin(salts))
         ok_salts = (
             blocks.groupBy("salt")
             .agg(F.count_distinct("term").alias("nt"))
@@ -433,6 +506,7 @@ class SearchEngine:
             self.cfg.bm25_b,
             self.stats["avgdl"],
             self._dtype,
+            slop=slop,
         )
         return grouped.mapInPandas(fn, schema=f"doc_id long, score {self._sql_t}")
 
@@ -451,11 +525,19 @@ class SearchEngine:
         is pruned to the salt ranges containing those ids and only their
         postings are decoded, so rescoring 100 docs never scans the corpus.
         """
-        pq = (
-            parse_query(query, analyze_fn=self._analyze)
-            if isinstance(query, str)
-            else query
-        )
+        if isinstance(query, str):
+            tree = parse_query_tree(query, analyze_fn=self._analyze)
+            try:
+                pq = lower_tree(tree)
+            except NotFlatQuery:
+                # nested boolean structure (BooleanQuery nesting,
+                # QueryParser.jj:135-172 recursive Clause/Query productions)
+                # -> the recursive evaluator
+                return self._search_tree(
+                    tree, k=k, with_url=with_url, doc_filter=doc_filter
+                )
+        else:
+            pq = query
         spark = self.spark
         if pq.is_empty:
             schema = f"rank int, doc_id long, url string, score {self._sql_t}"
@@ -468,7 +550,9 @@ class SearchEngine:
         exp_groups: list[tuple[str, str, list[str], float]] = []
         exclude_exp_terms: list[str] = []
         for cl in pq.expand:
-            matched = self._expand_clause(cl)
+            matched = self._expand_clause(
+                cl, max_expansions=None if cl.occur == "MUST_NOT" else 128
+            )
             if cl.occur == "MUST_NOT":
                 exclude_exp_terms.extend(matched)
                 continue
@@ -588,6 +672,7 @@ class SearchEngine:
                     ph,
                     idf_by_term,
                     boost=float(pq.boosts.get(phrase_label(ph), 1.0)),
+                    slop=int(pq.slops.get(phrase_label(ph), 0)),
                 ).select(F.lit(phrase_label(ph)).alias("term"), "doc_id", "score")
             )
         for label, _occur, matched, boost in exp_groups:
@@ -635,29 +720,37 @@ class SearchEngine:
             if any(t not in found for t in ph):
                 continue  # phrase cannot match any doc -> excludes nothing
             agg = agg.join(
-                self._phrase_frame(ph, idf_by_term).select("doc_id"),
+                self._phrase_frame(
+                    ph, idf_by_term, slop=int(pq.slops.get(phrase_label(ph), 0))
+                ).select("doc_id"),
                 "doc_id",
                 "left_anti",
             )
 
+        return self._finalize(
+            agg.select("doc_id", F.col("_s").cast(self._sql_t).alias("score")),
+            k,
+            with_url,
+        )
+
+    def _finalize(self, scored: DataFrame, k: int, with_url: bool) -> DataFrame:
+        """Top-k + two-phase fields fetch (QueryComponent.java:1000): phase 1
+        ranks on the narrow (doc_id, score) via TakeOrderedAndProject; phase 2
+        fetches display fields for JUST the k winners — the isin predicate
+        prunes the docs scan by parquet row-group stats instead of joining
+        against the full table."""
         topk_rows = (
-            agg.select("doc_id", F.col("_s").cast(self._sql_t).alias("score"))
-            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .limit(k)
             .collect()
         )
-        # two-phase fields fetch (QueryComponent.java:1000): phase 1 ranks on
-        # the narrow (doc_id, score) via TakeOrderedAndProject; phase 2
-        # fetches display fields for JUST the k winners — the isin predicate
-        # prunes the docs scan by parquet row-group stats instead of joining
-        # against the full table.
         schema = (
             "rank int, doc_id long"
             + (", url string" if with_url else "")
             + f", score {self._sql_t}"
         )
         if not topk_rows:
-            return spark.createDataFrame([], schema)
+            return self.spark.createDataFrame([], schema)
         url_by_id: dict[int, str] = {}
         if with_url:
             ids = [r["doc_id"] for r in topk_rows]
@@ -673,4 +766,187 @@ class SearchEngine:
             if with_url:
                 row["url"] = url_by_id[r["doc_id"]]
             out_rows.append(row)
-        return spark.createDataFrame(out_rows, schema)
+        return self.spark.createDataFrame(out_rows, schema)
+
+    def _apply_synonyms_tree(self, tree: BoolQuery) -> BoolQuery:
+        """Tree-path analog of _apply_synonyms: a term with synonyms becomes
+        a disjunction clause; under MUST_NOT the clause excludes every
+        synonym (matching the flat path's exclusion extension)."""
+        import copy
+
+        tree = copy.deepcopy(tree)
+
+        def rw(node: BoolQuery) -> None:
+            for c in node.children:
+                if isinstance(c.node, TermNode) and c.node.term in self.synonyms:
+                    c.node = Clause(
+                        occur="",
+                        kind="synonym",
+                        value=c.node.term,
+                        boost=c.node.boost,
+                    )
+                elif isinstance(c.node, BoolQuery):
+                    rw(c.node)
+
+        rw(tree)
+        return tree
+
+    def _search_tree(
+        self,
+        tree: BoolQuery,
+        k: int = 10,
+        with_url: bool = True,
+        doc_filter: list[int] | None = None,
+    ) -> DataFrame:
+        """Recursive BooleanQuery evaluation (BooleanQuery nesting semantics,
+        QueryParser.jj:135-172): each node yields a (doc_id, score) frame of
+        MATCHING docs; a boolean node sums its matching positive children's
+        scores, requires every MUST child, requires >=1 positive match, and
+        anti-joins each MUST_NOT child.  A node whose MUST child can never
+        match short-circuits to empty; a pure-negative node matches nothing
+        (Lucene: a BooleanQuery with only prohibited clauses matches no
+        docs).
+
+        Scale shape: every leaf is a bucket- and term-pruned postings scan
+        through the same vectorized decode as the flat path; combination is
+        unions + groupBy(doc_id) (one shuffle per boolean level) + left_anti
+        joins — no driver-side evaluation, no collects before top-k.  The
+        flat path's theta pruning does not apply (MUST/nesting make it
+        unsound); salt-level doc_filter pruning still does.
+        """
+        spark = self.spark
+        empty_schema = (
+            "rank int, doc_id long"
+            + (", url string" if with_url else "")
+            + f", score {self._sql_t}"
+        )
+        if self.synonyms:
+            tree = self._apply_synonyms_tree(tree)
+
+        # resolve expansion clauses + collect every concrete term, then one
+        # dictionary lookup for all idfs
+        resolved: dict[int, list[str]] = {}
+        leaf_terms: set[str] = set()
+
+        def walk(node, occur: str) -> None:
+            if isinstance(node, TermNode):
+                leaf_terms.add(node.term)
+            elif isinstance(node, PhraseNode):
+                leaf_terms.update(node.toks)
+            elif isinstance(node, Clause):
+                cap = None if occur == "MUST_NOT" else 128
+                resolved[id(node)] = self._expand_clause(node, max_expansions=cap)
+                leaf_terms.update(resolved[id(node)])
+            elif isinstance(node, BoolQuery):
+                for c in node.children:
+                    walk(c.node, c.occur)
+
+        walk(tree, "SHOULD")
+        meta = self._term_meta(sorted(leaf_terms))
+        found = set(meta["term"])
+        n_docs = self.stats["N"]
+        idf_by_term = {
+            r["term"]: float(bm25_idf(n_docs, int(r["df"]), dtype=self._dtype))
+            for _, r in meta.iterrows()
+        }
+        salts = (
+            sorted({int(d) // self.cfg.salt_range for d in doc_filter})
+            if doc_filter is not None
+            else None
+        )
+
+        def blocks_of(terms: list[str]) -> DataFrame:
+            b = self._blocks_for(terms)
+            if salts is not None:
+                b = b.filter(F.col("salt").isin(salts))
+            return b
+
+        def ev(node) -> DataFrame | None:
+            """(doc_id, score) of matching docs; None == matches nothing."""
+            if isinstance(node, TermNode):
+                if node.term not in found:
+                    return None
+                return self._scored(
+                    blocks_of([node.term]),
+                    {node.term: idf_by_term[node.term] * float(node.boost)},
+                ).select("doc_id", "score")
+            if isinstance(node, PhraseNode):
+                if any(t not in found for t in node.toks):
+                    return None
+                return self._phrase_frame(
+                    node.toks,
+                    idf_by_term,
+                    boost=node.boost,
+                    slop=node.slop,
+                    salts=salts,
+                )
+            if isinstance(node, Clause):
+                matched = [t for t in resolved[id(node)] if t in found]
+                if not matched:
+                    return None
+                g = self._scored(
+                    blocks_of(matched),
+                    {t: idf_by_term[t] * float(node.boost) for t in matched},
+                )
+                # accumulate in double; the final cast to the configured
+                # score dtype happens once, just before top-k (mirrors the
+                # oracle's f64 accumulation + single final rounding)
+                return g.groupBy("doc_id").agg(F.sum("score").alias("score"))
+            # BoolQuery
+            pos_frames: list[DataFrame] = []
+            not_frames: list[DataFrame] = []
+            n_must = 0
+            for c in node.children:
+                fr = ev(c.node)
+                if c.occur == "MUST_NOT":
+                    if fr is not None:
+                        not_frames.append(fr)
+                    continue
+                if c.occur == "MUST":
+                    if fr is None:
+                        return None  # a required child can never match
+                    n_must += 1
+                    pos_frames.append(
+                        fr.select(
+                            "doc_id",
+                            F.col("score").cast("double").alias("score"),
+                            F.lit(1).alias("is_must"),
+                        )
+                    )
+                elif fr is not None:
+                    pos_frames.append(
+                        fr.select(
+                            "doc_id",
+                            F.col("score").cast("double").alias("score"),
+                            F.lit(0).alias("is_must"),
+                        )
+                    )
+            if not pos_frames:
+                return None  # pure-negative / all-absent
+            u = pos_frames[0]
+            for fr in pos_frames[1:]:
+                u = u.unionByName(fr)
+            agg = u.groupBy("doc_id").agg(
+                F.sum("score").alias("score"),
+                F.sum("is_must").alias("_nm"),
+            )
+            if n_must:
+                agg = agg.filter(F.col("_nm") == n_must)
+            agg = agg.select("doc_id", "score")
+            for nf in not_frames:
+                agg = agg.join(nf.select("doc_id").distinct(), "doc_id", "left_anti")
+            if node.boost != 1.0:
+                agg = agg.select(
+                    "doc_id", (F.col("score") * node.boost).alias("score")
+                )
+            return agg
+
+        res = ev(tree)
+        if res is None:
+            return spark.createDataFrame([], empty_schema)
+        if doc_filter is not None:
+            res = res.filter(F.col("doc_id").isin([int(d) for d in doc_filter]))
+        if self.deletes is not None:
+            res = res.join(self.deletes, "doc_id", "left_anti")
+        res = res.select("doc_id", F.col("score").cast(self._sql_t).alias("score"))
+        return self._finalize(res, k, with_url)

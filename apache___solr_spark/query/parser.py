@@ -1,24 +1,38 @@
-"""Lucene-syntax query parser: terms, boolean ops, phrases, multi-term.
+"""Lucene-syntax query parser: full recursive boolean grammar.
 
 Covers the classic Solr/Lucene grammar
-(solr/core/src/java/org/apache/solr/parser/QueryParser.jj:135-172) that the
-engine executes:
+(solr/core/src/java/org/apache/solr/parser/QueryParser.jj:135-172 — the
+recursive ``Query ::= Clause+`` / ``Clause ::= [+|-|NOT] ( Term | "(" Query
+")" ) [^boost]`` productions) that the engine executes:
 
 - bare terms (default operator OR, i.e. SHOULD)
 - ``AND`` binding its ADJACENT clauses to MUST (Lucene conjunction
   semantics: ``a AND b c`` == ``+a +b c``), ``+term``, ``-term``/``NOT``
-- quoted phrases ``"a b c"`` in any role
+- quoted phrases ``"a b c"`` in any role, with slop ``"a b"~2`` (sloppy
+  matching is ORDERED-window: an increasing position chain whose span is
+  at most ``len-1+slop``; Lucene additionally allows out-of-order matches
+  at transposition cost and weights sloppy freq by 1/(1+distance) —
+  documented divergence)
 - field prefix ``text:term`` (the engine is single-text-field; any other
   field name raises)
-- boosts ``term^2.5`` / ``"a b"^3`` (clause score multiplied)
+- boosts ``term^2.5`` / ``"a b"^3`` / ``(a b)^2`` (clause score multiplied)
 - multi-term clauses expanded against the term dictionary at query time
   (SolrQueryParserBase.getWildcardQuery/getPrefixQuery/getFuzzyQuery/
   getRangeQuery; expansion itself happens in the engine, which owns the
   dictionary): ``pre*`` prefix, ``w?ld*rd`` wildcard, ``term~``/``term~1``
   fuzzy (levenshtein), ``[a TO b]`` / ``{a TO b}`` lexicographic term range
-- single-level parenthesized OR groups of plain terms — ``(a b) AND c``,
-  ``+(a b)``, ``-(x y)`` — one disjunction clause per group (the common
-  grouped-boolean shape; nested parens or operators inside groups raise).
+- arbitrarily nested parenthesized groups — ``(a AND b) OR (c AND d)``,
+  ``+("x y" z)``, ``-(p AND (q r))`` — each group is a sub-BooleanQuery
+  clause (BooleanQuery nesting).
+
+Two surfaces:
+
+- :func:`parse_query_tree` returns the full boolean tree (:class:`BoolQuery`).
+- :func:`parse_query` lowers the tree to the flat :class:`ParsedQuery` the
+  fast engine path consumes; a tree that cannot be flattened (nested
+  operators, phrases/boosts inside groups) raises :class:`NotFlatQuery`
+  (a ``NotImplementedError``), which the engine catches to route to its
+  recursive evaluator.
 """
 
 from __future__ import annotations
@@ -29,12 +43,16 @@ from dataclasses import dataclass, field
 from apache___solr_spark.analysis.chain import analyze
 
 
+class NotFlatQuery(NotImplementedError):
+    """The query tree has structure the flat ParsedQuery cannot express."""
+
+
 @dataclass
 class Clause:
     """A multi-term (dictionary-expanded) clause."""
 
     occur: str  # MUST | SHOULD | MUST_NOT
-    kind: str  # prefix | wildcard | fuzzy | range
+    kind: str  # prefix | wildcard | fuzzy | range | group | synonym
     value: str = ""  # pattern / base term
     terms: list[str] | None = None  # literal disjunction group "(a b c)"
     lo: str | None = None  # range bounds
@@ -55,6 +73,38 @@ class Clause:
         return self.value
 
 
+# -- boolean tree nodes ------------------------------------------------------
+
+
+@dataclass
+class TermNode:
+    term: str
+    boost: float = 1.0
+
+
+@dataclass
+class PhraseNode:
+    toks: list[str]
+    slop: int = 0
+    boost: float = 1.0
+
+    @property
+    def label(self) -> str:
+        return '"' + " ".join(self.toks) + '"'
+
+
+@dataclass
+class BoolChild:
+    occur: str  # MUST | SHOULD | MUST_NOT
+    node: object  # TermNode | PhraseNode | Clause | BoolQuery
+
+
+@dataclass
+class BoolQuery:
+    children: list[BoolChild] = field(default_factory=list)
+    boost: float = 1.0
+
+
 @dataclass
 class ParsedQuery:
     must: list[str] = field(default_factory=list)
@@ -68,6 +118,9 @@ class ParsedQuery:
     must_not_phrases: list[list[str]] = field(default_factory=list)
     # clause label (term or phrase label) -> score multiplier, only when != 1
     boosts: dict[str, float] = field(default_factory=dict)
+    # phrase label -> slop, only when != 0 (two same-text phrases with
+    # different slops in one query collapse to one slop — documented edge)
+    slops: dict[str, int] = field(default_factory=dict)
     # dictionary-expanded clauses (prefix/wildcard/fuzzy/range)
     expand: list[Clause] = field(default_factory=list)
 
@@ -90,13 +143,6 @@ class ParsedQuery:
         )
 
 
-_UNSUPPORTED: tuple = ()
-
-# a token is either an optionally-signed quoted phrase (with optional ~slop
-# and ^boost) or a bare word
-_TOKEN_RE = re.compile(
-    r'([+-]?)"([^"]*)"(?:~(\d+))?(?:\^(\d+(?:\.\d+)?))?|(\S+)'
-)
 _WORD_RE = re.compile(
     r"^([+-]?)"  # sign
     r"(?:(\w+):)?"  # field
@@ -105,6 +151,7 @@ _WORD_RE = re.compile(
     r"(?:\^(\d+(?:\.\d+)?))?$"  # boost
 )
 _RANGE_RE = re.compile(r"^([\[{])(\S+) TO (\S+)([\]}])$")
+_PHRASE_RE = re.compile(r'([+-]?)"([^"]*)"(?:~(\d+))?(?:\^(\d+(?:\.\d+)?))?')
 
 
 def _dedup(xs: list[str]) -> list[str]:
@@ -117,38 +164,62 @@ def _dedup(xs: list[str]) -> list[str]:
     return out
 
 
-def parse_query(q: str, analyze_fn=analyze, default_field: str = "text") -> ParsedQuery:
-    """Parse ``q`` with the given query-time analysis function (defaults to
-    the standard chain; the engine passes its index's configured analyzer so
-    query analysis always matches index analysis)."""
-    # single-level parenthesized OR groups: rewrite "(a b)" into one token
-    # with \x01-joined members so tokenization keeps them together
-    def _group_sub(m):
-        toks = [t for t in m.group(2).split() if t not in ("OR", "||")]
-        if not toks or any(
-            t in ("AND", "&&", "NOT")
-            or any(ch in t for ch in '()"+-~^:*?[]{}')
-            for t in toks
-        ):
-            raise NotImplementedError(
-                "only flat OR groups of plain terms are supported in parens"
-            )
-        return m.group(1) + "\x01".join(toks)
+def _tokenize(q: str) -> tuple[list[str], list[tuple]]:
+    """Split ``q`` into word/paren tokens, protecting quoted phrases and
+    ``[a TO b]`` ranges from whitespace splitting.  Returns (tokens,
+    phrase records); a phrase token is ``\\x02<idx>`` into the records
+    ``(sign, body, slop, boost)``."""
+    phrases: list[tuple] = []
 
-    q = re.sub(r"([+-]?)\(([^()]*)\)", _group_sub, q)
-    if "(" in q or ")" in q:
-        raise NotImplementedError(
-            "nested parentheses are not supported (see SURVEY.md §2.2)"
+    def _stash(m: re.Match) -> str:
+        phrases.append(
+            (
+                m.group(1),
+                m.group(2),
+                int(m.group(3)) if m.group(3) else 0,
+                float(m.group(4)) if m.group(4) else 1.0,
+            )
         )
-    # normalize range clauses so the whitespace in "[a TO b]" survives
-    # tokenization: temporarily replace their inner spaces
+        return f" \x02{len(phrases) - 1} "
+
+    q = _PHRASE_RE.sub(_stash, q)
+    # protect range whitespace: "[a TO b]" -> "[a\x00TO\x00b]"
     q = re.sub(
         r"([\[{])(\S+)\s+TO\s+(\S+)([\]}])",
         lambda m: f"{m.group(1)}{m.group(2)}\x00TO\x00{m.group(3)}{m.group(4)}",
         q,
     )
-    # clause list: [occur, kind, payload, boost]
-    clauses: list[list] = []
+    # parens become standalone tokens; an occur sign stays glued to '(' and
+    # a boost stays glued to ')': "-(a b)^2" -> "-(", "a", "b", ")^2"
+    q = re.sub(r"([+-]?)\(", r" \1( ", q)
+    q = re.sub(r"\)(\^\d+(?:\.\d+)?)?", r" )\1 ", q)
+    return q.split(), phrases
+
+
+def parse_query_tree(
+    q: str, analyze_fn=analyze, default_field: str = "text"
+) -> BoolQuery:
+    """Parse ``q`` into the full boolean tree with the given query-time
+    analysis function (defaults to the standard chain; the engine passes its
+    index's configured analyzer so query analysis always matches index
+    analysis)."""
+    tokens, phrases = _tokenize(q)
+    node, i = _parse_level(tokens, 0, phrases, analyze_fn, default_field)
+    if i != len(tokens):
+        raise ValueError(f"unbalanced ')' at token {i} in query {q!r}")
+    return node
+
+
+def _parse_level(
+    tokens: list[str],
+    i: int,
+    phrases: list[tuple],
+    analyze_fn,
+    default_field: str,
+) -> tuple[BoolQuery, int]:
+    """One BooleanQuery level (Lucene's flat-clause binding: AND promotes
+    its ADJACENT clauses to MUST, no precedence).  Returns at ')' or EOF."""
+    children: list[BoolChild] = []
     pending_not = False
     conj: str | None = None
 
@@ -159,149 +230,183 @@ def parse_query(q: str, analyze_fn=analyze, default_field: str = "text") -> Pars
             else ("MUST" if (sign == "+" or conj == "AND") else "SHOULD")
         )
 
-    for m in _TOKEN_RE.finditer(q):
-        sign, body, slop, pboost, word = m.groups()
-        if word is not None:
-            if word in ("AND", "&&"):
-                if clauses and clauses[-1][0] == "SHOULD":
-                    clauses[-1][0] = "MUST"
-                conj = "AND"
-                continue
-            if word in ("OR", "||"):
-                conj = "OR"
-                continue
-            if word == "NOT":
-                pending_not = True
-                continue
-            word = word.replace("\x00", " ")
-            if "\x01" in word:
-                gsign = ""
-                if word.startswith("-"):
-                    gsign, word = "-", word[1:]
-                elif word.startswith("+"):
-                    gsign, word = "+", word[1:]
-                gtoks = [
-                    t for w in word.split("\x01") for t in analyze_fn(w)
-                ]
-                if gtoks:
-                    clauses.append(
-                        [
-                            occur_of(gsign),
-                            "expand",
-                            Clause(occur="", kind="group", terms=gtoks),
-                            1.0,
-                        ]
-                    )
-                pending_not = False
-                conj = None
-                continue
-            wm = _WORD_RE.match(word)
-            if not wm:
-                raise NotImplementedError(f"cannot parse token {word!r}")
-            sign, fld, body_w, fuzz, boost = wm.groups()
-            if fld is not None and fld != default_field:
-                raise NotImplementedError(
-                    f"unknown field {fld!r} (single-field engine; see SURVEY §1.3)"
-                )
-            boost_v = float(boost) if boost else 1.0
-            rm = _RANGE_RE.match(body_w)
-            if rm:
-                lo, hi = rm.group(2).lower(), rm.group(3).lower()
-                clauses.append(
-                    [
-                        occur_of(sign),
-                        "expand",
-                        Clause(
-                            occur="",
-                            kind="range",
-                            lo=None if lo == "*" else lo,
-                            hi=None if hi == "*" else hi,
-                            inclusive=rm.group(1) == "[",
-                            boost=boost_v,
-                        ),
-                        boost_v,
-                    ]
-                )
-            elif fuzz is not None:
-                base = body_w.lower()
-                clauses.append(
-                    [
-                        occur_of(sign),
-                        "expand",
-                        Clause(
-                            occur="",
-                            kind="fuzzy",
-                            value=base,
-                            fuzz=int(fuzz) if fuzz else 2,
-                            boost=boost_v,
-                        ),
-                        boost_v,
-                    ]
-                )
-            elif "*" in body_w or "?" in body_w:
-                kind = (
-                    "prefix"
-                    if body_w.endswith("*")
-                    and "?" not in body_w
-                    and "*" not in body_w[:-1]
-                    else "wildcard"
-                )
-                clauses.append(
-                    [
-                        occur_of(sign),
-                        "expand",
-                        Clause(
-                            occur="", kind=kind, value=body_w.lower(), boost=boost_v
-                        ),
-                        boost_v,
-                    ]
-                )
-            else:
-                toks = analyze_fn(body_w)
-                if not toks:
-                    pending_not = False
-                    conj = None
-                    continue
-                for t in toks:
-                    clauses.append([occur_of(sign), "term", t, boost_v])
-        else:
-            if slop and int(slop) > 0:
-                raise NotImplementedError(
-                    "phrase slop > 0 not supported (exact adjacency only)"
-                )
-            toks = analyze_fn(body)
-            if not toks:
-                pending_not = False
-                conj = None
-                continue
-            boost_v = float(pboost) if pboost else 1.0
-            kind = "phrase" if len(toks) > 1 else "term"
-            clauses.append(
-                [occur_of(sign), kind, toks if kind == "phrase" else toks[0], boost_v]
-            )
+    def _reset():
+        nonlocal pending_not, conj
         pending_not = False
         conj = None
 
+    while i < len(tokens):
+        tok = tokens[i]
+        i += 1
+        if tok in ("AND", "&&"):
+            if children and children[-1].occur == "SHOULD":
+                children[-1].occur = "MUST"
+            conj = "AND"
+            continue
+        if tok in ("OR", "||"):
+            conj = "OR"
+            continue
+        if tok == "NOT":
+            pending_not = True
+            continue
+        if tok.endswith("(") and tok.lstrip("+-") == "(":
+            sign = tok[0] if tok[0] in "+-" else ""
+            sub, i = _parse_level(tokens, i, phrases, analyze_fn, default_field)
+            # consume the matching ')' (with optional glued boost)
+            if i >= len(tokens) or not tokens[i].startswith(")"):
+                raise ValueError("unbalanced '(' in query")
+            close = tokens[i]
+            i += 1
+            if len(close) > 1:
+                sub.boost = float(close[2:])  # ")^2.5" -> 2.5
+            if sub.children:  # empty groups are dropped (Lucene: no clause)
+                children.append(BoolChild(occur_of(sign), sub))
+            _reset()
+            continue
+        if tok.startswith(")"):
+            i -= 1  # caller consumes the ')'
+            return BoolQuery(children=children), i
+        if tok.startswith("\x02") or (
+            tok[:1] in "+-" and tok[1:].startswith("\x02")
+        ):
+            sign = ""
+            if tok[0] in "+-":
+                sign, tok = tok[0], tok[1:]
+            psign, body, slop, boost = phrases[int(tok[1:])]
+            sign = sign or psign
+            toks = analyze_fn(body)
+            if not toks:
+                _reset()
+                continue
+            node = (
+                PhraseNode(toks=toks, slop=slop, boost=boost)
+                if len(toks) > 1
+                else TermNode(term=toks[0], boost=boost)
+            )
+            children.append(BoolChild(occur_of(sign), node))
+            _reset()
+            continue
+        word = tok.replace("\x00", " ")
+        wm = _WORD_RE.match(word)
+        if not wm:
+            raise NotImplementedError(f"cannot parse token {word!r}")
+        sign, fld, body_w, fuzz, boost = wm.groups()
+        if fld is not None and fld != default_field:
+            raise NotImplementedError(
+                f"unknown field {fld!r} (single-field engine; see SURVEY §1.3)"
+            )
+        boost_v = float(boost) if boost else 1.0
+        occur = occur_of(sign)
+        rm = _RANGE_RE.match(body_w)
+        if rm:
+            lo, hi = rm.group(2).lower(), rm.group(3).lower()
+            children.append(
+                BoolChild(
+                    occur,
+                    Clause(
+                        occur="",
+                        kind="range",
+                        lo=None if lo == "*" else lo,
+                        hi=None if hi == "*" else hi,
+                        inclusive=rm.group(1) == "[",
+                        boost=boost_v,
+                    ),
+                )
+            )
+        elif fuzz is not None:
+            children.append(
+                BoolChild(
+                    occur,
+                    Clause(
+                        occur="",
+                        kind="fuzzy",
+                        value=body_w.lower(),
+                        fuzz=int(fuzz) if fuzz else 2,
+                        boost=boost_v,
+                    ),
+                )
+            )
+        elif "*" in body_w or "?" in body_w:
+            kind = (
+                "prefix"
+                if body_w.endswith("*")
+                and "?" not in body_w
+                and "*" not in body_w[:-1]
+                else "wildcard"
+            )
+            children.append(
+                BoolChild(
+                    occur,
+                    Clause(occur="", kind=kind, value=body_w.lower(), boost=boost_v),
+                )
+            )
+        else:
+            toks = analyze_fn(body_w)
+            if not toks:
+                _reset()
+                continue
+            for t in toks:
+                children.append(BoolChild(occur, TermNode(term=t, boost=boost_v)))
+        _reset()
+    return BoolQuery(children=children), i
+
+
+def lower_tree(tree: BoolQuery) -> ParsedQuery:
+    """Flatten a depth-1 tree into the ParsedQuery the fast engine path
+    consumes.  A nested group lowers to a ``Clause(kind='group')`` only when
+    it is a pure disjunction of unboosted plain terms (the historic flat-OR
+    group); anything else raises :class:`NotFlatQuery`."""
     pq = ParsedQuery()
-    for occur, kind, payload, boost in clauses:
-        if kind == "term":
+    for ch in tree.children:
+        n = ch.node
+        if isinstance(n, TermNode):
             {"MUST": pq.must, "SHOULD": pq.should, "MUST_NOT": pq.must_not}[
-                occur
-            ].append(payload)
-            if boost != 1.0:
-                pq.boosts[payload] = boost
-        elif kind == "phrase":
+                ch.occur
+            ].append(n.term)
+            if n.boost != 1.0:
+                pq.boosts[n.term] = n.boost
+        elif isinstance(n, PhraseNode):
             {
                 "MUST": pq.must_phrases,
                 "SHOULD": pq.should_phrases,
                 "MUST_NOT": pq.must_not_phrases,
-            }[occur].append(payload)
-            if boost != 1.0:
-                pq.boosts['"' + " ".join(payload) + '"'] = boost
-        else:  # expand
-            payload.occur = occur
-            pq.expand.append(payload)
+            }[ch.occur].append(n.toks)
+            if n.boost != 1.0:
+                pq.boosts[n.label] = n.boost
+            if n.slop:
+                pq.slops[n.label] = n.slop
+        elif isinstance(n, Clause):
+            n.occur = ch.occur
+            pq.expand.append(n)
+        elif isinstance(n, BoolQuery):
+            flat_or = n.children and all(
+                isinstance(c.node, TermNode)
+                and c.node.boost == 1.0
+                and c.occur == "SHOULD"
+                for c in n.children
+            )
+            if not flat_or:
+                raise NotFlatQuery(
+                    "nested boolean structure needs the tree evaluator"
+                )
+            pq.expand.append(
+                Clause(
+                    occur=ch.occur,
+                    kind="group",
+                    terms=[c.node.term for c in n.children],
+                    boost=n.boost,
+                )
+            )
+        else:  # pragma: no cover
+            raise TypeError(f"unknown node {type(n)}")
     pq.must = _dedup(pq.must)
     pq.should = _dedup(pq.should)
     pq.must_not = _dedup(pq.must_not)
     return pq
+
+
+def parse_query(q: str, analyze_fn=analyze, default_field: str = "text") -> ParsedQuery:
+    """Parse ``q`` and lower to the flat ParsedQuery.  Raises
+    :class:`NotFlatQuery` (NotImplementedError) when the query needs the
+    recursive evaluator — ``SearchEngine.search`` handles both."""
+    return lower_tree(parse_query_tree(q, analyze_fn, default_field))

@@ -469,3 +469,92 @@ def test_paren_group_queries_match_oracle(spark, built, oracle_idx):
     ]
     for q in queries:
         _run_query_pair(spark, built, oracle_idx, q, 10, prune=True)
+
+def _run_tree_query_pair(spark, built, oracle_idx, q, k):
+    """Engine (tree or flat route — search() decides) vs the tree oracle."""
+    from apache___solr_spark.oracle import oracle_search_tree
+
+    eng = SearchEngine(spark, built, cfg=CFG)
+    got = [r.asDict() for r in eng.search(q, k=k).collect()]
+    want = oracle_search_tree(oracle_idx, q, k=k)
+    assert [g["doc_id"] for g in got] == [w["doc_id"] for w in want], q
+    for g, w in zip(got, want):
+        assert math.isclose(g["score"], w["score"], rel_tol=1e-6), (q, g, w)
+
+
+def test_nested_boolean_queries_match_oracle(spark, corpus, built, oracle_idx):
+    """Arbitrary BooleanQuery nesting (QueryParser.jj:135-172 recursive
+    Clause/Query productions): engine tree evaluator vs the tree oracle."""
+    from apache___solr_spark.analysis.chain import analyze, extract_text
+
+    _, table = corpus
+    rows = table.to_pylist()
+    toks0 = analyze(extract_text(rows[0].get("html"), rows[0].get("text")))
+    ph = f'"{toks0[3]} {toks0[4]}"'
+    queries = [
+        "(web AND data) OR (page AND site)",
+        "(web AND data) (page AND site)",          # same, implicit OR
+        "+(web AND data) page",
+        "page -(web AND data)",
+        "(web OR (data AND page)) site",
+        f"({ph} page) AND web",                     # phrase inside a group
+        "(web^2 data) page",                        # boosted term in group
+        "(web data)^2 AND page",                    # boosted group (ADVICE fix)
+        "(dat* web) AND page",                      # expansion inside group
+        "((web AND data) OR page) AND -site",
+        "(web AND zzznotaterm) OR page",            # dead MUST branch
+        "(-web -data) page",                        # pure-negative subgroup
+    ]
+    for q in queries:
+        _run_tree_query_pair(spark, built, oracle_idx, q, 10)
+
+
+def test_tree_oracle_agrees_with_flat_oracle_on_flat_queries(oracle_idx):
+    """The two oracle evaluators must agree wherever both apply."""
+    from apache___solr_spark.corpus import generate_queries
+    from apache___solr_spark.oracle import oracle_search, oracle_search_tree
+
+    for spec in generate_queries():
+        a = oracle_search(oracle_idx, spec["query"], k=spec["k"])
+        b = oracle_search_tree(oracle_idx, spec["query"], k=spec["k"])
+        assert [(r["doc_id"]) for r in a] == [(r["doc_id"]) for r in b], spec
+        for x, y in zip(a, b):
+            assert math.isclose(x["score"], y["score"], rel_tol=1e-9), spec
+
+
+def test_sloppy_phrase_queries_match_oracle(spark, corpus, built, oracle_idx):
+    """Phrase slop (ordered-window semantics: increasing position chain,
+    span <= len-1+slop; pf = matching start positions)."""
+    from apache___solr_spark.analysis.chain import analyze, extract_text
+
+    _, table = corpus
+    rows = table.to_pylist()
+    toks0 = analyze(extract_text(rows[0].get("html"), rows[0].get("text")))
+    # adjacent pair, gapped pair (distance 2), and a reversed pair
+    a, b, c = toks0[3], toks0[4], toks0[5]
+    queries = [
+        f'"{a} {b}"~1',
+        f'"{a} {c}"~1',      # needs slop >= 1 (one token between)
+        f'"{a} {c}"~3',
+        f'"{b} {a}"~2',      # reversed: ordered-window does NOT match unless
+        f'"{a} {b}"~0',      # both orders occur; still well-defined
+        f'+"{a} {c}"~2 web',
+        f'web -"{a} {c}"~2',
+        f'"{a} {b} {c}"~2',
+    ]
+    for q in queries:
+        _run_query_pair(spark, built, oracle_idx, q, 10, prune=True)
+
+
+def test_slop_widens_matches(oracle_idx):
+    """slop=0 matches are a subset of slop=2 matches for the same phrase."""
+    from apache___solr_spark.oracle import oracle_search
+
+    from apache___solr_spark.query.parser import parse_query
+
+    # find a term pair occurring at distance 2 somewhere
+    pq0 = parse_query('"web page"')
+    pq2 = parse_query('"web page"~2')
+    r0 = {h["doc_id"] for h in oracle_search(oracle_idx, pq0, k=400)}
+    r2 = {h["doc_id"] for h in oracle_search(oracle_idx, pq2, k=400)}
+    assert r0 <= r2

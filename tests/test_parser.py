@@ -5,7 +5,14 @@ from __future__ import annotations
 
 import pytest
 
-from apache___solr_spark.query.parser import parse_query
+from apache___solr_spark.query.parser import (
+    BoolQuery,
+    NotFlatQuery,
+    PhraseNode,
+    TermNode,
+    parse_query,
+    parse_query_tree,
+)
 
 
 def test_default_operator_or():
@@ -31,8 +38,9 @@ def test_phrase_roles_and_slop():
     assert pq.should_phrases == [["alpha", "beta"]]
     assert pq.must_phrases == [["gamma", "delta"]]
     assert pq.must_not_phrases == [["x1", "y1"]]
-    with pytest.raises(NotImplementedError):
-        parse_query('"a b"~2')
+    sl = parse_query('"alpha beta"~2 "gamma delta"')
+    assert sl.slops == {'"alpha beta"': 2}
+    assert sl.should_phrases == [["alpha", "beta"], ["gamma", "delta"]]
 
 
 def test_single_token_phrase_is_term():
@@ -89,8 +97,10 @@ def test_flat_or_parens_supported_nested_not():
     pq = parse_query("(a1 OR b1) AND c1")
     assert pq.expand[0].kind == "group" and pq.expand[0].occur == "MUST"
     assert pq.must == ["c1"]
-    with pytest.raises(NotImplementedError):
-        parse_query('("a b" c) d')
+    # a group containing a phrase cannot flatten -> NotFlatQuery (the
+    # engine routes these to the tree evaluator)
+    with pytest.raises(NotFlatQuery):
+        parse_query('("x1 y1" z1) d1')
 
 
 def test_stopwords_vanish_from_queries():
@@ -115,7 +125,49 @@ def test_paren_groups():
         ("group", "MUST"),
         ("group", "MUST_NOT"),
     ]
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(NotFlatQuery):
         parse_query("(a AND b) c")
-    with pytest.raises(NotImplementedError):
-        parse_query("((a b)) c")
+    with pytest.raises(NotFlatQuery):
+        parse_query("((a1 b1) AND c1) d1")
+
+
+def test_group_boost():
+    pq = parse_query("(alpha beta)^2 gamma")
+    g = pq.expand[0]
+    assert g.kind == "group" and g.boost == 2.0
+    assert g.terms == ["alpha", "beta"]
+    assert pq.should == ["gamma"]
+
+
+def test_nested_tree_structure():
+    t = parse_query_tree("(a1 AND b1) OR (c1 AND d1)")
+    assert len(t.children) == 2
+    for ch, terms in zip(t.children, (["a1", "b1"], ["c1", "d1"])):
+        assert ch.occur == "SHOULD"
+        assert isinstance(ch.node, BoolQuery)
+        assert [c.occur for c in ch.node.children] == ["MUST", "MUST"]
+        assert [c.node.term for c in ch.node.children] == terms
+
+
+def test_nested_tree_deep_and_mixed():
+    t = parse_query_tree('-(p1 AND (q1 r1)) +s1 ("x1 y1" z1)^3')
+    assert [c.occur for c in t.children] == ["MUST_NOT", "MUST", "SHOULD"]
+    neg = t.children[0].node
+    assert isinstance(neg, BoolQuery)
+    assert isinstance(neg.children[1].node, BoolQuery)
+    grp = t.children[2].node
+    assert grp.boost == 3.0
+    assert isinstance(grp.children[0].node, PhraseNode)
+    assert isinstance(grp.children[1].node, TermNode)
+
+
+def test_tree_unbalanced_parens_raise():
+    with pytest.raises(ValueError):
+        parse_query_tree("(a1 b1")
+    with pytest.raises(ValueError):
+        parse_query_tree("a1 b1)")
+
+
+def test_empty_group_dropped():
+    pq = parse_query("alpha () beta")
+    assert pq.should == ["alpha", "beta"] and not pq.expand
