@@ -49,6 +49,35 @@ def _deletes_path(index_dir: str) -> str:
     return os.path.join(index_dir, "deletes")
 
 
+def _check_cfg_digest(cfg: IndexConfig, stats: dict, op: str) -> None:
+    """Refuse to mix configs: appending/merging with a different analyzer,
+    salt_range, or token limit than the original build silently corrupts
+    search results (incompatibly-analyzed or mis-salted segments)."""
+    stored = stats.get("config_digest")
+    if stored is not None and cfg.digest() != stored:
+        raise ValueError(
+            f"{op}: IndexConfig digest {cfg.digest()} does not match the "
+            f"index's build config {stored} — pass the config the index was "
+            "built with (analyzer/salt_range/etc. must not change between "
+            "segments)"
+        )
+
+
+def _swap_dir(tmp: str, live: str) -> None:
+    """Crash-safe directory swap: every intermediate state keeps a readable
+    or trivially-recoverable index (the old data survives as <live>.bak
+    until the new data is in place — never rmtree-then-replace, which has a
+    window where the index is gone)."""
+    import shutil
+
+    bak = live + ".bak"
+    if os.path.isdir(bak):
+        shutil.rmtree(bak)
+    os.replace(live, bak)
+    os.replace(tmp, live)
+    shutil.rmtree(bak)
+
+
 def load_deletes(spark: SparkSession, index_dir: str) -> DataFrame | None:
     """Tombstoned doc_ids, or None when nothing was ever deleted."""
     p = _deletes_path(index_dir)
@@ -98,6 +127,7 @@ def add_docs(
     paths = IndexPaths(index_dir)
     with open(paths.stats) as f:
         stats = json.load(f)
+    _check_cfg_digest(cfg, stats, "add_docs")
     base_n = int(stats["N"])
 
     analyzed_new = _analyze_raw(pages, cfg)
@@ -181,9 +211,17 @@ def optimize(
     from apache___solr_spark.index.codec import decode_vbyte, delta_decode
 
     paths = IndexPaths(index_dir)
+    with open(paths.stats) as f:
+        _pre_stats = json.load(f)
+    _check_cfg_digest(cfg, _pre_stats, "optimize")
     deletes = load_deletes(spark, index_dir)
-    del_ids = (
-        {int(r["doc_id"]) for r in deletes.collect()} if deletes is not None else set()
+    # deletes ship to executors as ONE broadcast sorted numpy int64 array
+    # (Arrow collect; ~8 bytes/id — 10^7 deletes is 80 MB, not a Python set
+    # of boxed ints), probed per posting row with searchsorted.
+    dels_arr = (
+        np.sort(deletes.toPandas()["doc_id"].to_numpy(np.int64))
+        if deletes is not None
+        else np.empty(0, dtype=np.int64)
     )
 
     # fresh exact stats over the LIVE docs
@@ -196,49 +234,59 @@ def optimize(
     ).collect()[0]
     n_docs, total = int(agg["n"]), int(agg["total"] or 0)
     avgdl = (total / n_docs) if n_docs else 0.0
-    b_dels = spark.sparkContext.broadcast(del_ids)
+    b_dels = spark.sparkContext.broadcast(dels_arr)
     scorer = _Scorer(cfg, avgdl)
     salt_range = cfg.salt_range
 
     def rewrite(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        dels = b_dels.value
+        dels = b_dels.value  # sorted int64 array, shared across all batches
         for pdf in batches:
             out_rows = []
-            for _, row in pdf.iterrows():
-                base = int(row["salt"]) * salt_range
-                n = int(row["n_docs"])
+            for term, salt, n_, gaps_bin, tfs_bin, norms_bin, pos_bin, sum_tf in zip(
+                pdf["term"],
+                pdf["salt"],
+                pdf["n_docs"],
+                pdf["doc_gaps"],
+                pdf["tfs"],
+                pdf["norms"],
+                pdf["positions"],
+                pdf["sum_tf"],
+            ):
+                base = int(salt) * salt_range
+                n = int(n_)
                 ids = delta_decode(
-                    decode_vbyte(bytes(row["doc_gaps"]), n).astype(np.int64), base
+                    decode_vbyte(bytes(gaps_bin), n).astype(np.int64), base
                 )
-                tfs = decode_vbyte(bytes(row["tfs"]), n).astype(np.int64)
-                norms = np.frombuffer(bytes(row["norms"]), dtype=np.uint8)
-                pos_bin = bytes(row["positions"])
-                keep = (
-                    ~np.isin(ids, list(dels))
-                    if dels
-                    else np.ones(n, dtype=bool)
-                )
+                tfs = decode_vbyte(bytes(tfs_bin), n).astype(np.int64)
+                norms = np.frombuffer(bytes(norms_bin), dtype=np.uint8)
+                pos_bin = bytes(pos_bin)
+                if dels.size:
+                    # sorted-probe: ids is sorted, dels is sorted — a doc is
+                    # deleted iff dels[searchsorted(dels, id)] == id
+                    j = np.searchsorted(dels, ids)
+                    j_clip = np.minimum(j, dels.size - 1)
+                    keep = dels[j_clip] != ids
+                else:
+                    keep = np.ones(n, dtype=bool)
                 if not keep.any():
                     continue
                 g_pos = None
                 if pos_bin:
                     pos_abs = _undelta_positions(
-                        decode_vbyte(pos_bin, int(row["sum_tf"])).astype(np.int64),
+                        decode_vbyte(pos_bin, int(sum_tf)).astype(np.int64),
                         tfs,
                     )
                     if keep.all():
                         g_pos = pos_abs
                     else:
-                        starts = np.cumsum(tfs) - tfs
-                        sel = np.flatnonzero(keep)
-                        g_pos = np.concatenate(
-                            [pos_abs[starts[i] : starts[i] + tfs[i]] for i in sel]
-                        )
+                        # vectorized gather of kept docs' position slices
+                        mask = np.repeat(keep, tfs)
+                        g_pos = pos_abs[mask]
                 out = _encode_group_row(
                     cfg,
                     scorer,
-                    row["term"],
-                    int(row["salt"]),
+                    term,
+                    int(salt),
                     ids[keep],
                     tfs[keep],
                     norms[keep],
@@ -268,8 +316,7 @@ def optimize(
     merged.write.mode("overwrite").partitionBy("bucket").parquet(tmp_postings)
     import shutil
 
-    shutil.rmtree(paths.postings)
-    os.replace(tmp_postings, paths.postings)
+    _swap_dir(tmp_postings, paths.postings)
 
     # rebuild the dictionary from the clean postings (one row per term)
     postings2 = spark.read.parquet(paths.postings)
@@ -281,14 +328,12 @@ def optimize(
     )
     tmp_dict = paths.dictionary + ".opt"
     dictionary.write.mode("overwrite").parquet(tmp_dict)
-    shutil.rmtree(paths.dictionary)
-    os.replace(tmp_dict, paths.dictionary)
+    _swap_dir(tmp_dict, paths.dictionary)
 
     # rewrite docs without tombstones, clear the tombstone dir
     tmp_docs = paths.docs + ".opt"
     live_docs.write.mode("overwrite").parquet(tmp_docs)
-    shutil.rmtree(paths.docs)
-    os.replace(tmp_docs, paths.docs)
+    _swap_dir(tmp_docs, paths.docs)
     dp = _deletes_path(index_dir)
     if os.path.isdir(dp):
         shutil.rmtree(dp)

@@ -27,8 +27,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from apache___solr_spark.analysis.tokenizer import standard_tokenize
-
 # Fixed 64-bit mix constants (splitmix64 finalizer) — deterministic across
 # runs and machines, defined here so both Spark and any oracle agree.
 _MIX1 = np.uint64(0xBF58476D1CE4E5B9)
@@ -65,41 +63,63 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _shingle_hashes(text: str, n: int) -> np.ndarray:
-    toks = standard_tokenize((text or "").lower())
-    if len(toks) < n:
-        shingles = [" ".join(toks)] if toks else []
-    else:
-        shingles = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
-    if not shingles:
-        return np.array([np.uint64(0)], dtype=np.uint64)
-    # FNV-1a 64-bit over utf-8 bytes, then splitmix — deterministic
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        h = np.uint64(0xCBF29CE484222325)
-        for b_ in s.encode("utf-8"):
-            h = np.uint64((int(h) ^ b_) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-        out[i] = h
-    return np.unique(_splitmix64(out))
+def _shingle_hash_frame(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, hs: array<long>) — 64-bit hash of each DISTINCT n-token shingle.
+
+    Tokenization ([a-z0-9]+ lowercase — the same stream ngram_jaccard_pairs
+    uses), shingle construction, and hashing (xxhash64) all run as built-in
+    JVM column expressions: the 100 TB per-doc hot loop never enters Python.
+    Docs shorter than n tokens contribute their whole token stream as one
+    shingle; empty docs hash the empty string (all empties collide — the
+    degenerate bucket is handled by _cap_buckets downstream).
+    """
+    toks = F.array_remove(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), "")
+    t = df.select(F.col(id_col).alias("id"), toks.alias("_t"))
+    n_sh = F.greatest(F.size("_t") - F.lit(n - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), n_sh)
+    sh = F.transform(idx, lambda i: F.array_join(F.slice("_t", i, n), " "))
+    hs = F.transform(F.array_distinct(sh), lambda s: F.xxhash64(s))
+    return t.select("id", hs.alias("hs"))
+
+
+def _concat_hash_arrays(col: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Concatenate per-doc hash arrays -> (all_hashes u64, start offsets,
+    lengths).  Per-doc work is one asarray call; everything downstream is
+    batch-level numpy."""
+    arrs = [np.asarray(a, dtype=np.int64) for a in col]
+    lens = np.array([a.size for a in arrs], dtype=np.int64)
+    all_h = (
+        np.concatenate(arrs) if arrs else np.empty(0, dtype=np.int64)
+    ).view(np.uint64)
+    starts = np.zeros(len(arrs), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    return all_h, starts, lens
 
 
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int = 64, shingle_n: int = 3
 ) -> DataFrame:
-    """(id, sig: array<bigint>) — K min-hashes over n-token shingles."""
+    """(id, sig: array<bigint>) — K min-hashes over n-token shingles.
+
+    Shingling + base hashing is JVM-side (:func:`_shingle_hash_frame`); the
+    K-permutation family h_i(x) = splitmix64(x ^ seed_i) and the min-over-
+    shingles reduction run as TWO batch-level numpy ops over the whole Arrow
+    batch (outer-xor matrix + minimum.reduceat) — no per-doc inner loop.
+    """
     seeds = _splitmix64(np.arange(1, num_hashes + 1, dtype=np.uint64))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            sigs = []
-            for text in pdf[text_col]:
-                sh = _shingle_hashes(text, shingle_n)
-                # permutation family: h_i(x) = splitmix64(x ^ seed_i); min over shingles
-                mat = _splitmix64(sh[:, None] ^ seeds[None, :])
-                sigs.append(mat.min(axis=0).astype(np.int64))
-            yield pd.DataFrame({"id": pdf[id_col], "sig": sigs})
+            if len(pdf) == 0:
+                continue
+            all_h, starts, _lens = _concat_hash_arrays(pdf["hs"])
+            mat = _splitmix64(all_h[:, None] ^ seeds[None, :])
+            mins = np.minimum.reduceat(mat, starts, axis=0).astype(np.int64)
+            yield pd.DataFrame({"id": pdf["id"], "sig": list(mins)})
 
-    return df.select(id_col, text_col).mapInPandas(
+    return _shingle_hash_frame(df, text_col, id_col, shingle_n).mapInPandas(
         run, schema="id long, sig array<long>"
     )
 
@@ -202,19 +222,24 @@ def simhash_dedup_candidates(
     def fingerprint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bit_idx = np.arange(64, dtype=np.uint64)
         for pdf in batches:
-            fps = np.empty(len(pdf), dtype=np.int64)
-            for i, text in enumerate(pdf[text_col]):
-                sh = _shingle_hashes(text, shingle_n)
-                bits = (sh[:, None] >> bit_idx[None, :]) & np.uint64(1)
-                votes = (bits.astype(np.int64) * 2 - 1).sum(axis=0)
-                fp = np.uint64(0)
-                fp = np.bitwise_or.reduce(
-                    (votes > 0).astype(np.uint64) << bit_idx
-                )
-                fps[i] = np.int64(fp.astype(np.int64))
-            yield pd.DataFrame({"id": pdf[id_col], "simhash": fps})
+            if len(pdf) == 0:
+                continue
+            all_h, starts, lens = _concat_hash_arrays(pdf["hs"])
+            # batch-level bit votes: (total_shingles, 64) bit matrix, then
+            # per-doc column sums via add.reduceat — no per-doc inner loop
+            bits = ((all_h[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(
+                np.int64
+            )
+            ones = np.add.reduceat(bits, starts, axis=0)
+            votes_pos = (2 * ones) > lens[:, None]  # ones - zeros > 0
+            fps = (
+                (votes_pos.astype(np.uint64) << bit_idx[None, :])
+                .sum(axis=1, dtype=np.uint64)
+                .view(np.int64)
+            )
+            yield pd.DataFrame({"id": pdf["id"], "simhash": fps})
 
-    fps = df.select(id_col, text_col).mapInPandas(
+    fps = _shingle_hash_frame(df, text_col, id_col, shingle_n).mapInPandas(
         fingerprint, schema="id long, simhash long"
     )
     banded = fps.select(

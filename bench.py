@@ -29,6 +29,7 @@ HEADLINE = [
     "bm25_topk",
     "bm25_and_not",
     "bm25_simple_topk",
+    "bm25_simple_nested",
     "phrase_search",
     "prefix_boost_search",
     "term_stats",

@@ -82,3 +82,12 @@ def test_entry_smoke(spark):
 
 def test_oracle_keys_subset():
     assert set(ORACLES) <= set(ALL)
+
+
+def test_every_oracle_entry_inside_driver_window():
+    """The driver checks only the FIRST 50 queries() entries; every
+    oracle-backed entry must sit inside that window (rows-only entries may
+    spill past it — they carry pytest evidence instead)."""
+    first50 = set(list(ALL)[:50])
+    outside = [k for k in ORACLES if k not in first50]
+    assert outside == [], outside

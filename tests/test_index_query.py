@@ -558,3 +558,18 @@ def test_slop_widens_matches(oracle_idx):
     r0 = {h["doc_id"] for h in oracle_search(oracle_idx, pq0, k=400)}
     r2 = {h["doc_id"] for h in oracle_search(oracle_idx, pq2, k=400)}
     assert r0 <= r2
+
+
+def test_add_docs_rejects_mismatched_config(spark, corpus, built):
+    """add_docs/optimize with a different IndexConfig than the build must
+    refuse (incompatibly-analyzed or mis-salted segments would corrupt
+    results silently)."""
+    from apache___solr_spark.index.updates import add_docs, optimize
+
+    path, _ = corpus
+    other = IndexConfig(block_range=32, salt_range=64, n_buckets=8)
+    pages = spark.read.parquet(path).limit(5)
+    with pytest.raises(ValueError, match="config"):
+        add_docs(spark, built, pages, cfg=other)
+    with pytest.raises(ValueError, match="config"):
+        optimize(spark, built, cfg=other)
