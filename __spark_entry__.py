@@ -376,6 +376,35 @@ def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+_IVF_CACHE: dict[str, str] = {}
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (spherical k-means coarse quantizer) ANN over a PERSISTED
+    cell-partitioned index — the adaptive-centroid alternative to the LSH
+    index (better recall at equal probe cost on clustered embeddings;
+    upgrade path for DenseVectorField HNSW, schema/DenseVectorField.java:69).
+    Approximate by design, rows-only check; recall >= 0.9 at <= 10% of
+    partitions + partition pruning asserted in tests/test_pipeline.py."""
+    from apache___solr_spark.pipeline.similarity import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    key = os.path.abspath(sf_dir)
+    if key not in _IVF_CACHE:
+        out = os.path.join(
+            tempfile.gettempdir(),
+            "solr_spark_ivf_" + key.strip("/").replace("/", "_"),
+        )
+        build_ivf_index(e.filter(F.col("vec_id") != 0), out, n_centroids=16)
+        _IVF_CACHE[key] = out
+    hits = query_ivf_index(spark, _IVF_CACHE[key], qvec, k=20, n_probes=3)
+    return hits.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact all-pairs baseline on a capped
     subset with PLANTED near-duplicates: vec_id+100000 = embedding shifted
@@ -1057,6 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_candidates": q_minhash_lsh,
         "simhash_candidates": q_simhash,
         "cosine_topk_lsh": q_cosine_topk_lsh,
+        "ann_ivf_topk": q_ann_ivf_topk,
     }
 
 

