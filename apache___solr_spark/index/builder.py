@@ -190,30 +190,37 @@ def _analyze_raw(pages: DataFrame, cfg: IndexConfig = DEFAULT_CONFIG) -> DataFra
     )
 
 
-def _number_docs(spark: SparkSession, raw: DataFrame, n_parts: int) -> DataFrame:
+def _number_docs(
+    spark: SparkSession, raw: DataFrame, n_parts: int
+) -> tuple[DataFrame, int, int]:
     """Range shuffle of the narrow analyzed rows to assign the dense global
     doc_id = rank of url — deterministic and invariant to input partitioning
     (mirrors Lucene's stable docIDs; control-vs-distributed tests depend on
-    it).
+    it).  Returns (numbered_df, n_docs, total_len): the offsets pass already
+    scans every row, so corpus stats ride along for free and the separate
+    stage-2 stats job disappears on fresh builds.
 
     The ranged frame is persisted so the offsets pass and the numbering pass
     see the SAME partition boundaries — a separate url-only shuffle was
     tried and produced different range-sampler boundaries (caught by
-    _check_doc_id_permutation, which stays as a permanent guard)."""
+    the permutation check in build_index, which stays as a permanent
+    guard)."""
     ranged = (
         raw.repartitionByRange(n_parts, "url").sortWithinPartitions("url").persist()
     )
     counts = (
         ranged.groupBy(F.spark_partition_id().alias("pid"))
-        .count()
+        .agg(F.count(F.lit(1)).alias("count"), F.sum("doclen").alias("dl"))
         .orderBy("pid")
         .collect()
     )
     offsets = {}
     acc = 0
+    total_len = 0
     for r in counts:
         offsets[r["pid"]] = acc
         acc += r["count"]
+        total_len += int(r["dl"] or 0)
     b_offsets = spark.sparkContext.broadcast(offsets)
 
     def number(batches):  # Iterator[pa.RecordBatch] -> Iterator[pa.RecordBatch]
@@ -240,32 +247,43 @@ def _number_docs(spark: SparkSession, raw: DataFrame, n_parts: int) -> DataFrame
                 names=["url", "doc_id", "terms", "tfs", "positions", "doclen"],
             )
 
-    return ranged.mapInArrow(number, schema=ANALYZED_SCHEMA)
+    return ranged.mapInArrow(number, schema=ANALYZED_SCHEMA), acc, total_len
 
 
-def _check_doc_id_permutation(spark: SparkSession, analyzed_path: str) -> None:
-    """Assert doc_id is exactly {0..n-1}: (count, max, sum, sumsq) jointly
-    pin the multiset.  Cheap (single column scan); guards the shadow-shuffle
-    offset assumption in _number_docs."""
-    row = (
-        spark.read.parquet(analyzed_path)
-        .agg(
-            F.count("doc_id").alias("n"),
-            F.max("doc_id").alias("mx"),
-            F.sum("doc_id").alias("s"),
-            F.sum(F.col("doc_id") * F.col("doc_id")).alias("sq"),
-        )
-        .collect()[0]
+def _permutation_metrics() -> tuple:
+    """(count, max, sum, sumsq) jointly pin the multiset {0..n-1}; sum of
+    doclen rides along for stats.  sumsq runs in decimal(38,0): at 10^12
+    docs the long sum of doc_id^2 (~10^36) would wrap.  Built lazily —
+    Column construction needs the JVM gateway, which executor-side module
+    imports don't have."""
+    return (
+        F.count("doc_id").alias("n"),
+        F.max("doc_id").alias("mx"),
+        F.sum("doc_id").alias("s"),
+        F.sum(
+            F.col("doc_id").cast("decimal(38,0)")
+            * F.col("doc_id").cast("decimal(38,0)")
+        ).alias("sq"),
+        F.sum("doclen").alias("tl"),
     )
-    n = row["n"]
+
+
+def _assert_doc_id_permutation(m: dict) -> None:
+    """Assert doc_id is exactly {0..n-1} from the observed docs-write
+    metrics; guards the shadow-shuffle offset assumption in _number_docs.
+    Runs off :func:`_permutation_metrics` observed DURING the docs write —
+    no extra scan."""
+    n = int(m["n"])
     if n == 0:
         return
     want_s = n * (n - 1) // 2
     want_sq = (n - 1) * n * (2 * n - 1) // 6
-    if not (row["mx"] == n - 1 and row["s"] == want_s and row["sq"] == want_sq):
+    if not (
+        int(m["mx"]) == n - 1 and int(m["s"]) == want_s and int(m["sq"]) == want_sq
+    ):
         raise RuntimeError(
             "doc_id assignment is not a dense permutation — range boundary "
-            f"mismatch between counts and shuffle passes (n={n}, max={row['mx']})"
+            f"mismatch between counts and shuffle passes (n={n}, max={m['mx']})"
         )
 
 
@@ -632,45 +650,19 @@ def build_index(
             started_at=t0,
         )
 
-    # ---- stage 1b: dense doc_id assignment -> analyzed -------------------
-    t0 = time.time()
-    if not (resume and ckpt.stage_complete(paths.analyzed, cfg_digest, in_digest)):
-        raw = spark.read.parquet(paths.analyzed_raw)
-        analyzed = _number_docs(spark, raw, n_parts)
-        analyzed.write.mode("overwrite").parquet(paths.analyzed)
-        _check_doc_id_permutation(spark, paths.analyzed)
-        lineage = ckpt.parquet_lineage(paths.analyzed)
-        ckpt.publish_manifest(
-            paths.analyzed,
-            stage="analyzed",
-            config_digest=cfg_digest,
-            input_digest=in_digest,
-            rows=sum(p["rows"] for p in lineage),
-            partitions=lineage,
-            started_at=t0,
-        )
-    analyzed = spark.read.parquet(paths.analyzed)
+    def _write_stats(n_docs: int, total: int) -> None:
+        stats = {
+            "N": n_docs,
+            "total_len": total,
+            "avgdl": (total / n_docs) if n_docs else 0.0,
+            "config_digest": cfg_digest,
+            "input_digest": in_digest,
+        }
+        tmp = paths.stats + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(stats, f)
+        os.replace(tmp, paths.stats)
 
-    t0 = time.time()
-    if not (resume and ckpt.stage_complete(paths.docs, cfg_digest, in_digest)):
-        docs = analyzed.select("url", "doc_id", "doclen").withColumn(
-            "norm_byte", _norm_byte_udf(F.col("doclen"))
-        )
-        docs.write.mode("overwrite").parquet(paths.docs)
-        lineage = ckpt.parquet_lineage(paths.docs)
-        ckpt.publish_manifest(
-            paths.docs,
-            stage="docs",
-            config_digest=cfg_digest,
-            input_digest=in_digest,
-            rows=sum(p["rows"] for p in lineage),
-            partitions=lineage,
-            started_at=t0,
-        )
-    docs = spark.read.parquet(paths.docs)
-
-    # ---- stage 2: global stats (exact — ExactStatsCache semantics, ------
-    # solr/core/src/java/org/apache/solr/search/stats/ExactStatsCache.java)
     def _stats_reusable() -> bool:
         # like every other stage, reuse is gated on config AND input digests:
         # a rebuild with a changed config (e.g. max_token_len changes doclens)
@@ -687,22 +679,68 @@ def build_index(
             and prev.get("input_digest") == in_digest
         )
 
-    if not (resume and _stats_reusable()):
+    # ---- stage 1b: dense doc_id assignment -> analyzed -------------------
+    t0 = time.time()
+    numbered_fresh = False
+    if not (resume and ckpt.stage_complete(paths.analyzed, cfg_digest, in_digest)):
+        numbered_fresh = True
+        raw = spark.read.parquet(paths.analyzed_raw)
+        analyzed, _n_docs, _total_len = _number_docs(spark, raw, n_parts)
+        analyzed.write.mode("overwrite").parquet(paths.analyzed)
+        lineage = ckpt.parquet_lineage(paths.analyzed)
+        ckpt.publish_manifest(
+            paths.analyzed,
+            stage="analyzed",
+            config_digest=cfg_digest,
+            input_digest=in_digest,
+            rows=sum(p["rows"] for p in lineage),
+            partitions=lineage,
+            started_at=t0,
+        )
+    analyzed = spark.read.parquet(paths.analyzed)
+
+    # ---- stage 1c: docs table (+ observed stats & permutation check) -----
+    # The permutation guard and the global stats (exact — ExactStatsCache
+    # semantics, solr/core/.../search/stats/ExactStatsCache.java) both ride
+    # the docs write via df.observe(): zero extra Spark jobs where rounds
+    # 1-2 spent two full column scans.
+    t0 = time.time()
+    stats_fresh = False
+    if numbered_fresh or not (
+        resume and ckpt.stage_complete(paths.docs, cfg_digest, in_digest)
+    ):
+        from pyspark.sql import Observation
+
+        obs = Observation("docs_metrics")
+        docs = (
+            analyzed.select("url", "doc_id", "doclen")
+            .observe(obs, *_permutation_metrics())
+            .withColumn("norm_byte", _norm_byte_udf(F.col("doclen")))
+        )
+        docs.write.mode("overwrite").parquet(paths.docs)
+        m = obs.get
+        _assert_doc_id_permutation(m)
+        _write_stats(int(m["n"]), int(m["tl"] or 0))
+        stats_fresh = True
+        lineage = ckpt.parquet_lineage(paths.docs)
+        ckpt.publish_manifest(
+            paths.docs,
+            stage="docs",
+            config_digest=cfg_digest,
+            input_digest=in_digest,
+            rows=sum(p["rows"] for p in lineage),
+            partitions=lineage,
+            started_at=t0,
+        )
+    docs = spark.read.parquet(paths.docs)
+
+    # ---- stage 2: stats fallback (resume path where both stage-1 outputs
+    # were reused but stats.json is missing/stale) -------------------------
+    if not stats_fresh and not _stats_reusable():
         agg = docs.agg(
             F.count("*").alias("n"), F.sum("doclen").alias("total_len")
         ).collect()[0]
-        n_docs, total = agg["n"], int(agg["total_len"] or 0)
-        stats = {
-            "N": n_docs,
-            "total_len": total,
-            "avgdl": (total / n_docs) if n_docs else 0.0,
-            "config_digest": cfg_digest,
-            "input_digest": in_digest,
-        }
-        tmp = paths.stats + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(stats, f)
-        os.replace(tmp, paths.stats)
+        _write_stats(agg["n"], int(agg["total_len"] or 0))
     with open(paths.stats) as f:
         stats = json.load(f)
 
