@@ -490,18 +490,57 @@ def q_hash_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """leftOuterJoin() stream: every customer with order count (0 kept)."""
-    from apache___solr_spark.operators import left_outer_join, rollup
+def q_json_facet_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON Facet API (search/facet/FacetRequest.java DSL): nested
+    terms->terms with per-parent limits and named stats, lowered to one
+    groupBy per level (DuckDB-oracle-backed in tests/test_json_facet.py;
+    rows-only here — past the driver window)."""
+    from apache___solr_spark.operators.json_facet import json_facet
 
-    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    o = _t(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey"), "o_orderkey"
+    e = _t(spark, sf_dir, "events")
+    out = json_facet(
+        e,
+        {
+            "types": {
+                "type": "terms",
+                "field": "event_type",
+                "limit": 3,
+                "sort": "s desc",
+                "facet": {
+                    "s": "sum(value)",
+                    "by_user": {"type": "terms", "field": "user_id", "limit": 2},
+                },
+            }
+        },
+    )["types.by_user"]
+    return out.orderBy("event_type", F.col("count").desc(), "user_id")
+
+
+def q_expr_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-expression LANGUAGE end to end (StreamExpressionParser.java
+    + Lang.java registry): the exact string a reference user would send —
+    leftOuterJoin -> rollup(metrics) -> having(gt) -> top(sort) ->
+    select(as) — parsed and lowered to one Catalyst plan.  Subsumes the
+    left_outer_join entry (the LOJ is inside the expression)."""
+    from apache___solr_spark.expr import StreamFactory
+
+    fac = StreamFactory(spark, sf_dir=sf_dir)
+    out = fac.df(
+        "select("
+        "  top(n=20,"
+        "    having("
+        "      rollup("
+        '        leftOuterJoin(search(customer, q="*:*", fl="c_custkey,c_nationkey"),'
+        '                      search(orders, q="o_totalprice:[1000 TO *]",'
+        '                             fl="o_custkey,o_totalprice"),'
+        '                      on="c_custkey=o_custkey"),'
+        '        over="c_nationkey", sum(o_totalprice), count(*)),'
+        "      gt(count(*), 10)),"
+        '    sort="sum(o_totalprice) desc, c_nationkey asc"),'
+        '  "c_nationkey", "sum(o_totalprice) as sum_price", "count(*) as cnt")'
     )
-    j = left_outer_join(c, o, ["c_custkey"])
-    return (
-        rollup(j, ["c_custkey", "c_name"], {"n_orders": F.count("o_orderkey")})
-        .orderBy("c_custkey")
+    return out.select(
+        "c_nationkey", F.round("sum_price", 2).alias("sum_price"), "cnt"
     )
 
 
@@ -1048,7 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_lineitem": q_rollup_lineitem,
         "inner_join_rollup": q_inner_join_rollup,
         "hash_join_parts": q_hash_join_parts,
-        "left_outer_join": q_left_outer_join,
+        "expr_stream": q_expr_stream,
         "intersect": q_intersect,
         "complement": q_complement,
         "cartesian_product": q_cartesian_product,
@@ -1087,6 +1126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_candidates": q_simhash,
         "cosine_topk_lsh": q_cosine_topk_lsh,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "json_facet_nested": q_json_facet_nested,
     }
 
 
@@ -1414,10 +1454,21 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand ORDER BY p_brand
         """,
-        "left_outer_join": """
-            SELECT c.c_custkey, c.c_name, count(o.o_orderkey) AS n_orders
-            FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
-            GROUP BY c.c_custkey, c.c_name ORDER BY c.c_custkey
+        "expr_stream": """
+            WITH j AS (
+                SELECT c.c_nationkey, o.o_totalprice
+                FROM customer c LEFT JOIN (
+                    SELECT o_custkey, o_totalprice FROM orders
+                    WHERE o_totalprice >= 1000) o
+                  ON c.c_custkey = o.o_custkey
+            ), r AS (
+                SELECT c_nationkey, sum(o_totalprice) AS sum_price,
+                       count(*) AS cnt
+                FROM j GROUP BY c_nationkey
+            )
+            SELECT c_nationkey, round(sum_price, 2) AS sum_price, cnt
+            FROM r WHERE cnt > 10
+            ORDER BY sum_price DESC, c_nationkey ASC LIMIT 20
         """,
         "intersect": """
             SELECT c_custkey, c_mktsegment FROM customer

@@ -199,3 +199,137 @@ def regress(df: DataFrame, x: str, y: str) -> DataFrame:
         F.regr_intercept(y, x).alias("intercept"),
         F.corr(x, y).alias("r"),
     )
+
+
+# ---- normalization / transform evaluators -----------------------------------
+
+def zscores(arr: Column) -> Column:
+    """ZScoresEvaluator (NormalizeEvaluator): (x - mean) / stddev over an
+    array column.  Sample stddev (n-1), matching Commons-Math
+    StandardDeviation used by the reference."""
+    n = F.size(arr)
+    mean = F.aggregate(
+        arr, F.lit(0.0), lambda acc, x: acc + x, lambda acc: acc / n
+    )
+    var = F.aggregate(
+        arr,
+        F.lit(0.0),
+        lambda acc, x: acc + (x - mean) * (x - mean),
+        lambda acc: acc / (n - F.lit(1)),
+    )
+    sd = F.sqrt(var)
+    return F.transform(arr, lambda x: (x - mean) / sd)
+
+
+def min_max_scale(arr: Column, lo: float = 0.0, hi: float = 1.0) -> Column:
+    """MinMaxScaleEvaluator: rescale array values into [lo, hi]."""
+    mn, mx = F.array_min(arr), F.array_max(arr)
+    span = mx - mn
+    return F.transform(
+        arr,
+        lambda x: F.when(span == 0, F.lit(lo)).otherwise(
+            (x - mn) / span * (F.lit(hi) - F.lit(lo)) + F.lit(lo)
+        ),
+    )
+
+
+def unitize(arr: Column) -> Column:
+    """UnitEvaluator: scale an array to unit L2 norm."""
+    norm = F.sqrt(
+        F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return F.transform(arr, lambda x: x / norm)
+
+
+def log10_arr(arr: Column) -> Column:
+    """Log10Evaluator over arrays."""
+    return F.transform(arr, lambda x: F.log10(x))
+
+
+def recip(arr: Column) -> Column:
+    """RecipEvaluator: element-wise 1/x."""
+    return F.transform(arr, lambda x: F.lit(1.0) / x)
+
+
+def finite_diff(arr: Column) -> Column:
+    """DiffEvaluator: first finite difference (len n-1)."""
+    tail = F.slice(arr, 2, F.size(arr) - 1)
+    head = F.slice(arr, 1, F.size(arr) - 1)
+    return F.zip_with(tail, head, lambda a, b: a - b)
+
+
+def lerp(xs: Column, ys: Column, points: Column) -> Column:
+    """LerpEvaluator: piecewise-linear interpolation of each point against
+    the (xs, ys) curve (xs ascending).  All JVM higher-order functions —
+    for each query point, locate the bracketing segment and interpolate."""
+    n = F.size(xs)
+
+    def one(p: Column) -> Column:
+        # rightmost index i with xs[i] <= p (1-based via filter+size)
+        idx = F.size(F.filter(xs, lambda x: x <= p))
+        i = F.greatest(F.least(idx, n - F.lit(1)), F.lit(1))
+        x0, x1 = F.element_at(xs, i), F.element_at(xs, i + 1)
+        y0, y1 = F.element_at(ys, i), F.element_at(ys, i + 1)
+        return y0 + (p - x0) * (y1 - y0) / (x1 - x0)
+
+    return F.transform(points, one)
+
+
+def harmonic_mean(arr: Column) -> Column:
+    """HarmonicMeanEvaluator."""
+    return F.size(arr) / F.aggregate(
+        arr, F.lit(0.0), lambda acc, x: acc + F.lit(1.0) / x
+    )
+
+
+def geometric_mean(arr: Column) -> Column:
+    """GeometricMeanEvaluator (via mean of logs, Commons-Math semantics)."""
+    return F.exp(
+        F.aggregate(
+            arr,
+            F.lit(0.0),
+            lambda acc, x: acc + F.log(x),
+            lambda acc: acc / F.size(arr),
+        )
+    )
+
+
+def exp_moving_avg(arr: Column, window: int) -> Column:
+    """ExponentialMovingAverageEvaluator: EMA with alpha = 2/(window+1),
+    seeded with the mean of the first `window` values (the reference's
+    TradingView-style seeding), emitting len(arr) - window + 1 values."""
+    alpha = 2.0 / (window + 1)
+    seed = F.aggregate(
+        F.slice(arr, 1, window), F.lit(0.0), lambda a, x: a + x
+    ) / F.lit(float(window))
+    rest = F.slice(arr, window + 1, F.greatest(F.size(arr) - window, F.lit(0)))
+    return F.aggregate(
+        rest,
+        F.array(seed),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.element_at(acc, -1) * (1.0 - alpha) + x * F.lit(alpha)
+            ),
+        ),
+    )
+
+
+def rank_transform(arr: Column) -> Column:
+    """RankEvaluator: 1-based ranks of array values (average-free, ties
+    broken by first occurrence like Commons-Math NaturalRanking MINIMAL)."""
+    return F.transform(
+        arr, lambda x: F.size(F.filter(arr, lambda y: y < x)) + F.lit(1)
+    )
+
+
+def outliers_iqr(df: DataFrame, col: str, k: float = 1.5) -> DataFrame:
+    """OutliersEvaluator-shaped helper: rows outside [Q1-k*IQR, Q3+k*IQR].
+    Quartiles come from one exact-percentile agg, broadcast into the scan."""
+    q = df.agg(
+        F.expr(f"percentile({col}, 0.25)").alias("q1"),
+        F.expr(f"percentile({col}, 0.75)").alias("q3"),
+    ).collect()[0]
+    lo = q["q1"] - k * (q["q3"] - q["q1"])
+    hi = q["q3"] + k * (q["q3"] - q["q1"])
+    return df.filter((F.col(col) < lo) | (F.col(col) > hi))

@@ -53,6 +53,9 @@ HEADLINE = [
     "relatedness",
     "highlight",
     "pivot_facet",
+    "expr_stream",
+    "json_facet_nested",
+    "ann_ivf_topk",
 ]
 
 

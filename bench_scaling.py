@@ -75,7 +75,10 @@ def run_level(cores: int, pages_path: str) -> dict:
 
 
 def main() -> None:
+    import time
+
     from apache___solr_spark.corpus import write_pages_parquet
+    from bench_ceiling import run as ceiling_run
 
     repeats = int(os.environ.get("SCALING_REPEATS", "2"))
     work = tempfile.mkdtemp(prefix="scaling_corpus_")
@@ -85,20 +88,36 @@ def main() -> None:
     # interleave the levels and take the best sample per level: this sandbox
     # has noisy neighbors (same code swings 2-3x run to run), and best-of
     # approximates the uncontended machine that the efficiency criterion is
-    # about.  All samples are reported for honesty.
+    # about.  All samples are reported for honesty.  The hardware-ceiling
+    # calibration (plain multiprocessing over the same analysis chain, no
+    # Spark) runs IN THE SAME SESSION, interleaved with the Spark levels, so
+    # the ceiling-normalized efficiency compares like with like.
     samples: dict[int, list[dict]] = {8: [], 32: []}
+    ceil_samples: dict[int, list[float]] = {8: [], 32: []}
     for _ in range(repeats):
         for cores in (8, 32):
+            ceil_samples[cores].append(round(ceiling_run(cores), 2))
             samples[cores].append(run_level(cores, pages))
     r8 = min(samples[8], key=lambda r: r["build_sec"])
     r32 = min(samples[32], key=lambda r: r["build_sec"])
     eff = (r32["docs_per_sec"] / r8["docs_per_sec"]) / 4.0
+    ceiling = max(ceil_samples[32]) / max(ceil_samples[8]) / 4.0
     result = {
         "N=local[8]": r8,
         "4N=local[32]": r32,
         "scaling_efficiency": round(eff, 3),
+        "hw_ceiling_efficiency": round(ceiling, 3),
+        "ceiling_normalized_efficiency": round(eff / ceiling, 3),
+        "ceiling_samples_tasks_per_sec": {
+            str(k): v for k, v in ceil_samples.items()
+        },
         "all_samples": {str(k): v for k, v in samples.items()},
-        "method": "best-of interleaved samples (noisy shared sandbox)",
+        "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "method": (
+            "best-of interleaved samples (noisy shared sandbox); ceiling = "
+            "same-session multiprocessing.Pool over the engine analysis "
+            "chain (no Spark), best-of, same 8-vs-32 worker ratio"
+        ),
     }
     print(json.dumps(result, indent=2))
 

@@ -1,0 +1,249 @@
+"""Streaming-expression language: parser units + lowering equivalence.
+
+The lowering tests run each expression through StreamFactory and compare
+against the hand-built DataFrame plan over the same sf0.001 tables —
+the same "expression string a reference user runs today" contract the
+reference's StreamExpressionToExpessionTest / StreamingTest pin."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache___solr_spark.expr import StreamFactory, parse_expression
+from apache___solr_spark.expr.parser import NamedParam, StreamExpression
+
+
+# ---- parser (no Spark) -------------------------------------------------------
+
+
+def test_parse_nested_named_and_positional():
+    e = parse_expression(
+        'top(n=5, rollup(search(orders, q="*:*"), over="k", sum(v)), sort="sum(v) desc")'
+    )
+    assert e.name == "top"
+    assert e.named("n") == "5"
+    ru = e.sub_expressions()[0]
+    assert ru.name == "rollup" and ru.named("over") == "k"
+    assert [s.name for s in ru.sub_expressions()] == ["search", "sum"]
+    assert ru.sub_expressions()[0].positionals() == ["orders"]
+
+
+def test_parse_quotes_commas_escapes_comments():
+    e = parse_expression('# a comment\nselect(echo("a, (b)=c \\" d"), "x as y")')
+    inner = e.sub_expressions()[0]
+    assert inner.params == ['a, (b)=c " d']
+    assert e.positionals()[1] == "x as y"
+
+
+def test_parse_named_param_holding_expression():
+    e = parse_expression('hashJoin(search(a), hashed=search(b), on="k")')
+    hp = e.named("hashed")
+    assert isinstance(hp, StreamExpression) and hp.name == "search"
+    assert isinstance(e.params[1], NamedParam)
+
+
+def test_parse_rejects_garbage():
+    with pytest.raises(ValueError):
+        parse_expression("not an expression")
+    with pytest.raises(ValueError):
+        parse_expression("f(a))(")
+
+
+# ---- lowering ---------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def factory(spark, sf_dir):
+    return StreamFactory(spark, sf_dir=sf_dir)
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_search_q_fl_sort_rows(factory, spark, sf_dir):
+    got = factory.df(
+        'search(orders, q="o_totalprice:[200000 TO *]", '
+        'fl="o_orderkey,o_totalprice", sort="o_totalprice desc, o_orderkey asc", rows=15)'
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    want = (
+        o.filter(F.col("o_totalprice") >= 200000)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(15)
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_q_exclusive_range_negation_and_in_group(factory, spark, sf_dir):
+    got = factory.df(
+        'search(orders, q="o_totalprice:{100000 TO 200000} -o_orderpriority:1-URGENT '
+        'o_orderstatus:(O F)", fl="o_orderkey", sort="o_orderkey asc")'
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    want = (
+        o.filter(
+            (F.col("o_totalprice") > 100000)
+            & (F.col("o_totalprice") < 200000)
+            & ~(F.col("o_orderpriority") == "1-URGENT")
+            & F.col("o_orderstatus").isin("O", "F")
+        )
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_rollup_having_top_select_composite(factory, spark, sf_dir):
+    got = factory.df(
+        "select("
+        "  top(n=10,"
+        "    having("
+        "      rollup("
+        '        leftOuterJoin(search(customer, q="*:*", fl="c_custkey,c_nationkey"),'
+        '                      search(orders, q="*:*", fl="o_custkey,o_totalprice"),'
+        '                      on="c_custkey=o_custkey"),'
+        '        over="c_nationkey", sum(o_totalprice), count(*)),'
+        "      gt(count(*), 10)),"
+        '    sort="sum(o_totalprice) desc, c_nationkey asc"),'
+        '  "c_nationkey", "sum(o_totalprice) as sum_price", "count(*) as cnt")'
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    want = (
+        c.join(o, ["c_custkey"], "left_outer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum("o_totalprice").alias("sum_price"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .filter(F.col("cnt") > 10)
+        .orderBy(F.col("sum_price").desc(), F.col("c_nationkey").asc())
+        .limit(10)
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_facet_buckets_sorts_limit(factory, spark, sf_dir):
+    got = factory.df(
+        'facet(events, q="*:*", buckets="event_type", '
+        'bucketSorts="sum(value) desc", bucketSizeLimit=3, sum(value), count(*))'
+    )
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = (
+        e.groupBy("event_type")
+        .agg(F.sum("value").alias("s"), F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("s").desc(), F.col("event_type").asc())
+        .limit(3)
+    )
+    assert [r[0] for r in got.collect()] == [r[0] for r in want.collect()]
+
+
+def test_hash_join_broadcasts(factory, spark, sf_dir):
+    got = factory.df(
+        'hashJoin(search(orders, q="*:*", fl="o_custkey,o_orderkey"), '
+        'hashed=search(customer, q="*:*", fl="c_custkey,c_mktsegment"), '
+        'on="o_custkey=c_custkey")'
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    assert got.count() == o.count()
+
+
+def test_intersect_complement_partition(factory, spark, sf_dir):
+    both = factory.df(
+        'intersect(search(customer, q="*:*", fl="c_custkey"), '
+        'search(orders, q="*:*", fl="o_custkey"), on="c_custkey=o_custkey")'
+    ).count()
+    neither = factory.df(
+        'complement(search(customer, q="*:*", fl="c_custkey"), '
+        'search(orders, q="*:*", fl="o_custkey"), on="c_custkey=o_custkey")'
+    ).count()
+    total = factory.df('search(customer, q="*:*", fl="c_custkey")').count()
+    assert both + neither == total and both > 0
+
+
+def test_merge_unique_stats(factory, spark, sf_dir):
+    got = factory.df(
+        'stats(unique(merge(search(orders, q="o_orderstatus:O", fl="o_custkey"), '
+        'search(orders, q="o_orderstatus:F", fl="o_custkey")), over="o_custkey"), '
+        "count(*), countDist(o_custkey))"
+    ).collect()[0]
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    want = (
+        o.filter(F.col("o_orderstatus").isin("O", "F"))
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert got["count(*)"] == want and got["countDist(o_custkey)"] == want
+
+
+def test_timeseries_gap(factory, spark, sf_dir):
+    got = factory.df(
+        'timeseries(events, q="*:*", field="ts", gap="+1DAY", count(*), avg(value))'
+    )
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = (
+        e.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.col("w.start").alias("ws"), "c")
+        .orderBy("ws")
+    )
+    assert [(r[0], r[1]) for r in got.select("window_start", "count(*)").collect()] == [
+        (r[0], r[1]) for r in want.collect()
+    ]
+
+
+def test_null_echo_tuple_cartesian(factory, spark):
+    n = factory.df('null(search(region, q="*:*"))').collect()[0]["nullCount"]
+    assert n == factory.df('search(region, q="*:*")').count()
+    assert factory.df('echo("hi")').collect()[0]["echo"] == "hi"
+    t = factory.df("tuple(a=1, b=2.5, c=x)").collect()[0]
+    assert (t["a"], t["b"], t["c"]) == (1, 2.5, "x")
+    f2 = StreamFactory(
+        spark,
+        tables={"arr": spark.createDataFrame([(1, [10, 20])], "id int, vs array<int>")},
+    )
+    rows = f2.df('cartesianProduct(search(arr, q="*:*"), vs)').collect()
+    assert sorted(r["vs"] for r in rows) == [10, 20]
+
+
+def test_unknown_function_raises(factory):
+    with pytest.raises(NotImplementedError):
+        factory.df("frobnicate(search(orders))")
+    with pytest.raises(ValueError):
+        factory.df('search(orders, q="free text without field")')
+
+
+def test_let_get_knn(factory, spark, sf_dir):
+    got = factory.df(
+        'let(a=search(orders, q="o_totalprice:[300000 TO *]", fl="o_custkey"), '
+        "rollup(get(a), over=o_custkey, count(*)))"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    want = (
+        o.filter(F.col("o_totalprice") >= 300000)
+        .groupBy("o_custkey")
+        .count()
+    )
+    assert got.count() == want.count()
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    qv = ",".join(["0.1"] * dim)
+    knn = factory.df(
+        f'knnSearch(embeddings, q="*:*", vec="[{qv}]", k=5)'
+    ).collect()
+    assert len(knn) == 5
+    plan = factory.df(
+        f'knnSearch(embeddings, q="*:*", vec="[{qv}]", k=5)'
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -227,3 +227,53 @@ def test_stream_evaluators(spark):
     assert [(x["bin"], x["count"]) for x in h] == [(0, 1), (1, 2)]
     p = E.percentile_eval(data, "x", 0.5).collect()[0]["percentile"]
     assert p == 2.5
+
+
+def test_stream_evaluators_round3(spark):
+    """Round-3 evaluator families: normalization, interpolation, means,
+    EMA, ranks, diffs, IQR outliers — numpy-checked."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from apache___solr_spark.functions import evaluators as E
+
+    a = [1.0, 2.0, 3.0, 4.0]
+    df = spark.createDataFrame([(a,)], "a array<double>")
+    row = df.select(
+        E.zscores(F.col("a")).alias("z"),
+        E.min_max_scale(F.col("a")).alias("mm"),
+        E.unitize(F.col("a")).alias("u"),
+        E.finite_diff(F.col("a")).alias("d"),
+        E.harmonic_mean(F.col("a")).alias("hm"),
+        E.geometric_mean(F.col("a")).alias("gm"),
+        E.exp_moving_avg(F.col("a"), 2).alias("ema"),
+        E.rank_transform(F.col("a")).alias("rk"),
+        E.log10_arr(F.col("a")).alias("lg"),
+        E.recip(F.col("a")).alias("rc"),
+    ).collect()[0]
+    arr = np.array(a)
+    want_z = (arr - arr.mean()) / arr.std(ddof=1)
+    assert np.allclose(row["z"], want_z)
+    assert row["mm"] == [0.0, 1.0 / 3, 2.0 / 3, 1.0]
+    assert np.allclose(row["u"], arr / np.linalg.norm(arr))
+    assert row["d"] == [1.0, 1.0, 1.0]
+    assert abs(row["hm"] - 4 / (1 + 0.5 + 1 / 3 + 0.25)) < 1e-12
+    assert abs(row["gm"] - float(np.prod(arr) ** 0.25)) < 1e-12
+    # EMA alpha=2/3, seed=mean([1,2])=1.5: 1.5, 1.5/3+3*2/3=2.5, 2.5/3+4*2/3=3.5
+    assert np.allclose(row["ema"], [1.5, 2.5, 3.5])
+    assert row["rk"] == [1, 2, 3, 4]
+    assert np.allclose(row["lg"], np.log10(arr))
+    assert np.allclose(row["rc"], 1.0 / arr)
+
+    pts = spark.createDataFrame(
+        [([0.0, 10.0, 20.0], [0.0, 100.0, 50.0], [5.0, 15.0, 10.0])],
+        "xs array<double>, ys array<double>, p array<double>",
+    )
+    got = pts.select(E.lerp(F.col("xs"), F.col("ys"), F.col("p")).alias("v")).collect()[0]["v"]
+    assert got == [50.0, 75.0, 100.0]
+
+    data = spark.createDataFrame(
+        [(float(v),) for v in [1, 2, 3, 4, 5, 6, 7, 8, 100]], "x double"
+    )
+    outs = E.outliers_iqr(data, "x").collect()
+    assert [r["x"] for r in outs] == [100.0]

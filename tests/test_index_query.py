@@ -573,3 +573,59 @@ def test_add_docs_rejects_mismatched_config(spark, corpus, built):
         add_docs(spark, built, pages, cfg=other)
     with pytest.raises(ValueError, match="config"):
         optimize(spark, built, cfg=other)
+
+
+def test_localparams_dispatch(spark, corpus, built):
+    """QParser local-params front-end ({!type k=v}rest, QueryParsing.java)
+    vs the equivalent direct engine calls."""
+    from apache___solr_spark.query.localparams import (
+        dispatch_query,
+        parse_local_params,
+    )
+    from apache___solr_spark.query.parser import ParsedQuery
+
+    ptype, params, rest = parse_local_params('{!term f=text}web')
+    assert (ptype, params, rest) == ("term", {"f": "text"}, "web")
+    ptype, params, rest = parse_local_params('{!bool must="web data" must_not=merge}')
+    assert ptype == "bool" and params["must"] == "web data"
+    assert parse_local_params("plain query")[0] is None
+
+    eng = SearchEngine(spark, built, cfg=CFG)
+
+    def ids(df):
+        return [r["doc_id"] for r in df.collect()]
+
+    # {!lucene} == default grammar
+    assert ids(dispatch_query(eng, "{!lucene}web data", k=10)) == ids(
+        eng.search("web data", k=10)
+    )
+    # {!term}: raw indexed term, no analysis
+    assert ids(dispatch_query(eng, "{!term f=text}web", k=10)) == ids(
+        eng.search(ParsedQuery(must=["web"]), k=10)
+    )
+    # {!field}: analyzed; multi-token value becomes a phrase
+    got = dispatch_query(eng, "{!field f=text}Web Data", k=10)
+    toks = eng._analyze("Web Data")
+    want = eng.search(ParsedQuery(must_phrases=[toks]), k=10)
+    assert ids(got) == ids(want)
+    # {!prefix}: raw prefix expansion
+    assert ids(dispatch_query(eng, "{!prefix f=text}dat", k=10)) == ids(
+        eng.search("dat*", k=10)
+    )
+    # {!bool}: clause composition through the recursive grammar
+    assert ids(
+        dispatch_query(eng, '{!bool must="web" must_not="merge"}', k=10)
+    ) == ids(eng.search("+(web) -(merge)", k=10))
+    # {!boost}: constant multiplier scales scores, keeps ranks
+    base = eng.search("web data", k=10).collect()
+    boosted = dispatch_query(eng, "{!boost b=2}web data", k=10).collect()
+    assert [r["doc_id"] for r in base] == [r["doc_id"] for r in boosted]
+    assert all(
+        abs(b["score"] - 2 * a["score"]) < 5e-5 * max(1.0, abs(a["score"]))
+        for a, b in zip(base, boosted)
+    )
+    # table-shaped parsers point at the DataFrame combinators
+    with pytest.raises(NotImplementedError):
+        dispatch_query(eng, "{!collapse field=x}", k=5)
+    with pytest.raises(NotImplementedError):
+        dispatch_query(eng, "{!term f=title}web", k=5)

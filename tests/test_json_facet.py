@@ -1,0 +1,163 @@
+"""JSON Facet API vs DuckDB oracles on the sf0.001 events table."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from apache___solr_spark.operators.json_facet import json_facet
+
+
+@pytest.fixture(scope="module")
+def ddb(sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    return con
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _rows(df, *cols):
+    return [tuple(r) for r in df.select(*cols).collect()]
+
+
+def test_terms_facet_stat_sort_limit(events, ddb):
+    out = json_facet(
+        events,
+        {
+            "types": {
+                "type": "terms",
+                "field": "event_type",
+                "limit": 3,
+                "sort": "s desc",
+                "facet": {"s": "sum(value)", "u": "unique(user_id)"},
+            }
+        },
+    )["types"]
+    want = ddb.sql(
+        """
+        SELECT event_type, count(*) AS count, sum(value) AS s,
+               count(DISTINCT user_id) AS u
+        FROM events GROUP BY event_type
+        ORDER BY s DESC, event_type ASC LIMIT 3
+        """
+    ).fetchall()
+    got = [
+        (r["event_type"], r["count"], round(r["s"], 6), r["u"])
+        for r in out.collect()
+    ]
+    assert got == [(t, c, round(s, 6), u) for t, c, s, u in want]
+
+
+def test_nested_terms_per_parent_limit(events, ddb):
+    out = json_facet(
+        events,
+        {
+            "types": {
+                "type": "terms",
+                "field": "event_type",
+                "limit": 2,
+                "facet": {
+                    "by_user": {"type": "terms", "field": "user_id", "limit": 3}
+                },
+            }
+        },
+    )
+    want = ddb.sql(
+        """
+        WITH top_types AS (
+            SELECT event_type FROM events GROUP BY event_type
+            ORDER BY count(*) DESC, event_type ASC LIMIT 2
+        ), ranked AS (
+            SELECT e.event_type, e.user_id, count(*) AS count,
+                   row_number() OVER (
+                       PARTITION BY e.event_type
+                       ORDER BY count(*) DESC, e.user_id ASC) AS rn
+            FROM events e JOIN top_types USING (event_type)
+            GROUP BY e.event_type, e.user_id
+        )
+        SELECT event_type, user_id, count FROM ranked WHERE rn <= 3
+        ORDER BY event_type, count DESC, user_id
+        """
+    ).fetchall()
+    got = sorted(
+        _rows(out["types.by_user"], "event_type", "user_id", "count"),
+        key=lambda r: (r[0], -r[2], r[1]),
+    )
+    assert got == [tuple(r) for r in want]
+
+
+def test_query_facet_with_nested_terms(events, ddb):
+    out = json_facet(
+        events,
+        {
+            "big": {
+                "type": "query",
+                "q": "value:[50 TO *]",
+                "facet": {
+                    "avg_v": "avg(value)",
+                    "types": {"type": "terms", "field": "event_type", "limit": 100,
+                              "sort": "index asc"},
+                },
+            }
+        },
+    )
+    head = out["big"].collect()[0]
+    want = ddb.sql(
+        "SELECT count(*), avg(value) FROM events WHERE value >= 50"
+    ).fetchone()
+    assert head["count"] == want[0]
+    assert abs(head["avg_v"] - want[1]) < 1e-9
+    sub = _rows(out["big.types"], "event_type", "count")
+    want_sub = ddb.sql(
+        """
+        SELECT event_type, count(*) FROM events WHERE value >= 50
+        GROUP BY event_type ORDER BY event_type ASC
+        """
+    ).fetchall()
+    assert sub == [tuple(r) for r in want_sub]
+
+
+def test_range_facet_with_stats(events, ddb):
+    out = json_facet(
+        events,
+        {
+            "vr": {
+                "type": "range",
+                "field": "value",
+                "start": 0,
+                "end": 100,
+                "gap": 25,
+                "facet": {"m": "max(value)"},
+            }
+        },
+    )["vr"]
+    want = ddb.sql(
+        """
+        SELECT floor(value / 25) * 25 AS b, count(*), max(value)
+        FROM events WHERE value >= 0 AND value < 100
+        GROUP BY b ORDER BY b
+        """
+    ).fetchall()
+    got = [
+        (r["bucket_start"], r["count"], round(r["m"], 6)) for r in out.collect()
+    ]
+    assert got == [(b, c, round(m, 6)) for b, c, m in want]
+
+
+def test_mincount_and_bad_specs(events):
+    out = json_facet(
+        events,
+        {"t": {"type": "terms", "field": "event_type", "mincount": 10**9}},
+    )["t"]
+    assert out.count() == 0
+    with pytest.raises(ValueError):
+        json_facet(events, {"t": {"type": "terms", "field": "x",
+                                  "facet": {"bad": "nonsense"}}})
+    with pytest.raises(NotImplementedError):
+        json_facet(events, {"t": {"type": "heatmap", "field": "x"}})
