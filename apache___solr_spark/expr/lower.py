@@ -14,6 +14,7 @@ Supported function surface (names as registered in Lang.java):
   rollup hashRollup having select sort top unique merge list null
   innerJoin leftOuterJoin fullOuterJoin hashJoin outerHashJoin
   intersect complement fetch cartesianProduct let get knnSearch
+  update commit drill input
   metrics: sum min max avg count countDist std per
   boolean evaluators (having): eq gt gte lt lte and or not isNull notNull
   plus eval-passthroughs: plist parallel echo tuple
@@ -121,11 +122,13 @@ class StreamFactory:
         tables: dict[str, DataFrame] | None = None,
         sf_dir: str | None = None,
         engines: dict | None = None,
+        output_dir: str | None = None,
     ) -> None:
         self.spark = spark
         self.tables = dict(tables or {})
         self.sf_dir = sf_dir
         self.engines = dict(engines or {})
+        self.output_dir = output_dir
 
     # -- public -----------------------------------------------------------
 
@@ -478,6 +481,68 @@ def _fn_passthrough(f: StreamFactory, e: StreamExpression) -> DataFrame:
     return src
 
 
+def _fn_drill(f: StreamFactory, e: StreamExpression) -> DataFrame:
+    """drill() (DrillStream.java): run an aggregating expression over each
+    shard's sorted /export stream, then merge partials.  Spark already
+    executes the inner plan per-partition with map-side partial aggregation
+    and one merge shuffle, so lowering = bind the export stream as the
+    ``input()`` placeholder and evaluate the inner expression once."""
+    src = f._search_base(e)
+    fl = e.named("fl")
+    if fl:
+        src = src.select(*[c.strip() for c in fl.split(",") if c.strip()])
+    sort = e.named("sort")
+    if sort:
+        src = src.orderBy(*_sort_cols(sort))
+    f.tables["__drill_input__"] = src
+    inner = [
+        p
+        for p in e.sub_expressions()
+        if p.name not in _METRICS and p.name not in _BOOL_EVALS
+    ]
+    if not inner:
+        return src
+    return f._lower(inner[-1])
+
+
+def _fn_input(f: StreamFactory, e: StreamExpression) -> DataFrame:
+    """input() — the drill() per-shard stream placeholder (DrillStream)."""
+    if "__drill_input__" not in f.tables:
+        raise ValueError("input() is only valid inside drill()")
+    return f.tables["__drill_input__"]
+
+
+def _fn_update(f: StreamFactory, e: StreamExpression) -> DataFrame:
+    """update() (UpdateStream.java): index the inner stream into the named
+    destination collection.  The destination becomes a queryable collection
+    in this factory; with ``output_dir`` set it is also written as parquet
+    (the durable-sink analog of the reference's /update handler).  Returns
+    the reference's tuple shape: one row with batchIndexed/totalIndexed."""
+    dest = next(p for p in e.positionals() if isinstance(p, str))
+    (src,) = f._streams_in(e)
+    if f.output_dir is not None:
+        import os
+
+        path = os.path.join(f.output_dir, f"{dest}.parquet")
+        src.write.mode("overwrite").parquet(path)
+        out = f.spark.read.parquet(path)
+    else:
+        out = src.cache()
+    f.tables[dest] = out
+    n = out.count()
+    return f.spark.createDataFrame(
+        [(n, n)], "batchIndexed bigint, totalIndexed bigint"
+    )
+
+
+def _fn_commit(f: StreamFactory, e: StreamExpression) -> DataFrame:
+    """commit() (CommitStream.java): wraps an update() stream.  Parquet
+    writes are atomic at job commit, so this passes its inner stream's
+    result through (no separate fsync step exists to perform)."""
+    (src,) = f._streams_in(e)
+    return src
+
+
 def _fn_let(f: StreamFactory, e: StreamExpression) -> DataFrame:
     """let() (LetStream.java): bind named streams as variables, then
     evaluate the trailing stream — variables become named collections, so
@@ -565,4 +630,8 @@ _FUNCTIONS: dict[str, Callable] = {
     "let": _fn_let,
     "get": _fn_get,
     "knnSearch": _fn_knn_search,
+    "update": _fn_update,
+    "commit": _fn_commit,
+    "drill": _fn_drill,
+    "input": _fn_input,
 }

@@ -52,6 +52,14 @@ def gather_nodes(
         visited = visited.unionByName(
             nxt.select("node", F.lit(depth).alias("depth"))
         ).persist()
+        if depth % 4 == 0:
+            # deep traversals: cut the union/persist lineage so plan size
+            # and recovery cost stay bounded (iterative-algorithm pattern;
+            # a no-op for hops <= 4; at cadence 8 the
+            # self-referencing union+anti-join plan doubles per hop and
+            # driver-side planning dominates — measured 5.6s vs minutes)
+            visited = visited.localCheckpoint(eager=True)
+            nxt = nxt.localCheckpoint(eager=True)
         frontier = nxt
     return visited
 
@@ -72,7 +80,10 @@ def shortest_path(
     spark = edges.sparkSession
     frontier = spark.createDataFrame([(src, [src])], ["node", "path"])
     visited = frontier.select("node")
-    for _ in range(max_depth):
+    for hop in range(max_depth):
+        if hop and hop % 4 == 0:
+            visited = visited.localCheckpoint(eager=True)
+            frontier = frontier.localCheckpoint(eager=True)
         hit = frontier.filter(F.col("node") == dst).limit(1).collect()
         if hit:
             return list(hit[0]["path"])

@@ -247,3 +247,38 @@ def test_let_get_knn(factory, spark, sf_dir):
         f'knnSearch(embeddings, q="*:*", vec="[{qv}]", k=5)'
     )._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_update_commit_roundtrip(spark, sf_dir, tmp_path):
+    fac = StreamFactory(spark, sf_dir=sf_dir, output_dir=str(tmp_path))
+    res = fac.df(
+        'commit(dest, update(dest, search(orders, q="o_totalprice:[300000 TO *]", '
+        'fl="o_orderkey,o_totalprice")))'
+    ).collect()[0]
+    n = fac.df('search(dest, q="*:*")').count()
+    assert res["batchIndexed"] == n and n > 0
+    # durable: the parquet sink is readable by a fresh factory
+    fac2 = StreamFactory(spark, sf_dir=str(tmp_path))
+    assert fac2.df('search(dest, q="*:*")').count() == n
+    # in-memory destination without output_dir
+    fac3 = StreamFactory(spark, sf_dir=sf_dir)
+    fac3.df('update(mem, search(region, q="*:*"))')
+    assert fac3.df('rollup(get(mem), over=r_name, count(*))').count() == 5
+
+
+def test_drill_input_rollup(factory, spark, sf_dir):
+    got = factory.df(
+        'drill(orders, q="*:*", fl="o_orderstatus,o_totalprice", '
+        'sort="o_orderstatus asc", '
+        'rollup(input(), over="o_orderstatus", sum(o_totalprice), count(*)))'
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    want = o.groupBy("o_orderstatus").agg(
+        F.sum("o_totalprice").alias("s"), F.count(F.lit(1)).alias("c")
+    )
+    g = {r["o_orderstatus"]: (round(r["sum(o_totalprice)"], 4), r["count(*)"])
+         for r in got.collect()}
+    w = {r["o_orderstatus"]: (round(r["s"], 4), r["c"]) for r in want.collect()}
+    assert g == w
+    with pytest.raises(ValueError):
+        StreamFactory(spark, sf_dir=sf_dir).df("input()")

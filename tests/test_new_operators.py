@@ -157,3 +157,17 @@ def test_heatmap_facet(spark):
         for r in heatmap_facet(df, "x", "y", 0.0, 10.0, 0.0, 10.0).collect()
     }
     assert got == {(0, 0, 2), (1, 0, 1), (0, 2, 1)}
+
+
+def test_gather_nodes_deep_traversal_checkpoints(spark):
+    """hops > 8 exercises the lineage-cut path (localCheckpoint every 8
+    hops); results must equal the short-lineage answer on a chain graph."""
+    from apache___solr_spark.operators.graph import gather_nodes
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src bigint, dst bigint"
+    )
+    seeds = spark.createDataFrame([(0,)], "src bigint")
+    out = gather_nodes(edges, seeds, "src", "dst", hops=12)
+    rows = {r["node"]: r["depth"] for r in out.collect()}
+    assert rows == {i: i for i in range(13)}
