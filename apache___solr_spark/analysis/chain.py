@@ -37,6 +37,15 @@ def analyze(text: str | None, max_token_len: int = 255) -> list[str]:
     return [t.lower() for t in toks if t.lower() not in ENGLISH_STOP_WORDS]
 
 
+def analyze_porter(text: str | None, max_token_len: int = 255) -> list[str]:
+    """The ``text_en``-shaped chain: standard chain + PorterStemFilter
+    (managed-schema text_en; analysis/porter.py).  Index == query analyzer,
+    so "running" and "runs" meet at the stem "run"."""
+    from apache___solr_spark.analysis.porter import porter_stem
+
+    return [porter_stem(t) for t in analyze(text, max_token_len=max_token_len)]
+
+
 _SIMPLE_RE = re.compile(r"[a-z0-9]+")
 
 
@@ -52,4 +61,6 @@ def analyzer_fn(analyzer: str):
     """Resolve an IndexConfig.analyzer name to its chain function."""
     if analyzer == "simple":
         return simple_analyze
+    if analyzer == "standard_porter":
+        return analyze_porter
     return analyze

@@ -70,3 +70,63 @@ def test_analyze_chain_order():
 def test_extract_text_prefers_text_column():
     assert extract_text(b"<p>html wins?</p>", "no, text wins") == "no, text wins"
     assert extract_text(b"<p>from html</p>", None).strip() == "from html"
+
+
+def test_porter_stem_canonical_vectors():
+    """The worked examples from M. Porter, "An algorithm for suffix
+    stripping" (1980) — one per rule family, steps 1a through 5b."""
+    from apache___solr_spark.analysis.porter import porter_stem
+
+    vectors = {
+        # step 1a
+        "caresses": "caress", "ponies": "poni", "caress": "caress", "cats": "cat",
+        # step 1b (+ cleanup rules)
+        "feed": "feed", "agreed": "agre", "plastered": "plaster", "bled": "bled",
+        "motoring": "motor", "sing": "sing", "conflated": "conflat",
+        "troubled": "troubl", "sized": "size", "hopping": "hop", "tanned": "tan",
+        "falling": "fall", "hissing": "hiss", "fizzed": "fizz",
+        "failing": "fail", "filing": "file",
+        # step 1c
+        "happy": "happi", "sky": "sky",
+        # step 2
+        "relational": "relat", "conditional": "condit", "rational": "ration",
+        "valenci": "valenc", "hesitanci": "hesit", "digitizer": "digit",
+        "conformabli": "conform", "radicalli": "radic", "differentli": "differ",
+        "vileli": "vile", "analogousli": "analog", "vietnamization": "vietnam",
+        "predication": "predic", "operator": "oper", "feudalism": "feudal",
+        "decisiveness": "decis", "hopefulness": "hope", "callousness": "callous",
+        "formaliti": "formal", "sensitiviti": "sensit", "sensibiliti": "sensibl",
+        # step 3
+        "triplicate": "triplic", "formative": "form", "formalize": "formal",
+        "electriciti": "electr", "electrical": "electr", "hopeful": "hope",
+        "goodness": "good",
+        # step 4
+        "revival": "reviv", "allowance": "allow", "inference": "infer",
+        "airliner": "airlin", "gyroscopic": "gyroscop", "adjustable": "adjust",
+        "defensible": "defens", "irritant": "irrit", "replacement": "replac",
+        "adjustment": "adjust", "dependent": "depend", "adoption": "adopt",
+        "communism": "commun", "activate": "activ", "angulariti": "angular",
+        "homologous": "homolog", "effective": "effect", "bowdlerize": "bowdler",
+        # step 5a/5b
+        "probate": "probat", "rate": "rate", "cease": "ceas",
+        "controll": "control", "roll": "roll",
+        # end-to-end chains
+        "running": "run", "runs": "run", "run": "run",
+        "generalizations": "gener", "oscillators": "oscil",
+    }
+    for word, want in vectors.items():
+        assert porter_stem(word) == want, (word, porter_stem(word), want)
+
+
+def test_analyze_porter_chain():
+    """standard_porter = standard chain then PorterStemFilter; stop words
+    removed before stemming, query and index sides identical by sharing
+    the single chain function."""
+    from apache___solr_spark.analysis.chain import analyze_porter, analyzer_fn
+
+    assert analyze_porter("The runner was running the races") == [
+        "runner", "run", "race",
+    ]
+    assert analyzer_fn("standard_porter") is analyze_porter
+    # stemming happens after lowercase + stop removal
+    assert analyze_porter("Motoring AGREED") == ["motor", "agre"]

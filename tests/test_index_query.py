@@ -629,3 +629,33 @@ def test_localparams_dispatch(spark, corpus, built):
         dispatch_query(eng, "{!collapse field=x}", k=5)
     with pytest.raises(NotImplementedError):
         dispatch_query(eng, "{!term f=title}web", k=5)
+
+def test_porter_analyzer_end_to_end(spark, tmp_path_factory):
+    """text_en-shaped index (standard chain + PorterStemFilter): "running"
+    and "runs" meet at the stem "run" on both the index and query side
+    because analyzer_fn resolves the SAME chain for builder and engine."""
+    pages = spark.createDataFrame(
+        [
+            ("a000", None, None, "the dog runs quickly home", "en"),
+            ("b000", None, None, "she was running every morning", "en"),
+            ("c000", None, None, "a walk in the park", "en"),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    cfg = IndexConfig(
+        block_range=32, salt_range=128, n_buckets=8, analyzer="standard_porter"
+    )
+    out = str(tmp_path_factory.mktemp("porter") / "idx")
+    build_index(spark, pages, out, cfg=cfg)
+    # dictionary holds stems, not surface forms
+    terms = {
+        r["term"]
+        for r in spark.read.parquet(os.path.join(out, "dictionary")).collect()
+    }
+    assert "run" in terms and "running" not in terms and "runs" not in terms
+    assert "quickli" in terms  # step 1c y->i after step 2 li handling
+    eng = SearchEngine(spark, out, cfg=cfg)
+    hits = {r["url"] for r in eng.search("running", k=10).collect()}
+    assert hits == {"a000", "b000"}
+    hits2 = {r["url"] for r in eng.search("runs AND quickly", k=10).collect()}
+    assert hits2 == {"a000"}
