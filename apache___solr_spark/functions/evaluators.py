@@ -16,6 +16,8 @@ shuffle shape stays explicit.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -333,3 +335,222 @@ def outliers_iqr(df: DataFrame, col: str, k: float = 1.5) -> DataFrame:
     lo = q["q1"] - k * (q["q3"] - q["q1"])
     hi = q["q3"] + k * (q["q3"] - q["q1"])
     return df.filter((F.col(col) < lo) | (F.col(col) > hi))
+
+
+# ---- probability distributions (the io/eval distribution family:
+# NormalDistributionEvaluator, UniformDistributionEvaluator,
+# PoissonDistributionEvaluator, BinomialDistributionEvaluator,
+# CumulativeProbabilityEvaluator, ProbabilityEvaluator, SampleEvaluator).
+# A distribution is a plain dict spec {"type": ..., params}; probability /
+# cumulative_probability lower to pure column expressions (JVM codegen —
+# the per-row hot path never leaves Tungsten), sample to rand/randn.
+
+
+def normal_dist(mean: float, sd: float) -> dict:
+    return {"type": "normal", "mean": float(mean), "sd": float(sd)}
+
+
+def uniform_dist(lo: float, hi: float) -> dict:
+    return {"type": "uniform", "lo": float(lo), "hi": float(hi)}
+
+
+def poisson_dist(lam: float) -> dict:
+    return {"type": "poisson", "lam": float(lam)}
+
+
+def binomial_dist(n: int, p: float) -> dict:
+    return {"type": "binomial", "n": int(n), "p": float(p)}
+
+
+def _erf(x: Column) -> Column:
+    """erf as a column expression — Abramowitz & Stegun 7.1.26 rational
+    approximation (|error| <= 1.5e-7), odd-extended.  Spark has no erf
+    builtin; this keeps the normal CDF inside codegen."""
+    ax = F.abs(x)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * ax)
+    poly = t * (
+        F.lit(0.254829592)
+        + t
+        * (
+            F.lit(-0.284496736)
+            + t
+            * (
+                F.lit(1.421413741)
+                + t * (F.lit(-1.453152027) + t * F.lit(1.061405429))
+            )
+        )
+    )
+    pos = F.lit(1.0) - poly * F.exp(-ax * ax)
+    return F.when(x < 0, -pos).otherwise(pos)
+
+
+def _seq1(k: Column) -> Column:
+    """[1..k] as an int array, EMPTY when k < 1.  Spark's sequence(1, k)
+    is descending for k < 1 (sequence(1, 0) = [1, 0]) and the folds below
+    divide by the element, so the guard must live in the array itself —
+    an outer CASE does not reliably shield the fold from evaluation."""
+    kk = k.cast("int")
+    return F.when(kk >= 1, F.sequence(F.lit(1), kk)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
+def _poisson_cdf_term_sum(k: Column, lam: float) -> Column:
+    """sum_{i=0..k} lam^i / i! via a running-product fold over [1..k]
+    (no factorial overflow, no Python)."""
+    acc0 = F.struct(F.lit(1.0).alias("s"), F.lit(1.0).alias("term"))
+    folded = F.aggregate(
+        _seq1(k),
+        acc0,
+        lambda acc, i: F.struct(
+            (acc["s"] + acc["term"] * F.lit(lam) / i).alias("s"),
+            (acc["term"] * F.lit(lam) / i).alias("term"),
+        ),
+    )
+    return F.when(k < 0, F.lit(0.0)).otherwise(folded["s"])
+
+
+def _log_comb(n: int, k: Column) -> Column:
+    """ln C(n, k) = sum_{i=1..k} ln((n-k+i)/i) — fold, exact enough in
+    double for the n this evaluator family sees."""
+    return F.aggregate(
+        _seq1(k),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.log((F.lit(float(n)) - k.cast("double") + i) / i),
+    )
+
+
+def probability(dist: dict, x: Column) -> Column:
+    """ProbabilityEvaluator: pmf for discrete / pdf for continuous."""
+    t = dist["type"]
+    xd = x.cast("double")
+    if t == "normal":
+        m, s = dist["mean"], dist["sd"]
+        z = (xd - m) / s
+        return F.exp(z * z * F.lit(-0.5)) / F.lit(
+            s * math.sqrt(2.0 * math.pi)
+        )
+    if t == "uniform":
+        lo, hi = dist["lo"], dist["hi"]
+        return F.when(
+            (xd >= lo) & (xd <= hi), F.lit(1.0 / (hi - lo))
+        ).otherwise(F.lit(0.0))
+    if t == "poisson":
+        lam = dist["lam"]
+        k = x.cast("int")
+        # lam^k/k! = exp(k ln lam - sum ln i), folded to dodge overflow
+        log_pk = k.cast("double") * F.lit(math.log(lam)) - F.aggregate(
+            _seq1(k),
+            F.lit(0.0),
+            lambda acc, i: acc + F.log(i.cast("double")),
+        )
+        return F.when(k < 0, F.lit(0.0)).otherwise(
+            F.exp(log_pk - F.lit(lam))
+        )
+    if t == "binomial":
+        n, p = dist["n"], dist["p"]
+        k = x.cast("int")
+        logp = (
+            _log_comb(n, k)
+            + k.cast("double") * F.lit(math.log(p))
+            + (F.lit(float(n)) - k.cast("double")) * F.lit(math.log1p(-p))
+        )
+        return F.when((k < 0) | (k > n), F.lit(0.0)).otherwise(F.exp(logp))
+    raise ValueError(f"unknown distribution {t!r}")
+
+
+def cumulative_probability(dist: dict, x: Column) -> Column:
+    """CumulativeProbabilityEvaluator: P(X <= x)."""
+    t = dist["type"]
+    xd = x.cast("double")
+    if t == "normal":
+        m, s = dist["mean"], dist["sd"]
+        return F.lit(0.5) * (
+            F.lit(1.0) + _erf((xd - m) / F.lit(s * math.sqrt(2.0)))
+        )
+    if t == "uniform":
+        lo, hi = dist["lo"], dist["hi"]
+        return F.least(
+            F.greatest((xd - lo) / F.lit(hi - lo), F.lit(0.0)), F.lit(1.0)
+        )
+    if t == "poisson":
+        lam = dist["lam"]
+        return F.least(
+            F.exp(F.lit(-lam)) * _poisson_cdf_term_sum(x.cast("int"), lam),
+            F.lit(1.0),
+        )
+    if t == "binomial":
+        n, p = dist["n"], dist["p"]
+        k = x.cast("int")
+        # sum_{i=0..k} C(n,i) p^i q^(n-i): fold the pmf recurrence
+        # pmf(i+1) = pmf(i) * (n-i)/(i+1) * p/q
+        q0 = math.pow(1.0 - p, n)
+        ratio = p / (1.0 - p)
+        acc0 = F.struct(F.lit(q0).alias("s"), F.lit(q0).alias("term"))
+        folded = F.aggregate(
+            _seq1(F.least(k, F.lit(n))),
+            acc0,
+            lambda acc, i: F.struct(
+                (
+                    acc["s"]
+                    + acc["term"]
+                    * (F.lit(float(n)) - i.cast("double") + 1)
+                    / i.cast("double")
+                    * F.lit(ratio)
+                ).alias("s"),
+                (
+                    acc["term"]
+                    * (F.lit(float(n)) - i.cast("double") + 1)
+                    / i.cast("double")
+                    * F.lit(ratio)
+                ).alias("term"),
+            ),
+        )
+        out = F.when(k < 0, F.lit(0.0)).otherwise(
+            F.least(folded["s"], F.lit(1.0))
+        )
+        return F.when(k >= n, F.lit(1.0)).otherwise(out)
+    raise ValueError(f"unknown distribution {t!r}")
+
+
+def sample_dist(
+    spark, dist: dict, n: int, seed: int, col: str = "value"
+) -> DataFrame:
+    """SampleEvaluator for the continuous distributions: n draws as a
+    DataFrame column, deterministic under a fixed seed, generated
+    distributed (spark.range -> rand/randn; no driver-side arrays)."""
+    base = spark.range(n)
+    t = dist["type"]
+    if t == "normal":
+        c = F.randn(seed) * dist["sd"] + dist["mean"]
+    elif t == "uniform":
+        c = F.rand(seed) * (dist["hi"] - dist["lo"]) + dist["lo"]
+    else:
+        raise NotImplementedError(
+            f"sample for {t!r}: inverse-CDF sampling not modeled"
+        )
+    return base.select(c.alias(col))
+
+
+def empirical_cdf(df: DataFrame, col: str, values: list[float]) -> DataFrame:
+    """EmpiricalDistributionEvaluator + cumulativeProbability: for each
+    probe value, the fraction of observations <= it — ONE conditional-agg
+    pass over the scan regardless of how many probes."""
+    aggs = [
+        (
+            F.sum((F.col(col) <= F.lit(float(v))).cast("long"))
+            / F.count(F.lit(1))
+        ).alias(f"p_{i}")
+        for i, v in enumerate(values)
+    ]
+    row = df.agg(*aggs)
+    picks = [
+        F.struct(
+            F.lit(float(v)).alias("value"), F.col(f"p_{i}").alias("cdf")
+        )
+        for i, v in enumerate(values)
+    ]
+    return row.select(F.explode(F.array(*picks)).alias("s")).select(
+        "s.value", "s.cdf"
+    )

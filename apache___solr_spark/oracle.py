@@ -325,7 +325,9 @@ def oracle_search_tree(
         # BoolQuery
         acc: dict[int, float] = {}
         nmust: dict[int, int] = {}
+        nshould: dict[int, int] = {}
         n_must = 0
+        n_should_matchable = 0
         not_sets: list[set[int]] = []
         any_pos = False
         for c in node.children:
@@ -341,15 +343,24 @@ def oracle_search_tree(
             if fr is None:
                 continue
             any_pos = True
+            if c.occur != "MUST":
+                n_should_matchable += 1
             for doc_id, s in fr.items():
                 acc[doc_id] = acc.get(doc_id, 0.0) + s
                 if c.occur == "MUST":
                     nmust[doc_id] = nmust.get(doc_id, 0) + 1
+                else:
+                    nshould[doc_id] = nshould.get(doc_id, 0) + 1
         if not any_pos:
             return None
+        mm = getattr(node, "mm", 0)
+        if mm and mm > n_should_matchable:
+            return None  # Lucene: mm > optional clauses matches nothing
         out = {}
         for doc_id, s in acc.items():
             if n_must and nmust.get(doc_id, 0) != n_must:
+                continue
+            if mm and nshould.get(doc_id, 0) < mm:
                 continue
             if any(doc_id in ns for ns in not_sets):
                 continue

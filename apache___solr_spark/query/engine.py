@@ -536,6 +536,11 @@ class SearchEngine:
                 return self._search_tree(
                     tree, k=k, with_url=with_url, doc_filter=doc_filter
                 )
+        elif isinstance(query, BoolQuery):
+            # programmatic tree (dismax/edismax dispatch, mm support)
+            return self._search_tree(
+                query, k=k, with_url=with_url, doc_filter=doc_filter
+            )
         else:
             pq = query
         spark = self.spark
@@ -923,15 +928,26 @@ class SearchEngine:
                     )
             if not pos_frames:
                 return None  # pure-negative / all-absent
+            mm = getattr(node, "mm", 0)
+            if mm:
+                # minimumNumberShouldMatch: no doc can reach mm when fewer
+                # matchable SHOULD children exist (Lucene matches nothing)
+                n_should_matchable = len(pos_frames) - n_must
+                if mm > n_should_matchable:
+                    return None
             u = pos_frames[0]
             for fr in pos_frames[1:]:
                 u = u.unionByName(fr)
             agg = u.groupBy("doc_id").agg(
                 F.sum("score").alias("score"),
                 F.sum("is_must").alias("_nm"),
+                F.count(F.lit(1)).alias("_np"),
             )
             if n_must:
                 agg = agg.filter(F.col("_nm") == n_must)
+            if mm:
+                # matched SHOULD children = positive rows minus MUST rows
+                agg = agg.filter((F.col("_np") - F.col("_nm")) >= mm)
             agg = agg.select("doc_id", "score")
             for nf in not_frames:
                 agg = agg.join(nf.select("doc_id").distinct(), "doc_id", "left_anti")

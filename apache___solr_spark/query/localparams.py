@@ -26,6 +26,12 @@ Mechanics per plugin, mirroring reference semantics:
   string composed into the recursive grammar.
 - ``{!boost b=N}q``  multiplies every scoring clause of q by N
   (BoostQParserPlugin.java — constant multiplier variant).
+- ``{!dismax qf=text mm=.. pf=.. ps=.. bq=..}``  DisMaxQParser.java:
+  escaped user string (+/-/phrases only), minimum-should-match over the
+  optional clauses (SolrPluginUtils.calculateMinShouldMatch — full spec
+  grammar incl. conditionals), whole-query phrase boost, boost query.
+- ``{!edismax ...}``  ExtendedDismaxQParser.java: full classic grammar
+  plus the dismax extras; mm applies to the root's SHOULD clauses.
 """
 
 from __future__ import annotations
@@ -34,7 +40,14 @@ import re
 
 from pyspark.sql import DataFrame
 
-from apache___solr_spark.query.parser import ParsedQuery
+from apache___solr_spark.query.parser import (
+    BoolChild,
+    BoolQuery,
+    ParsedQuery,
+    PhraseNode,
+    TermNode,
+    parse_query_tree,
+)
 
 _LP_RE = re.compile(r"^\s*\{!\s*([^}]*)\}(.*)$", re.DOTALL)
 _KV_RE = re.compile(r"(\w+)=(\"[^\"]*\"|'[^']*'|\S+)|(\S+)")
@@ -70,6 +83,160 @@ def parse_local_params(q: str) -> tuple[str | None, dict[str, str], str]:
         else:
             params[k] = v
     return ptype or "lucene", params, rest
+
+
+def calculate_mm(spec: str, n_optional: int) -> int:
+    """SolrPluginUtils.calculateMinShouldMatch: resolve an ``mm`` spec
+    against the number of optional (SHOULD) clauses.
+
+    Grammar (SolrPluginUtils.java:150-200): a plain integer (``3``), a
+    negative integer (``-2`` = all but 2), a percentage (``75%``, truncated
+    toward zero), a negative percentage (``-25%`` = all but 25%), or
+    space-separated conditionals ``upper<spec`` evaluated in order — the
+    spec applies when n_optional > upper, n_optional <= the first upper
+    means all clauses required."""
+    spec = spec.strip()
+    if "<" in spec:
+        result = n_optional
+        for part in spec.split():
+            upper_s, _, sub = part.partition("<")
+            if not sub:
+                raise ValueError(f"bad conditional mm clause {part!r}")
+            if n_optional <= int(upper_s):
+                return result
+            result = calculate_mm(sub, n_optional)
+        return result
+    if spec.endswith("%"):
+        percent = int(spec[:-1])
+        calc = int(n_optional * percent / 100.0)  # truncates toward zero
+        result = n_optional + calc if calc < 0 else calc
+    else:
+        calc = int(spec)
+        result = n_optional + calc if calc < 0 else calc
+    return min(n_optional, max(result, 0))
+
+
+_BOOSTED_FIELD_RE = re.compile(r"^(\w+)(?:\^([\d.]+))?$")
+_DISMAX_TOK_RE = re.compile(r'[+-]?"[^"]*"|\S+')
+
+
+def _parse_boosted_field(spec: str, param: str) -> float:
+    """``qf``/``pf`` specs are ``field^boost``; single-field index accepts
+    only the ``text`` field and returns the boost."""
+    m = _BOOSTED_FIELD_RE.match(spec.strip())
+    if not m or m.group(1) != "text":
+        raise NotImplementedError(
+            f"single-field index: {param}={spec!r} unsupported (only 'text')"
+        )
+    return float(m.group(2) or 1.0)
+
+
+def _dismax_tree(engine, rest: str, params: dict[str, str]) -> BoolQuery:
+    """DisMaxQParser.java: the user string is escaped (no grammar beyond
+    +/-/phrases), each chunk analyzed into an optional clause, ``mm``
+    applied to the optional count, ``pf`` adds a whole-query phrase boost
+    clause with slop ``ps``, ``bq`` adds a parsed optional boost query.
+
+    Single-field simplifications (documented): ``qf``/``pf`` accept only
+    ``text^boost`` (the boost is applied; with one field the per-term
+    DisjunctionMax == the field score, so ``tie`` changes nothing and is
+    accepted-ignored); ``bf`` function boosts raise."""
+    if "bf" in params:
+        raise NotImplementedError("bf function boosts unsupported")
+    qf_boost = _parse_boosted_field(params.get("qf", "text"), "qf")
+
+    root = BoolQuery()
+    n_optional = 0
+    all_toks: list[str] = []
+    for raw in _DISMAX_TOK_RE.findall(rest):
+        occur = "SHOULD"
+        if raw.startswith("+"):
+            occur, raw = "MUST", raw[1:]
+        elif raw.startswith("-"):
+            occur, raw = "MUST_NOT", raw[1:]
+        is_phrase = len(raw) >= 2 and raw[0] == '"' and raw[-1] == '"'
+        toks = engine._analyze(raw.strip('"') if is_phrase else raw)
+        if not toks:
+            continue  # stopword-only chunk: not a clause at all
+        if occur == "SHOULD":
+            all_toks.extend(toks)
+            n_optional += 1
+        if is_phrase and len(toks) > 1:
+            node = PhraseNode(toks=toks, boost=qf_boost)
+        elif len(toks) == 1:
+            node = TermNode(term=toks[0], boost=qf_boost)
+        else:
+            # one chunk analyzing to several tokens: ONE optional clause,
+            # any of its tokens matching counts (getFieldQuery with
+            # autoGeneratePhraseQueries=false -> boolean OR)
+            node = BoolQuery(
+                children=[
+                    BoolChild("SHOULD", TermNode(term=t, boost=qf_boost))
+                    for t in toks
+                ]
+            )
+        root.children.append(BoolChild(occur, node))
+
+    root.mm = calculate_mm(params.get("mm", "0%"), n_optional)
+
+    if "pf" in params and len(all_toks) > 1:
+        pf_boost = _parse_boosted_field(params["pf"], "pf")
+        root.children.append(
+            BoolChild(
+                "SHOULD",
+                PhraseNode(
+                    toks=all_toks,
+                    slop=int(params.get("ps", 0)),
+                    boost=pf_boost,
+                ),
+            )
+        )
+    if "bq" in params:
+        root.children.append(
+            BoolChild(
+                "SHOULD",
+                parse_query_tree(params["bq"], analyze_fn=engine._analyze),
+            )
+        )
+    return root
+
+
+def _edismax_tree(engine, rest: str, params: dict[str, str]) -> BoolQuery:
+    """ExtendedDismaxQParser: full classic grammar for the user query, then
+    dismax extras (mm over the root's SHOULD clauses, pf/ps/bq).  mm is
+    applied unconditionally (the reference's operator-aware mm autorelax,
+    ExtendedDismaxQParser.java parseOriginalQuery, is not modeled)."""
+    if "bf" in params:
+        raise NotImplementedError("bf function boosts unsupported")
+    _parse_boosted_field(params.get("qf", "text"), "qf")
+    root = parse_query_tree(rest, analyze_fn=engine._analyze)
+    n_optional = sum(1 for c in root.children if c.occur == "SHOULD")
+    root.mm = calculate_mm(params.get("mm", "0%"), n_optional)
+    if "pf" in params:
+        pf_boost = _parse_boosted_field(params["pf"], "pf")
+        toks: list[str] = []
+        for c in root.children:
+            if c.occur == "SHOULD" and isinstance(c.node, TermNode):
+                toks.append(c.node.term)
+        if len(toks) > 1:
+            root.children.append(
+                BoolChild(
+                    "SHOULD",
+                    PhraseNode(
+                        toks=toks,
+                        slop=int(params.get("ps", 0)),
+                        boost=pf_boost,
+                    ),
+                )
+            )
+    if "bq" in params:
+        root.children.append(
+            BoolChild(
+                "SHOULD",
+                parse_query_tree(params["bq"], analyze_fn=engine._analyze),
+            )
+        )
+    return root
 
 
 _TABLE_SHAPED = {
@@ -130,6 +297,12 @@ def dispatch_query(engine, q: str, k: int = 10, **kw) -> DataFrame:
     if ptype == "boost":
         b = float(params.get("b", 1.0))
         return engine.search(f"({rest})^{b}", k=k, **kw)
+
+    if ptype == "dismax":
+        return engine.search(_dismax_tree(engine, rest, params), k=k, **kw)
+
+    if ptype == "edismax":
+        return engine.search(_edismax_tree(engine, rest, params), k=k, **kw)
 
     if ptype in _TABLE_SHAPED:
         raise NotImplementedError(

@@ -103,6 +103,10 @@ class BoolChild:
 class BoolQuery:
     children: list[BoolChild] = field(default_factory=list)
     boost: float = 1.0
+    # Lucene BooleanQuery.Builder#setMinimumNumberShouldMatch: at least mm
+    # of this node's SHOULD children must match (0 = Lucene default: one
+    # positive clause suffices).  Set by the dismax/edismax mm param.
+    mm: int = 0
 
 
 @dataclass
@@ -356,6 +360,8 @@ def lower_tree(tree: BoolQuery) -> ParsedQuery:
     consumes.  A nested group lowers to a ``Clause(kind='group')`` only when
     it is a pure disjunction of unboosted plain terms (the historic flat-OR
     group); anything else raises :class:`NotFlatQuery`."""
+    if tree.mm:
+        raise NotFlatQuery("minimum-should-match needs the tree evaluator")
     pq = ParsedQuery()
     for ch in tree.children:
         n = ch.node
@@ -379,11 +385,15 @@ def lower_tree(tree: BoolQuery) -> ParsedQuery:
             n.occur = ch.occur
             pq.expand.append(n)
         elif isinstance(n, BoolQuery):
-            flat_or = n.children and all(
-                isinstance(c.node, TermNode)
-                and c.node.boost == 1.0
-                and c.occur == "SHOULD"
-                for c in n.children
+            flat_or = (
+                n.children
+                and not n.mm
+                and all(
+                    isinstance(c.node, TermNode)
+                    and c.node.boost == 1.0
+                    and c.occur == "SHOULD"
+                    for c in n.children
+                )
             )
             if not flat_or:
                 raise NotFlatQuery(

@@ -277,3 +277,78 @@ def test_stream_evaluators_round3(spark):
     )
     outs = E.outliers_iqr(data, "x").collect()
     assert [r["x"] for r in outs] == [100.0]
+
+
+def test_distribution_evaluators(spark):
+    """Probability-distribution family (io/eval NormalDistribution-,
+    UniformDistribution-, PoissonDistribution-, BinomialDistribution-,
+    Probability-, CumulativeProbability-, Sample-, EmpiricalDistribution-
+    Evaluator) — checked against exact stdlib math."""
+    import math as m
+
+    from pyspark.sql import functions as F
+
+    from apache___solr_spark.functions import evaluators as E
+
+    df = spark.createDataFrame(
+        [(float(x),) for x in (-1.5, 0.0, 0.7, 2.0, 5.0)], "x double"
+    )
+    norm = E.normal_dist(1.0, 2.0)
+    uni = E.uniform_dist(0.0, 4.0)
+    rows = df.select(
+        "x",
+        E.probability(norm, F.col("x")).alias("npdf"),
+        E.cumulative_probability(norm, F.col("x")).alias("ncdf"),
+        E.probability(uni, F.col("x")).alias("updf"),
+        E.cumulative_probability(uni, F.col("x")).alias("ucdf"),
+    ).collect()
+    for r in rows:
+        x = r["x"]
+        want_pdf = m.exp(-0.5 * ((x - 1.0) / 2.0) ** 2) / (2.0 * m.sqrt(2 * m.pi))
+        want_cdf = 0.5 * (1.0 + m.erf((x - 1.0) / (2.0 * m.sqrt(2.0))))
+        assert abs(r["npdf"] - want_pdf) < 1e-9, x
+        assert abs(r["ncdf"] - want_cdf) < 2e-7, x  # A&S 7.1.26 bound
+        assert r["updf"] == (0.25 if 0.0 <= x <= 4.0 else 0.0)
+        assert abs(r["ucdf"] - min(max(x / 4.0, 0.0), 1.0)) < 1e-12
+
+    kdf = spark.createDataFrame([(k,) for k in range(-1, 13)], "k int")
+    poi = E.poisson_dist(3.5)
+    bino = E.binomial_dist(10, 0.3)
+    rows = kdf.select(
+        "k",
+        E.probability(poi, F.col("k")).alias("ppmf"),
+        E.cumulative_probability(poi, F.col("k")).alias("pcdf"),
+        E.probability(bino, F.col("k")).alias("bpmf"),
+        E.cumulative_probability(bino, F.col("k")).alias("bcdf"),
+    ).collect()
+    for r in rows:
+        k = r["k"]
+        if k < 0:
+            assert r["ppmf"] == 0.0 and r["pcdf"] == 0.0
+            assert r["bpmf"] == 0.0 and r["bcdf"] == 0.0
+            continue
+        want_p = m.exp(-3.5) * 3.5**k / m.factorial(k)
+        want_pc = sum(m.exp(-3.5) * 3.5**i / m.factorial(i) for i in range(k + 1))
+        assert abs(r["ppmf"] - want_p) < 1e-12, k
+        assert abs(r["pcdf"] - want_pc) < 1e-12, k
+        if k > 10:
+            assert r["bpmf"] == 0.0 and r["bcdf"] == 1.0
+        else:
+            want_b = m.comb(10, k) * 0.3**k * 0.7 ** (10 - k)
+            want_bc = sum(
+                m.comb(10, i) * 0.3**i * 0.7 ** (10 - i) for i in range(k + 1)
+            )
+            assert abs(r["bpmf"] - want_b) < 1e-12, k
+            assert abs(r["bcdf"] - want_bc) < 1e-12, k
+
+    # sampling: deterministic under seed, roughly the right moments
+    s = E.sample_dist(spark, norm, 4000, seed=7)
+    agg = s.agg(F.avg("value").alias("m"), F.stddev("value").alias("sd")).collect()[0]
+    assert abs(agg["m"] - 1.0) < 0.15 and abs(agg["sd"] - 2.0) < 0.15
+    again = E.sample_dist(spark, norm, 4000, seed=7).agg(F.avg("value")).collect()
+    assert again[0][0] == agg["m"]
+
+    # empirical CDF: one agg pass, exact fractions
+    obs = spark.createDataFrame([(float(x),) for x in range(1, 11)], "v double")
+    e = {r["value"]: r["cdf"] for r in E.empirical_cdf(obs, "v", [0.5, 5.0, 10.0]).collect()}
+    assert e == {0.5: 0.0, 5.0: 0.5, 10.0: 1.0}

@@ -659,3 +659,126 @@ def test_porter_analyzer_end_to_end(spark, tmp_path_factory):
     assert hits == {"a000", "b000"}
     hits2 = {r["url"] for r in eng.search("runs AND quickly", k=10).collect()}
     assert hits2 == {"a000"}
+
+
+def test_min_should_match_tree(spark, built, oracle_idx):
+    """BooleanQuery minimumNumberShouldMatch (Lucene Builder#
+    setMinimumNumberShouldMatch, dismax mm param): docs must match >= mm
+    SHOULD clauses; engine tree evaluator vs oracle rank+score identical."""
+    from apache___solr_spark.oracle import oracle_search_tree
+    from apache___solr_spark.query.parser import (
+        BoolChild,
+        BoolQuery,
+        TermNode,
+    )
+
+    eng = SearchEngine(spark, built, cfg=CFG)
+
+    def tree(mm):
+        return BoolQuery(
+            children=[
+                BoolChild("SHOULD", TermNode("web")),
+                BoolChild("SHOULD", TermNode("page")),
+                BoolChild("SHOULD", TermNode("data")),
+            ],
+            mm=mm,
+        )
+
+    # ground truth from the oracle postings: docs matching >= mm terms
+    def n_matched(doc_id):
+        return sum(
+            1
+            for t in ("web", "page", "data")
+            if doc_id in oracle_idx.postings.get(t, {})
+        )
+
+    for mm in (0, 2, 3):
+        got = [r.asDict() for r in eng.search(tree(mm), k=400).collect()]
+        want = oracle_search_tree(oracle_idx, tree(mm), k=400)
+        assert [g["doc_id"] for g in got] == [w["doc_id"] for w in want], mm
+        for g, w in zip(got, want):
+            assert math.isclose(g["score"], w["score"], rel_tol=1e-6), mm
+        assert all(n_matched(g["doc_id"]) >= max(mm, 1) for g in got)
+    # non-vacuous: each tightening strictly shrinks the match set
+    n0 = len(oracle_search_tree(oracle_idx, tree(0), k=400))
+    n2 = len(oracle_search_tree(oracle_idx, tree(2), k=400))
+    n3 = len(oracle_search_tree(oracle_idx, tree(3), k=400))
+    assert n0 > n2 > n3 > 0
+    # mm > optional clause count: matches nothing (Lucene semantics)
+    assert eng.search(tree(4), k=10).count() == 0
+    assert oracle_search_tree(oracle_idx, tree(4), k=10) == []
+    # mm composes with MUST: must-matching docs still need mm SHOULDs
+    t = tree(2)
+    t.children.append(BoolChild("MUST", TermNode("web")))
+    got = [r.asDict() for r in eng.search(t, k=400).collect()]
+    want = oracle_search_tree(oracle_idx, t, k=400)
+    assert [g["doc_id"] for g in got] == [w["doc_id"] for w in want]
+    assert all(
+        "web" in oracle_idx.postings
+        and g["doc_id"] in oracle_idx.postings["web"]
+        for g in got
+    )
+
+
+def test_dismax_dispatch(spark, built, oracle_idx):
+    """{!dismax} / {!edismax}: escaped user string, mm, pf phrase boost,
+    bq boost query (DisMaxQParser.java / ExtendedDismaxQParser.java) —
+    engine output vs the oracle over the SAME lowered tree."""
+    from apache___solr_spark.oracle import oracle_search_tree
+    from apache___solr_spark.query.localparams import (
+        _dismax_tree,
+        dispatch_query,
+    )
+
+    eng = SearchEngine(spark, built, cfg=CFG)
+
+    def check(q, tree_params=None, rest=None):
+        got = [r.asDict() for r in dispatch_query(eng, q, k=50).collect()]
+        want = oracle_search_tree(
+            oracle_idx, _dismax_tree(eng, rest, tree_params), k=50
+        )
+        assert [g["doc_id"] for g in got] == [w["doc_id"] for w in want], q
+        for g, w in zip(got, want):
+            assert math.isclose(g["score"], w["score"], rel_tol=1e-6), q
+        return got
+
+    base = check("{!dismax}web page data", {}, "web page data")
+    strict = check("{!dismax mm=2}web page data", {"mm": "2"}, "web page data")
+    assert len(strict) < len(base) or (
+        len(base) == 50 and len(strict) == 50
+    )
+    # mm as a percentage and a conditional spec dispatch too
+    check("{!dismax mm=67%}web page data", {"mm": "67%"}, "web page data")
+    check(
+        "{!dismax mm='1<100%'}web page data", {"mm": "1<100%"}, "web page data"
+    )
+    # +/- signs survive the dismax escape
+    check("{!dismax}+web -merge data", {}, "+web -merge data")
+    # pf: whole-query phrase added as a SHOULD boost clause
+    check(
+        "{!dismax pf=text^2 ps=1}web data",
+        {"pf": "text^2", "ps": "1"},
+        "web data",
+    )
+    # bq: parsed boost query joins the optional clauses
+    check("{!dismax bq=page}web data", {"bq": "page"}, "web data")
+    # edismax: full grammar + mm over root SHOULD clauses
+    got = [
+        r.asDict()
+        for r in dispatch_query(
+            eng, '{!edismax mm=2}web page "data merge"~2', k=50
+        ).collect()
+    ]
+    from apache___solr_spark.query.localparams import _edismax_tree
+
+    want = oracle_search_tree(
+        oracle_idx,
+        _edismax_tree(eng, 'web page "data merge"~2', {"mm": "2"}),
+        k=50,
+    )
+    assert [g["doc_id"] for g in got] == [w["doc_id"] for w in want]
+    # qf boost scales scores; unknown field still raises
+    with pytest.raises(NotImplementedError):
+        dispatch_query(eng, "{!dismax qf=title}web", k=5)
+    with pytest.raises(NotImplementedError):
+        dispatch_query(eng, "{!dismax bf=log(popularity)}web", k=5)

@@ -171,3 +171,26 @@ def test_tree_unbalanced_parens_raise():
 def test_empty_group_dropped():
     pq = parse_query("alpha () beta")
     assert pq.should == ["alpha", "beta"] and not pq.expand
+
+
+def test_calculate_mm_spec():
+    """SolrPluginUtils.calculateMinShouldMatch grammar: plain ints,
+    negative ints, percentages (truncate toward zero), negative
+    percentages, and ordered conditional 'upper<spec' clauses."""
+    from apache___solr_spark.query.localparams import calculate_mm
+
+    assert calculate_mm("3", 5) == 3
+    assert calculate_mm("3", 2) == 2          # clamped to optional count
+    assert calculate_mm("-2", 5) == 3
+    assert calculate_mm("-7", 5) == 0         # floor at 0
+    assert calculate_mm("75%", 4) == 3
+    assert calculate_mm("75%", 5) == 3        # int(3.75) truncates
+    assert calculate_mm("-25%", 5) == 4       # 5 + int(-1.25) = 5 - 1
+    assert calculate_mm("0%", 5) == 0
+    assert calculate_mm("100%", 5) == 5
+    # conditionals: n<=2 all required; 3..9 -> all but 25%; >9 -> all but 3
+    spec = "2<-25% 9<-3"
+    assert calculate_mm(spec, 2) == 2
+    assert calculate_mm(spec, 5) == 4
+    assert calculate_mm(spec, 12) == 9
+    assert calculate_mm(spec, 10) == 7
