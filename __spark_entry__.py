@@ -490,6 +490,51 @@ def q_hash_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_features_igain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """features() / {!igain} information-gain feature selection
+    (IGainTermsQParserPlugin.java:162-188, FeaturesSelectionStream.java:375):
+    top terms separating lang='en' documents.  One explode + one
+    groupBy(term) shuffle + broadcast totals."""
+    from apache___solr_spark.pipeline.textml import select_features_igain
+
+    d = _t(spark, sf_dir, "documents")
+    sel = select_features_igain(d, "text", "lang", "en", num_terms=25)
+    return sel.select(
+        "term",
+        F.round("score", 6).alias("score"),
+        "doc_freq",
+        F.round("idf", 6).alias("idf"),
+    )
+
+
+def q_classify_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """train() + classify() (TextLogisticRegressionQParserPlugin.java:150,
+    ClassifyStream.java): batch-GD logistic regression on igain features,
+    then score every doc.  Iterative — no single-SQL oracle; train math is
+    numpy-oracled in tests/test_textml.py."""
+    from apache___solr_spark.pipeline.textml import (
+        predict_logit,
+        select_features_igain,
+        train_text_logit,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    feats = [
+        (r["term"], r["idf"])
+        for r in select_features_igain(
+            d, "text", "lang", "en", num_terms=10
+        ).collect()
+    ]
+    iters = train_text_logit(
+        d, "text", "lang", feats, positive_label="en",
+        iterations=5, alpha=0.05, id_col="doc_id",
+    )
+    out = predict_logit(d, "text", feats, iters[-1]["weights"])
+    return out.select(
+        "doc_id", F.round("probability_d", 6).alias("prob"), "prediction"
+    ).orderBy("doc_id")
+
+
 def q_json_facet_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON Facet API (search/facet/FacetRequest.java DSL): nested
     terms->terms with per-parent limits and named stats, lowered to one
@@ -1118,6 +1163,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mlt_simple": q_mlt_simple,
         "percentiles": q_percentiles,
         "rrf": q_rrf,
+        # oracle-checkable overflow: first past the driver's check window so
+        # it gets verified the moment the window grows; DuckDB-oracled in
+        # tests/test_textml.py either way
+        "features_igain": q_features_igain,
         # ---- rows-only tail (no SQL oracle; approximate / non-SQL ops,
         # each covered by pytest goldens): keep AFTER every oracle entry
         "bm25_topk": q_bm25_topk,
@@ -1127,6 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_lsh": q_cosine_topk_lsh,
         "ann_ivf_topk": q_ann_ivf_topk,
         "json_facet_nested": q_json_facet_nested,
+        "classify_logit": q_classify_logit,
     }
 
 
@@ -1809,5 +1859,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, round(sum(c), 6) AS rrf_score
             FROM u GROUP BY o_orderkey
             ORDER BY rrf_score DESC, o_orderkey ASC LIMIT 20
+        """,
+        "features_igain": """
+            WITH labeled AS (
+                SELECT text, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+                FROM documents
+            ),
+            totals AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n,
+                       CAST(sum(pos) AS DOUBLE) AS npos FROM labeled
+            ),
+            per_term AS (
+                SELECT term, CAST(count(*) AS DOUBLE) AS dfreq,
+                       CAST(sum(pos) AS DOUBLE) AS xc
+                FROM (
+                    SELECT unnest(list_distinct(
+                               regexp_extract_all(lower(text), '[a-z0-9]+')
+                           )) AS term, pos
+                    FROM labeled
+                ) GROUP BY term
+            ),
+            scored AS (
+                SELECT term,
+                   (CASE WHEN npos/n <= 0 OR npos/n >= 1 THEN 0
+                         ELSE -(npos/n)*ln(npos/n)
+                              - (1-npos/n)*ln(1-npos/n) END)
+                   - ( (dfreq/n) *
+                       (CASE WHEN xc/dfreq <= 0 OR xc/dfreq >= 1 THEN 0
+                             ELSE -(xc/dfreq)*ln(xc/dfreq)
+                                  - (1-xc/dfreq)*ln(1-xc/dfreq) END)
+                     + (1 - dfreq/n) *
+                       (CASE WHEN (npos-xc)/(n-dfreq+1) <= 0
+                                  OR (npos-xc)/(n-dfreq+1) >= 1 THEN 0
+                             ELSE -((npos-xc)/(n-dfreq+1))
+                                      *ln((npos-xc)/(n-dfreq+1))
+                                  - (1-(npos-xc)/(n-dfreq+1))
+                                      *ln(1-(npos-xc)/(n-dfreq+1)) END) )
+                   AS raw_score,
+                   CAST(dfreq AS BIGINT) AS doc_freq,
+                   ln(n / (dfreq + 1)) AS raw_idf
+                FROM per_term, totals
+            )
+            SELECT term, round(raw_score, 6) AS score, doc_freq,
+                   round(raw_idf, 6) AS idf
+            FROM scored
+            ORDER BY raw_score DESC, term LIMIT 25
         """,
     }

@@ -14,7 +14,7 @@ Supported function surface (names as registered in Lang.java):
   rollup hashRollup having select sort top unique merge list null
   innerJoin leftOuterJoin fullOuterJoin hashJoin outerHashJoin
   intersect complement fetch cartesianProduct let get knnSearch
-  update commit drill input
+  update commit drill input features train classify
   metrics: sum min max avg count countDist std per
   boolean evaluators (having): eq gt gte lt lte and or not isNull notNull
   plus eval-passthroughs: plist parallel echo tuple
@@ -32,7 +32,7 @@ from __future__ import annotations
 import re
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from apache___solr_spark.expr.parser import (
@@ -580,6 +580,112 @@ def _fn_knn_search(f: StreamFactory, e: StreamExpression) -> DataFrame:
     )
 
 
+def _fn_features(f: StreamFactory, e: StreamExpression) -> DataFrame:
+    """features() (FeaturesSelectionStream.java:339-386 / {!igain},
+    IGainTermsQParserPlugin.java): information-gain term selection over a
+    labeled collection; tuple shape index_i/term_s/score_f/idf_d."""
+    from apache___solr_spark.pipeline.textml import select_features_igain
+
+    df = f._search_base(e)
+    sel = select_features_igain(
+        df,
+        text_col=e.named("field", "text"),
+        outcome_col=e.named("outcome", "out_i"),
+        positive_label=_coerce(e.named("positiveLabel", "1")),
+        num_terms=int(e.named("numTerms", 20)),
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("term"))
+    return sel.select(
+        F.row_number().over(w).alias("index_i"),
+        F.col("term").alias("term_s"),
+        F.col("score").alias("score_f"),
+        F.col("idf").alias("idf_d"),
+        F.lit(e.named("featureSet", "fSet")).alias("featureSet_s"),
+    )
+
+
+def _fn_train(f: StreamFactory, e: StreamExpression) -> DataFrame:
+    """train() (TextLogitStream.java / {!tlogit}): logistic regression over
+    feature-term vectors; one tuple per iteration with weights_ds/error_d/
+    confusion counts (terms_ss/idfs_ds carried for classify())."""
+    from apache___solr_spark.pipeline.textml import (
+        select_features_igain,
+        train_text_logit,
+    )
+
+    df = f._search_base(e)
+    text_col = e.named("field", "text")
+    outcome = e.named("outcome", "out_i")
+    positive = _coerce(e.named("positiveLabel", "1"))
+    feats_src = f._streams_in(e)
+    if feats_src:
+        frows = feats_src[0].collect()  # numTerms rows, driver-tiny
+        feats = [(r["term_s"], r["idf_d"]) for r in frows]
+    else:
+        feats = [
+            (r["term"], r["idf"])
+            for r in select_features_igain(
+                df, text_col, outcome, positive,
+                num_terms=int(e.named("numTerms", 20)),
+            ).collect()
+        ]
+    iters = train_text_logit(
+        df,
+        text_col,
+        outcome,
+        feats,
+        positive_label=positive,
+        iterations=int(e.named("maxIterations", 10)),
+        alpha=float(e.named("alpha", 0.01)),
+        threshold=float(e.named("threshold", 0.5)),
+    )
+    name = e.named("name", "model")
+    rows = [
+        (
+            name,
+            it["iteration"],
+            [t for t, _ in feats],
+            [i for _, i in feats],
+            it["weights"],
+            it["error"],
+            it["truePositive_i"],
+            it["trueNegative_i"],
+            it["falsePositive_i"],
+            it["falseNegative_i"],
+        )
+        for it in iters
+    ]
+    return f.spark.createDataFrame(
+        rows,
+        "name_s string, iteration_i int, terms_ss array<string>, "
+        "idfs_ds array<double>, weights_ds array<double>, error_d double, "
+        "truePositive_i int, trueNegative_i int, falsePositive_i int, "
+        "falseNegative_i int",
+    )
+
+
+def _fn_classify(f: StreamFactory, e: StreamExpression) -> DataFrame:
+    """classify() (ClassifyStream.java): score a doc stream with a trained
+    model — substreams are (model, docs); the model's LAST iteration tuple
+    supplies terms/idfs/weights.  Adds probability_d + prediction_i."""
+    from apache___solr_spark.pipeline.textml import predict_logit
+
+    subs = f._streams_in(e)
+    if len(subs) != 2:
+        raise ValueError("classify(model-stream, docs-stream) needs 2 streams")
+    model_df, docs = subs
+    last = model_df.orderBy(F.col("iteration_i").desc()).limit(1).collect()[0]
+    feats = list(zip(last["terms_ss"], last["idfs_ds"]))
+    scored = predict_logit(
+        docs,
+        e.named("field", "text"),
+        feats,
+        list(last["weights_ds"]),
+        threshold=float(e.named("threshold", 0.5)),
+    )
+    return scored.withColumnRenamed("prediction", "prediction_i")
+
+
 def _fn_echo(f: StreamFactory, e: StreamExpression) -> DataFrame:
     msg = e.positionals()[0]
     return f.spark.createDataFrame([(msg,)], "echo string")
@@ -630,6 +736,9 @@ _FUNCTIONS: dict[str, Callable] = {
     "let": _fn_let,
     "get": _fn_get,
     "knnSearch": _fn_knn_search,
+    "features": _fn_features,
+    "train": _fn_train,
+    "classify": _fn_classify,
     "update": _fn_update,
     "commit": _fn_commit,
     "drill": _fn_drill,

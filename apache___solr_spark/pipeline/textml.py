@@ -1,0 +1,298 @@
+"""Text-ML streams: information-gain feature selection + logistic regression.
+
+Re-expresses the reference's text-classification streaming expressions as
+distributed DataFrame jobs:
+
+- ``features()`` / {!igain}:
+  solr/core/src/java/org/apache/solr/search/IGainTermsQParserPlugin.java
+  (collector at :108-216) and
+  solrj-streaming/.../io/stream/FeaturesSelectionStream.java:375-386 (idf).
+  Per term t over a labeled doc set: with xc = df(t) in the positive class,
+  docFreq = df(t) overall,
+
+      score(t) = H(P) - [ docFreq/N * H(xc/docFreq)
+                          + (1 - docFreq/N) * H((numPos - xc)/(N - docFreq + 1)) ]
+
+  where H is binary entropy and the ``+ 1`` denominator is the reference's
+  own smoothing (IGainTermsQParserPlugin.java:184).  Output adds
+  idf = ln(N / (docFreq + 1)) exactly as FeaturesSelectionStream emits it
+  for the downstream train() step.
+
+- ``train()`` / {!tlogit}:
+  solr/core/src/java/org/apache/solr/search/TextLogisticRegressionQParserPlugin.java
+  (collector at :150-260) and solrj-streaming/.../io/stream/TextLogitStream.java.
+  Doc vectors are [1, idf_i * (1 + ln(tf_i))] over the selected feature
+  terms (docs containing NO feature term are excluded, matching the
+  reference's docVectors map); one logistic-regression epoch per iteration,
+  emitting per-iteration weights, total |error| against the incoming
+  weights, and the confusion-matrix evaluation at the given threshold.
+
+  DOCUMENTED DIVERGENCE: the reference applies per-doc sequential updates
+  inside an epoch in HashMap iteration order — nondeterministic and
+  inherently serial.  This implementation does deterministic full-batch
+  gradient descent with the MEAN per-doc gradient, one update per epoch:
+  the distributed-friendly formulation, and the mean (not the reference's
+  implicit sum-of-steps) keeps the step magnitude independent of corpus
+  size — a summed gradient would make ``alpha`` meaningless at 10^12 docs.
+  Same fixed points, different trajectory.
+
+Everything is DataFrame ops: one explode + groupBy(term) shuffle for
+feature selection; train caches the sparse (doc, term, value) design
+matrix once and runs two keyed aggregations per epoch (doc-key for the
+dot products, term-key for the gradient) with the tiny weight vector
+broadcast each epoch — no .collect() of anything unbounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["select_features_igain", "train_text_logit"]
+
+_TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def _doc_terms(df: DataFrame, text_col: str, distinct: bool) -> DataFrame:
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), _TOKEN_SPLIT), lambda x: x != ""
+    )
+    if distinct:
+        toks = F.array_distinct(toks)
+    return df.withColumn("term", F.explode(toks))
+
+
+def _binary_entropy(p):
+    # IGainTermsQParserPlugin.java:211-214 (0 at p in {0,1})
+    return F.when((p <= 0.0) | (p >= 1.0), F.lit(0.0)).otherwise(
+        -p * F.log(p) - (F.lit(1.0) - p) * F.log(F.lit(1.0) - p)
+    )
+
+
+def select_features_igain(
+    df: DataFrame,
+    text_col: str,
+    outcome_col: str,
+    positive_label=1,
+    num_terms: int = 20,
+) -> DataFrame:
+    """Top ``num_terms`` terms by information gain against a binary outcome.
+
+    Returns (term, score, doc_freq, idf) sorted score desc, term asc.
+    One explode + one groupBy(term) shuffle; the corpus-level totals ride
+    in via a broadcast single-row cross join, so the plan is two stages
+    regardless of corpus size.
+    """
+    labeled = df.select(
+        F.col(text_col).alias("__text"),
+        (F.col(outcome_col) == F.lit(positive_label))
+        .cast("int")
+        .alias("__pos"),
+    )
+    totals = labeled.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__pos").alias("n_pos"),
+    )
+    per_term = (
+        _doc_terms(labeled, "__text", distinct=True)
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.sum("__pos").alias("xc"),
+        )
+    )
+    j = per_term.crossJoin(F.broadcast(totals))
+    n = F.col("n_docs").cast("double")
+    npos = F.col("n_pos").cast("double")
+    dfreq = F.col("doc_freq").cast("double")
+    xc = F.col("xc").cast("double")
+    entropy_c = _binary_entropy(npos / n)
+    h_contains = _binary_entropy(xc / dfreq)
+    h_not = _binary_entropy((npos - xc) / (n - dfreq + F.lit(1.0)))
+    score = entropy_c - (
+        (dfreq / n) * h_contains + (F.lit(1.0) - dfreq / n) * h_not
+    )
+    return (
+        j.select(
+            "term",
+            score.alias("score"),
+            "doc_freq",
+            F.log(n / (dfreq + F.lit(1.0))).alias("idf"),
+        )
+        .orderBy(F.col("score").desc(), F.col("term"))
+        .limit(int(num_terms))
+    )
+
+
+def _design_matrix(
+    df: DataFrame,
+    text_col: str,
+    outcome_col: str,
+    positive_label,
+    features,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Sparse (doc_id, y, term, value) rows for docs containing >= 1
+    feature term; value = idf * (1 + ln(tf)) per
+    TextLogisticRegressionQParserPlugin.java:193."""
+    idf_map = F.create_map(
+        *[
+            x
+            for t, idf in features
+            for x in (F.lit(t), F.lit(float(idf)))
+        ]
+    )
+    feature_terms = [t for t, _ in features]
+    doc_id = (
+        F.col(id_col) if id_col else F.monotonically_increasing_id()
+    )
+    labeled = df.select(
+        doc_id.alias("__doc"),
+        F.col(text_col).alias("__text"),
+        (F.col(outcome_col) == F.lit(positive_label))
+        .cast("double")
+        .alias("y"),
+    )
+    tf = (
+        _doc_terms(labeled, "__text", distinct=False)
+        .filter(F.col("term").isin(feature_terms))
+        .groupBy("__doc", "y", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return tf.select(
+        "__doc",
+        "y",
+        "term",
+        (
+            idf_map[F.col("term")]
+            * (F.lit(1.0) + F.log(F.col("tf").cast("double")))
+        ).alias("value"),
+    )
+
+
+def train_text_logit(
+    df: DataFrame,
+    text_col: str,
+    outcome_col: str,
+    features: list,
+    positive_label=1,
+    iterations: int = 10,
+    alpha: float = 0.01,
+    threshold: float = 0.5,
+    id_col: str | None = None,
+) -> list:
+    """Train logistic regression over feature-term vectors; ``features`` is
+    [(term, idf), ...] (the output of :func:`select_features_igain`).
+
+    Returns one dict per iteration: {iteration, weights (intercept-first),
+    error, truePositive_i, trueNegative_i, falsePositive_i,
+    falseNegative_i} — the TextLogitStream tuple shape.  Weights live on
+    the driver (num_terms + 1 doubles); each epoch is two keyed
+    aggregations over the cached design matrix.
+    """
+    design = _design_matrix(
+        df, text_col, outcome_col, positive_label, features, id_col=id_col
+    ).persist()
+    try:
+        terms = [t for t, _ in features]
+        weights = [0.0] * (len(terms) + 1)  # [intercept, w_term...]
+        out = []
+        for it in range(1, iterations + 1):
+            w_map = F.create_map(
+                *[
+                    x
+                    for t, w in zip(terms, weights[1:])
+                    for x in (F.lit(t), F.lit(float(w)))
+                ]
+            )
+            per_doc = design.groupBy("__doc", "y").agg(
+                (
+                    F.sum(w_map[F.col("term")] * F.col("value"))
+                    + F.lit(float(weights[0]))
+                ).alias("dot")
+            )
+            sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("dot")))
+            per_doc = per_doc.select(
+                "__doc",
+                "y",
+                (sig - F.col("y")).alias("err"),
+                F.abs(sig - F.col("y")).alias("abs_err"),
+                (sig >= F.lit(float(threshold)))
+                .cast("int")
+                .alias("pred"),
+            )
+            # term-keyed gradient + the scalar stats in one pass each
+            grad_rows = (
+                design.join(per_doc.select("__doc", "err"), "__doc")
+                .groupBy("term")
+                .agg(F.sum(F.col("err") * F.col("value")).alias("g"))
+                .collect()
+            )
+            stats = per_doc.agg(
+                F.sum("err").alias("g0"),
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("abs_err").alias("total_err"),
+                F.sum(
+                    ((F.col("y") == 1.0) & (F.col("pred") == 1)).cast("long")
+                ).alias("tp"),
+                F.sum(
+                    ((F.col("y") == 0.0) & (F.col("pred") == 0)).cast("long")
+                ).alias("tn"),
+                F.sum(
+                    ((F.col("y") == 0.0) & (F.col("pred") == 1)).cast("long")
+                ).alias("fp"),
+                F.sum(
+                    ((F.col("y") == 1.0) & (F.col("pred") == 0)).cast("long")
+                ).alias("fn"),
+            ).collect()[0]
+            g = {r["term"]: r["g"] for r in grad_rows}
+            # mean gradient: step magnitude independent of corpus size
+            n_docs = float(stats["n_docs"]) or 1.0
+            weights[0] -= alpha * float(stats["g0"]) / n_docs
+            for i, t in enumerate(terms):
+                weights[i + 1] -= alpha * float(g.get(t, 0.0)) / n_docs
+            out.append(
+                {
+                    "iteration": it,
+                    "weights": list(weights),
+                    "error": float(stats["total_err"]),
+                    "truePositive_i": int(stats["tp"]),
+                    "trueNegative_i": int(stats["tn"]),
+                    "falsePositive_i": int(stats["fp"]),
+                    "falseNegative_i": int(stats["fn"]),
+                }
+            )
+        return out
+    finally:
+        design.unpersist()
+
+
+def predict_logit(
+    df: DataFrame,
+    text_col: str,
+    features: list,
+    weights: list,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """ClassifyStream (solrj-streaming/.../io/stream/ClassifyStream.java):
+    score docs with a trained model.  Adds probability_d and prediction
+    columns; docs with no feature term get sigmoid(intercept)."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), _TOKEN_SPLIT), lambda x: x != ""
+    )
+    # tf per feature term = one array count each (~num_terms JVM array
+    # scans per row, no shuffle, no UDF):
+    # dot = w0 + sum_t w_t * idf_t * (1 + ln(tf_t)) over terms with tf > 0
+    dot = F.lit(float(weights[0]))
+    for (term, idf), w in zip(features, weights[1:]):
+        tf = F.size(F.filter(toks, lambda x: x == F.lit(term)))
+        dot = dot + F.when(
+            tf > 0,
+            F.lit(float(w))
+            * F.lit(float(idf))
+            * (F.lit(1.0) + F.log(tf.cast("double"))),
+        ).otherwise(F.lit(0.0))
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-dot))
+    return df.withColumn("probability_d", prob).withColumn(
+        "prediction", (prob >= F.lit(float(threshold))).cast("int")
+    )

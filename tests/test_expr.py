@@ -282,3 +282,52 @@ def test_drill_input_rollup(factory, spark, sf_dir):
     assert g == w
     with pytest.raises(ValueError):
         StreamFactory(spark, sf_dir=sf_dir).df("input()")
+
+
+def test_features_train_classify(factory, spark, sf_dir):
+    """features()/train()/classify() (FeaturesSelectionStream /
+    TextLogitStream / ClassifyStream): the expression pipeline agrees with
+    the pipeline.textml functions it lowers to."""
+    from apache___solr_spark.pipeline.textml import (
+        select_features_igain,
+        train_text_logit,
+    )
+
+    feats_df = factory.df(
+        'features(documents, field="text", outcome="lang", '
+        'positiveLabel="en", numTerms=6, featureSet="fs1")'
+    )
+    rows = feats_df.collect()
+    assert [r["index_i"] for r in rows] == list(range(1, 7))
+    assert all(r["featureSet_s"] == "fs1" for r in rows)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    want = select_features_igain(
+        docs, "text", "lang", "en", num_terms=6
+    ).collect()
+    assert [r["term_s"] for r in rows] == [w["term"] for w in want]
+
+    model = factory.df(
+        'train(documents, features(documents, field="text", outcome="lang", '
+        'positiveLabel="en", numTerms=6), field="text", outcome="lang", '
+        'positiveLabel="en", maxIterations=3, alpha=0.05, name="m1")'
+    )
+    mrows = model.orderBy("iteration_i").collect()
+    assert [r["iteration_i"] for r in mrows] == [1, 2, 3]
+    feats = [(w["term"], w["idf"]) for w in want]
+    iters = train_text_logit(
+        docs, "text", "lang", feats, positive_label="en",
+        iterations=3, alpha=0.05,
+    )
+    assert mrows[-1]["weights_ds"] == pytest.approx(
+        iters[-1]["weights"], rel=1e-9
+    )
+    assert mrows[-1]["error_d"] == pytest.approx(iters[-1]["error"], rel=1e-6)
+
+    scored = factory.df(
+        'classify(train(documents, field="text", outcome="lang", '
+        'positiveLabel="en", numTerms=6, maxIterations=3, alpha=0.05), '
+        'search(documents, q="*:*"), field="text")'
+    )
+    srows = scored.limit(20).collect()
+    assert all(0.0 <= r["probability_d"] <= 1.0 for r in srows)
+    assert all(r["prediction_i"] in (0, 1) for r in srows)
