@@ -203,6 +203,60 @@ def regress(df: DataFrame, x: str, y: str) -> DataFrame:
     )
 
 
+def ols_regress(df: DataFrame, x_cols: list, y_col: str) -> dict:
+    """OLSRegressionEvaluator (io/eval/OLSRegressionEvaluator.java):
+    multivariate least squares.  The reference collects a driver-side
+    matrix into Commons-Math OLSMultipleLinearRegression; here the normal
+    equations' moment matrix (X'X, X'y with intercept) accumulates in ONE
+    distributed aggregation — p(p+3)/2 + 3 sum expressions, all map-side
+    combined — and only the (p+1)x(p+1) solve runs on the driver.
+
+    Returns {"coefficients": [intercept, b1..bp], "rsquared": float,
+    "n": int}."""
+    import numpy as np
+
+    p = len(x_cols)
+    cols = [F.col(c).cast("double") for c in x_cols]
+    yc = F.col(y_col).cast("double")
+    aggs = [F.count(F.lit(1)).alias("n"), F.sum(yc).alias("sy"),
+            F.sum(yc * yc).alias("syy")]
+    for i in range(p):
+        aggs.append(F.sum(cols[i]).alias(f"sx{i}"))
+        aggs.append(F.sum(cols[i] * yc).alias(f"sxy{i}"))
+        for j in range(i, p):
+            aggs.append(F.sum(cols[i] * cols[j]).alias(f"sxx{i}_{j}"))
+    r = df.agg(*aggs).collect()[0]
+    n = float(r["n"])
+    # moment matrix with the intercept column folded in
+    A = np.zeros((p + 1, p + 1))
+    b = np.zeros(p + 1)
+    A[0, 0] = n
+    b[0] = r["sy"]
+    for i in range(p):
+        A[0, i + 1] = A[i + 1, 0] = r[f"sx{i}"]
+        b[i + 1] = r[f"sxy{i}"]
+        for j in range(i, p):
+            A[i + 1, j + 1] = A[j + 1, i + 1] = r[f"sxx{i}_{j}"]
+    coef = np.linalg.solve(A, b)
+    # R^2 from the same moments: SSE = y'y - coef'X'y, SST = y'y - n*ybar^2
+    sse = float(r["syy"] - coef @ b)
+    sst = float(r["syy"] - r["sy"] * r["sy"] / n)
+    return {
+        "coefficients": [float(c) for c in coef],
+        "rsquared": 1.0 - sse / sst if sst > 0 else float("nan"),
+        "n": int(n),
+    }
+
+
+def ols_predict(coefficients: list, x_cols: list) -> Column:
+    """PredictEvaluator for an ols_regress model — a pure column expr."""
+    out = F.lit(float(coefficients[0]))
+    for c, w in zip(x_cols, coefficients[1:]):
+        cc = F.col(c) if isinstance(c, str) else c
+        out = out + cc.cast("double") * F.lit(float(w))
+    return out
+
+
 # ---- normalization / transform evaluators -----------------------------------
 
 def zscores(arr: Column) -> Column:

@@ -97,7 +97,15 @@ FUNCTION_REGISTRY: dict[str, Callable[..., Column]] = {
     "recip": lambda x, m, a, b: a / (F.lit(m) * x + F.lit(b)),
     # time (ms) — epoch millis like Solr's ms()
     "ms": lambda ts: (F.unix_timestamp(ts) * 1000 + F.date_format(ts, "SSS").cast("long")),
+    # spatial (GeoDistValueSourceParser.java / HaversineConstFunction.java)
+    "geodist": lambda lat, lon, clat, clon: _geodist(lat, lon, clat, clon),
 }
+
+
+def _geodist(lat, lon, clat, clon) -> Column:
+    from apache___solr_spark.functions.spatial import geodist
+
+    return geodist(lat, lon, float(clat), float(clon))
 
 
 def _fold(op, cols):

@@ -248,6 +248,8 @@ _TABLE_SHAPED = {
     "parent": "operators.streams.block_join_parent",
     "child": "operators.streams.block_join_children",
     "terms": "Column.isin / broadcast semi-join",
+    "geofilt": "functions.spatial.geofilt (bbox prefilter + haversine)",
+    "bbox": "functions.spatial.bbox_predicate",
 }
 
 

@@ -56,6 +56,8 @@ HEADLINE = [
     "expr_stream",
     "json_facet_nested",
     "ann_ivf_topk",
+    "features_igain",
+    "classify_logit",
 ]
 
 

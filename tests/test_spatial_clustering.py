@@ -1,0 +1,208 @@
+"""Spatial function queries (geodist/geofilt/bbox) and distributed k-means.
+
+Oracles: pure-Python haversine with the reference's exact constants
+(HaversineConstFunction.java:57-77); numpy Lloyd's replay from the same
+deterministic initialization for k-means.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from apache___solr_spark.functions.clustering import kmeans
+from apache___solr_spark.functions.spatial import (
+    EARTH_MEAN_RADIUS_KM,
+    bbox_predicate,
+    geodist,
+    geofilt,
+)
+
+
+def _haversine_km(lat1, lon1, lat2, lon2):
+    d2r = math.pi / 180.0
+    la1, lo1, la2, lo2 = lat1 * d2r, lon1 * d2r, lat2 * d2r, lon2 * d2r
+    hx = math.sin((la1 - la2) * 0.5)
+    hy = math.sin((lo1 - lo2) * 0.5)
+    h = hx * hx + math.cos(la1) * math.cos(la2) * hy * hy
+    return (
+        2.0
+        * EARTH_MEAN_RADIUS_KM
+        * math.atan2(math.sqrt(h), math.sqrt(1.0 - h))
+    )
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    rng = random.Random(7)
+    rows = [
+        (i, rng.uniform(-89.9, 89.9), rng.uniform(-180.0, 180.0))
+        for i in range(800)
+    ]
+    # adversarial ring near the antimeridian and the poles
+    rows += [(1000 + j, 40.0 + j * 0.01, 179.5 + j * 0.05) for j in range(20)]
+    rows += [(1100 + j, 40.0 + j * 0.01, -179.5 - j * 0.05) for j in range(20)]
+    rows += [(1200 + j, 89.0 + j * 0.04, j * 10.0 - 180.0) for j in range(20)]
+    return spark.createDataFrame(rows, "id long, lat double, lon double")
+
+
+def test_geodist_matches_reference_formula(spark, points):
+    center = (48.8566, 2.3522)
+    got = points.select(
+        "id", "lat", "lon", geodist("lat", "lon", *center).alias("d")
+    ).collect()
+    for r in got:
+        want = _haversine_km(r["lat"], r["lon"], *center)
+        assert abs(r["d"] - want) < 1e-9 * max(1.0, want), r
+
+
+@pytest.mark.parametrize(
+    "center,d_km",
+    [
+        ((48.8566, 2.3522), 500.0),  # ordinary
+        ((40.5, 179.9), 800.0),  # antimeridian crossing
+        ((89.5, 0.0), 300.0),  # polar cap
+        ((-33.9, 151.2), 2000.0),  # large radius southern hemisphere
+    ],
+)
+def test_geofilt_equals_bruteforce(spark, points, center, d_km):
+    got = sorted(
+        r["id"]
+        for r in geofilt(points, "lat", "lon", *center, d_km).collect()
+    )
+    want = sorted(
+        r["id"]
+        for r in points.collect()
+        if _haversine_km(r["lat"], r["lon"], *center) <= d_km
+    )
+    assert got == want
+    # bbox is a strict superset of the circle (prefilter soundness)
+    boxed = {
+        r["id"]
+        for r in points.filter(
+            bbox_predicate("lat", "lon", *center, d_km)
+        ).collect()
+    }
+    assert set(want) <= boxed
+
+
+def test_bbox_predicate_pushed_to_parquet(spark, points, tmp_path):
+    p = str(tmp_path / "pts.parquet")
+    points.write.parquet(p)
+    df = spark.read.parquet(p)
+    plan = (
+        df.filter(bbox_predicate("lat", "lon", 48.8566, 2.3522, 500.0))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(lat" in plan
+
+
+def test_kmeans_matches_numpy_lloyds(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned, cent, sse = kmeans(
+        e, "embedding", k=6, id_col="vec_id", iters=5, seed=11
+    )
+    # Lloyd's invariant: SSE non-increasing
+    assert all(b <= a + 1e-6 for a, b in zip(sse, sse[1:]))
+
+    # numpy replay from the SAME deterministic initialization
+    from apache___solr_spark.functions.clustering import kmeans_init
+
+    rows = e.select("vec_id", "embedding").collect()
+    X = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    C = kmeans_init(e, "embedding", 6, "vec_id", seed=11)
+    for _ in range(5):
+        d2 = (
+            (X * X).sum(1)[:, None] - 2 * X @ C.T + (C * C).sum(1)[None, :]
+        )
+        cl = d2.argmin(1)
+        newC = C.copy()
+        for j in range(6):
+            m = cl == j
+            if m.any():
+                newC[j] = X[m].mean(0)
+        C = newC
+    np.testing.assert_allclose(np.array(cent), C, rtol=1e-9, atol=1e-9)
+
+    # final assignments are nearest-centroid under the returned centroids
+    d2 = (X * X).sum(1)[:, None] - 2 * X @ C.T + (C * C).sum(1)[None, :]
+    want_cl = {int(i): int(c) for i, c in zip(ids, d2.argmin(1))}
+    for r in assigned.collect():
+        assert r["cluster"] == want_cl[r["vec_id"]]
+
+
+def test_kmeans_separates_planted_blobs(spark):
+    """Deterministic well-separated Gaussian blobs (the embeddings table's
+    label column carries no geometric signal — verified 1-NN accuracy is
+    at chance — so the blobs are planted here); k-means at k=#blobs must
+    recover them nearly perfectly."""
+    rng = np.random.default_rng(5)
+    k, per, dim = 5, 120, 16
+    centers = rng.normal(size=(k, dim)) * 10.0
+    rows = []
+    for b in range(k):
+        pts = centers[b] + rng.normal(size=(per, dim))
+        for i, p in enumerate(pts):
+            rows.append((b * per + i, [float(x) for x in p], b))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, blob int"
+    )
+    assigned, _, sse = kmeans(
+        df, "embedding", k=k, id_col="vec_id", iters=8, seed=3
+    )
+    assert all(b <= a + 1e-6 for a, b in zip(sse, sse[1:]))
+    j = assigned.join(df.select("vec_id", "blob"), "vec_id")
+    top = (
+        j.groupBy("cluster", "blob")
+        .count()
+        .groupBy("cluster")
+        .agg(F.max("count").alias("top"), F.sum("count").alias("n"))
+        .agg(F.sum("top").alias("t"), F.sum("n").alias("n"))
+        .collect()[0]
+    )
+    purity = top["t"] / top["n"]
+    assert purity > 0.95, purity
+
+
+def test_ols_regress_matches_numpy(spark, sf_dir):
+    """OLSRegressionEvaluator: multivariate OLS via one distributed moment
+    aggregation == numpy lstsq on the collected data."""
+    from apache___solr_spark.functions.evaluators import (
+        ols_predict,
+        ols_regress,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_quantity", "l_discount", "l_tax", "l_extendedprice"
+    )
+    xs = ["l_quantity", "l_discount", "l_tax"]
+    model = ols_regress(li, xs, "l_extendedprice")
+
+    pdf = li.toPandas()
+    X = np.column_stack(
+        [np.ones(len(pdf))] + [pdf[c].astype(float).to_numpy() for c in xs]
+    )
+    yv = pdf["l_extendedprice"].astype(float).to_numpy()
+    want, *_ = np.linalg.lstsq(X, yv, rcond=None)
+    np.testing.assert_allclose(model["coefficients"], want, rtol=1e-6)
+    pred = yv - (X @ want)
+    ss_res = float((pred**2).sum())
+    ss_tot = float(((yv - yv.mean()) ** 2).sum())
+    assert abs(model["rsquared"] - (1 - ss_res / ss_tot)) < 1e-6
+    assert model["n"] == len(pdf)
+
+    got_pred = (
+        li.limit(5)
+        .select(ols_predict(model["coefficients"], xs).alias("p"))
+        .collect()
+    )
+    head = X[:5] @ want  # limit(5) preserves parquet order on one file
+    for g, w in zip(got_pred, head):
+        assert abs(g["p"] - w) < 1e-6 * max(1.0, abs(w))
