@@ -527,7 +527,7 @@ def q_classify_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     iters = train_text_logit(
         d, "text", "lang", feats, positive_label="en",
-        iterations=5, alpha=0.05, id_col="doc_id",
+        iterations=3, alpha=0.05, id_col="doc_id",
     )
     out = predict_logit(d, "text", feats, iters[-1]["weights"])
     return out.select(

@@ -352,3 +352,63 @@ def test_distribution_evaluators(spark):
     obs = spark.createDataFrame([(float(x),) for x in range(1, 11)], "v double")
     e = {r["value"]: r["cdf"] for r in E.empirical_cdf(obs, "v", [0.5, 5.0, 10.0]).collect()}
     assert e == {0.5: 0.0, 5.0: 0.5, 10.0: 1.0}
+
+
+def test_spline_interpolation(spark):
+    """SplineEvaluator: natural cubic spline.  Oracle = independent dense
+    np.linalg.solve of the full tridiagonal moment system + the defining
+    properties (knot exactness, linear reproduction)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from apache___solr_spark.functions.evaluators import spline_interp
+
+    rng = np.random.default_rng(9)
+    xs = np.sort(rng.uniform(0, 10, 9))
+    ys = rng.normal(size=9)
+    probes = np.linspace(xs[0], xs[-1], 25)
+    lin_y = 3.0 * xs - 1.0
+
+    df = spark.createDataFrame(
+        [
+            (1, [float(v) for v in xs], [float(v) for v in ys],
+             [float(v) for v in probes]),
+            (2, [float(v) for v in xs], [float(v) for v in lin_y],
+             [float(v) for v in probes]),
+            (3, [float(v) for v in xs], [float(v) for v in ys],
+             [float(v) for v in xs]),
+        ],
+        "id long, xs array<double>, ys array<double>, probes array<double>",
+    )
+    got = {
+        r["id"]: np.array(r["interpolated"])
+        for r in spline_interp(df, "xs", "ys", "probes").collect()
+    }
+
+    # knot exactness
+    np.testing.assert_allclose(got[3], ys, atol=1e-12)
+    # a straight line is its own natural spline
+    np.testing.assert_allclose(got[2], 3.0 * probes - 1.0, atol=1e-10)
+
+    # independent oracle: dense solve of the natural-spline moment system
+    n = len(xs)
+    h = np.diff(xs)
+    A = np.zeros((n, n))
+    rhs = np.zeros(n)
+    A[0, 0] = A[-1, -1] = 1.0
+    for i in range(1, n - 1):
+        A[i, i - 1] = h[i - 1]
+        A[i, i] = 2.0 * (h[i - 1] + h[i])
+        A[i, i + 1] = h[i]
+        rhs[i] = 6.0 * ((ys[i + 1] - ys[i]) / h[i] - (ys[i] - ys[i - 1]) / h[i - 1])
+    M = np.linalg.solve(A, rhs)
+    i = np.clip(np.searchsorted(xs, probes, side="right") - 1, 0, n - 2)
+    dx = probes - xs[i]
+    hi = h[i]
+    want = (
+        ys[i]
+        + dx * ((ys[i + 1] - ys[i]) / hi - hi * (2 * M[i] + M[i + 1]) / 6.0)
+        + dx**2 * M[i] / 2.0
+        + dx**3 * (M[i + 1] - M[i]) / (6.0 * hi)
+    )
+    np.testing.assert_allclose(got[1], want, atol=1e-9)
