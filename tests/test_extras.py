@@ -412,3 +412,74 @@ def test_spline_interpolation(spark):
         + dx**3 * (M[i + 1] - M[i]) / (6.0 * hi)
     )
     np.testing.assert_allclose(got[1], want, atol=1e-9)
+
+
+def test_ltr_linear_and_trees(spark, sf_dir):
+    """contrib/ltr LinearModel + MultipleAdditiveTreesModel semantics as
+    column expressions, checked against a per-row Python replay."""
+    from pyspark.sql import functions as F
+
+    from apache___solr_spark.query.ltr import ltr_rerank, ltr_score
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(200)
+    feats = {
+        "price": F.col("o_totalprice"),
+        "pri": F.col("o_orderpriority").startswith("1").cast("double"),
+    }
+    linear = {
+        "type": "linear",
+        "weights": {"price": 0.3, "pri": 5.0},
+        "norms": {"price": ("minmax", 0.0, 500000.0)},
+    }
+    trees = {
+        "type": "trees",
+        "trees": [
+            {"weight": 2.0, "root": {
+                "feature": "price", "threshold": 150000.0,
+                "left": {"value": 0.1},
+                "right": {"feature": "pri", "threshold": 0.5,
+                          "left": {"value": 0.5}, "right": {"value": 1.5}}}},
+            {"weight": 1.0, "root": {
+                "feature": "nosuchfeature", "threshold": 1.0,
+                "left": {"value": 9.9}, "right": {"value": 9.9}}},
+        ],
+    }
+    rows = o.select(
+        "o_orderkey", "o_totalprice", "o_orderpriority",
+        ltr_score(feats, linear).alias("lin"),
+        ltr_score(feats, trees).alias("tree"),
+    ).collect()
+    for r in rows:
+        pri = 1.0 if r["o_orderpriority"].startswith("1") else 0.0
+        want_lin = 0.3 * (r["o_totalprice"] / 500000.0) + 5.0 * pri
+        assert abs(r["lin"] - want_lin) < 1e-9
+        if r["o_totalprice"] <= 150000.0:
+            want_tree = 2.0 * 0.1
+        elif pri <= 0.5:
+            want_tree = 2.0 * 0.5
+        else:
+            want_tree = 2.0 * 1.5
+        # unknown-feature tree contributes 0 (never 9.9)
+        assert abs(r["tree"] - want_tree) < 1e-9
+
+    first = o.select(
+        F.col("o_orderkey").alias("doc_id"),
+        F.col("o_totalprice").cast("double").alias("score"),
+        "o_orderpriority",
+    )
+    out = ltr_rerank(
+        first,
+        {"price": F.col("score"),
+         "pri": F.col("o_orderpriority").startswith("1").cast("double")},
+        linear, rerank_docs=20, k=30,
+    ).collect()
+    assert [r["rank"] for r in out] == list(range(1, 31))
+    # rows 21..30 are the untouched first-pass tail in original order
+    tail = [r["doc_id"] for r in out[20:]]
+    fp = sorted(first.collect(), key=lambda r: (-r["score"], r["doc_id"]))
+    assert tail == [r["doc_id"] for r in fp[20:30]]
+    # rows 1..20 are exactly the first-pass top-20, reordered by the model
+    head_ids = {r["doc_id"] for r in out[:20]}
+    assert head_ids == {r["doc_id"] for r in fp[:20]}
+    model_scores = [r["ltr_score"] for r in out[:20]]
+    assert model_scores == sorted(model_scores, reverse=True)
