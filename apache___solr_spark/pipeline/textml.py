@@ -38,9 +38,11 @@ distributed DataFrame jobs:
 
 Everything is DataFrame ops: one explode + groupBy(term) shuffle for
 feature selection; train caches the sparse (doc, term, value) design
-matrix once and runs two keyed aggregations per epoch (doc-key for the
-dot products, term-key for the gradient) with the tiny weight vector
-broadcast each epoch — no .collect() of anything unbounded.
+matrix once, PRE-PARTITIONED on the doc key, so the per-epoch dot-product
+aggregation and the error join both reuse the cached partitioning (no
+exchange) and each epoch moves only the k-row term-gradient shuffle —
+the tiny weight vector rides along as literals; no .collect() of
+anything unbounded.
 """
 
 from __future__ import annotations
@@ -190,9 +192,19 @@ def train_text_logit(
     the driver (num_terms + 1 doubles); each epoch is two keyed
     aggregations over the cached design matrix.
     """
-    design = _design_matrix(
-        df, text_col, outcome_col, positive_label, features, id_col=id_col
-    ).persist()
+    # hash-partition on the doc key BEFORE caching: the epoch loop's
+    # groupBy("__doc") and its err-join both require distribution by
+    # __doc, and InMemoryRelation preserves output partitioning, so every
+    # epoch runs them exchange-free off the cache (only the term-gradient
+    # aggregation shuffles, and it moves k rows per task)
+    design = (
+        _design_matrix(
+            df, text_col, outcome_col, positive_label, features,
+            id_col=id_col,
+        )
+        .repartition("__doc")
+        .persist()
+    )
     try:
         terms = [t for t, _ in features]
         weights = [0.0] * (len(terms) + 1)  # [intercept, w_term...]

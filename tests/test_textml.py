@@ -186,3 +186,39 @@ def test_predict_logit_consistent_with_training(spark, docs):
     other = [r["probability_d"] for r in rows if r["lang"] != "en"]
     if en and other:
         assert sum(en) / len(en) > sum(other) / len(other)
+
+
+def test_train_epoch_reuses_cached_partitioning(spark, docs):
+    """The design matrix is cached pre-partitioned on the doc key, so the
+    epoch's dot-product aggregation runs exchange-free over the cache
+    (only the term-gradient aggregation may shuffle)."""
+    from pyspark.sql import functions as F
+
+    from apache___solr_spark.pipeline.textml import (
+        _design_matrix,
+        select_features_igain,
+    )
+
+    feats = [
+        (r["term"], r["idf"])
+        for r in select_features_igain(
+            docs, "text", "lang", "en", num_terms=6
+        ).collect()
+    ]
+    design = (
+        _design_matrix(docs, "text", "lang", "en", feats, id_col="doc_id")
+        .repartition("__doc")
+        .persist()
+    )
+    try:
+        design.count()
+        per_doc = design.groupBy("__doc", "y").agg(
+            F.sum(F.col("value")).alias("dot")
+        )
+        plan = per_doc._jdf.queryExecution().executedPlan().toString()
+        # nothing between the final aggregate and the cache scan
+        above_cache = plan.split("InMemoryRelation")[0]
+        assert "InMemoryTableScan" in above_cache
+        assert "Exchange" not in above_cache, above_cache
+    finally:
+        design.unpersist()
