@@ -646,10 +646,65 @@ def sample_dist(
         c = F.randn(seed) * dist["sd"] + dist["mean"]
     elif t == "uniform":
         c = F.rand(seed) * (dist["hi"] - dist["lo"]) + dist["lo"]
+    elif t in ("poisson", "binomial"):
+        # discrete inverse-CDF: k = #{j : CDF(j-1) <= u}, evaluated as a
+        # bounded fold over the support (Poisson support truncated at
+        # lam + 12*sqrt(lam) + 16 — beyond any double-precision mass).
+        # u MUST be materialized as a column before the fold: rand() is
+        # non-deterministic, so referencing it inside the lambda would
+        # re-draw a fresh u at every fold step (measured: the sample's
+        # variance collapses while its mean stays correct).
+        base = base.select(F.rand(seed).alias("_u"))
+        u = F.col("_u")
+        if t == "poisson":
+            lam = dist["lam"]
+            kmax = int(lam + 12.0 * math.sqrt(lam) + 16)
+            # pmf(0) = e^-lam; pmf(j) = pmf(j-1) * lam / j
+            acc0 = F.struct(
+                F.lit(0).alias("k"),
+                F.lit(math.exp(-lam)).alias("cum"),
+                F.lit(math.exp(-lam)).alias("pmf"),
+            )
+            step = lambda acc, j: F.struct(  # noqa: E731
+                F.when(u > acc["cum"], acc["k"] + 1)
+                .otherwise(acc["k"])
+                .alias("k"),
+                (acc["cum"] + acc["pmf"] * F.lit(lam) / j).alias("cum"),
+                (acc["pmf"] * F.lit(lam) / j).alias("pmf"),
+            )
+        else:
+            nn, p = dist["n"], dist["p"]
+            kmax = int(nn)
+            q0 = math.pow(1.0 - p, nn)
+            ratio = p / (1.0 - p)
+            acc0 = F.struct(
+                F.lit(0).alias("k"),
+                F.lit(q0).alias("cum"),
+                F.lit(q0).alias("pmf"),
+            )
+            # pmf(j) = pmf(j-1) * (n-j+1)/j * p/q
+            step = lambda acc, j: F.struct(  # noqa: E731
+                F.when(u > acc["cum"], acc["k"] + 1)
+                .otherwise(acc["k"])
+                .alias("k"),
+                (
+                    acc["cum"]
+                    + acc["pmf"]
+                    * (F.lit(float(nn)) - j.cast("double") + 1)
+                    / j.cast("double")
+                    * F.lit(ratio)
+                ).alias("cum"),
+                (
+                    acc["pmf"]
+                    * (F.lit(float(nn)) - j.cast("double") + 1)
+                    / j.cast("double")
+                    * F.lit(ratio)
+                ).alias("pmf"),
+            )
+        folded = F.aggregate(_seq1(F.lit(kmax)), acc0, step)
+        c = folded["k"].cast("long")
     else:
-        raise NotImplementedError(
-            f"sample for {t!r}: inverse-CDF sampling not modeled"
-        )
+        raise NotImplementedError(f"sample for {t!r} not modeled")
     return base.select(c.alias(col))
 
 

@@ -250,6 +250,9 @@ _TABLE_SHAPED = {
     "terms": "Column.isin / broadcast semi-join",
     "geofilt": "functions.spatial.geofilt (bbox prefilter + haversine)",
     "bbox": "functions.spatial.bbox_predicate",
+    "ltr": "query.ltr.ltr_rerank (linear / tree-ensemble rescoring)",
+    "igain": "pipeline.textml.select_features_igain",
+    "tlogit": "pipeline.textml.train_text_logit",
 }
 
 

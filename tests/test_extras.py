@@ -483,3 +483,31 @@ def test_ltr_linear_and_trees(spark, sf_dir):
     assert head_ids == {r["doc_id"] for r in fp[:20]}
     model_scores = [r["ltr_score"] for r in out[:20]]
     assert model_scores == sorted(model_scores, reverse=True)
+
+
+def test_sample_discrete_distributions(spark):
+    """SampleEvaluator for poisson/binomial via bounded inverse-CDF folds:
+    deterministic under a fixed seed, and empirical moments/CDF agree with
+    the closed forms."""
+    import math as m
+
+    from pyspark.sql import functions as F
+
+    from apache___solr_spark.functions import evaluators as E
+
+    n = 20000
+    poi = E.poisson_dist(4.2)
+    s1 = E.sample_dist(spark, poi, n, seed=7).toPandas()["value"]
+    s2 = E.sample_dist(spark, poi, n, seed=7).toPandas()["value"]
+    assert (s1 == s2).all()  # deterministic
+    assert abs(s1.mean() - 4.2) < 0.12          # mean = lam
+    assert abs(s1.var() - 4.2) < 0.35           # var = lam
+    # empirical CDF at k=4 vs exact
+    want = sum(m.exp(-4.2) * 4.2**i / m.factorial(i) for i in range(5))
+    assert abs((s1 <= 4).mean() - want) < 0.02
+
+    bino = E.binomial_dist(12, 0.35)
+    b = E.sample_dist(spark, bino, n, seed=11).toPandas()["value"]
+    assert b.min() >= 0 and b.max() <= 12
+    assert abs(b.mean() - 12 * 0.35) < 0.08
+    assert abs(b.var() - 12 * 0.35 * 0.65) < 0.25
