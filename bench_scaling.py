@@ -131,7 +131,11 @@ def main() -> None:
                  "probe_eff": round(probe_eff, 3)}
             )
             print(f"quiet probe: eff={probe_eff:.3f} ({lo}={p_lo:.2f} {hi}={p_hi:.2f} tasks/s)")
-            if probe_eff >= 0.62 or time.time() > deadline:
+            # reject BOTH tails: a low probe means the hi level can't get
+            # its cycles; a "superlinear" probe (> ~1.05) means neighbors
+            # are crushing the LO level, which would dishonestly inflate
+            # the measured efficiency.
+            if 0.62 <= probe_eff <= 1.05 or time.time() > deadline:
                 break
             time.sleep(90)
         for cores in (lo, hi):
