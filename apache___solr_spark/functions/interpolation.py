@@ -1,0 +1,344 @@
+"""Interpolation / curve-fitting evaluators (io/eval long tail).
+
+Reference: solrj-streaming/.../io/eval/AkimaEvaluator.java,
+LoessEvaluator.java, PolyFitEvaluator.java, PolyFitDerivativeEvaluator.java,
+GaussFitEvaluator.java, HarmonicFitEvaluator.java — each evaluates a
+per-tuple numeric curve (small arrays inside one tuple) through a
+Commons-Math fitter and returns the fitted/smoothed values.
+
+Spark shape: curves are rows, so every evaluator here is a vectorized
+``pandas_udf`` over ``array<double>`` columns — the per-curve solve is tiny
+(n is the tuple's array length), and the parallelism that matters at scale
+is across rows, which Arrow batching gives for free.  No driver-side
+matrices, no per-row JVM<->Python chatter beyond the batch boundary.
+
+Numerical notes (documented divergences, all tested):
+- akima: standard Akima-1970 tangent construction with the usual
+  two-segment slope extrapolation at each end.  Commons-Math's
+  AkimaSplineInterpolator instead uses three-point finite differences for
+  the two outermost tangents, so values can differ in the first/last
+  interval; interior intervals match the classic construction.
+- loess: tricube-weighted local LINEAR regression over the nearest
+  ``floor(bandwidth*n)`` points with ``robust_iterations`` bisquare
+  reweighting passes — the same algorithm as Commons-Math
+  LoessInterpolator (defaults bandwidth=0.25, robustIterations=2,
+  matching LoessEvaluator.java:34-35).
+- gauss_fit / harmonic_fit: Commons-Math runs Levenberg-Marquardt from a
+  heuristic guess; here gauss_fit runs Gauss-Newton from the same
+  max/argmax/half-width guess and harmonic_fit does a deterministic
+  frequency grid search + linear phase/amplitude solve with local
+  refinement.  Both reproduce exact-model data to high precision (tested);
+  on noisy data the optimum may differ in ulps from LM.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+import pyspark.sql.types as T
+
+__all__ = [
+    "akima_interp",
+    "loess_smooth",
+    "poly_fit",
+    "poly_fit_derivative",
+    "gauss_fit",
+    "harmonic_fit",
+]
+
+_ARR = T.ArrayType(T.DoubleType())
+
+
+def _akima_tangents(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Knot tangents per Akima 1970: weights are the |slope difference| of
+    the two segments on the far side, ties fall back to the average."""
+    m = np.diff(y) / np.diff(x)
+    # mm = [m_-2, m_-1, m_0..m_{n-2}, m_{n-1}, m_n]
+    m_m1 = 2 * m[0] - m[1]
+    m_m2 = 2 * m_m1 - m[0]
+    m_n1 = 2 * m[-1] - m[-2]
+    m_n2 = 2 * m_n1 - m[-1]
+    mm = np.concatenate([[m_m2, m_m1], m, [m_n1, m_n2]])
+    w1 = np.abs(mm[3:] - mm[2:-1])  # |m_{i+1} - m_i|
+    w2 = np.abs(mm[1:-2] - mm[:-3])  # |m_{i-1} - m_{i-2}|
+    denom = w1 + w2
+    with np.errstate(invalid="ignore", divide="ignore"):
+        t = (w1 * mm[1:-2] + w2 * mm[2:-1]) / denom
+    flat = denom < 1e-12 * (1.0 + np.abs(mm[1:-2]) + np.abs(mm[2:-1]))
+    t[flat] = 0.5 * (mm[1:-2][flat] + mm[2:-1][flat])
+    return t
+
+
+def _hermite_eval(
+    x: np.ndarray, y: np.ndarray, t: np.ndarray, p: np.ndarray
+) -> np.ndarray:
+    i = np.clip(np.searchsorted(x, p, side="right") - 1, 0, len(x) - 2)
+    h = x[i + 1] - x[i]
+    s = (p - x[i]) / h
+    h00 = (1 + 2 * s) * (1 - s) ** 2
+    h10 = s * (1 - s) ** 2
+    h01 = s * s * (3 - 2 * s)
+    h11 = s * s * (s - 1)
+    return h00 * y[i] + h10 * h * t[i] + h01 * y[i + 1] + h11 * h * t[i + 1]
+
+
+def akima_interp(df: DataFrame, xs: str, ys: str, probes: str) -> DataFrame:
+    """AkimaEvaluator: Akima cubic-Hermite spline through each row's
+    (xs, ys) curve, evaluated at that row's probe points; adds an
+    ``akima`` array<double> column.  Curves with n < 3 knots fall back to
+    piecewise-linear (matching the spline evaluator's small-n fallback)."""
+
+    @F.pandas_udf(_ARR)
+    def _ak(xcol: pd.Series, ycol: pd.Series, pcol: pd.Series) -> pd.Series:
+        out = []
+        for xv, yv, pv in zip(xcol, ycol, pcol):
+            x = np.asarray(xv, dtype=np.float64)
+            y = np.asarray(yv, dtype=np.float64)
+            p = np.asarray(pv, dtype=np.float64)
+            if len(x) < 3:
+                out.append(list(np.interp(p, x, y)))
+                continue
+            t = _akima_tangents(x, y)
+            out.append(list(_hermite_eval(x, y, t, p)))
+        return pd.Series(out)
+
+    return df.withColumn("akima", _ak(F.col(xs), F.col(ys), F.col(probes)))
+
+
+def _loess_one(
+    x: np.ndarray, y: np.ndarray, bandwidth: float, robust_iters: int
+) -> np.ndarray:
+    n = len(x)
+    k = max(2, int(np.floor(bandwidth * n)))
+    if k >= n:
+        k = n
+    rw = np.ones(n)
+    fitted = y.astype(np.float64).copy()
+    for it in range(robust_iters + 1):
+        lo = 0
+        for i in range(n):
+            # slide the window right while the next point is closer than
+            # the leftmost (Commons-Math nextNonzero window advance)
+            while lo + k < n and x[lo + k] - x[i] < x[i] - x[lo]:
+                lo += 1
+            hi = lo + k
+            xw = x[lo:hi]
+            yw = y[lo:hi]
+            d = np.abs(xw - x[i])
+            dmax = d.max()
+            if dmax <= 0:
+                fitted[i] = yw.mean()
+                continue
+            w = (1.0 - (d / dmax) ** 3) ** 3
+            w = np.clip(w, 0.0, None) * rw[lo:hi]
+            sw = w.sum()
+            if sw <= 0:
+                fitted[i] = yw.mean()
+                continue
+            xm = (w * xw).sum() / sw
+            ym = (w * yw).sum() / sw
+            sxx = (w * (xw - xm) ** 2).sum()
+            if sxx < 1e-12 * (xw[-1] - xw[0]) ** 2:
+                fitted[i] = ym
+            else:
+                beta = (w * (xw - xm) * (yw - ym)).sum() / sxx
+                fitted[i] = ym + beta * (x[i] - xm)
+        if it == robust_iters:
+            break
+        res = np.abs(y - fitted)
+        s = np.median(res)
+        if s <= 0:
+            break
+        rw = np.clip(1.0 - (res / (6.0 * s)) ** 2, 0.0, None) ** 2
+    return fitted
+
+
+def loess_smooth(
+    df: DataFrame,
+    xs: str,
+    ys: str,
+    bandwidth: float = 0.25,
+    robust_iterations: int = 2,
+) -> DataFrame:
+    """LoessEvaluator: robust locally-weighted linear regression smoothing
+    of each row's (xs, ys) curve at the x points themselves; adds a
+    ``loess`` array<double> column.  Defaults match the reference
+    (bandwidth=0.25, robustIterations=2)."""
+    bw = float(bandwidth)
+    ri = int(robust_iterations)
+
+    @F.pandas_udf(_ARR)
+    def _lo(xcol: pd.Series, ycol: pd.Series) -> pd.Series:
+        out = []
+        for xv, yv in zip(xcol, ycol):
+            x = np.asarray(xv, dtype=np.float64)
+            y = np.asarray(yv, dtype=np.float64)
+            if len(x) < 3:
+                out.append(list(y))
+                continue
+            out.append(list(_loess_one(x, y, bw, ri)))
+        return pd.Series(out)
+
+    return df.withColumn("loess", _lo(F.col(xs), F.col(ys)))
+
+
+def poly_fit(xs: Column, ys: Column, degree: int = 3) -> Column:
+    """PolyFitEvaluator: least-squares polynomial of ``degree`` (default 3,
+    PolyFitEvaluator.java:46) through (xs, ys), returning the FITTED values
+    at the x points (the reference returns the fitted vector, :109)."""
+    deg = int(degree)
+
+    @F.pandas_udf(_ARR)
+    def _pf(xcol: pd.Series, ycol: pd.Series) -> pd.Series:
+        out = []
+        for xv, yv in zip(xcol, ycol):
+            x = np.asarray(xv, dtype=np.float64)
+            y = np.asarray(yv, dtype=np.float64)
+            d = min(deg, len(x) - 1)
+            # scale x to [-1,1] for conditioning, then Vandermonde lstsq
+            x0, x1 = x.min(), x.max()
+            span = (x1 - x0) or 1.0
+            xn = 2.0 * (x - x0) / span - 1.0
+            V = np.vander(xn, d + 1)
+            coef, *_ = np.linalg.lstsq(V, y, rcond=None)
+            out.append(list(V @ coef))
+        return pd.Series(out)
+
+    return _pf(xs, ys)
+
+
+def poly_fit_derivative(xs: Column, ys: Column, degree: int = 3) -> Column:
+    """PolyFitDerivativeEvaluator: derivative of the fitted polynomial,
+    evaluated at the x points."""
+    deg = int(degree)
+
+    @F.pandas_udf(_ARR)
+    def _pfd(xcol: pd.Series, ycol: pd.Series) -> pd.Series:
+        out = []
+        for xv, yv in zip(xcol, ycol):
+            x = np.asarray(xv, dtype=np.float64)
+            y = np.asarray(yv, dtype=np.float64)
+            d = min(deg, len(x) - 1)
+            x0, x1 = x.min(), x.max()
+            span = (x1 - x0) or 1.0
+            xn = 2.0 * (x - x0) / span - 1.0
+            coef, *_ = np.linalg.lstsq(np.vander(xn, d + 1), y, rcond=None)
+            dcoef = np.polyder(coef)
+            # chain rule: d/dx = d/dxn * dxn/dx
+            out.append(list(np.polyval(dcoef, xn) * (2.0 / span)))
+        return pd.Series(out)
+
+    return _pfd(xs, ys)
+
+
+def gauss_fit(xs: Column, ys: Column) -> Column:
+    """GaussFitEvaluator: fit ``a * exp(-(x-m)^2 / (2 s^2))`` and return the
+    fitted values at the x points.  Initial guess follows Commons-Math's
+    ParameterGuesser (a = max y, m = argmax x, s from the half-max width),
+    refined by damped Gauss-Newton on (a, m, s)."""
+
+    @F.pandas_udf(_ARR)
+    def _gf(xcol: pd.Series, ycol: pd.Series) -> pd.Series:
+        out = []
+        for xv, yv in zip(xcol, ycol):
+            x = np.asarray(xv, dtype=np.float64)
+            y = np.asarray(yv, dtype=np.float64)
+            j = int(np.argmax(y))
+            a, m = float(y[j]), float(x[j])
+            half = a / 2.0
+            above = x[y >= half]
+            s = float((above.max() - above.min()) / 2.355) if above.size > 1 else (
+                float((x.max() - x.min()) / 4.0) or 1.0
+            )
+            s = s or 1.0
+            for _ in range(50):
+                z = (x - m) / s
+                e = np.exp(-0.5 * z * z)
+                r = a * e - y
+                Jac = np.stack(
+                    [e, a * e * z / s, a * e * z * z / s], axis=1
+                )
+                g = Jac.T @ r
+                H = Jac.T @ Jac + 1e-9 * np.eye(3)
+                try:
+                    step = np.linalg.solve(H, g)
+                except np.linalg.LinAlgError:
+                    break
+                a, m, s = a - step[0], m - step[1], s - step[2]
+                s = abs(s) or 1e-9
+                if np.abs(step).max() < 1e-12 * (1 + abs(a) + abs(m) + s):
+                    break
+            z = (x - m) / s
+            out.append(list(a * np.exp(-0.5 * z * z)))
+        return pd.Series(out)
+
+    return _gf(xs, ys)
+
+
+def harmonic_fit(xs: Column, ys: Column) -> Column:
+    """HarmonicFitEvaluator: fit ``a * cos(w x + phi)`` and return the
+    fitted values at the x points.  Deterministic: coarse frequency grid
+    up to the sampling Nyquist, linear solve for (a cos phi, -a sin phi)
+    at each w, two local grid refinements around the best w."""
+
+    @F.pandas_udf(_ARR)
+    def _hf(xcol: pd.Series, ycol: pd.Series) -> pd.Series:
+        out = []
+        for xv, yv in zip(xcol, ycol):
+            x = np.asarray(xv, dtype=np.float64)
+            y = np.asarray(yv, dtype=np.float64)
+            span = x.max() - x.min()
+            n = len(x)
+            if span <= 0 or n < 4:
+                out.append(list(y))
+                continue
+            dt = span / max(n - 1, 1)
+            w_max = np.pi / dt  # Nyquist for the mean sampling step
+            w_min = 2.0 * np.pi / (4.0 * span)  # a quarter period per span
+
+            def sse_and_fit(w: float):
+                C, S = np.cos(w * x), np.sin(w * x)
+                A = np.stack([C, S], axis=1)
+                coef, *_ = np.linalg.lstsq(A, y, rcond=None)
+                fit = A @ coef
+                return float(((fit - y) ** 2).sum()), fit
+
+            grid = np.linspace(w_min, w_max, 512)
+            best_w, best_sse, best_fit = None, np.inf, y
+            for w in grid:
+                sse, fit = sse_and_fit(float(w))
+                if sse < best_sse:
+                    best_w, best_sse, best_fit = float(w), sse, fit
+            stepw = grid[1] - grid[0]
+            for _ in range(2):
+                for w in np.linspace(
+                    best_w - stepw, best_w + stepw, 64
+                ):
+                    if w <= 0:
+                        continue
+                    sse, fit = sse_and_fit(float(w))
+                    if sse < best_sse:
+                        best_w, best_sse, best_fit = float(w), sse, fit
+                stepw /= 16.0
+            # parabolic refinement on SSE(w): quadratic convergence to the
+            # local optimum the grid bracketed
+            h = stepw
+            for _ in range(6):
+                s_m, _ = sse_and_fit(best_w - h)
+                s_p, _ = sse_and_fit(best_w + h)
+                denom = s_m - 2.0 * best_sse + s_p
+                if denom <= 0:
+                    h /= 4.0
+                    continue
+                w_new = best_w + 0.5 * h * (s_m - s_p) / denom
+                if w_new > 0:
+                    sse, fit = sse_and_fit(float(w_new))
+                    if sse < best_sse:
+                        best_w, best_sse, best_fit = float(w_new), sse, fit
+                h /= 4.0
+            out.append(list(best_fit))
+        return pd.Series(out)
+
+    return _hf(xs, ys)
