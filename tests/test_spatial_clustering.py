@@ -206,3 +206,125 @@ def test_ols_regress_matches_numpy(spark, sf_dir):
     head = X[:5] @ want  # limit(5) preserves parquet order on one file
     for g, w in zip(got_pred, head):
         assert abs(g["p"] - w) < 1e-6 * max(1.0, abs(w))
+
+
+def test_fuzzy_kmeans_matches_numpy_reference(spark):
+    """fuzzy_kmeans vs a driver-side numpy fuzzy c-means from the SAME
+    seeds: identical centroid trajectory and non-increasing objective."""
+    import numpy as np
+    from apache___solr_spark.functions.clustering import (
+        fuzzy_kmeans,
+        kmeans_init,
+    )
+
+    rng = np.random.RandomState(11)
+    blobs = np.vstack(
+        [
+            rng.normal([0, 0], 0.4, (60, 2)),
+            rng.normal([5, 5], 0.4, (60, 2)),
+            rng.normal([0, 6], 0.4, (60, 2)),
+        ]
+    )
+    rows = [(int(i), [float(a) for a in v]) for i, v in enumerate(blobs)]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+
+    k, m, iters = 3, 1.2, 8
+    assigned, cent, obj = fuzzy_kmeans(
+        df, "vec", k, "id", fuzziness=m, iters=iters, seed=7
+    )
+
+    # numpy reference from the same deterministic seeds
+    c = kmeans_init(df, "vec", k, "id", seed=7).astype(np.float64)
+    X = blobs
+    expo = 2.0 / (m - 1.0)
+    ref_obj = []
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        d2 = np.maximum(d2, 0.0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            inv = d2 ** (-expo / 2.0)
+            hit = ~np.isfinite(inv)
+            u = inv / inv.sum(axis=1, keepdims=True)
+        rows_hit = hit.any(axis=1)
+        if rows_hit.any():
+            u[rows_hit] = hit[rows_hit] / hit[rows_hit].sum(
+                axis=1, keepdims=True
+            )
+        um = u**m
+        ref_obj.append(float((um * d2).sum()))
+        c = (um.T @ X) / um.sum(axis=0)[:, None]
+
+    assert np.array(cent) == pytest.approx(c, rel=1e-9, abs=1e-9)
+    assert obj == pytest.approx(ref_obj, rel=1e-9)
+    # objective decreases (fuzzy c-means invariant on these well-separated blobs)
+    assert all(b <= a + 1e-9 for a, b in zip(obj, obj[1:]))
+    # hard assignments recover the three planted blobs (purity check)
+    got = {r["id"]: r["cluster"] for r in assigned.collect()}
+    for lo in (0, 60, 120):
+        labels = [got[i] for i in range(lo, lo + 60)]
+        top = max(labels.count(l) for l in set(labels))
+        assert top >= 58
+
+
+def test_dbscan_matches_naive_oracle(spark):
+    """Grid-cell distributed DBSCAN vs a naive O(n^2) oracle: identical
+    core sets, identical cluster partitions (canonical min-id labels),
+    identical noise.  Blobs are separated by >> 2*eps so border
+    assignment is unambiguous and the Commons-Math order-dependence
+    cannot bite."""
+    import numpy as np
+    from apache___solr_spark.functions.clustering import dbscan
+
+    rng = np.random.RandomState(5)
+    pts = np.vstack(
+        [
+            rng.normal([0, 0], 0.25, (50, 2)),
+            rng.normal([10, 10], 0.25, (50, 2)),
+            np.array([[5.0, 5.0], [-20.0, 3.0]]),  # isolated noise
+        ]
+    )
+    eps, min_pts = 0.8, 4
+    rows = [(int(i), [float(a) for a in v]) for i, v in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    got = {
+        r["id"]: (r["cluster"], r["is_core"])
+        for r in dbscan(df, "vec", eps, min_pts, "id").collect()
+    }
+
+    # naive oracle
+    n = len(pts)
+    d = np.sqrt(((pts[:, None, :] - pts[None, :, :]) ** 2).sum(axis=2))
+    nbrs = [set(np.nonzero((d[i] <= eps))[0]) - {i} for i in range(n)]
+    core = {i for i in range(n) if len(nbrs[i]) >= min_pts}
+    # components over core-core adjacency
+    label = {i: i for i in core}
+    changed = True
+    while changed:
+        changed = False
+        for i in core:
+            for j in nbrs[i]:
+                if j in core and label[j] < label[i]:
+                    label[i] = label[j]
+                    changed = True
+    border_lbl = {}
+    for i in range(n):
+        if i not in core:
+            cn = [label[j] for j in nbrs[i] if j in core]
+            if cn:
+                border_lbl[i] = min(cn)
+
+    for i in range(n):
+        exp_core = i in core
+        exp_lbl = label.get(i, border_lbl.get(i))
+        assert got[i][1] == exp_core, f"core mismatch at {i}"
+        assert got[i][0] == exp_lbl, f"label mismatch at {i}"
+
+
+def test_dbscan_rejects_high_dim(spark):
+    from apache___solr_spark.functions.clustering import dbscan
+
+    df = spark.createDataFrame(
+        [(0, [0.0] * 8)], "id long, vec array<double>"
+    )
+    with pytest.raises(NotImplementedError):
+        dbscan(df, "vec", 0.5, 3, "id")
