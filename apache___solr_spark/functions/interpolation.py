@@ -342,3 +342,24 @@ def harmonic_fit(xs: Column, ys: Column) -> Column:
         return pd.Series(out)
 
     return _hf(xs, ys)
+
+
+def natural_spline_moments(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Second derivatives M_i of the natural cubic spline (M_0 = M_n = 0),
+    via the standard tridiagonal Thomas solve — the same system
+    evaluators.spline_interp solves inline; exposed here for the
+    derivative/integral evaluators in functions/signal.py."""
+    h = np.diff(x)
+    a = h[:-1].copy()
+    b = 2.0 * (h[:-1] + h[1:])
+    c = h[1:].copy()
+    d = 6.0 * (np.diff(y[1:]) / h[1:] - np.diff(y[:-1]) / h[:-1])
+    for i in range(1, len(b)):
+        w = a[i] / b[i - 1]
+        b[i] -= w * c[i - 1]
+        d[i] -= w * d[i - 1]
+    m_in = np.zeros(len(b))
+    m_in[-1] = d[-1] / b[-1]
+    for i in range(len(b) - 2, -1, -1):
+        m_in[i] = (d[i] - c[i] * m_in[i + 1]) / b[i]
+    return np.concatenate([[0.0], m_in, [0.0]])

@@ -1,0 +1,133 @@
+"""Signal-processing evaluators (fft/ifft/convolve/findDelay/oscillate and
+spline derivative/integral).
+
+Oracles: an independent O(n^2) DFT sum for fft, exact hand loops for
+convolution, constructed shifts for findDelay, direct trig for oscillate,
+and dense finite differences / trapezoid sums over spline_interp's own
+(already dense-solve-oracled) values for derivative/integral."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+import pyspark.sql.functions as F
+
+from apache___solr_spark.functions.evaluators import spline_interp
+from apache___solr_spark.functions.signal import (
+    convolve_arr,
+    fft_arr,
+    find_delay,
+    ifft_arr,
+    oscillate,
+    spline_derivative,
+    spline_integral,
+)
+
+
+def test_fft_matches_direct_dft_and_roundtrips(spark):
+    rng = np.random.RandomState(8)
+    sig = rng.uniform(-1, 1, 16)  # power of 2: the reference-compatible case
+    df = spark.createDataFrame([([float(v) for v in sig],)], "a array<double>")
+    mat = df.select(fft_arr(F.col("a")).alias("m")).first()["m"]
+    re, im = np.array(mat[0]), np.array(mat[1])
+    n = len(sig)
+    # independent O(n^2) DFT sum
+    ks = np.arange(n)
+    W = np.exp(-2j * math.pi * np.outer(ks, ks) / n)
+    exp = W @ sig
+    assert re == pytest.approx(exp.real, abs=1e-10)
+    assert im == pytest.approx(exp.imag, abs=1e-10)
+    # ifft(fft(x)) == x
+    back = (
+        df.select(ifft_arr(fft_arr(F.col("a"))).alias("b")).first()["b"]
+    )
+    assert np.array(back) == pytest.approx(sig, abs=1e-12)
+
+
+def test_convolution_full_length(spark):
+    a = [1.0, 2.0, 3.0]
+    b = [0.5, -1.0, 2.0, 1.0]
+    df = spark.createDataFrame([(a, b)], "a array<double>, b array<double>")
+    got = df.select(convolve_arr(F.col("a"), F.col("b")).alias("c")).first()["c"]
+    exp = [
+        sum(
+            a[i] * b[k - i]
+            for i in range(len(a))
+            if 0 <= k - i < len(b)
+        )
+        for k in range(len(a) + len(b) - 1)
+    ]
+    assert got == pytest.approx(exp, abs=1e-12)
+
+
+def test_find_delay_recovers_shift(spark):
+    rng = np.random.RandomState(9)
+    base = rng.uniform(-1, 1, 40)
+    for shift in (0, 3, 7):
+        shifted = np.concatenate([np.zeros(shift), base])[:40]
+        df = spark.createDataFrame(
+            [([float(v) for v in shifted], [float(v) for v in base])],
+            "a array<double>, b array<double>",
+        )
+        got = df.select(find_delay(F.col("a"), F.col("b")).alias("d")).first()["d"]
+        assert got == float(shift), f"shift {shift} -> {got}"
+
+
+def test_oscillate_is_sampled_cosine_in_codegen(spark):
+    df = spark.range(1)
+    got = df.select(oscillate(2.0, 0.3, 1.1).alias("o")).first()["o"]
+    exp = [2.0 * math.cos(0.3 * i + 1.1) for i in range(128)]
+    assert len(got) == 128
+    assert got == pytest.approx(exp, abs=1e-12)
+    # stays a column expression: no python UDF / ArrowEvalPython in the plan
+    plan = df.select(oscillate(2.0, 0.3, 1.1).alias("o"))._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+
+
+def test_spline_derivative_matches_finite_difference(spark):
+    x = [float(v) for v in np.linspace(0, 10, 15)]
+    y = [float(np.sin(v)) for v in x]
+    probes = [float(v) for v in np.linspace(0.3, 9.7, 21)]
+    eps = 1e-5
+    df = spark.createDataFrame(
+        [(x, y, probes, [p - eps for p in probes], [p + eps for p in probes])],
+        "xs array<double>, ys array<double>, p array<double>, pm array<double>, pp array<double>",
+    )
+    d = np.array(
+        spline_derivative(df, "xs", "ys", "p").first()["derivative"]
+    )
+    lo = np.array(spline_interp(df, "xs", "ys", "pm").first()["interpolated"])
+    hi = np.array(spline_interp(df, "xs", "ys", "pp").first()["interpolated"])
+    fd = (hi - lo) / (2 * eps)
+    assert d == pytest.approx(fd, abs=1e-5)
+
+
+def test_spline_integral_matches_dense_trapezoid(spark):
+    x = [float(v) for v in np.linspace(0, 6, 13)]
+    y = [float(v**2 - 2 * v) for v in x]
+    # 4800 steps of 0.00125: every knot (multiples of 0.5) and both
+    # integration bounds land exactly on the grid, so the trapezoid mask
+    # doesn't truncate a sliver at the ends
+    dense = [float(v) for v in np.linspace(0, 6, 4801)]
+    df = spark.createDataFrame(
+        [(x, y, dense)],
+        "xs array<double>, ys array<double>, dense array<double>",
+    )
+    got = spline_integral(df, "xs", "ys", lo=0.5, hi=5.5).first()["integral"]
+    vals = np.array(spline_interp(df, "xs", "ys", "dense").first()["interpolated"])
+    g = np.array(dense)
+    mask = (g >= 0.5) & (g <= 5.5)
+    exp = np.trapz(vals[mask], g[mask])
+    assert got == pytest.approx(exp, rel=1e-5)
+
+    cum = np.array(
+        spline_integral(df, "xs", "ys").first()["integral_cum"]
+    )
+    assert cum[0] == 0.0
+    # cumulative at each knot matches dense trapezoid up to that knot
+    for i, xi in enumerate(x):
+        mask = g <= xi + 1e-12
+        exp_i = np.trapz(vals[mask], g[mask]) if mask.sum() > 1 else 0.0
+        assert cum[i] == pytest.approx(exp_i, rel=1e-4, abs=1e-6)
