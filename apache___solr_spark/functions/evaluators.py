@@ -577,7 +577,7 @@ def probability(dist: dict, x: Column) -> Column:
             + (F.lit(float(n)) - k.cast("double")) * F.lit(math.log1p(-p))
         )
         return F.when((k < 0) | (k > n), F.lit(0.0)).otherwise(F.exp(logp))
-    raise ValueError(f"unknown distribution {t!r}")
+    return _probability_ext(dist, x)
 
 
 def cumulative_probability(dist: dict, x: Column) -> Column:
@@ -631,7 +631,7 @@ def cumulative_probability(dist: dict, x: Column) -> Column:
             F.least(folded["s"], F.lit(1.0))
         )
         return F.when(k >= n, F.lit(1.0)).otherwise(out)
-    raise ValueError(f"unknown distribution {t!r}")
+    return _cumulative_ext(dist, x)
 
 
 def sample_dist(
@@ -704,7 +704,17 @@ def sample_dist(
         folded = F.aggregate(_seq1(F.lit(kmax)), acc0, step)
         c = folded["k"].cast("long")
     else:
-        raise NotImplementedError(f"sample for {t!r} not modeled")
+        ext = _sample_ext(base, dist, seed)
+        if ext is None:
+            raise NotImplementedError(
+                f"sample for {t!r} not modeled (gamma/beta draws need "
+                "rejection sampling; use the CDF evaluators)"
+            )
+        if isinstance(ext, tuple):  # discrete inverse-CDF: materialize u
+            base = base.select(F.rand(seed).alias("_u"))
+            c = ext[1]
+        else:
+            c = ext
     return base.select(c.alias(col))
 
 
@@ -729,3 +739,370 @@ def empirical_cdf(df: DataFrame, col: str, values: list[float]) -> DataFrame:
     return row.select(F.explode(F.array(*picks)).alias("s")).select(
         "s.value", "s.cdf"
     )
+
+
+# ---------------------------------------------------------------------------
+# distribution long tail (io/eval *DistributionEvaluator.java) — parameter
+# orders match the reference constructors exactly:
+#   weibullDistribution(shape, scale)        WeibullDistributionEvaluator:55
+#   logNormalDistribution(scale, shape)      LogNormalDistributionEvaluator:55
+#     (Commons-Math: scale = mean of ln X, shape = sd of ln X)
+#   triangularDistribution(low, mode, high)  TriangularDistributionEvaluator:46
+#   geometricDistribution(p)                 GeometricDistributionEvaluator:47
+#     (support k = 0, 1, ... — failures before first success)
+#   uniformIntegerDistribution(lo, hi)       UniformIntegerDistributionEvaluator:55
+#   zipFDistribution(size, exponent)         ZipFDistributionEvaluator:54
+#   gammaDistribution(shape, scale)          GammaDistributionEvaluator:55
+#   betaDistribution(shape1, shape2)         BetaDistributionEvaluator:54
+#   enumeratedDistribution(values[, probs])  EnumeratedDistributionEvaluator:51,62
+# pdf/pmf and the closed-form CDFs stay pure column expressions; the
+# gamma/beta CDFs go through a VECTORIZED numpy incomplete-gamma/-beta
+# (fixed-iteration series / Lentz continued fraction over the whole Arrow
+# batch — no per-element Python loop).
+# ---------------------------------------------------------------------------
+
+def weibull_dist(shape: float, scale: float) -> dict:
+    return {"type": "weibull", "k": float(shape), "lam": float(scale)}
+
+
+def lognormal_dist(scale: float, shape: float) -> dict:
+    return {"type": "lognormal", "mu": float(scale), "sigma": float(shape)}
+
+
+def triangular_dist(low: float, mode: float, high: float) -> dict:
+    return {"type": "triangular", "a": float(low), "c": float(mode), "b": float(high)}
+
+
+def geometric_dist(p: float) -> dict:
+    return {"type": "geometric", "p": float(p)}
+
+
+def uniform_integer_dist(lo: int, hi: int) -> dict:
+    return {"type": "uniform_int", "lo": int(lo), "hi": int(hi)}
+
+
+def zipf_dist(size: int, exponent: float) -> dict:
+    h = sum(1.0 / (i ** exponent) for i in range(1, int(size) + 1))
+    return {"type": "zipf", "n": int(size), "s": float(exponent), "h": h}
+
+
+def gamma_dist(shape: float, scale: float) -> dict:
+    return {"type": "gamma", "k": float(shape), "theta": float(scale)}
+
+
+def beta_dist(shape1: float, shape2: float) -> dict:
+    return {"type": "beta", "a": float(shape1), "b": float(shape2)}
+
+
+def enumerated_dist(values: list, probs: list | None = None) -> dict:
+    """EnumeratedIntegerDistribution: from observed samples (uniform over
+    occurrences) or explicit (value, prob) pairs; pmf aggregated and
+    normalized here, driver-side over the tiny support list."""
+    if probs is None:
+        from collections import Counter
+
+        cnt = Counter(int(v) for v in values)
+        tot = sum(cnt.values())
+        support = sorted(cnt)
+        pmf = [cnt[v] / tot for v in support]
+    else:
+        tot = float(sum(probs))
+        pairs = sorted(zip((int(v) for v in values), probs))
+        support = [v for v, _ in pairs]
+        pmf = [p / tot for _, p in pairs]
+    cdf = []
+    acc = 0.0
+    for p in pmf:
+        acc += p
+        cdf.append(acc)
+    return {"type": "enumerated", "support": support, "pmf": pmf, "cdf": cdf}
+
+
+def _gammainc_lower_np(s: float, x):
+    """Regularized lower incomplete gamma P(s, x), vectorized over a numpy
+    array: power series with a fixed iteration budget sized to the batch's
+    max x (every step is an array op, no per-element loop)."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    out = np.zeros_like(x)
+    pos = x > 0
+    xp = x[pos]
+    if xp.size:
+        iters = int(min(20000, max(200, xp.max() + 8 * math.sqrt(xp.max() + 1) + 100)))
+        term = np.full_like(xp, 1.0 / s)
+        total = term.copy()
+        ap = s
+        for _ in range(iters):
+            ap += 1.0
+            term = term * xp / ap
+            total += term
+            if term.max() < 1e-17 * total.min():
+                break
+        out[pos] = total * np.exp(-xp + s * np.log(xp) - math.lgamma(s))
+    return np.clip(out, 0.0, 1.0)
+
+
+def _betainc_np(a: float, b: float, x):
+    """Regularized incomplete beta I_x(a, b), vectorized: Lentz continued
+    fraction with a fixed 300-step budget, using the standard symmetry
+    split (np.where per element, array ops throughout)."""
+    import numpy as np
+
+    x = np.clip(np.asarray(x, dtype=np.float64), 0.0, 1.0)
+
+    def cf(aa, bb, xx):
+        FPMIN = 1e-300
+        qab, qap, qam = aa + bb, aa + 1.0, aa - 1.0
+        c = np.ones_like(xx)
+        d = 1.0 - qab * xx / qap
+        d = np.where(np.abs(d) < FPMIN, FPMIN, d)
+        d = 1.0 / d
+        h = d.copy()
+        for m in range(1, 300):
+            m2 = 2 * m
+            aa1 = m * (bb - m) * xx / ((qam + m2) * (aa + m2))
+            d = 1.0 + aa1 * d
+            d = np.where(np.abs(d) < FPMIN, FPMIN, d)
+            c = 1.0 + aa1 / c
+            c = np.where(np.abs(c) < FPMIN, FPMIN, c)
+            d = 1.0 / d
+            h *= d * c
+            aa2 = -(aa + m) * (qab + m) * xx / ((aa + m2) * (qap + m2))
+            d = 1.0 + aa2 * d
+            d = np.where(np.abs(d) < FPMIN, FPMIN, d)
+            c = 1.0 + aa2 / c
+            c = np.where(np.abs(c) < FPMIN, FPMIN, c)
+            d = 1.0 / d
+            h *= d * c
+        return h
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ln_bt = (
+            math.lgamma(a + b)
+            - math.lgamma(a)
+            - math.lgamma(b)
+            + a * np.log(x)
+            + b * np.log1p(-x)
+        )
+        bt = np.where((x > 0) & (x < 1), np.exp(ln_bt), 0.0)
+        direct = bt * cf(a, b, np.clip(x, 1e-300, 1.0)) / a
+        flipped = 1.0 - bt * cf(b, a, np.clip(1.0 - x, 1e-300, 1.0)) / b
+    use_direct = x < (a + 1.0) / (a + b + 2.0)
+    out = np.where(use_direct, direct, flipped)
+    out = np.where(x <= 0.0, 0.0, out)
+    out = np.where(x >= 1.0, 1.0, out)
+    return np.clip(out, 0.0, 1.0)
+
+
+def _probability_ext(dist: dict, x: Column) -> Column:
+    t = dist["type"]
+    xd = x.cast("double")
+    if t == "weibull":
+        k, lam = dist["k"], dist["lam"]
+        z = xd / F.lit(lam)
+        pdf = (
+            F.lit(k / lam)
+            * F.pow(z, F.lit(k - 1.0))
+            * F.exp(-F.pow(z, F.lit(k)))
+        )
+        return F.when(xd < 0, F.lit(0.0)).otherwise(pdf)
+    if t == "lognormal":
+        mu, sg = dist["mu"], dist["sigma"]
+        z = (F.log(xd) - mu) / sg
+        pdf = F.exp(z * z * F.lit(-0.5)) / (
+            xd * F.lit(sg * math.sqrt(2.0 * math.pi))
+        )
+        return F.when(xd <= 0, F.lit(0.0)).otherwise(pdf)
+    if t == "triangular":
+        a, c, b = dist["a"], dist["c"], dist["b"]
+        up = F.lit(2.0) * (xd - a) / F.lit((b - a) * (c - a))
+        down = F.lit(2.0) * (F.lit(b) - xd) / F.lit((b - a) * (b - c))
+        return (
+            F.when((xd < a) | (xd > b), F.lit(0.0))
+            .when(xd <= c, up)
+            .otherwise(down)
+        )
+    if t == "geometric":
+        p = dist["p"]
+        k = x.cast("int")
+        pmf = F.lit(p) * F.pow(F.lit(1.0 - p), k.cast("double"))
+        return F.when(k < 0, F.lit(0.0)).otherwise(pmf)
+    if t == "uniform_int":
+        lo, hi = dist["lo"], dist["hi"]
+        k = x.cast("int")
+        return F.when(
+            (k >= lo) & (k <= hi), F.lit(1.0 / (hi - lo + 1))
+        ).otherwise(F.lit(0.0))
+    if t == "zipf":
+        n, s, h = dist["n"], dist["s"], dist["h"]
+        k = x.cast("int")
+        return F.when(
+            (k >= 1) & (k <= n),
+            F.lit(1.0 / h) / F.pow(k.cast("double"), F.lit(s)),
+        ).otherwise(F.lit(0.0))
+    if t == "gamma":
+        k, th = dist["k"], dist["theta"]
+        ln_pdf = (
+            F.lit(k - 1.0) * F.log(xd)
+            - xd / F.lit(th)
+            - F.lit(math.lgamma(k) + k * math.log(th))
+        )
+        return F.when(xd <= 0, F.lit(0.0)).otherwise(F.exp(ln_pdf))
+    if t == "beta":
+        a, b = dist["a"], dist["b"]
+        ln_b = math.lgamma(a) + math.lgamma(b) - math.lgamma(a + b)
+        ln_pdf = (
+            F.lit(a - 1.0) * F.log(xd)
+            + F.lit(b - 1.0) * F.log(F.lit(1.0) - xd)
+            - F.lit(ln_b)
+        )
+        return F.when((xd <= 0) | (xd >= 1), F.lit(0.0)).otherwise(
+            F.exp(ln_pdf)
+        )
+    if t == "enumerated":
+        expr = F.lit(0.0)
+        k = x.cast("int")
+        for v, p in zip(dist["support"], dist["pmf"]):
+            expr = F.when(k == v, F.lit(p)).otherwise(expr)
+        return expr
+    raise ValueError(f"unknown distribution {t!r}")
+
+
+def _cumulative_ext(dist: dict, x: Column) -> Column:
+    t = dist["type"]
+    xd = x.cast("double")
+    if t == "weibull":
+        k, lam = dist["k"], dist["lam"]
+        cdf = F.lit(1.0) - F.exp(-F.pow(xd / F.lit(lam), F.lit(k)))
+        return F.when(xd < 0, F.lit(0.0)).otherwise(cdf)
+    if t == "lognormal":
+        mu, sg = dist["mu"], dist["sigma"]
+        cdf = F.lit(0.5) * (
+            F.lit(1.0) + _erf((F.log(xd) - mu) / F.lit(sg * math.sqrt(2.0)))
+        )
+        return F.when(xd <= 0, F.lit(0.0)).otherwise(cdf)
+    if t == "triangular":
+        a, c, b = dist["a"], dist["c"], dist["b"]
+        up = (xd - a) * (xd - a) / F.lit((b - a) * (c - a))
+        down = F.lit(1.0) - (F.lit(b) - xd) * (F.lit(b) - xd) / F.lit(
+            (b - a) * (b - c)
+        )
+        return (
+            F.when(xd < a, F.lit(0.0))
+            .when(xd > b, F.lit(1.0))
+            .when(xd <= c, up)
+            .otherwise(down)
+        )
+    if t == "geometric":
+        p = dist["p"]
+        k = x.cast("int")
+        cdf = F.lit(1.0) - F.pow(
+            F.lit(1.0 - p), k.cast("double") + F.lit(1.0)
+        )
+        return F.when(k < 0, F.lit(0.0)).otherwise(cdf)
+    if t == "uniform_int":
+        lo, hi = dist["lo"], dist["hi"]
+        k = x.cast("int")
+        return (
+            F.when(k < lo, F.lit(0.0))
+            .when(k >= hi, F.lit(1.0))
+            .otherwise(
+                (k.cast("double") - lo + 1) / F.lit(float(hi - lo + 1))
+            )
+        )
+    if t == "zipf":
+        n, s, h = dist["n"], dist["s"], dist["h"]
+        k = x.cast("int")
+        partial = F.aggregate(
+            _seq1(F.least(k, F.lit(n))),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.lit(1.0) / F.pow(i.cast("double"), F.lit(s)),
+        )
+        return (
+            F.when(k < 1, F.lit(0.0))
+            .when(k >= n, F.lit(1.0))
+            .otherwise(partial / F.lit(h))
+        )
+    if t == "gamma":
+        kk, th = dist["k"], dist["theta"]
+
+        @F.pandas_udf("double")
+        def _g(col: pd.Series) -> pd.Series:
+            return pd.Series(
+                _gammainc_lower_np(kk, col.to_numpy(dtype=np.float64) / th)
+            )
+
+        return _g(xd)
+    if t == "beta":
+        a, b = dist["a"], dist["b"]
+
+        @F.pandas_udf("double")
+        def _b(col: pd.Series) -> pd.Series:
+            return pd.Series(
+                _betainc_np(a, b, col.to_numpy(dtype=np.float64))
+            )
+
+        return _b(xd)
+    if t == "enumerated":
+        expr = F.lit(1.0)
+        k = x.cast("int")
+        for v, c in zip(
+            reversed(dist["support"]), reversed([0.0] + dist["cdf"][:-1])
+        ):
+            expr = F.when(k < v, F.lit(c)).otherwise(expr)
+        return expr
+    raise ValueError(f"unknown distribution {t!r}")
+
+
+def _sample_ext(base: DataFrame, dist: dict, seed: int):
+    t = dist["type"]
+    u = F.rand(seed)
+    if t == "weibull":
+        k, lam = dist["k"], dist["lam"]
+        return F.lit(lam) * F.pow(
+            -F.log(F.lit(1.0) - u), F.lit(1.0 / k)
+        )
+    if t == "lognormal":
+        return F.exp(F.randn(seed) * dist["sigma"] + dist["mu"])
+    if t == "triangular":
+        # u is referenced three times (condition + both branches): it MUST
+        # be a materialized column, not F.rand itself — rand() is
+        # non-deterministic and every reference would draw a fresh value
+        a, c, b = dist["a"], dist["c"], dist["b"]
+        fc = (c - a) / (b - a)
+        uc = F.col("_u")
+        lo_branch = F.lit(a) + F.sqrt(uc * F.lit((b - a) * (c - a)))
+        hi_branch = F.lit(b) - F.sqrt(
+            (F.lit(1.0) - uc) * F.lit((b - a) * (b - c))
+        )
+        return ("needs_u", F.when(uc < fc, lo_branch).otherwise(hi_branch))
+    if t == "geometric":
+        p = dist["p"]
+        return F.floor(
+            F.log(F.lit(1.0) - u) / F.lit(math.log(1.0 - p))
+        ).cast("long")
+    if t == "uniform_int":
+        lo, hi = dist["lo"], dist["hi"]
+        return (F.floor(u * F.lit(float(hi - lo + 1))) + lo).cast("long")
+    if t in ("zipf", "enumerated"):
+        # discrete inverse-CDF fold over the bounded support, same pattern
+        # (and the same rand-materialization requirement) as poisson above
+        if t == "zipf":
+            n, s, h = dist["n"], dist["s"], dist["h"]
+            support = list(range(1, n + 1))
+            cdf = []
+            acc = 0.0
+            for i in support:
+                acc += (1.0 / (i**s)) / h
+                cdf.append(acc)
+        else:
+            support = dist["support"]
+            cdf = dist["cdf"]
+        uc = F.col("_u")
+        expr = F.lit(support[-1]).cast("long")
+        for v, c in zip(reversed(support[:-1]), reversed(cdf[:-1])):
+            expr = F.when(uc <= c, F.lit(v).cast("long")).otherwise(expr)
+        return ("needs_u", expr)
+    return None

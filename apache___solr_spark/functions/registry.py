@@ -99,6 +99,25 @@ FUNCTION_REGISTRY: dict[str, Callable[..., Column]] = {
     "ms": lambda ts: (F.unix_timestamp(ts) * 1000 + F.date_format(ts, "SSS").cast("long")),
     # spatial (GeoDistValueSourceParser.java / HaversineConstFunction.java)
     "geodist": lambda lat, lon, clat, clon: _geodist(lat, lon, clat, clon),
+    # temporal evaluators (io/eval/TemporalEvaluator*.java — each extracts
+    # one java.time field from a timestamp; Spark's functions implement the
+    # same ISO fields: weekofyear IS WEEK_OF_WEEK_BASED_YEAR, quarter IS
+    # QUARTER_OF_YEAR; epoch returns millis per TemporalEvaluatorEpoch:40)
+    "year": F.year,
+    "month": F.month,
+    "day": F.dayofmonth,
+    "dayOfYear": F.dayofyear,
+    "hour": F.hour,
+    "minute": F.minute,
+    "second": F.second,
+    "week": F.weekofyear,
+    "quarter": F.quarter,
+    "epoch": lambda ts: (
+        F.unix_timestamp(ts) * 1000 + F.date_format(ts, "SSS").cast("long")
+    ),
+    "dayOfQuarter": lambda ts: (
+        F.dayofyear(ts) - F.dayofyear(F.trunc(ts, "quarter")) + 1
+    ),
 }
 
 

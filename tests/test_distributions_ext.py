@@ -1,0 +1,193 @@
+"""Distribution long tail (weibull/lognormal/triangular/geometric/
+uniform-integer/zipf/gamma/beta/enumerated).
+
+Oracles: pdf/cdf closed forms recomputed directly in Python math at probe
+points; gamma/beta CDFs against numerical integration of their densities;
+samples checked for determinism, support bounds, and first two moments."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+import pyspark.sql.functions as F
+
+from apache___solr_spark.functions.evaluators import (
+    beta_dist,
+    cumulative_probability,
+    enumerated_dist,
+    gamma_dist,
+    geometric_dist,
+    lognormal_dist,
+    probability,
+    sample_dist,
+    triangular_dist,
+    uniform_integer_dist,
+    weibull_dist,
+    zipf_dist,
+)
+
+
+def _eval_at(spark, dist, xs, fn):
+    df = spark.createDataFrame([(float(x),) for x in xs], "x double")
+    return [
+        r["v"] for r in df.select(fn(dist, F.col("x")).alias("v")).collect()
+    ]
+
+
+def test_weibull_lognormal_triangular_closed_forms(spark):
+    w = weibull_dist(1.7, 2.0)
+    xs = [-0.5, 0.3, 1.0, 2.5, 6.0]
+    pdf = _eval_at(spark, w, xs, probability)
+    cdf = _eval_at(spark, w, xs, cumulative_probability)
+    for x, p, c in zip(xs, pdf, cdf):
+        if x < 0:
+            assert p == 0.0 and c == 0.0
+        else:
+            z = x / 2.0
+            assert p == pytest.approx(
+                (1.7 / 2.0) * z**0.7 * math.exp(-(z**1.7)), rel=1e-12
+            )
+            assert c == pytest.approx(1 - math.exp(-(z**1.7)), rel=1e-12)
+
+    ln = lognormal_dist(0.5, 0.8)
+    xs = [0.2, 1.0, 3.0]
+    pdf = _eval_at(spark, ln, xs, probability)
+    cdf = _eval_at(spark, ln, xs, cumulative_probability)
+    for x, p, c in zip(xs, pdf, cdf):
+        z = (math.log(x) - 0.5) / 0.8
+        assert p == pytest.approx(
+            math.exp(-z * z / 2) / (x * 0.8 * math.sqrt(2 * math.pi)),
+            rel=1e-12,
+        )
+        # erf is the A&S 7.1.26 approximation: 1.5e-7 absolute
+        assert c == pytest.approx(
+            0.5 * (1 + math.erf(z / math.sqrt(2))), abs=2e-7
+        )
+
+    tr = triangular_dist(1.0, 3.0, 7.0)
+    xs = [0.5, 2.0, 3.0, 5.0, 8.0]
+    pdf = _eval_at(spark, tr, xs, probability)
+    cdf = _eval_at(spark, tr, xs, cumulative_probability)
+    exp_pdf = [0.0, 2 * 1 / (6 * 2), 2 / 6, 2 * 2 / (6 * 4), 0.0]
+    exp_cdf = [0.0, 1 / (6 * 2), 4 / (6 * 2), 1 - 4 / (6 * 4), 1.0]
+    assert pdf == pytest.approx(exp_pdf, rel=1e-12)
+    assert cdf == pytest.approx(exp_cdf, rel=1e-12)
+
+
+def test_discrete_distributions_closed_forms(spark):
+    g = geometric_dist(0.3)
+    xs = [-1, 0, 2, 5]
+    pdf = _eval_at(spark, g, xs, probability)
+    cdf = _eval_at(spark, g, xs, cumulative_probability)
+    for x, p, c in zip(xs, pdf, cdf):
+        if x < 0:
+            assert p == 0.0 and c == 0.0
+        else:
+            assert p == pytest.approx(0.3 * 0.7**x, rel=1e-12)
+            assert c == pytest.approx(1 - 0.7 ** (x + 1), rel=1e-12)
+
+    ui = uniform_integer_dist(3, 9)
+    assert _eval_at(spark, ui, [2, 3, 6, 9, 10], probability) == pytest.approx(
+        [0.0, 1 / 7, 1 / 7, 1 / 7, 0.0]
+    )
+    assert _eval_at(spark, ui, [2, 4, 9, 12], cumulative_probability) == pytest.approx(
+        [0.0, 2 / 7, 1.0, 1.0]
+    )
+
+    z = zipf_dist(20, 1.3)
+    h = sum(1 / i**1.3 for i in range(1, 21))
+    assert _eval_at(spark, z, [1, 5, 20, 25], probability) == pytest.approx(
+        [1 / h, 1 / 5**1.3 / h, 1 / 20**1.3 / h, 0.0], rel=1e-12
+    )
+    assert _eval_at(spark, z, [0, 3, 20], cumulative_probability) == pytest.approx(
+        [0.0, sum(1 / i**1.3 for i in (1, 2, 3)) / h, 1.0], rel=1e-12
+    )
+
+    en = enumerated_dist([1, 1, 2, 5, 5, 5])
+    assert _eval_at(spark, en, [1, 2, 3, 5], probability) == pytest.approx(
+        [2 / 6, 1 / 6, 0.0, 3 / 6]
+    )
+    assert _eval_at(spark, en, [0, 1, 2, 4, 5, 9], cumulative_probability) == pytest.approx(
+        [0.0, 2 / 6, 3 / 6, 3 / 6, 1.0, 1.0]
+    )
+
+
+def test_gamma_beta_cdf_vs_numerical_integration(spark):
+    gm = gamma_dist(2.3, 1.7)
+    xs = [0.5, 2.0, 6.0, 15.0]
+    cdf = _eval_at(spark, gm, xs, cumulative_probability)
+    for x, c in zip(xs, cdf):
+        g = np.linspace(1e-9, x, 400_000)
+        pdf = np.exp(
+            (2.3 - 1) * np.log(g)
+            - g / 1.7
+            - math.lgamma(2.3)
+            - 2.3 * math.log(1.7)
+        )
+        assert c == pytest.approx(np.trapz(pdf, g), rel=1e-6), x
+    # pdf closed form
+    p = _eval_at(spark, gm, [2.0], probability)[0]
+    assert p == pytest.approx(
+        2.0**1.3 * math.exp(-2.0 / 1.7) / (math.gamma(2.3) * 1.7**2.3),
+        rel=1e-12,
+    )
+
+    bt = beta_dist(2.5, 4.0)
+    xs = [0.1, 0.4, 0.8]
+    cdf = _eval_at(spark, bt, xs, cumulative_probability)
+    lnb = math.lgamma(2.5) + math.lgamma(4.0) - math.lgamma(6.5)
+    for x, c in zip(xs, cdf):
+        g = np.linspace(1e-9, x, 400_000)
+        pdf = np.exp((2.5 - 1) * np.log(g) + 3.0 * np.log1p(-g) - lnb)
+        assert c == pytest.approx(np.trapz(pdf, g), rel=1e-6), x
+
+
+def test_samples_deterministic_bounded_and_moment_matched(spark):
+    n = 40_000
+    cases = [
+        (weibull_dist(1.5, 2.0), 2.0 * math.gamma(1 + 1 / 1.5), None),
+        (lognormal_dist(0.2, 0.5), math.exp(0.2 + 0.125), None),
+        (triangular_dist(1.0, 3.0, 7.0), (1 + 3 + 7) / 3.0, (1.0, 7.0)),
+        (geometric_dist(0.25), 0.75 / 0.25, (0, None)),
+        (uniform_integer_dist(2, 11), 6.5, (2, 11)),
+    ]
+    for dist, mean_exp, bounds in cases:
+        df = sample_dist(spark, dist, n, seed=123)
+        r = df.agg(
+            F.avg("value").alias("m"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        ).collect()[0]
+        assert r["m"] == pytest.approx(mean_exp, rel=0.05), dist["type"]
+        if bounds:
+            lo, hi = bounds
+            if lo is not None:
+                assert r["lo"] >= lo
+            if hi is not None:
+                assert r["hi"] <= hi
+        # determinism under a fixed seed
+        again = sample_dist(spark, dist, 50, seed=9).collect()
+        third = sample_dist(spark, dist, 50, seed=9).collect()
+        assert again == third
+
+    # zipf + enumerated: frequencies track the pmf
+    z = zipf_dist(10, 1.1)
+    zf = sample_dist(spark, z, n, seed=5)
+    top = zf.groupBy("value").count().orderBy("value").collect()
+    h = sum(1 / i**1.1 for i in range(1, 11))
+    for row in top[:3]:
+        exp_p = (1 / row["value"] ** 1.1) / h
+        assert row["count"] / n == pytest.approx(exp_p, rel=0.08)
+
+    en = enumerated_dist([2, 7], [0.25, 0.75])
+    ef = sample_dist(spark, en, n, seed=6)
+    cnt = {r["value"]: r["count"] for r in ef.groupBy("value").count().collect()}
+    assert set(cnt) == {2, 7}
+    assert cnt[7] / n == pytest.approx(0.75, abs=0.02)
+
+
+def test_gamma_beta_sample_raises(spark):
+    with pytest.raises(NotImplementedError):
+        sample_dist(spark, gamma_dist(2.0, 1.0), 10, seed=1)

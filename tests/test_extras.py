@@ -511,3 +511,50 @@ def test_sample_discrete_distributions(spark):
     assert b.min() >= 0 and b.max() <= 12
     assert abs(b.mean() - 12 * 0.35) < 0.08
     assert abs(b.var() - 12 * 0.35 * 0.65) < 0.25
+
+
+def test_temporal_evaluators_match_python_datetime(spark):
+    """Temporal evaluators (io/eval/TemporalEvaluator*.java): each registry
+    entry matches the corresponding java.time/ISO field computed with
+    Python's datetime on the same instants (UTC session)."""
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F
+
+    from apache___solr_spark.functions.registry import fn
+
+    instants = [
+        "2023-01-01 00:00:00",  # week 52 of ISO 2022 — the tricky case
+        "2024-02-29 13:45:31",  # leap day
+        "2026-08-17 23:59:59",
+        "2021-04-01 06:00:00",  # quarter boundary
+        "2020-12-31 12:00:00",  # ISO week 53
+    ]
+    df = spark.createDataFrame([(s,) for s in instants], "s string").select(
+        F.col("s"), F.to_timestamp("s").alias("ts")
+    )
+    out = df.select(
+        "s",
+        *[
+            fn(name, F.col("ts")).alias(name)
+            for name in (
+                "year", "month", "day", "dayOfYear", "hour", "minute",
+                "second", "week", "quarter", "epoch", "dayOfQuarter",
+            )
+        ],
+    ).collect()
+    for r in out:
+        d = datetime.strptime(r["s"], "%Y-%m-%d %H:%M:%S")
+        iso = d.isocalendar()
+        assert r["year"] == d.year and r["month"] == d.month
+        assert r["day"] == d.day and r["hour"] == d.hour
+        assert r["minute"] == d.minute and r["second"] == d.second
+        assert r["dayOfYear"] == d.timetuple().tm_yday
+        assert r["week"] == iso[1], r["s"]
+        q = (d.month - 1) // 3 + 1
+        assert r["quarter"] == q
+        q_start = datetime(d.year, 3 * (q - 1) + 1, 1)
+        assert r["dayOfQuarter"] == (d - q_start).days + 1
+        assert r["epoch"] == int(
+            d.replace(tzinfo=timezone.utc).timestamp() * 1000
+        )
