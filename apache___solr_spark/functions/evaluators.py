@@ -1106,3 +1106,74 @@ def _sample_ext(base: DataFrame, dist: dict, seed: int):
             expr = F.when(uc <= c, F.lit(v).cast("long")).otherwise(expr)
         return ("needs_u", expr)
     return None
+
+
+def moving_median(arr: Column, window: int) -> Column:
+    """MovingMedianEvaluator: trailing median per full window — pure column
+    expression (sort the slice, average the middle one or two)."""
+    n = F.size(arr)
+    idx = F.sequence(F.lit(1), n - F.lit(window - 1))
+    mid = window // 2
+    if window % 2 == 1:
+        pick = lambda s: F.element_at(s, mid + 1)  # noqa: E731
+    else:
+        pick = lambda s: (  # noqa: E731
+            F.element_at(s, mid) + F.element_at(s, mid + 1)
+        ) / F.lit(2.0)
+    return F.transform(
+        idx, lambda i: pick(F.array_sort(F.slice(arr, i, window)))
+    )
+
+
+def moving_mad(arr: Column, window: int) -> Column:
+    """MovingMADEvaluator: trailing MEAN absolute deviation around the
+    window mean (MovingMADEvaluator.java:75-78 — 'MAD' in the reference is
+    mean, not median, absolute deviation)."""
+    n = F.size(arr)
+    idx = F.sequence(F.lit(1), n - F.lit(window - 1))
+
+    def one(i):
+        s = F.slice(arr, i, window)
+        mean = (
+            F.aggregate(s, F.lit(0.0), lambda acc, v: acc + v)
+            / F.lit(float(window))
+        )
+        return F.aggregate(
+            s, F.lit(0.0), lambda acc, v: acc + F.abs(v - mean)
+        ) / F.lit(float(window))
+
+    return F.transform(idx, one)
+
+
+def mode_arr(arr: Column) -> Column:
+    """ModeEvaluator (StatUtils.mode): ALL most-frequent values of the
+    array, ascending — higher-order functions only."""
+    distinct = F.array_distinct(arr)
+    counts = F.transform(
+        distinct, lambda v: F.size(F.filter(arr, lambda x: x == v))
+    )
+    top = F.array_max(counts)
+    return F.array_sort(
+        F.filter(
+            distinct,
+            lambda v: F.size(F.filter(arr, lambda x: x == v)) == top,
+        )
+    )
+
+
+def frequency_table(df: DataFrame, col: str) -> DataFrame:
+    """FrequencyTableEvaluator: one row per distinct value with count, pct,
+    cumFreq, cumPct (FrequencyTableEvaluator.java:81-86) — a groupBy plus
+    one cumulative window over the (tiny) distinct-value result."""
+    from pyspark.sql import Window
+
+    total = df.count()
+    w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        df.groupBy(col)
+        .agg(F.count(F.lit(1)).alias("count"))
+        .withColumn("pct", F.col("count") / F.lit(float(total)))
+        .withColumn("cumFreq", F.sum("count").over(w))
+        .withColumn("cumPct", F.col("cumFreq") / F.lit(float(total)))
+        .orderBy(col)
+    )

@@ -360,3 +360,61 @@ def embedding_near_dup_pairs(
         pairs.select("id_a", "id_b", cos)
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def knn_regression(
+    train: DataFrame,
+    vec_col: str,
+    outcome_col: str,
+    probes: list[list[float]],
+    k: int = 10,
+    robust: bool = False,
+) -> DataFrame:
+    """KnnRegressionEvaluator (io/eval/KnnRegressionEvaluator.java):
+    predict each probe vector's outcome as the mean (``robust=True``:
+    median, matching the evaluator's robust flag) of its k euclidean
+    nearest training rows.
+
+    One pass over the training table: each row computes its distance to
+    every probe (a transform over the broadcast probe literal array),
+    posexplodes to (probe_idx, dist, outcome), and a per-probe window
+    top-k keeps only k rows per probe before the final tiny aggregate.
+    The window partitions by probe_idx — fine for the evaluator's
+    small-probe-set use; a probe set large enough to skew a partition
+    should go through the ANN index instead.
+
+    Returns (probe_idx int, prediction double) ordered by probe_idx.
+    """
+    from pyspark.sql import Window
+
+    probe_arr = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in p])
+            for p in probes
+        ]
+    )
+    d2 = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    exploded = (
+        train.select(
+            F.col(outcome_col).cast("double").alias("_y"),
+            F.posexplode(
+                F.transform(probe_arr, lambda p: d2(F.col(vec_col), p))
+            ).alias("probe_idx", "_d2"),
+        )
+    )
+    w = Window.partitionBy("probe_idx").orderBy(F.col("_d2").asc(), F.col("_y").asc())
+    nearest = exploded.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") <= k
+    )
+    pred = (
+        F.expr("percentile(_y, 0.5)") if robust else F.avg("_y")
+    )
+    return (
+        nearest.groupBy("probe_idx")
+        .agg(pred.alias("prediction"))
+        .orderBy("probe_idx")
+    )

@@ -131,3 +131,74 @@ def test_spline_integral_matches_dense_trapezoid(spark):
         mask = g <= xi + 1e-12
         exp_i = np.trapz(vals[mask], g[mask]) if mask.sum() > 1 else 0.0
         assert cum[i] == pytest.approx(exp_i, rel=1e-4, abs=1e-6)
+
+
+def test_moving_median_mad_mode_frequency(spark):
+    from apache___solr_spark.functions.evaluators import (
+        frequency_table,
+        mode_arr,
+        moving_mad,
+        moving_median,
+    )
+
+    arr = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
+    df = spark.createDataFrame([(arr,)], "a array<double>")
+    got = df.select(
+        moving_median(F.col("a"), 3).alias("med3"),
+        moving_median(F.col("a"), 4).alias("med4"),
+        moving_mad(F.col("a"), 3).alias("mad3"),
+        mode_arr(F.array(*[F.lit(v) for v in [2.0, 7.0, 2.0, 7.0, 1.0]])).alias("md"),
+    ).first()
+    exp_med3 = [float(np.median(arr[i : i + 3])) for i in range(6)]
+    exp_med4 = [float(np.median(arr[i : i + 4])) for i in range(5)]
+    exp_mad3 = [
+        float(np.abs(np.array(arr[i : i + 3]) - np.mean(arr[i : i + 3])).mean())
+        for i in range(6)
+    ]
+    assert got["med3"] == pytest.approx(exp_med3)
+    assert got["med4"] == pytest.approx(exp_med4)
+    assert got["mad3"] == pytest.approx(exp_mad3)
+    assert got["md"] == [2.0, 7.0]  # both tied modes, ascending
+
+    fdf = spark.createDataFrame(
+        [(v,) for v in [1, 2, 2, 3, 3, 3]], "v int"
+    )
+    rows = frequency_table(fdf, "v").collect()
+    assert [(r["v"], r["count"], r["cumFreq"]) for r in rows] == [
+        (1, 1, 1),
+        (2, 2, 3),
+        (3, 3, 6),
+    ]
+    assert rows[1]["pct"] == pytest.approx(2 / 6)
+    assert rows[2]["cumPct"] == pytest.approx(1.0)
+
+
+def test_knn_regression_matches_numpy(spark):
+    from apache___solr_spark.pipeline.similarity import knn_regression
+
+    rng = np.random.RandomState(12)
+    X = rng.uniform(-2, 2, (200, 3))
+    y = X[:, 0] * 2.0 - X[:, 1] + 0.5 * X[:, 2]
+    train = spark.createDataFrame(
+        [
+            ([float(a) for a in v], float(t))
+            for v, t in zip(X, y)
+        ],
+        "vec array<double>, out double",
+    )
+    probes = [[0.5, 0.5, 0.0], [-1.0, 1.0, 1.0]]
+    got = {
+        r["probe_idx"]: r["prediction"]
+        for r in knn_regression(train, "vec", "out", probes, k=7).collect()
+    }
+    got_rob = {
+        r["probe_idx"]: r["prediction"]
+        for r in knn_regression(
+            train, "vec", "out", probes, k=7, robust=True
+        ).collect()
+    }
+    for i, p in enumerate(probes):
+        d = ((X - np.array(p)) ** 2).sum(axis=1)
+        idx = np.argsort(d, kind="stable")[:7]
+        assert got[i] == pytest.approx(float(y[idx].mean()), rel=1e-9)
+        assert got_rob[i] == pytest.approx(float(np.median(y[idx])), rel=1e-9)
