@@ -1177,3 +1177,82 @@ def frequency_table(df: DataFrame, col: str) -> DataFrame:
         .withColumn("cumPct", F.col("cumFreq") / F.lit(float(total)))
         .orderBy(col)
     )
+
+
+def markov_chain_sample(
+    spark,
+    transition: list[list[float]],
+    steps: int,
+    n_chains: int,
+    seed: int = 42,
+    state0: int | None = None,
+) -> DataFrame:
+    """MarkovChainEvaluator (io/eval/MarkovChainEvaluator.java:59-90 —
+    square transition matrix, optional start state, sample() walks the
+    chain through per-row EnumeratedIntegerDistributions).
+
+    Distributed analog: ``n_chains`` independent walks of ``steps``
+    transitions, one row per chain, as pure column expressions.  The
+    per-step uniform is a HASH-based PRNG — u(chain, t) =
+    xxhash64(chain_id, seed, t) mapped to [0, 1) — so every chain is
+    deterministic under its seed, reproducible across partitionings, and
+    needs no materialized rand columns.  Each transition is the inverse
+    CDF of the current state's row, expanded to a k x k when-chain (k is
+    the evaluator-sized state count; the fold over steps keeps the whole
+    walk in one codegen'd expression).
+
+    Returns (chain_id long, states array<int>) — states[0] is the start
+    state, followed by ``steps`` sampled transitions.  When ``state0`` is
+    None each chain starts at u-sampled uniform state (the reference
+    seeds from Random().nextInt — ours is deterministic, documented)."""
+    k = len(transition)
+    for row in transition:
+        if len(row) != k:
+            raise ValueError("markovChain needs a square matrix")
+        if abs(sum(row) - 1.0) > 1e-9:
+            raise ValueError("each transition row must sum to 1")
+    cdfs = []
+    for row in transition:
+        acc, cdf = 0.0, []
+        for p in row:
+            acc += p
+            cdf.append(acc)
+        cdfs.append(cdf)
+
+    def uniform(t: Column) -> Column:
+        h = F.xxhash64(F.col("chain_id"), F.lit(int(seed)), t)
+        return (F.pmod(h, F.lit(1 << 40))).cast("double") / F.lit(
+            float(1 << 40)
+        )
+
+    def next_state(cur: Column, u: Column) -> Column:
+        # state-dependent inverse CDF: outer when over current state,
+        # inner when-chain over that row's cumulative probabilities
+        expr = F.lit(0)
+        for s in range(k - 1, -1, -1):
+            inner = F.lit(k - 1)
+            for j in range(k - 2, -1, -1):
+                inner = F.when(u < cdfs[s][j], F.lit(j)).otherwise(inner)
+            expr = F.when(cur == s, inner).otherwise(expr)
+        return expr
+
+    base = spark.range(n_chains).select(F.col("id").alias("chain_id"))
+    if state0 is None:
+        start = F.floor(uniform(F.lit(0)) * k).cast("int")
+    else:
+        if not 0 <= int(state0) < k:
+            raise ValueError(f"state0 must be in [0, {k})")
+        start = F.lit(int(state0))
+    walk = F.aggregate(
+        F.sequence(F.lit(1), F.lit(int(steps))),
+        F.array(start),
+        lambda acc, t: F.concat(
+            acc,
+            F.array(
+                next_state(
+                    F.element_at(acc, F.lit(-1)), uniform(t.cast("long"))
+                )
+            ),
+        ),
+    )
+    return base.select("chain_id", walk.alias("states"))

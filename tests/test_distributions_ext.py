@@ -191,3 +191,42 @@ def test_samples_deterministic_bounded_and_moment_matched(spark):
 def test_gamma_beta_sample_raises(spark):
     with pytest.raises(NotImplementedError):
         sample_dist(spark, gamma_dist(2.0, 1.0), 10, seed=1)
+
+
+def test_markov_chain_stationary_and_deterministic(spark):
+    """markovChain: long-run state frequencies converge to the stationary
+    distribution of the transition matrix (computed independently by
+    numpy eigendecomposition); walks are deterministic under a seed and
+    every transition respects the matrix's support."""
+    from apache___solr_spark.functions.evaluators import markov_chain_sample
+
+    P = [
+        [0.7, 0.3, 0.0],
+        [0.2, 0.5, 0.3],
+        [0.1, 0.4, 0.5],
+    ]
+    df = markov_chain_sample(spark, P, steps=300, n_chains=64, seed=17)
+    rows = df.collect()
+    assert len(rows) == 64
+    # determinism
+    again = markov_chain_sample(spark, P, steps=300, n_chains=64, seed=17)
+    assert rows == again.collect()
+
+    # forbidden transition 0 -> 2 (p = 0) never occurs
+    counts = np.zeros(3)
+    for r in rows:
+        s = r["states"]
+        for a, b in zip(s, s[1:]):
+            assert not (a == 0 and b == 2)
+        counts += np.bincount(s[50:], minlength=3)  # burn-in discarded
+    freq = counts / counts.sum()
+
+    # stationary distribution via left eigenvector
+    w, v = np.linalg.eig(np.array(P).T)
+    pi = np.real(v[:, np.argmax(np.real(w))])
+    pi = pi / pi.sum()
+    assert freq == pytest.approx(pi, abs=0.02)
+
+    # fixed start state honored
+    fixed = markov_chain_sample(spark, P, steps=3, n_chains=5, seed=1, state0=2)
+    assert all(r["states"][0] == 2 for r in fixed.collect())
