@@ -47,10 +47,12 @@ anything unbounded.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["select_features_igain", "train_text_logit"]
+__all__ = ["select_features_igain", "train_text_logit", "term_vectors"]
 
 _TOKEN_SPLIT = "[^a-z0-9]+"
 
@@ -308,3 +310,91 @@ def predict_logit(
     return df.withColumn("probability_d", prob).withColumn(
         "prediction", (prob >= F.lit(float(threshold))).cast("int")
     )
+
+
+def term_vectors(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_term_length: int = 3,
+    min_doc_freq: float = 0.05,
+    max_doc_freq: float = 0.5,
+    excludes: list[str] | None = None,
+):
+    """TermVectorsEvaluator (io/eval/TermVectorsEvaluator.java): tf-idf
+    doc-term matrix.  Feature vocabulary = terms of length >=
+    ``min_term_length`` whose doc frequency lies in
+    [int(N*min_doc_freq), int(N*max_doc_freq)] (the reference removes
+    ``count < min || count > max`` at :139-147; defaults 3/.05/.5 per
+    :37-39); weight = sqrt(tf) * (ln((N+1)/(df+1)) + 1) (:176).
+
+    The reference materializes every tuple driver-side into a dense
+    Commons-Math matrix with HashMap-ordered (nondeterministic) columns.
+    Here both passes are distributed — docfreq via explode+groupBy, tf via
+    the same explode against the pruned vocabulary — and features are
+    sorted ALPHABETICALLY (deterministic; documented divergence).  Each
+    doc's dense vector assembles from a per-doc (term -> weight) map
+    against the broadcast feature list, so the shuffle carries only
+    (doc, matched-term) pairs, never |docs| x |vocab|.
+
+    Returns ``(vectors, features, doc_freqs)``: vectors is a DataFrame
+    (id_col, vector array<double>) over ALL input docs (docs matching no
+    feature get the zero vector), features the ordered vocabulary,
+    doc_freqs {term: df}."""
+    n_docs = df.count()
+    lo = int(n_docs * min_doc_freq)
+    hi = int(n_docs * max_doc_freq)
+    terms = _doc_terms(df.select(id_col, text_col), text_col, distinct=False)
+    ok = F.length("term") >= int(min_term_length)
+    for ex in excludes or []:
+        ok &= ~F.col("term").contains(ex)
+    terms = terms.where(ok).select(id_col, "term")
+
+    dfreq = (
+        terms.distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where((F.col("df") >= lo) & (F.col("df") <= hi))
+    )
+    feat_rows = sorted(
+        (r["term"], r["df"]) for r in dfreq.collect()
+    )
+    features = [t for t, _ in feat_rows]
+    doc_freqs = dict(feat_rows)
+    idf = {
+        t: math.log((n_docs + 1) / (d + 1.0)) + 1.0 for t, d in feat_rows
+    }
+
+    tf = (
+        terms.join(F.broadcast(dfreq.select("term")), "term")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf_map = F.create_map(
+        *[x for t in features for x in (F.lit(t), F.lit(idf[t]))]
+    )
+    weighted = tf.select(
+        id_col,
+        "term",
+        (F.sqrt(F.col("tf")) * idf_map[F.col("term")]).alias("w"),
+    )
+    wmap = weighted.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("term", "w"))
+        ).alias("_wm")
+    )
+    feat_arr = F.array(*[F.lit(t) for t in features])
+    vectors = (
+        df.select(id_col)
+        .join(wmap, id_col, "left")
+        .select(
+            id_col,
+            F.transform(
+                feat_arr,
+                lambda t: F.coalesce(
+                    F.try_element_at(F.col("_wm"), t), F.lit(0.0)
+                ),
+            ).alias("vector"),
+        )
+    )
+    return vectors, features, doc_freqs

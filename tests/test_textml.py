@@ -222,3 +222,47 @@ def test_train_epoch_reuses_cached_partitioning(spark, docs):
         assert "Exchange" not in above_cache, above_cache
     finally:
         design.unpersist()
+
+
+def test_term_vectors_matches_reference_formula(spark):
+    """term_vectors vs a direct driver-side recomputation of
+    TermVectorsEvaluator's vocabulary pruning + sqrt(tf)*idf weights."""
+    import math as m
+
+    from apache___solr_spark.pipeline.textml import term_vectors
+
+    texts = [
+        "alpha beta gamma alpha",
+        "beta gamma delta",
+        "alpha epsilon zz",          # 'zz' pruned by min_term_length=3
+        "gamma gamma gamma common",
+        "delta epsilon common",
+        "common words only here",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    vecs, features, dfreqs = term_vectors(
+        df, "id", "text", min_doc_freq=0.2, max_doc_freq=0.9
+    )
+    n = len(texts)
+    lo, hi = int(n * 0.2), int(n * 0.9)
+
+    # oracle vocabulary
+    import collections
+
+    docs = [[t for t in s.split() if len(t) >= 3] for s in texts]
+    odf = collections.Counter(t for d in docs for t in set(d))
+    vocab = sorted(t for t, c in odf.items() if lo <= c <= hi)
+    assert features == vocab
+    assert dfreqs == {t: odf[t] for t in vocab}
+
+    got = {r["id"]: r["vector"] for r in vecs.collect()}
+    assert set(got) == set(range(n))
+    for i, d in enumerate(docs):
+        tf = collections.Counter(t for t in d if t in odf and lo <= odf[t] <= hi)
+        exp = [
+            m.sqrt(tf.get(t, 0)) * (m.log((n + 1) / (odf[t] + 1)) + 1.0)
+            for t in vocab
+        ]
+        assert got[i] == pytest.approx(exp, abs=1e-12), i
