@@ -271,22 +271,45 @@ def anova_f(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
 def mann_whitney_u(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
     """MannWhitneyUEvaluator (Commons-Math MannWhitneyUTest): U = min(U1,U2)
     and the large-sample normal-approximation p WITHOUT tie or continuity
-    correction (matching mannWhitneyUTest).  Mid-ranks come from a window
-    rank + per-value tie count, so the data-side work is one sort-based
-    window pass; only per-group rank sums reach the driver."""
-    rows = sorted(
+    correction (matching mannWhitneyUTest).
+
+    Scale shape: the raw rows are first reduced to per-DISTINCT-VALUE
+    counts (one partial-aggregatable groupBy — never a global sort of the
+    data), and only the distinct-value table goes through the cumulative
+    window that assigns mid-ranks: rank of value v's first element is
+    1 + sum of counts below v, midrank = that + (ties-1)/2, and each
+    group's rank sum is sum(midrank * group count) — algebraically
+    identical to ranking every row."""
+    per_value = (
         df.select(group_col, value_col)
-        .withColumn("_rk", F.rank().over(Window.orderBy(value_col)))
-        .withColumn(
-            "_ties",
-            F.count(F.lit(1)).over(Window.partitionBy(value_col)),
-        )
-        .withColumn("_midrank", F.col("_rk") + (F.col("_ties") - 1) / 2.0)
-        .groupBy(group_col)
+        .groupBy(value_col, group_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(value_col)
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("_midrank").alias("rsum"),
+            F.sum("_c").alias("_tot"),
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col(group_col), F.col("_c")))
+            ).alias("_by_g"),
         )
+    )
+    w = Window.orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = per_value.withColumn(
+        "_below", F.coalesce(F.sum("_tot").over(w), F.lit(0))
+    ).withColumn(
+        "_midrank", F.col("_below") + 1 + (F.col("_tot") - 1) / 2.0
+    )
+    exploded = ranked.select(
+        "_midrank", F.explode("_by_g").alias("_g", "_cg")
+    )
+    rows = sorted(
+        exploded.groupBy("_g")
+        .agg(
+            F.sum("_cg").alias("n"),
+            F.sum(F.col("_midrank") * F.col("_cg")).alias("rsum"),
+        )
+        .withColumnRenamed("_g", group_col)
         .collect(),
         key=lambda r: str(r[group_col]),
     )
@@ -313,21 +336,27 @@ def ks_test_two_sample(
     """KolmogorovSmirnovEvaluator two-sample mode: D = sup |ECDF1 - ECDF2|
     plus the asymptotic p.  (The reference tuple stores the p-value under
     the 'd-statistic' key in this mode — KolmogorovSmirnovEvaluator.java:84;
-    we return both properly named.)  ECDFs via one window cumulative-count
-    pass over the tagged union."""
+    we return both properly named.)
+
+    Scale shape: the tagged union first reduces to per-DISTINCT-VALUE
+    counts per side (a partial-aggregatable groupBy — no global sort of
+    raw rows); the cumulative window that materializes both ECDFs runs
+    over the distinct-value table only.  D is attained at an observed
+    value with ECDFs evaluated right-continuously, so the distinct-value
+    sup equals the all-rows sup exactly."""
     u = df1.select(F.col(col1).alias("_v"), F.lit(1).alias("_s")).unionByName(
         df2.select(F.col(col2).alias("_v"), F.lit(2).alias("_s"))
     )
-    w = Window.orderBy("_v").rangeBetween(Window.unboundedPreceding, 0)
     n1 = df1.count()
     n2 = df2.count()
+    per_value = u.groupBy("_v").agg(
+        F.sum(F.when(F.col("_s") == 1, 1).otherwise(0)).alias("_k1"),
+        F.sum(F.when(F.col("_s") == 2, 1).otherwise(0)).alias("_k2"),
+    )
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
     d_row = (
-        u.withColumn(
-            "_c1", F.sum(F.when(F.col("_s") == 1, 1).otherwise(0)).over(w)
-        )
-        .withColumn(
-            "_c2", F.sum(F.when(F.col("_s") == 2, 1).otherwise(0)).over(w)
-        )
+        per_value.withColumn("_c1", F.sum("_k1").over(w))
+        .withColumn("_c2", F.sum("_k2").over(w))
         .agg(
             F.max(
                 F.abs(F.col("_c1") / F.lit(float(n1)) - F.col("_c2") / F.lit(float(n2)))
