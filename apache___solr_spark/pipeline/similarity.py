@@ -376,12 +376,11 @@ def knn_regression(
     nearest training rows.
 
     One pass over the training table: each row computes its distance to
-    every probe (a transform over the broadcast probe literal array),
-    posexplodes to (probe_idx, dist, outcome), and a per-probe window
-    top-k keeps only k rows per probe before the final tiny aggregate.
-    The window partitions by probe_idx — fine for the evaluator's
-    small-probe-set use; a probe set large enough to skew a partition
-    should go through the ANN index instead.
+    every probe (a transform over the broadcast probe literal array) and
+    posexplodes to (probe_idx, dist, outcome).  Top-k runs in TWO stages
+    so no single task ever sorts all of n_train: first a window keyed by
+    (input partition, probe_idx) keeps k rows per probe per partition,
+    then the global per-probe window ranks at most partitions*k survivors.
 
     Returns (probe_idx int, prediction double) ordered by probe_idx.
     """
@@ -406,8 +405,16 @@ def knn_regression(
             ).alias("probe_idx", "_d2"),
         )
     )
+    w_local = Window.partitionBy("_pid", "probe_idx").orderBy(
+        F.col("_d2").asc(), F.col("_y").asc()
+    )
+    pruned = (
+        exploded.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lrn", F.row_number().over(w_local))
+        .where(F.col("_lrn") <= k)
+    )
     w = Window.partitionBy("probe_idx").orderBy(F.col("_d2").asc(), F.col("_y").asc())
-    nearest = exploded.withColumn("_rn", F.row_number().over(w)).where(
+    nearest = pruned.withColumn("_rn", F.row_number().over(w)).where(
         F.col("_rn") <= k
     )
     pred = (
