@@ -52,7 +52,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["select_features_igain", "train_text_logit", "term_vectors"]
+__all__ = ["select_features_igain", "train_text_logit", "term_vectors", "top_features"]
 
 _TOKEN_SPLIT = "[^a-z0-9]+"
 
@@ -398,3 +398,34 @@ def term_vectors(
         )
     )
     return vectors, features, doc_freqs
+
+
+def top_features(
+    vectors: DataFrame, features: list[str], k: int, vec_col: str = "vector"
+) -> DataFrame:
+    """TopFeaturesEvaluator (io/eval/TopFeaturesEvaluator.java): per doc,
+    the k highest-weighted POSITIVE features of its term vector, ordered
+    by descending weight — pure higher-order column expressions over the
+    broadcast feature-name array.  Adds a ``top_features`` array<string>
+    column."""
+    names = F.array(*[F.lit(t) for t in features])
+    idx = F.sequence(F.lit(1), F.size(F.col(vec_col)))
+    pairs = F.filter(
+        F.arrays_zip(
+            F.col(vec_col).alias("w"), idx.alias("i")
+        ),
+        lambda s: s["w"] > 0,
+    )
+    ranked = F.array_sort(
+        pairs,
+        lambda a, b: F.when(a["w"] > b["w"], -1)
+        .when(a["w"] < b["w"], 1)
+        .otherwise(0),
+    )
+    return vectors.withColumn(
+        "top_features",
+        F.transform(
+            F.slice(ranked, 1, int(k)),
+            lambda s: F.element_at(names, s["i"].cast("int")),
+        ),
+    )

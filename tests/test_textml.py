@@ -266,3 +266,25 @@ def test_term_vectors_matches_reference_formula(spark):
             for t in vocab
         ]
         assert got[i] == pytest.approx(exp, abs=1e-12), i
+
+
+def test_top_features_orders_by_weight(spark):
+    from apache___solr_spark.pipeline.textml import top_features
+
+    feats = ["aa", "bb", "cc", "dd"]
+    rows = [
+        (0, [0.5, 2.0, 0.0, 1.0]),   # bb > dd > aa; cc (0) excluded
+        (1, [0.0, 0.0, 0.0, 0.0]),   # all zero -> empty
+    ]
+    df = spark.createDataFrame(rows, "id long, vector array<double>")
+    got = {
+        r["id"]: r["top_features"]
+        for r in top_features(df, feats, k=2).collect()
+    }
+    assert got[0] == ["bb", "dd"]
+    assert got[1] == []
+    got3 = {
+        r["id"]: r["top_features"]
+        for r in top_features(df, feats, k=10).collect()
+    }
+    assert got3[0] == ["bb", "dd", "aa"]  # only positive weights included
