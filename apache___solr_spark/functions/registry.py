@@ -118,6 +118,12 @@ FUNCTION_REGISTRY: dict[str, Callable[..., Column]] = {
     "dayOfQuarter": lambda ts: (
         F.dayofyear(ts) - F.dayofyear(F.trunc(ts, "quarter")) + 1
     ),
+    # PrecisionEvaluator (io/eval): round to p decimal places; applies
+    # elementwise to arrays like the reference's List branch
+    "precision": lambda v, p: F.round(v, int(p)),
+    "precisionArr": lambda arr, p: F.transform(
+        arr, lambda x: F.round(x, int(p))
+    ),
 }
 
 

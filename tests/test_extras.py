@@ -558,3 +558,16 @@ def test_temporal_evaluators_match_python_datetime(spark):
         assert r["epoch"] == int(
             d.replace(tzinfo=timezone.utc).timestamp() * 1000
         )
+
+
+def test_precision_evaluator(spark):
+    from pyspark.sql import functions as F
+
+    from apache___solr_spark.functions.registry import fn
+
+    row = spark.range(1).select(
+        fn("precision", F.lit(3.14159265), 3).alias("s"),
+        fn("precisionArr", F.array(F.lit(1.2345), F.lit(-2.718281)), 2).alias("a"),
+    ).first()
+    assert row["s"] == 3.142
+    assert row["a"] == [1.23, -2.72]
