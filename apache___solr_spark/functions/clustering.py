@@ -209,7 +209,7 @@ def fuzzy_kmeans(
     per batch regardless of corpus size.
 
     Returns ``(assignments, centroids, obj_history)``: assignments has
-    (id_col, cluster = argmax membership, membership = that max u),
+    (id_col, cluster = argmax membership = argmin distance, dist2),
     obj_history is the fuzzy objective J_m = sum_ij u_ij^m d_ij^2 per
     iteration."""
     if fuzziness <= 1.0:
@@ -356,6 +356,7 @@ def dbscan(
         .persist()
     )
     labels = core.select("_id", F.col("_id").alias("_lbl")).persist()
+    converged = False
     for it in range(int(max_iters)):
         nbr_min = (
             core_edges.join(
@@ -389,7 +390,14 @@ def dbscan(
         labels = new_labels.persist()
         old.unpersist()
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"dbscan label propagation did not converge in {max_iters} "
+            "iterations (cluster-graph diameter exceeds max_iters); raise "
+            "max_iters"
+        )
 
     # border points: non-core with a core neighbor -> min core label
     border = (
@@ -419,4 +427,9 @@ def dbscan(
             F.coalesce("is_core", F.lit(False)).alias("is_core"),
         )
     )
+    # cut the result free of the cached intermediates (localCheckpoint
+    # materializes it), then release every persist taken above
+    out = out.localCheckpoint()
+    for cached in (pts, pairs, core, core_edges, labels):
+        cached.unpersist()
     return out

@@ -128,9 +128,10 @@ def normalize_sum(arr: Column) -> Column:
 
 def moving_avg(arr: Column, window: int) -> Column:
     """MovingAverageEvaluator: trailing mean over a window, emitted for
-    every full window (length = len(arr) - window + 1)."""
+    every full window (length = len(arr) - window + 1); empty when the
+    array is shorter than the window (_seq1 guard)."""
     n = F.size(arr)
-    idx = F.sequence(F.lit(1), n - F.lit(window - 1))
+    idx = _seq1(n - F.lit(window - 1))
     return F.transform(
         idx,
         lambda i: F.aggregate(
@@ -820,26 +821,48 @@ def enumerated_dist(values: list, probs: list | None = None) -> dict:
 
 def _gammainc_lower_np(s: float, x):
     """Regularized lower incomplete gamma P(s, x), vectorized over a numpy
-    array: power series with a fixed iteration budget sized to the batch's
-    max x (every step is an array op, no per-element loop)."""
+    array.  Split like the scalar textbook form: the power series ONLY for
+    x < s+1 (there its terms decrease monotonically — no overflow at any
+    x) and a fixed-budget vectorized Lentz continued fraction for Q(s, x)
+    on x >= s+1 (the raw series overflows double near x ~ 740)."""
     import numpy as np
 
     x = np.asarray(x, dtype=np.float64)
     out = np.zeros_like(x)
-    pos = x > 0
-    xp = x[pos]
+    lo = (x > 0) & (x < s + 1.0)
+    hi = x >= s + 1.0
+
+    xp = x[lo]
     if xp.size:
-        iters = int(min(20000, max(200, xp.max() + 8 * math.sqrt(xp.max() + 1) + 100)))
         term = np.full_like(xp, 1.0 / s)
         total = term.copy()
         ap = s
-        for _ in range(iters):
+        for _ in range(500):
             ap += 1.0
             term = term * xp / ap
             total += term
             if term.max() < 1e-17 * total.min():
                 break
-        out[pos] = total * np.exp(-xp + s * np.log(xp) - math.lgamma(s))
+        out[lo] = total * np.exp(-xp + s * np.log(xp) - math.lgamma(s))
+
+    xq = x[hi]
+    if xq.size:
+        FPMIN = 1e-300
+        b = xq + 1.0 - s
+        c = np.full_like(xq, 1.0 / FPMIN)
+        d = 1.0 / b
+        h = d.copy()
+        for i in range(1, 300):
+            an = -i * (i - s)
+            b = b + 2.0
+            d = an * d + b
+            d = np.where(np.abs(d) < FPMIN, FPMIN, d)
+            c = b + an / c
+            c = np.where(np.abs(c) < FPMIN, FPMIN, c)
+            d = 1.0 / d
+            h *= d * c
+        q = h * np.exp(-xq + s * np.log(xq) - math.lgamma(s))
+        out[hi] = 1.0 - q
     return np.clip(out, 0.0, 1.0)
 
 
@@ -1110,9 +1133,11 @@ def _sample_ext(base: DataFrame, dist: dict, seed: int):
 
 def moving_median(arr: Column, window: int) -> Column:
     """MovingMedianEvaluator: trailing median per full window — pure column
-    expression (sort the slice, average the middle one or two)."""
+    expression (sort the slice, average the middle one or two).  Arrays
+    shorter than the window yield an empty array (_seq1 guards the
+    descending-sequence trap)."""
     n = F.size(arr)
-    idx = F.sequence(F.lit(1), n - F.lit(window - 1))
+    idx = _seq1(n - F.lit(window - 1))
     mid = window // 2
     if window % 2 == 1:
         pick = lambda s: F.element_at(s, mid + 1)  # noqa: E731
@@ -1130,7 +1155,7 @@ def moving_mad(arr: Column, window: int) -> Column:
     window mean (MovingMADEvaluator.java:75-78 — 'MAD' in the reference is
     mean, not median, absolute deviation)."""
     n = F.size(arr)
-    idx = F.sequence(F.lit(1), n - F.lit(window - 1))
+    idx = _seq1(n - F.lit(window - 1))
 
     def one(i):
         s = F.slice(arr, i, window)
@@ -1244,7 +1269,7 @@ def markov_chain_sample(
             raise ValueError(f"state0 must be in [0, {k})")
         start = F.lit(int(state0))
     walk = F.aggregate(
-        F.sequence(F.lit(1), F.lit(int(steps))),
+        _seq1(F.lit(int(steps))),  # steps=0 -> just the start state
         F.array(start),
         lambda acc, t: F.concat(
             acc,

@@ -112,9 +112,8 @@ FUNCTION_REGISTRY: dict[str, Callable[..., Column]] = {
     "second": F.second,
     "week": F.weekofyear,
     "quarter": F.quarter,
-    "epoch": lambda ts: (
-        F.unix_timestamp(ts) * 1000 + F.date_format(ts, "SSS").cast("long")
-    ),
+    "epoch": lambda ts: FUNCTION_REGISTRY["ms"](ts),  # same millis expr
+
     "dayOfQuarter": lambda ts: (
         F.dayofyear(ts) - F.dayofyear(F.trunc(ts, "quarter")) + 1
     ),

@@ -207,6 +207,8 @@ def one_sample_ttest(df: DataFrame, value_col: str, mu: float) -> DataFrame:
     two-sided p for H0: mean == mu.  One aggregation pass."""
     (r,) = _moments(df, value_col)
     n, mean, var = r["n"], r["mean"], r["var"]
+    if var is None:
+        raise ValueError("t test needs >= 2 observations")
     t = (mean - mu) / math.sqrt(var / n)
     return _result(
         df.sparkSession,
@@ -222,6 +224,8 @@ def welch_ttest(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
     rows = sorted(_moments(df, value_col, group_col), key=lambda r: str(r[group_col]))
     if len(rows) != 2:
         raise ValueError(f"welch_ttest needs exactly 2 groups, got {len(rows)}")
+    if any(r["var"] is None for r in rows):
+        raise ValueError("welch_ttest needs >= 2 observations per group")
     (n1, m1, v1), (n2, m2, v2) = [
         (r["n"], r["mean"], r["var"]) for r in rows
     ]
@@ -241,6 +245,8 @@ def paired_ttest(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     d = df.select((F.col(x_col) - F.col(y_col)).alias("_d"))
     (r,) = _moments(d, "_d")
     n, mean, var = r["n"], r["mean"], r["var"]
+    if var is None:
+        raise ValueError("paired t test needs >= 2 pairs")
     t = mean / math.sqrt(var / n)
     return _result(
         d.sparkSession,
@@ -256,6 +262,8 @@ def anova_f(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
     k = len(rows)
     if k < 2:
         raise ValueError("anova needs >= 2 groups")
+    if any(r["var"] is None for r in rows):
+        raise ValueError("anova needs >= 2 observations per group")
     n_tot = sum(r["n"] for r in rows)
     grand = sum(r["n"] * r["mean"] for r in rows) / n_tot
     ss_between = sum(r["n"] * (r["mean"] - grand) ** 2 for r in rows)
@@ -319,6 +327,8 @@ def mann_whitney_u(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
     n2, _ = rows[1]["n"], rows[1]["rsum"]
     u1 = r1 - n1 * (n1 + 1) / 2.0
     u2 = n1 * n2 - u1
+    # Commons-Math mannWhitneyU REPORTS max(U1, U2) as the statistic while
+    # the p-value is computed from min(U1, U2) — mirror both exactly
     u_min = min(u1, u2)
     mu = n1 * n2 / 2.0
     sigma = math.sqrt(n1 * n2 * (n1 + n2 + 1) / 12.0)
@@ -326,7 +336,7 @@ def mann_whitney_u(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
     p = 2.0 * 0.5 * math.erfc(-z / math.sqrt(2.0))  # 2 * Phi(z), z <= 0
     return _result(
         df.sparkSession,
-        {"u_statistic": u_min, "p_value": min(p, 1.0)},
+        {"u_statistic": max(u1, u2), "p_value": min(p, 1.0)},
     )
 
 

@@ -366,7 +366,7 @@ def term_vectors(
     }
 
     tf = (
-        terms.join(F.broadcast(dfreq.select("term")), "term")
+        terms.where(F.col("term").isin(features))  # vocab already collected
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )

@@ -230,3 +230,47 @@ def test_markov_chain_stationary_and_deterministic(spark):
     # fixed start state honored
     fixed = markov_chain_sample(spark, P, steps=3, n_chains=5, seed=1, state0=2)
     assert all(r["states"][0] == 2 for r in fixed.collect())
+
+
+def test_review_fix_regressions(spark):
+    """Edge cases from the round-3 self-review: gamma CDF far in the tail
+    (the raw power series overflowed double near x ~ 740), moving windows
+    over arrays shorter than the window, markov steps=0, and single-
+    observation t-test inputs."""
+    import pyspark.sql.functions as F
+
+    from apache___solr_spark.functions.evaluators import (
+        markov_chain_sample,
+        moving_avg,
+        moving_mad,
+        moving_median,
+    )
+    from apache___solr_spark.functions.stattests import welch_ttest
+
+    # gamma CDF at x >> 740: must be ~1.0, not NaN
+    gm = gamma_dist(1.0, 1.0)
+    vals = _eval_at(spark, gm, [700.0, 800.0, 5000.0], cumulative_probability)
+    assert vals == pytest.approx([1.0, 1.0, 1.0], abs=1e-12)
+    # and the continued-fraction branch agrees with the series at moderate x
+    mid = _eval_at(spark, gamma_dist(3.0, 2.0), [3.9, 4.1], cumulative_probability)
+    assert abs(mid[1] - mid[0]) < 0.03  # continuous across the x = s+1 split
+
+    # short arrays -> empty results, not a slice crash
+    df = spark.createDataFrame([([1.0, 2.0, 3.0],)], "a array<double>")
+    row = df.select(
+        moving_median(F.col("a"), 5).alias("mm"),
+        moving_mad(F.col("a"), 5).alias("md"),
+        moving_avg(F.col("a"), 5).alias("ma"),
+    ).first()
+    assert row["mm"] == [] and row["md"] == [] and row["ma"] == []
+
+    # steps=0 -> just the start state
+    w = markov_chain_sample(
+        spark, [[1.0, 0.0], [0.5, 0.5]], steps=0, n_chains=3, seed=2, state0=1
+    )
+    assert all(r["states"] == [1] for r in w.collect())
+
+    # single observation -> clear error, not TypeError
+    one = spark.createDataFrame([("a", 1.0), ("b", 2.0), ("b", 3.0)], "g string, v double")
+    with pytest.raises(ValueError, match="2 observations"):
+        welch_ttest(one, "v", "g")

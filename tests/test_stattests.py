@@ -161,7 +161,8 @@ def test_mann_whitney_u_matches_direct(spark):
     u1 = r1 - len(a) * (len(a) + 1) / 2.0
     u2 = len(a) * len(b) - u1
     u_min = min(u1, u2)
-    assert row["u_statistic"] == pytest.approx(u_min, abs=1e-9)
+    # Commons-Math reports max(U1,U2) as the statistic, p comes from Umin
+    assert row["u_statistic"] == pytest.approx(max(u1, u2), abs=1e-9)
     mu = len(a) * len(b) / 2.0
     sig = math.sqrt(len(a) * len(b) * (len(a) + len(b) + 1) / 12.0)
     p_exp = min(1.0, 2.0 * 0.5 * math.erfc(-((u_min - mu) / sig) / math.sqrt(2)))
