@@ -648,62 +648,8 @@ def sample_dist(
     elif t == "uniform":
         c = F.rand(seed) * (dist["hi"] - dist["lo"]) + dist["lo"]
     elif t in ("poisson", "binomial"):
-        # discrete inverse-CDF: k = #{j : CDF(j-1) <= u}, evaluated as a
-        # bounded fold over the support (Poisson support truncated at
-        # lam + 12*sqrt(lam) + 16 — beyond any double-precision mass).
-        # u MUST be materialized as a column before the fold: rand() is
-        # non-deterministic, so referencing it inside the lambda would
-        # re-draw a fresh u at every fold step (measured: the sample's
-        # variance collapses while its mean stays correct).
         base = base.select(F.rand(seed).alias("_u"))
-        u = F.col("_u")
-        if t == "poisson":
-            lam = dist["lam"]
-            kmax = int(lam + 12.0 * math.sqrt(lam) + 16)
-            # pmf(0) = e^-lam; pmf(j) = pmf(j-1) * lam / j
-            acc0 = F.struct(
-                F.lit(0).alias("k"),
-                F.lit(math.exp(-lam)).alias("cum"),
-                F.lit(math.exp(-lam)).alias("pmf"),
-            )
-            step = lambda acc, j: F.struct(  # noqa: E731
-                F.when(u > acc["cum"], acc["k"] + 1)
-                .otherwise(acc["k"])
-                .alias("k"),
-                (acc["cum"] + acc["pmf"] * F.lit(lam) / j).alias("cum"),
-                (acc["pmf"] * F.lit(lam) / j).alias("pmf"),
-            )
-        else:
-            nn, p = dist["n"], dist["p"]
-            kmax = int(nn)
-            q0 = math.pow(1.0 - p, nn)
-            ratio = p / (1.0 - p)
-            acc0 = F.struct(
-                F.lit(0).alias("k"),
-                F.lit(q0).alias("cum"),
-                F.lit(q0).alias("pmf"),
-            )
-            # pmf(j) = pmf(j-1) * (n-j+1)/j * p/q
-            step = lambda acc, j: F.struct(  # noqa: E731
-                F.when(u > acc["cum"], acc["k"] + 1)
-                .otherwise(acc["k"])
-                .alias("k"),
-                (
-                    acc["cum"]
-                    + acc["pmf"]
-                    * (F.lit(float(nn)) - j.cast("double") + 1)
-                    / j.cast("double")
-                    * F.lit(ratio)
-                ).alias("cum"),
-                (
-                    acc["pmf"]
-                    * (F.lit(float(nn)) - j.cast("double") + 1)
-                    / j.cast("double")
-                    * F.lit(ratio)
-                ).alias("pmf"),
-            )
-        folded = F.aggregate(_seq1(F.lit(kmax)), acc0, step)
-        c = folded["k"].cast("long")
+        c = _poisson_binomial_inv_cdf(dist, "_u")
     else:
         ext = _sample_ext(base, dist, seed)
         if ext is None:
@@ -717,6 +663,64 @@ def sample_dist(
         else:
             c = ext
     return base.select(c.alias(col))
+
+
+def _poisson_binomial_inv_cdf(dist: dict, u_name: str) -> Column:
+    """Discrete inverse-CDF draw k = #{j : CDF(j-1) <= u} as a bounded
+    fold over the support (Poisson truncated at lam + 12*sqrt(lam) + 16 —
+    beyond any double-precision mass).  ``u_name`` MUST be a materialized
+    uniform column: rand() is non-deterministic, so referencing it inside
+    the fold lambda would re-draw a fresh u at every step (measured: the
+    sample's variance collapses while its mean stays correct)."""
+    t = dist["type"]
+    u = F.col(u_name)
+    if t == "poisson":
+        lam = dist["lam"]
+        kmax = int(lam + 12.0 * math.sqrt(lam) + 16)
+        # pmf(0) = e^-lam; pmf(j) = pmf(j-1) * lam / j
+        acc0 = F.struct(
+            F.lit(0).alias("k"),
+            F.lit(math.exp(-lam)).alias("cum"),
+            F.lit(math.exp(-lam)).alias("pmf"),
+        )
+        step = lambda acc, j: F.struct(  # noqa: E731
+            F.when(u > acc["cum"], acc["k"] + 1)
+            .otherwise(acc["k"])
+            .alias("k"),
+            (acc["cum"] + acc["pmf"] * F.lit(lam) / j).alias("cum"),
+            (acc["pmf"] * F.lit(lam) / j).alias("pmf"),
+        )
+    else:
+        nn, p = dist["n"], dist["p"]
+        kmax = int(nn)
+        q0 = math.pow(1.0 - p, nn)
+        ratio = p / (1.0 - p)
+        acc0 = F.struct(
+            F.lit(0).alias("k"),
+            F.lit(q0).alias("cum"),
+            F.lit(q0).alias("pmf"),
+        )
+        # pmf(j) = pmf(j-1) * (n-j+1)/j * p/q
+        step = lambda acc, j: F.struct(  # noqa: E731
+            F.when(u > acc["cum"], acc["k"] + 1)
+            .otherwise(acc["k"])
+            .alias("k"),
+            (
+                acc["cum"]
+                + acc["pmf"]
+                * (F.lit(float(nn)) - j.cast("double") + 1)
+                / j.cast("double")
+                * F.lit(ratio)
+            ).alias("cum"),
+            (
+                acc["pmf"]
+                * (F.lit(float(nn)) - j.cast("double") + 1)
+                / j.cast("double")
+                * F.lit(ratio)
+            ).alias("pmf"),
+        )
+    folded = F.aggregate(_seq1(F.lit(kmax)), acc0, step)
+    return folded["k"].cast("long")
 
 
 def empirical_cdf(df: DataFrame, col: str, values: list[float]) -> DataFrame:
@@ -1079,7 +1083,7 @@ def _cumulative_ext(dist: dict, x: Column) -> Column:
     raise ValueError(f"unknown distribution {t!r}")
 
 
-def _sample_ext(base: DataFrame, dist: dict, seed: int):
+def _sample_ext(base: DataFrame, dist: dict, seed: int, u_name: str = "_u"):
     t = dist["type"]
     u = F.rand(seed)
     if t == "weibull":
@@ -1095,7 +1099,7 @@ def _sample_ext(base: DataFrame, dist: dict, seed: int):
         # non-deterministic and every reference would draw a fresh value
         a, c, b = dist["a"], dist["c"], dist["b"]
         fc = (c - a) / (b - a)
-        uc = F.col("_u")
+        uc = F.col(u_name)
         lo_branch = F.lit(a) + F.sqrt(uc * F.lit((b - a) * (c - a)))
         hi_branch = F.lit(b) - F.sqrt(
             (F.lit(1.0) - uc) * F.lit((b - a) * (b - c))
@@ -1123,7 +1127,7 @@ def _sample_ext(base: DataFrame, dist: dict, seed: int):
         else:
             support = dist["support"]
             cdf = dist["cdf"]
-        uc = F.col("_u")
+        uc = F.col(u_name)
         expr = F.lit(support[-1]).cast("long")
         for v, c in zip(reversed(support[:-1]), reversed(cdf[:-1])):
             expr = F.when(uc <= c, F.lit(v).cast("long")).otherwise(expr)
@@ -1281,3 +1285,57 @@ def markov_chain_sample(
         ),
     )
     return base.select("chain_id", walk.alias("states"))
+
+
+def monte_carlo(
+    spark,
+    n: int,
+    bindings: dict,
+    expr_fn,
+    seed: int = 42,
+) -> DataFrame:
+    """MonteCarloEvaluator (io/eval/MonteCarloEvaluator.java): evaluate an
+    expression ``n`` times with named variables drawn fresh from their
+    distributions each iteration — the reference loops driver-side; here
+    every iteration is a row.
+
+    ``bindings`` maps variable name -> a distribution dict from this
+    module's constructors; ``expr_fn`` receives a DataFrame with one
+    column per variable (plus ``iteration``) and must return a Column.
+    Each binding gets an INDEPENDENT deterministic stream
+    (seed offset by position; every multi-reference draw is materialized
+    per-variable before use).  Returns (iteration long, result double).
+
+    gamma/beta bindings raise like sample_dist (no rejection sampling)."""
+    base = spark.range(int(n)).select(F.col("id").alias("iteration"))
+    u_cols = {}
+    # materialize one uniform per binding first (single select keeps every
+    # rand() evaluated exactly once per row)
+    rand_cols = []
+    for i, name in enumerate(bindings):
+        u_cols[name] = f"_u_{name}"
+        rand_cols.append(F.rand(seed + 1000 * (i + 1)).alias(u_cols[name]))
+    df = base.select("iteration", *rand_cols)
+
+    value_cols = []
+    for i, (name, dist) in enumerate(bindings.items()):
+        s = seed + 1000 * (i + 1)
+        t = dist["type"]
+        if t == "normal":
+            c = F.randn(s) * dist["sd"] + dist["mean"]
+        elif t == "uniform":
+            c = F.col(u_cols[name]) * (dist["hi"] - dist["lo"]) + dist["lo"]
+        elif t in ("poisson", "binomial"):
+            c = _poisson_binomial_inv_cdf(dist, u_cols[name])
+        else:
+            ext = _sample_ext(df, dist, s, u_name=u_cols[name])
+            if ext is None:
+                raise NotImplementedError(
+                    f"monte_carlo cannot sample {t!r} (use the CDF evaluators)"
+                )
+            c = ext[1] if isinstance(ext, tuple) else ext
+        value_cols.append(c.alias(name))
+    df = df.select("iteration", *value_cols)
+    return df.select(
+        "iteration", expr_fn(df).cast("double").alias("result")
+    )

@@ -274,3 +274,38 @@ def test_review_fix_regressions(spark):
     one = spark.createDataFrame([("a", 1.0), ("b", 2.0), ("b", 3.0)], "g string, v double")
     with pytest.raises(ValueError, match="2 observations"):
         welch_ttest(one, "v", "g")
+
+
+def test_monte_carlo_estimates_known_expectation(spark):
+    """monteCarlo: E[X*Y + Z] with X~U(0,2), Y~N(3,1), Z~Poisson(4)
+    independent = 1*3 + 4 = 7; estimate converges, runs deterministically
+    under a seed, and draws are independent across bindings."""
+    import pyspark.sql.functions as F
+
+    from apache___solr_spark.functions.evaluators import (
+        monte_carlo,
+        normal_dist,
+        poisson_dist,
+        uniform_dist,
+    )
+
+    bindings = {
+        "x": uniform_dist(0.0, 2.0),
+        "y": normal_dist(3.0, 1.0),
+        "z": poisson_dist(4.0),
+    }
+    res = monte_carlo(
+        spark, 60_000, bindings,
+        lambda df: F.col("x") * F.col("y") + F.col("z"), seed=11,
+    )
+    m = res.agg(F.avg("result")).collect()[0][0]
+    assert m == pytest.approx(7.0, rel=0.03)
+    # determinism
+    a = monte_carlo(spark, 20, bindings, lambda df: F.col("x") + F.col("z"), seed=3).collect()
+    b = monte_carlo(spark, 20, bindings, lambda df: F.col("x") + F.col("z"), seed=3).collect()
+    assert a == b
+    # sample_dist regression after the refactor: poisson moments still hold
+    ps = sample_dist(spark, poisson_dist(4.0), 40_000, seed=8)
+    r = ps.agg(F.avg("value").alias("m"), F.var_samp("value").alias("v")).collect()[0]
+    assert r["m"] == pytest.approx(4.0, rel=0.05)
+    assert r["v"] == pytest.approx(4.0, rel=0.08)
