@@ -653,10 +653,7 @@ def sample_dist(
     else:
         ext = _sample_ext(base, dist, seed)
         if ext is None:
-            raise NotImplementedError(
-                f"sample for {t!r} not modeled (gamma/beta draws need "
-                "rejection sampling; use the CDF evaluators)"
-            )
+            raise NotImplementedError(f"sample for {t!r} not modeled")
         if isinstance(ext, tuple):  # discrete inverse-CDF: materialize u
             base = base.select(F.rand(seed).alias("_u"))
             c = ext[1]
@@ -1113,6 +1110,42 @@ def _sample_ext(base: DataFrame, dist: dict, seed: int, u_name: str = "_u"):
     if t == "uniform_int":
         lo, hi = dist["lo"], dist["hi"]
         return (F.floor(u * F.lit(float(hi - lo + 1))) + lo).cast("long")
+    if t in ("gamma", "beta"):
+        # continuous inverse-CDF draw: u -> F^{-1}(u) by vectorized
+        # bisection against the same regularized incomplete-gamma/-beta
+        # kernels the CDF evaluators use (GammaDistributionEvaluator:55 /
+        # BetaDistributionEvaluator:54 sample via commons-math, which also
+        # inverse-CDF samples its AbstractRealDistribution).  60 bisection
+        # steps on a numpy batch = ~1e-18 of the bracket, far below the
+        # sampling noise any consumer can observe.
+        if t == "gamma":
+            kk, th = dist["k"], dist["theta"]
+            _cdf_np = lambda xs: _gammainc_lower_np(kk, xs / th)  # noqa: E731
+            hi0 = th * (kk + 20.0 * math.sqrt(kk + 1.0) + 50.0)
+        else:
+            a, b = dist["a"], dist["b"]
+            _cdf_np = lambda xs: _betainc_np(a, b, xs)  # noqa: E731
+            hi0 = 1.0
+
+        @F.pandas_udf("double")
+        def _inv_cdf(u_ser: pd.Series) -> pd.Series:
+            uu = u_ser.to_numpy(dtype=np.float64)
+            lo = np.zeros_like(uu)
+            hi = np.full_like(uu, hi0)
+            if t == "gamma":  # expand the bracket for extreme-tail draws
+                for _ in range(30):
+                    short = _cdf_np(hi) < uu
+                    if not short.any():
+                        break
+                    hi = np.where(short, hi * 2.0, hi)
+            for _ in range(60):
+                mid = 0.5 * (lo + hi)
+                below = _cdf_np(mid) < uu
+                lo = np.where(below, mid, lo)
+                hi = np.where(below, hi, mid)
+            return pd.Series(0.5 * (lo + hi))
+
+        return ("needs_u", _inv_cdf(F.col(u_name)))
     if t in ("zipf", "enumerated"):
         # discrete inverse-CDF fold over the bounded support, same pattern
         # (and the same rand-materialization requirement) as poisson above
@@ -1304,9 +1337,7 @@ def monte_carlo(
     column per variable (plus ``iteration``) and must return a Column.
     Each binding gets an INDEPENDENT deterministic stream
     (seed offset by position; every multi-reference draw is materialized
-    per-variable before use).  Returns (iteration long, result double).
-
-    gamma/beta bindings raise like sample_dist (no rejection sampling)."""
+    per-variable before use).  Returns (iteration long, result double)."""
     base = spark.range(int(n)).select(F.col("id").alias("iteration"))
     u_cols = {}
     # materialize one uniform per binding first (single select keeps every

@@ -188,9 +188,49 @@ def test_samples_deterministic_bounded_and_moment_matched(spark):
     assert cnt[7] / n == pytest.approx(0.75, abs=0.02)
 
 
-def test_gamma_beta_sample_raises(spark):
-    with pytest.raises(NotImplementedError):
-        sample_dist(spark, gamma_dist(2.0, 1.0), 10, seed=1)
+def test_gamma_beta_samples_inverse_cdf(spark):
+    """gamma/beta sample(): draws are deterministic under a seed, live on
+    the support, match the analytic first two moments, and — the sharp
+    check — applying the analytic CDF to the draws yields Uniform(0,1)
+    (probability integral transform), verified at the quartiles."""
+    n = 40_000
+    cases = [
+        (gamma_dist(2.5, 1.5), 2.5 * 1.5, 2.5 * 1.5**2, (0.0, None)),
+        (
+            beta_dist(2.0, 5.0),
+            2.0 / 7.0,
+            (2.0 * 5.0) / (49.0 * 8.0),
+            (0.0, 1.0),
+        ),
+    ]
+    for dist, mean_exp, var_exp, (lo_b, hi_b) in cases:
+        df = sample_dist(spark, dist, n, seed=123)
+        r = df.agg(
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        ).collect()[0]
+        assert r["m"] == pytest.approx(mean_exp, rel=0.05), dist["type"]
+        assert r["v"] == pytest.approx(var_exp, rel=0.10), dist["type"]
+        assert r["lo"] >= lo_b
+        if hi_b is not None:
+            assert r["hi"] <= hi_b
+        # probability integral transform: CDF(draw) ~ U(0,1)
+        u = df.select(
+            cumulative_probability(dist, F.col("value")).alias("u")
+        )
+        qs = u.agg(
+            *[
+                F.avg((F.col("u") <= q).cast("double")).alias(f"q{int(q*100)}")
+                for q in (0.25, 0.5, 0.75)
+            ]
+        ).collect()[0]
+        for q in (0.25, 0.5, 0.75):
+            assert qs[f"q{int(q*100)}"] == pytest.approx(q, abs=0.02), dist
+        again = sample_dist(spark, dist, 50, seed=9).collect()
+        third = sample_dist(spark, dist, 50, seed=9).collect()
+        assert again == third
 
 
 def test_markov_chain_stationary_and_deterministic(spark):

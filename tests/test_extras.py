@@ -571,3 +571,48 @@ def test_precision_evaluator(spark):
     ).first()
     assert row["s"] == 3.142
     assert row["a"] == [1.23, -2.72]
+
+
+def test_matrix_evaluators(spark):
+    """Matrix family (Matrix.java + Transpose/RowAt/ColumnAt/SumRows/
+    SumColumns/GrandSum/MatrixMultiply evaluators) as column expressions,
+    oracled by numpy on the same per-row matrices."""
+    from apache___solr_spark.functions import matrix as M
+
+    rows = [
+        ([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]], [[1.0, 0.0], [0.0, 2.0], [1.0, 1.0]]),
+        ([[2.5, -1.0, 0.0], [0.5, 3.0, 7.0]], [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]]),
+    ]
+    df = spark.createDataFrame(
+        rows, "a array<array<double>>, b array<array<double>>"
+    )
+    got = df.select(
+        M.row_count(F.col("a")).alias("rc"),
+        M.column_count(F.col("a")).alias("cc"),
+        M.row_at(F.col("a"), 1).alias("r1"),
+        M.column_at(F.col("a"), 2).alias("c2"),
+        M.transpose(F.col("a")).alias("t"),
+        M.sum_rows(F.col("a")).alias("sr"),
+        M.sum_columns(F.col("a")).alias("sc"),
+        M.grand_sum(F.col("a")).alias("gs"),
+        M.matrix_multiply(F.col("a"), F.col("b")).alias("mm"),
+    ).collect()
+    for (a, b), r in zip(rows, got):
+        import numpy as np
+
+        na, nb = np.array(a), np.array(b)
+        assert r["rc"] == na.shape[0] and r["cc"] == na.shape[1]
+        assert r["r1"] == list(na[1])
+        assert r["c2"] == list(na[:, 2])
+        assert [list(x) for x in r["t"]] == [list(x) for x in na.T]
+        assert np.allclose(r["sr"], na.sum(axis=1))
+        assert np.allclose(r["sc"], na.sum(axis=0))
+        assert r["gs"] == pytest.approx(na.sum())
+        assert np.allclose(np.array(r["mm"]), na @ nb)
+    # matrix() constructor from row columns
+    built = spark.range(1).select(
+        M.matrix(
+            F.array(F.lit(1.0), F.lit(2.0)), F.array(F.lit(3.0), F.lit(4.0))
+        ).alias("m")
+    ).collect()[0]["m"]
+    assert [list(x) for x in built] == [[1.0, 2.0], [3.0, 4.0]]
