@@ -219,6 +219,91 @@ def _phrase_candidates(idx: OracleIndex, ph: list[str]) -> set[int]:
     return docs
 
 
+def _span_freq_unordered(
+    idx: OracleIndex, toks: list[str], doc_id: int, bound: int
+) -> int:
+    """Unordered span frequency per the engine's spec: the number of
+    DISTINCT minimal-window ends, where each occurrence position s is a
+    candidate start whose minimal cover ends at max over terms of the
+    first occurrence >= s; a window matches iff its span <= bound.
+    Straight per-doc bisect loop — deliberately a different algorithm
+    from the engine's batched searchsorted matcher."""
+    import bisect
+
+    plists = {t: idx.positions[t][doc_id] for t in toks}
+    merged = sorted(p for pl in plists.values() for p in pl)
+    ends: set[int] = set()
+    for s in merged:
+        end = s
+        ok = True
+        for t in toks:
+            pl = plists[t]
+            j = bisect.bisect_left(pl, s)
+            if j >= len(pl):
+                ok = False
+                break
+            end = max(end, pl[j])
+        if ok and end - s <= bound:
+            ends.add(end)
+    return len(ends)
+
+
+def oracle_span_near(
+    idx: OracleIndex,
+    words: list[str],
+    dist: int = 1,
+    ordered: bool = True,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> list[dict]:
+    """Control result for SearchEngine.span_near: BM25 with tf = span
+    frequency (ordered chain / unordered minimal-window) and idf = summed
+    constituent idfs, same float32 arithmetic as oracle_search."""
+    toks: list[str] = []
+    for w in words:
+        toks.extend(analyze(w))
+    if not ordered:
+        toks = sorted(set(toks))
+    if not toks or any(t not in idx.postings for t in toks):
+        return []
+    uniq = sorted(set(toks))
+    idf_sum = 0.0
+    for t in toks:
+        df = len(idx.postings[t])
+        idf_sum += float(
+            np.float32(math.log(1.0 + (idx.n_docs - df + 0.5) / (df + 0.5)))
+        )
+    idf = np.float32(idf_sum)
+    k1f = np.float32(k1)
+    one_minus_b = np.float32(1.0 - b)
+    bf = np.float32(b)
+    avgdlf = np.float32(idx.avgdl)
+    bound = (len(toks) if ordered else len(uniq)) - 1 + (dist - 1)
+    hits = []
+    for doc_id in _phrase_candidates(idx, uniq):
+        if ordered:
+            sf = _pf(idx, toks, doc_id, slop=dist - 1)
+        else:
+            sf = _span_freq_unordered(idx, uniq, doc_id, bound)
+        if sf == 0:
+            continue
+        dl = np.float32(byte4_to_int(idx.norm_byte[doc_id]))
+        cache = k1f * (one_minus_b + bf * dl / avgdlf)
+        sff = np.float32(sf)
+        hits.append((np.float32(idf * sff / (sff + cache)), doc_id))
+    hits.sort(key=lambda x: (-float(x[0]), x[1]))
+    return [
+        {
+            "rank": i + 1,
+            "doc_id": doc_id,
+            "url": idx.url_by_doc[doc_id],
+            "score": float(s),
+        }
+        for i, (s, doc_id) in enumerate(hits[:k])
+    ]
+
+
 def _pf(idx: OracleIndex, ph: list[str], doc_id: int, slop: int = 0) -> int:
     """Phrase frequency in the post-filter token stream: the number of
     first-term positions starting an increasing position chain whose span is

@@ -205,16 +205,28 @@ def _phrase_score_fn(
     avgdl: float,
     dtype,
     slop: int = 0,
+    ordered: bool = True,
 ):
     """mapInPandas fn over (doc_id, norm, plists): phrase frequency, then
     BM25 with tf=pf and idf=sum of constituent idfs (Lucene PhraseQuery
     scoring: BM25Similarity sums idf over the phrase's term statistics).
 
-    pf = number of first-term positions starting an INCREASING position
-    chain of the phrase terms whose span is <= len(ptoks)-1+slop; slop=0 is
+    ``ordered=True`` (PhraseQuery / SpanNearQuery inOrder=true): pf =
+    number of first-term positions starting an INCREASING position chain
+    of the phrase terms whose span is <= len(ptoks)-1+slop; slop=0 is
     exact adjacency.  (Lucene's SloppyPhraseScorer additionally allows
     out-of-order matches at transposition cost and weights each match by
     1/(1+distance) — documented divergence; ordered-window matching only.)
+
+    ``ordered=False`` (SpanNearQuery inOrder=false — the surround
+    parser's N operator, queryparser/surround/query/DistanceQuery.java):
+    pf = number of MINIMAL windows containing at least one occurrence of
+    every distinct term with span <= m-1+slop (m = #distinct terms).
+    Each merged position is a candidate window start; its minimal cover
+    is the earliest occurrence of every term at-or-after it, and windows
+    are deduplicated by their end position so each minimal window counts
+    once (unweighted, vs Lucene's 1/(1+slop-matchLength) sloppyFreq —
+    same documented divergence as the ordered path).
 
     The check is batched across ALL docs of an Arrow batch: positions are
     encoded as row_idx*2^32+pos, so one vectorized searchsorted per phrase
@@ -230,8 +242,10 @@ def _phrase_score_fn(
     avgdlf = dtype(avgdl)
     idff = dtype(sum_idf)
     shift = np.int64(32)
-    bound = np.int64(len(ptoks) - 1 + slop)
     want = set(ptoks)
+    bound = np.int64(
+        (len(ptoks) if ordered else len(want)) - 1 + slop
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -251,26 +265,51 @@ def _phrase_score_fn(
                 t: (np.concatenate(v) if v else np.empty(0, dtype=np.int64))
                 for t, v in parts.items()
             }
-            start = enc[ptoks[0]]
-            cur = start
-            alive = np.ones(start.shape, dtype=bool)
-            for t in ptoks[1:]:
-                arr = enc[t]
-                if arr.size == 0:
-                    alive = np.zeros(start.shape, dtype=bool)
-                    break
-                idx = np.searchsorted(arr, cur, side="right")
-                ok = idx < arr.size
-                nxt = arr[np.minimum(idx, arr.size - 1)]
-                ok &= (nxt >> shift) == (cur >> shift)  # same doc row
-                alive &= ok
-                cur = np.where(ok, nxt, cur)
-            alive &= (cur - start) <= bound
-            if not alive.any():
-                continue
-            pf_all = np.bincount(
-                (start[alive] >> shift).astype(np.int64), minlength=nrows
-            )
+            if ordered:
+                start = enc[ptoks[0]]
+                cur = start
+                alive = np.ones(start.shape, dtype=bool)
+                for t in ptoks[1:]:
+                    arr = enc[t]
+                    if arr.size == 0:
+                        alive = np.zeros(start.shape, dtype=bool)
+                        break
+                    idx = np.searchsorted(arr, cur, side="right")
+                    ok = idx < arr.size
+                    nxt = arr[np.minimum(idx, arr.size - 1)]
+                    ok &= (nxt >> shift) == (cur >> shift)  # same doc row
+                    alive &= ok
+                    cur = np.where(ok, nxt, cur)
+                alive &= (cur - start) <= bound
+                if not alive.any():
+                    continue
+                pf_all = np.bincount(
+                    (start[alive] >> shift).astype(np.int64), minlength=nrows
+                )
+            else:
+                arrs = [enc[t] for t in sorted(want)]
+                if any(a.size == 0 for a in arrs):
+                    continue
+                merged = np.sort(np.concatenate(arrs))
+                row_of = merged >> shift
+                valid = np.ones(merged.shape, dtype=bool)
+                end_vals = merged.copy()
+                for arr in arrs:
+                    idx = np.searchsorted(arr, merged, side="left")
+                    ok = idx < arr.size
+                    nxt = arr[np.minimum(idx, arr.size - 1)]
+                    ok &= (nxt >> shift) == row_of
+                    valid &= ok
+                    end_vals = np.maximum(
+                        end_vals, np.where(ok, nxt, end_vals)
+                    )
+                match = valid & ((end_vals - merged) <= bound)
+                if not match.any():
+                    continue
+                ends = np.unique(end_vals[match])
+                pf_all = np.bincount(
+                    (ends >> shift).astype(np.int64), minlength=nrows
+                )
             hit = np.nonzero(pf_all)[0]
             pf = pf_all[hit].astype(dtype)
             dl = norm_table[pdf["norm"].to_numpy()[hit].astype(np.uint8)]
@@ -456,9 +495,11 @@ class SearchEngine:
         boost: float = 1.0,
         slop: int = 0,
         salts: list[int] | None = None,
+        ordered: bool = True,
     ) -> DataFrame:
         """(doc_id, score) of docs matching the phrase (``slop=0``: exact
-        adjacency; ``slop>0``: ordered window, see _phrase_score_fn).
+        adjacency; ``slop>0``: ordered window; ``ordered=False``:
+        unordered minimal-window — see _phrase_score_fn).
 
         Scale shape: the scan prunes to the phrase terms' buckets AND to the
         salt ranges containing ALL constituent terms before any decode; the
@@ -507,8 +548,54 @@ class SearchEngine:
             self.stats["avgdl"],
             self._dtype,
             slop=slop,
+            ordered=ordered,
         )
         return grouped.mapInPandas(fn, schema=f"doc_id long, score {self._sql_t}")
+
+    def span_near(
+        self,
+        words: list[str],
+        dist: int = 1,
+        ordered: bool = True,
+        k: int = 10,
+        with_url: bool = True,
+    ) -> DataFrame:
+        """Span-proximity top-k — the surround parser's ``<dist>W(...)``
+        (ordered) / ``<dist>N(...)`` (unordered) distance operators
+        (SurroundQParserPlugin.java; queryparser/surround/query/
+        DistanceQuery.java builds SpanNearQuery(slop=dist-1, inOrder)).
+
+        Each word is query-analyzed; a word that analyzes to several
+        tokens contributes them in sequence (ordered) / to the distinct
+        set (unordered).  All words are REQUIRED (span semantics).  Docs
+        score BM25 with tf = span frequency and idf = summed constituent
+        idfs, like phrases.  Returns (rank, doc_id[, url], score).
+        """
+        if dist < 1:
+            raise ValueError("span distance must be >= 1")
+        toks: list[str] = []
+        for w in words:
+            toks.extend(self._analyze(w))
+        if not ordered:
+            toks = sorted(set(toks))
+        schema = f"rank int, doc_id long, url string, score {self._sql_t}"
+        if not toks:
+            return self.spark.createDataFrame([], schema)
+        meta = self._term_meta(sorted(set(toks)))
+        found = set(meta["term"])
+        if any(t not in found for t in toks):
+            return self.spark.createDataFrame([], schema)
+        n_docs = self.stats["N"]
+        idf_by_term = {
+            r["term"]: float(bm25_idf(n_docs, int(r["df"]), dtype=self._dtype))
+            for _, r in meta.iterrows()
+        }
+        frame = self._phrase_frame(
+            toks, idf_by_term, slop=dist - 1, ordered=ordered
+        )
+        if self.deletes is not None:
+            frame = frame.join(self.deletes, "doc_id", "left_anti")
+        return self._finalize(frame, k, with_url)
 
     def search(
         self,

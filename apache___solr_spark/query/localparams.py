@@ -239,6 +239,36 @@ def _edismax_tree(engine, rest: str, params: dict[str, str]) -> BoolQuery:
     return root
 
 
+_SURROUND_RE = re.compile(r"^(\d*)([wn])\((.+)\)$", re.IGNORECASE)
+
+
+def _surround_query(engine, rest: str, k: int = 10, **kw) -> DataFrame:
+    """``{!surround}`` distance operators (SurroundQParserPlugin.java;
+    grammar in lucene/queryparser/surround/parser/QueryParser.jj): the
+    prefix forms ``<n>W(a, b, ...)`` — ordered within distance n — and
+    ``<n>N(a, b, ...)`` — unordered within distance n — case-insensitive,
+    distance defaulting to 1 (adjacent).  Operands are plain terms
+    (the reference also allows nested operators, infix forms, and
+    truncation inside spans — those raise here, inventoried).  Lowers to
+    SearchEngine.span_near, the SpanNearQuery(slop=n-1, inOrder) analog.
+    """
+    m = _SURROUND_RE.match(rest.strip())
+    if not m:
+        raise NotImplementedError(
+            "surround: only the prefix forms nW(...)/nN(...) with plain "
+            f"terms are supported, got {rest!r}"
+        )
+    dist = int(m.group(1) or 1)
+    ordered = m.group(2).lower() == "w"
+    words = [w.strip() for w in m.group(3).split(",")]
+    if any(not w or any(c in w for c in '()*?"') for w in words):
+        raise NotImplementedError(
+            "surround: nested operators / truncation inside spans "
+            f"unsupported, got {rest!r}"
+        )
+    return engine.span_near(words, dist=dist, ordered=ordered, k=k, **kw)
+
+
 _TABLE_SHAPED = {
     "join": "operators.streams.intersect/score_join (DataFrame join)",
     "collapse": "operators.streams.collapse",
@@ -302,6 +332,9 @@ def dispatch_query(engine, q: str, k: int = 10, **kw) -> DataFrame:
     if ptype == "boost":
         b = float(params.get("b", 1.0))
         return engine.search(f"({rest})^{b}", k=k, **kw)
+
+    if ptype == "surround":
+        return _surround_query(engine, rest, k=k, **kw)
 
     if ptype == "dismax":
         return engine.search(_dismax_tree(engine, rest, params), k=k, **kw)

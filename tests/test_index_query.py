@@ -782,3 +782,63 @@ def test_dismax_dispatch(spark, built, oracle_idx):
         dispatch_query(eng, "{!dismax qf=title}web", k=5)
     with pytest.raises(NotImplementedError):
         dispatch_query(eng, "{!dismax bf=log(popularity)}web", k=5)
+
+
+def test_span_near_matches_oracle(spark, built, oracle_idx):
+    """{!surround} distance operators: nW (ordered) / nN (unordered) spans
+    vs an independent per-doc bisect oracle (oracle_span_near), scores and
+    ranks exact.  Cross-checks: W(dist=1) == exact phrase; ordered matches
+    are a subset of unordered at equal distance."""
+    from apache___solr_spark.oracle import oracle_span_near
+    from apache___solr_spark.query.localparams import dispatch_query
+
+    eng = SearchEngine(spark, built, cfg=CFG)
+    cases = [
+        (["web", "page"], 1, True),
+        (["web", "page"], 3, True),
+        (["web", "data"], 4, False),
+        (["page", "web"], 2, False),
+        (["web", "data", "page"], 6, False),
+        (["web", "page", "data"], 8, True),
+    ]
+    for words, dist, ordered in cases:
+        got = [
+            (r["rank"], r["doc_id"], round(r["score"], 5))
+            for r in eng.span_near(
+                words, dist=dist, ordered=ordered, k=25
+            ).collect()
+        ]
+        want = [
+            (h["rank"], h["doc_id"], round(h["score"], 5))
+            for h in oracle_span_near(oracle_idx, words, dist, ordered, k=25)
+        ]
+        assert got == want, (words, dist, ordered)
+        assert want, (words, dist, ordered)  # non-vacuous: every case matches
+
+    # W with dist=1 == exact phrase query (identical doc sets + scores)
+    ph = {
+        (r["doc_id"], round(r["score"], 5))
+        for r in eng.search('"web page"', k=400, prune=False).collect()
+    }
+    sp = {
+        (r["doc_id"], round(r["score"], 5))
+        for r in eng.span_near(["web", "page"], dist=1, k=400).collect()
+    }
+    assert ph == sp
+
+    # ordered matches subset of unordered at the same distance
+    o_docs = {r["doc_id"] for r in eng.span_near(["aaa", "bhhh"], 2, True, k=400).collect()}
+    u_docs = {r["doc_id"] for r in eng.span_near(["aaa", "bhhh"], 2, False, k=400).collect()}
+    assert o_docs <= u_docs
+    assert u_docs - o_docs, "unordered must add out-of-order matches here"
+
+    # {!surround} local-params dispatch
+    via_lp = [
+        (r["rank"], r["doc_id"], round(r["score"], 5))
+        for r in dispatch_query(eng, "{!surround}4n(web, data)", k=10).collect()
+    ]
+    direct = [
+        (r["rank"], r["doc_id"], round(r["score"], 5))
+        for r in eng.span_near(["web", "data"], dist=4, ordered=False, k=10).collect()
+    ]
+    assert via_lp == direct
