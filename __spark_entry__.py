@@ -202,6 +202,20 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rounded_hits(eng.search('"part filter" merge', k=50, with_url=False))
 
 
+def q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{!surround} unordered span proximity (SurroundQParserPlugin,
+    queryparser/surround DistanceQuery -> SpanNearQuery(inOrder=false)):
+    4N(table, filter) — both terms within a 4-token window in either
+    order, BM25 tf = minimal-window span frequency.  Rank+score-exact vs
+    an independent bisect oracle in tests/test_index_query.py
+    (test_span_near_matches_oracle); no single-SQL oracle (positional)."""
+    eng = _simple_engine(spark, sf_dir)
+    return _rounded_hits(
+        eng.span_near(["table", "filter"], dist=4, ordered=False, k=50,
+                      with_url=False)
+    )
+
+
 def q_prefix_boost_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix expansion + boost through the real engine (SolrQueryParserBase
     getPrefixQuery + boost semantics): 's*' expands against the term
@@ -1177,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "json_facet_nested": q_json_facet_nested,
         "classify_logit": q_classify_logit,
+        "span_near_unordered": q_span_near,
     }
 
 

@@ -58,6 +58,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "features_igain",
     "classify_logit",
+    "span_near_unordered",
 ]
 
 
