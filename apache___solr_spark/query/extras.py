@@ -93,10 +93,16 @@ def more_like_this(
     k: int = 10,
     max_query_terms: int = 10,
     min_doc_freq: int = 2,
+    min_term_freq: int = 1,
 ) -> DataFrame:
     """MoreLikeThisHandler capability: take the source doc's top tf*idf
     terms from the index's analyzed table, issue them as an OR query, and
-    drop the source doc from the hits."""
+    drop the source doc from the hits.
+
+    ``min_term_freq`` mirrors MLT ``mintf`` (MoreLikeThis.java
+    setMinTermFreq): source-doc terms with tf below it contribute no
+    query term.  Default 1 = no filtering (the handler default is 2;
+    the {!mlt} dispatch passes the param through)."""
     analyzed = engine.spark.read.parquet(engine.paths.analyzed)
     row = (
         analyzed.filter(F.col("doc_id") == doc_id)
@@ -119,6 +125,7 @@ def more_like_this(
             (float(bm25_idf(n, int(df_by_term[t]), dtype=engine._dtype)) * tf, t)
             for t, tf in zip(terms, tfs)
             if int(df_by_term.get(t, 0)) >= min_doc_freq
+            and int(tf) >= min_term_freq
         ),
         key=lambda x: (-x[0], x[1]),
     )

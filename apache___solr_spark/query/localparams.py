@@ -32,6 +32,12 @@ Mechanics per plugin, mirroring reference semantics:
   grammar incl. conditionals), whole-query phrase boost, boost query.
 - ``{!edismax ...}``  ExtendedDismaxQParser.java: full classic grammar
   plus the dismax extras; mm applies to the root's SHOULD clauses.
+- ``{!mlt mintf= mindf= maxqt=}docid``  CloudMLTQParser
+  (MLTQParserPlugin.java): top tf*idf terms of the source doc as an OR
+  query, source doc excluded.
+- ``{!knn f=embedding topK=N}[v1,...]``  KnnQParserPlugin.java — real
+  dispatch when ``vectors_df=`` is passed (cosine top-k over that
+  table); otherwise the table-shaped pointer explains where to go.
 """
 
 from __future__ import annotations
@@ -273,7 +279,8 @@ _TABLE_SHAPED = {
     "join": "operators.streams.intersect/score_join (DataFrame join)",
     "collapse": "operators.streams.collapse",
     "frange": "functions.registry (function-query exprs over columns)",
-    "knn": "pipeline.similarity.cosine_topk_* / expr knnSearch",
+    "knn": "pipeline.similarity.cosine_topk_* / expr knnSearch "
+    "(or pass vectors_df= to dispatch_query for a real {!knn} run)",
     "graph": "operators.graph.gather_nodes/shortest_path",
     "parent": "operators.streams.block_join_parent",
     "child": "operators.streams.block_join_children",
@@ -341,6 +348,45 @@ def dispatch_query(engine, q: str, k: int = 10, **kw) -> DataFrame:
 
     if ptype == "edismax":
         return engine.search(_edismax_tree(engine, rest, params), k=k, **kw)
+
+    if ptype == "mlt":
+        # CloudMLTQParser (MLTQParserPlugin.java): rest is the source doc
+        # id; mintf/mindf/maxqt tune term selection.  qf is accepted for
+        # the single content field; other fields raise (one-field schema).
+        qf = params.get("qf")
+        if qf is not None and qf not in ("content", "text"):
+            raise NotImplementedError(
+                f"{{!mlt}} qf={qf!r}: only the content field is indexed"
+            )
+        from apache___solr_spark.query.extras import more_like_this
+
+        return more_like_this(
+            engine,
+            doc_id=int(rest.strip()),
+            k=k,
+            max_query_terms=int(params.get("maxqt", 10)),
+            min_doc_freq=int(params.get("mindf", 2)),
+            min_term_freq=int(params.get("mintf", 2)),
+        )
+
+    if ptype == "knn" and "vectors_df" in kw:
+        # KnnQParserPlugin.java: rest is the query-vector literal
+        # "[v1, v2, ...]"; f names the vector field, topK the result
+        # size.  Needs the embeddings table — pass vectors_df= (and
+        # optionally id_col=) to dispatch; without it the table-shaped
+        # pointer below explains where to go.
+        from apache___solr_spark.pipeline.similarity import (
+            cosine_topk_bruteforce,
+        )
+
+        vec = [float(x) for x in rest.strip().strip("[]").split(",")]
+        return cosine_topk_bruteforce(
+            kw["vectors_df"],
+            vec,
+            k=int(params.get("topK", k)),
+            vec_col=params.get("f", "embedding"),
+            id_col=kw.get("id_col", "vec_id"),
+        )
 
     if ptype in _TABLE_SHAPED:
         raise NotImplementedError(

@@ -624,6 +624,36 @@ def test_localparams_dispatch(spark, corpus, built):
         abs(b["score"] - 2 * a["score"]) < 5e-5 * max(1.0, abs(a["score"]))
         for a, b in zip(base, boosted)
     )
+    # {!mlt}: dispatches to more_like_this with mintf/mindf/maxqt mapped
+    from apache___solr_spark.query.extras import more_like_this
+
+    src = ids(eng.search("web data", k=1))[0]
+    got_mlt = dispatch_query(eng, f"{{!mlt maxqt=5 mindf=2 mintf=1}}{src}", k=5)
+    want_mlt = more_like_this(
+        eng, src, k=5, max_query_terms=5, min_doc_freq=2, min_term_freq=1
+    )
+    assert ids(got_mlt) == ids(want_mlt)
+    with pytest.raises(NotImplementedError, match="qf"):
+        dispatch_query(eng, f"{{!mlt qf=title}}{src}", k=5)
+
+    # {!knn}: real dispatch when the vectors table is passed
+    from apache___solr_spark.pipeline.similarity import cosine_topk_bruteforce
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0, float(i % 3)]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    got_knn = dispatch_query(
+        eng, "{!knn f=embedding topK=4}[3.0, 1.0, 0.0]", vectors_df=vecs
+    )
+    want_knn = cosine_topk_bruteforce(vecs, [3.0, 1.0, 0.0], k=4)
+    assert [r["vec_id"] for r in got_knn.collect()] == [
+        r["vec_id"] for r in want_knn.collect()
+    ]
+    # without vectors_df it stays a table-shaped pointer
+    with pytest.raises(NotImplementedError):
+        dispatch_query(eng, "{!knn f=embedding topK=4}[1.0]")
+
     # table-shaped parsers point at the DataFrame combinators
     with pytest.raises(NotImplementedError):
         dispatch_query(eng, "{!collapse field=x}", k=5)
