@@ -157,3 +157,100 @@ def fn(name: str, *args) -> Column:
             f"function query {name!r} not implemented (see SURVEY.md §2.8)"
         ) from None
     return f(*args)
+
+
+# ---------------------------------------------------------------------------
+# Function-query STRING syntax (FunctionQParser.java parseValueSource):
+# nested name(arg,...) calls, bare field references, numeric literals,
+# quoted string literals.  Lowered to one Column expression — whole-stage
+# codegen end to end, no UDFs.
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_FQ_TOKEN = _re.compile(
+    r"""\s*(?:
+        (?P<num>[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)(?![\w.(])
+      | (?P<name>[A-Za-z_][\w.]*)
+      | (?P<str>"[^"]*"|'[^']*')
+      | (?P<punc>[(),])
+    )""",
+    _re.VERBOSE,
+)
+
+
+def _fq_tokenize(s: str) -> list[tuple[str, str]]:
+    out, i = [], 0
+    while i < len(s):
+        m = _FQ_TOKEN.match(s, i)
+        if not m:
+            if s[i:].strip() == "":
+                break
+            raise ValueError(f"bad function-query syntax at {s[i:]!r}")
+        i = m.end()
+        for kind in ("num", "name", "str", "punc"):
+            v = m.group(kind)
+            if v is not None:
+                out.append((kind, v))
+                break
+    return out
+
+
+def parse_func_query(s: str, resolve: Callable[[str], Column] = F.col) -> Column:
+    """Parse Solr function-query syntax into ONE Column expression.
+
+    ``recip(ms(fetched_at),3.16e-11,1,1)``, ``sum(doclen,10)``,
+    ``if(gt(doclen,100),1,0)`` — names followed by ``(`` look up
+    FUNCTION_REGISTRY; bare names resolve to columns via ``resolve``
+    (default ``F.col``); numbers/quoted strings become literals.
+    ``$param`` indirection needs request context and raises.
+    """
+    if "$" in s:
+        raise NotImplementedError("$param references need a request context")
+    toks = _fq_tokenize(s)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else (None, None)
+
+    def take(kind=None, val=None):
+        nonlocal pos
+        k, v = peek()
+        if k is None or (kind and k != kind) or (val and v != val):
+            raise ValueError(
+                f"function-query parse error at token {pos} of {s!r}"
+            )
+        pos += 1
+        return v
+
+    def parse_arg() -> Column:
+        k, v = peek()
+        if k == "num":
+            take()
+            return F.lit(float(v) if _re.search(r"[.eE]", v) else int(v))
+        if k == "str":
+            take()
+            return F.lit(v[1:-1])
+        if k == "name":
+            take()
+            nk, nv = peek()
+            if nk == "punc" and nv == "(":
+                take("punc", "(")
+                args = []
+                while True:
+                    ak, av = peek()
+                    if ak == "punc" and av == ")":
+                        take()
+                        break
+                    args.append(parse_arg())
+                    ck, cv = peek()
+                    if ck == "punc" and cv == ",":
+                        take()
+                return fn(v, *args)
+            return resolve(v)
+        raise ValueError(f"unexpected token in function query {s!r}")
+
+    out = parse_arg()
+    if pos != len(toks):
+        raise ValueError(f"trailing tokens in function query {s!r}")
+    return out

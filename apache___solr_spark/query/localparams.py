@@ -38,6 +38,12 @@ Mechanics per plugin, mirroring reference semantics:
 - ``{!knn f=embedding topK=N}[v1,...]``  KnnQParserPlugin.java — real
   dispatch when ``vectors_df=`` is passed (cosine top-k over that
   table); otherwise the table-shaped pointer explains where to go.
+- ``{!func}expr``  FunctionQParserPlugin.java — parse_func_query lowers
+  the string to one codegen'd Column over the docs table; top-k.
+- ``{!frange l= u= incl= incu=}expr``  FunctionRangeQParserPlugin.java —
+  range predicate on the function value, constant score 1.
+- ``{!rerank reRankQuery= reRankDocs= reRankWeight=}q``  ReRank.
+- ``{!switch case.X=q default=q}X`` / ``{!raw f=F}term``  utility parsers.
 """
 
 from __future__ import annotations
@@ -56,7 +62,8 @@ from apache___solr_spark.query.parser import (
 )
 
 _LP_RE = re.compile(r"^\s*\{!\s*([^}]*)\}(.*)$", re.DOTALL)
-_KV_RE = re.compile(r"(\w+)=(\"[^\"]*\"|'[^']*'|\S+)|(\S+)")
+# keys may be dotted ({!switch case.x=...}, SwitchQParserPlugin.java)
+_KV_RE = re.compile(r"([\w.]+)=(\"[^\"]*\"|'[^']*'|\S+)|(\S+)")
 
 
 def parse_local_params(q: str) -> tuple[str | None, dict[str, str], str]:
@@ -278,7 +285,6 @@ def _surround_query(engine, rest: str, k: int = 10, **kw) -> DataFrame:
 _TABLE_SHAPED = {
     "join": "operators.streams.intersect/score_join (DataFrame join)",
     "collapse": "operators.streams.collapse",
-    "frange": "functions.registry (function-query exprs over columns)",
     "knn": "pipeline.similarity.cosine_topk_* / expr knnSearch "
     "(or pass vectors_df= to dispatch_query for a real {!knn} run)",
     "graph": "operators.graph.gather_nodes/shortest_path",
@@ -348,6 +354,96 @@ def dispatch_query(engine, q: str, k: int = 10, **kw) -> DataFrame:
 
     if ptype == "edismax":
         return engine.search(_edismax_tree(engine, rest, params), k=k, **kw)
+
+    if ptype == "func":
+        # FunctionQParserPlugin.java: every doc scores the function value
+        # (FunctionQuery).  The function runs over the index docs-table
+        # columns (doclen, norm_byte, doc_id, url) as one codegen'd
+        # column expression; top-k via TakeOrderedAndProject.
+        from pyspark.sql import functions as F
+
+        from apache___solr_spark.functions.registry import parse_func_query
+
+        score = parse_func_query(rest.strip()).cast("double").alias("score")
+        out = (
+            engine.docs.select("doc_id", "url", score)
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
+        from pyspark.sql import Window
+
+        return out.select(
+            F.row_number()
+            .over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+            .alias("rank"),
+            "doc_id",
+            "url",
+            "score",
+        )
+
+    if ptype == "frange":
+        # FunctionRangeQParserPlugin.java: docs whose function value lies
+        # in [l, u] (incl/incu bounds), constant score 1 — a filter in
+        # query form.  The predicate is a pure column expression.
+        from pyspark.sql import functions as F
+
+        from apache___solr_spark.functions.registry import parse_func_query
+
+        val = parse_func_query(rest.strip()).cast("double")
+        pred = F.lit(True)
+        if "l" in params:
+            lo = float(params["l"])
+            pred = pred & (
+                val >= lo if params.get("incl", "true") != "false" else val > lo
+            )
+        if "u" in params:
+            hi = float(params["u"])
+            pred = pred & (
+                val <= hi if params.get("incu", "true") != "false" else val < hi
+            )
+        return (
+            engine.docs.filter(pred)
+            .select("doc_id", "url", F.lit(1.0).alias("score"))
+            .orderBy("doc_id")
+        )
+
+    if ptype == "rerank":
+        # ReRankQParserPlugin.java: first pass = rest, second pass =
+        # reRankQuery (inline-quoted; $rqq indirection raises upstream),
+        # combined as main + reRankWeight * rerank score over the top
+        # reRankDocs only.
+        from apache___solr_spark.query.extras import rerank as _rerank
+
+        rq = params.get("reRankQuery")
+        if not rq:
+            raise ValueError("{!rerank} needs reRankQuery")
+        return _rerank(
+            engine,
+            rest,
+            rq.strip("\"'"),
+            k=k,
+            rerank_docs=int(params.get("reRankDocs", 200)),
+            rerank_weight=float(params.get("reRankWeight", 2.0)),
+        )
+
+    if ptype == "switch":
+        # SwitchQParserPlugin.java: the input value selects a case.N
+        # sub-query; empty/whitespace input falls to case itself, no
+        # match falls to default.
+        key = rest.strip()
+        sub = params.get(f"case.{key}") if key else params.get("case")
+        if sub is None:
+            sub = params.get("default")
+        if sub is None:
+            raise ValueError(f"{{!switch}} has no case for {key!r}")
+        return dispatch_query(engine, sub, k=k, **kw)
+
+    if ptype == "raw":
+        # RawQParserPlugin.java: like {!term} — no analysis, no readable-
+        # value conversion (identical here: terms are stored as analyzed
+        # strings).
+        _check_field(params)
+        return engine.search(ParsedQuery(must=[rest]), k=k, **kw)
 
     if ptype == "mlt":
         # CloudMLTQParser (MLTQParserPlugin.java): rest is the source doc

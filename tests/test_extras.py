@@ -616,3 +616,40 @@ def test_matrix_evaluators(spark):
         ).alias("m")
     ).collect()[0]["m"]
     assert [list(x) for x in built] == [[1.0, 2.0], [3.0, 4.0]]
+
+
+def test_parse_func_query(spark):
+    """Function-query STRING syntax (FunctionQParser.java parseValueSource)
+    lowers to one Column matching hand-built expressions: nested calls,
+    field refs, int/float/scientific literals, quoted strings; $param and
+    junk raise."""
+    import math
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from apache___solr_spark.functions.registry import parse_func_query
+
+    df = spark.createDataFrame([(3.0, 4.0, "web")], "a double, b double, s string")
+
+    def val(expr):
+        return df.select(parse_func_query(expr).alias("v")).collect()[0]["v"]
+
+    assert val("sum(a,b,1)") == 8.0
+    assert val("recip(a,1,2,1)") == 0.5
+    assert abs(val("recip(sub(b,a),3.16e-11,1,1)") - 1.0) < 1e-9
+    assert val("if(gt(b,a),1,0)") == 1
+    assert val("product(a,-2)") == -6.0
+    assert abs(val("div(pi(),2)") - math.pi / 2) < 1e-12
+    assert val('strdist("kitten",s)') == 5  # kitten -> web levenshtein
+    assert val("max(a,linear(b,2.0,0.5))") == 8.5
+    with pytest.raises(NotImplementedError):
+        parse_func_query("sum(a,$p)")
+    with pytest.raises(NotImplementedError):
+        parse_func_query("nosuchfn(a)")
+    with pytest.raises(ValueError):
+        parse_func_query("sum(a,")
+    with pytest.raises(ValueError):
+        parse_func_query("sum(a,b) trailing")
+    with pytest.raises(ValueError):
+        parse_func_query("@#!")

@@ -654,6 +654,50 @@ def test_localparams_dispatch(spark, corpus, built):
     with pytest.raises(NotImplementedError):
         dispatch_query(eng, "{!knn f=embedding topK=4}[1.0]")
 
+    # {!func}: docs scored by a function-query string over docs columns
+    func_hits = dispatch_query(eng, "{!func}recip(doclen,1,1000,1)", k=5).collect()
+    doclens = {
+        r["doc_id"]: r["doclen"]
+        for r in eng.docs.select("doc_id", "doclen").collect()
+    }
+    want_order = sorted(doclens, key=lambda d: (-1000.0 / (doclens[d] + 1), d))[:5]
+    assert [r["doc_id"] for r in func_hits] == want_order
+    assert func_hits[0]["rank"] == 1
+    assert abs(func_hits[0]["score"] - 1000.0 / (doclens[want_order[0]] + 1)) < 1e-9
+
+    # {!frange}: function-value range filter, constant score
+    fr = dispatch_query(eng, "{!frange l=40 u=60}doclen", k=5).collect()
+    want_fr = sorted(d for d, dl in doclens.items() if 40 <= dl <= 60)
+    assert [r["doc_id"] for r in fr] == want_fr
+    assert all(r["score"] == 1.0 for r in fr)
+    fr_excl = dispatch_query(eng, "{!frange l=40 u=60 incl=false incu=false}doclen").collect()
+    want_fr_excl = sorted(d for d, dl in doclens.items() if 40 < dl < 60)
+    assert [r["doc_id"] for r in fr_excl] == want_fr_excl
+
+    # {!rerank}: matches the extras.rerank combination
+    from apache___solr_spark.query.extras import rerank
+
+    got_rr = dispatch_query(
+        eng,
+        '{!rerank reRankQuery="data" reRankDocs=30 reRankWeight=3}web',
+        k=5,
+    )
+    want_rr = rerank(eng, "web", "data", k=5, rerank_docs=30, rerank_weight=3.0)
+    assert ids(got_rr) == ids(want_rr)
+
+    # {!switch}: case selection routes to the sub-query
+    assert ids(
+        dispatch_query(eng, "{!switch case.a=web case.b=data default=merge}a", k=5)
+    ) == ids(eng.search("web", k=5))
+    assert ids(
+        dispatch_query(eng, "{!switch case.a=web default=merge}zzz", k=5)
+    ) == ids(eng.search("merge", k=5))
+
+    # {!raw}: no analysis — identical to {!term} here
+    assert ids(dispatch_query(eng, "{!raw f=text}web", k=10)) == ids(
+        dispatch_query(eng, "{!term f=text}web", k=10)
+    )
+
     # table-shaped parsers point at the DataFrame combinators
     with pytest.raises(NotImplementedError):
         dispatch_query(eng, "{!collapse field=x}", k=5)
