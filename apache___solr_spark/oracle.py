@@ -529,3 +529,108 @@ def _expand_oracle(
         raise ValueError(cl.kind)
     m.sort(key=lambda t: (-len(idx.postings[t]), t))
     return m if max_expansions is None else m[:max_expansions]
+
+
+def oracle_complex_phrase(
+    idx: OracleIndex,
+    slots: list[tuple],
+    slop: int = 0,
+    ordered: bool = True,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> list[dict]:
+    """Control result for SearchEngine.complex_phrase: each slot is a term
+    SET (the wildcard's expansions); ordered = greedy increasing chain
+    choosing the earliest member-of-next-slot position, unordered =
+    distinct minimal-window ends over per-slot merged lists; BM25 with
+    tf = span frequency, idf = sum over every slot member's idf.
+    Per-doc bisect loops — deliberately a different algorithm from the
+    engine's batched matcher."""
+    import bisect
+
+    members = [t for s in slots for t in s]
+    if not slots or any(
+        all(t not in idx.postings for t in s) for s in slots
+    ):
+        return []
+    present = [tuple(t for t in s if t in idx.postings) for s in slots]
+    idf_sum = 0.0
+    for t in [t for s in present for t in s]:
+        df = len(idx.postings[t])
+        idf_sum += float(
+            np.float32(math.log(1.0 + (idx.n_docs - df + 0.5) / (df + 0.5)))
+        )
+    idf = np.float32(idf_sum)
+    k1f = np.float32(k1)
+    one_minus_b = np.float32(1.0 - b)
+    bf = np.float32(b)
+    avgdlf = np.float32(idx.avgdl)
+    bound = len(present) - 1 + slop
+
+    # candidates: docs holding >=1 member of EVERY slot
+    docs: set[int] | None = None
+    for s in present:
+        cover = set()
+        for t in s:
+            cover |= set(idx.postings[t].keys())
+        docs = cover if docs is None else docs & cover
+    hits = []
+    for doc_id in sorted(docs or ()):
+        slot_pl = []
+        empty = False
+        for s in present:
+            pl = sorted(
+                p
+                for t in s
+                if doc_id in idx.positions[t]
+                for p in idx.positions[t][doc_id]
+            )
+            if not pl:
+                empty = True
+                break
+            slot_pl.append(pl)
+        if empty:
+            continue
+        if ordered:
+            sf = 0
+            for p0 in slot_pl[0]:
+                cur, ok = p0, True
+                for pl in slot_pl[1:]:
+                    j = bisect.bisect_right(pl, cur)
+                    if j >= len(pl):
+                        ok = False
+                        break
+                    cur = pl[j]
+                if ok and cur - p0 <= bound:
+                    sf += 1
+        else:
+            merged = sorted(p for pl in slot_pl for p in pl)
+            ends: set[int] = set()
+            for st in merged:
+                end, ok = st, True
+                for pl in slot_pl:
+                    j = bisect.bisect_left(pl, st)
+                    if j >= len(pl):
+                        ok = False
+                        break
+                    end = max(end, pl[j])
+                if ok and end - st <= bound:
+                    ends.add(end)
+            sf = len(ends)
+        if sf == 0:
+            continue
+        dl = np.float32(byte4_to_int(idx.norm_byte[doc_id]))
+        cache = k1f * (one_minus_b + bf * dl / avgdlf)
+        sff = np.float32(sf)
+        hits.append((np.float32(idf * sff / (sff + cache)), doc_id))
+    hits.sort(key=lambda x: (-float(x[0]), x[1]))
+    return [
+        {
+            "rank": i + 1,
+            "doc_id": doc_id,
+            "url": idx.url_by_doc[doc_id],
+            "score": float(s),
+        }
+        for i, (s, doc_id) in enumerate(hits[:k])
+    ]

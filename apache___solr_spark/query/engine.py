@@ -42,6 +42,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import re
 from typing import Iterator
 
 import numpy as np
@@ -206,6 +207,7 @@ def _phrase_score_fn(
     dtype,
     slop: int = 0,
     ordered: bool = True,
+    slots: list[tuple[str, ...]] | None = None,
 ):
     """mapInPandas fn over (doc_id, norm, plists): phrase frequency, then
     BM25 with tf=pf and idf=sum of constituent idfs (Lucene PhraseQuery
@@ -242,10 +244,14 @@ def _phrase_score_fn(
     avgdlf = dtype(avgdl)
     idff = dtype(sum_idf)
     shift = np.int64(32)
-    want = set(ptoks)
-    bound = np.int64(
-        (len(ptoks) if ordered else len(want)) - 1 + slop
-    )
+    # ``slots`` generalizes each phrase position to a term SET
+    # (ComplexPhraseQParserPlugin: a wildcard inside a phrase rewrites to
+    # a SpanOr of its dictionary expansions — any member term satisfies
+    # the slot).  The default is singleton slots == plain phrase terms.
+    if slots is None:
+        slots = [(t,) for t in (ptoks if ordered else sorted(set(ptoks)))]
+    want = {t for s in slots for t in s}
+    bound = np.int64(len(slots) - 1 + slop)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -265,12 +271,19 @@ def _phrase_score_fn(
                 t: (np.concatenate(v) if v else np.empty(0, dtype=np.int64))
                 for t, v in parts.items()
             }
+            def slot_arr(s: tuple) -> np.ndarray:
+                if len(s) == 1:
+                    return enc[s[0]]
+                a = np.concatenate([enc[t] for t in s])
+                a.sort()  # distinct terms never share (doc,pos): no dups
+                return a
+
             if ordered:
-                start = enc[ptoks[0]]
+                start = slot_arr(slots[0])
                 cur = start
                 alive = np.ones(start.shape, dtype=bool)
-                for t in ptoks[1:]:
-                    arr = enc[t]
+                for s in slots[1:]:
+                    arr = slot_arr(s)
                     if arr.size == 0:
                         alive = np.zeros(start.shape, dtype=bool)
                         break
@@ -287,7 +300,7 @@ def _phrase_score_fn(
                     (start[alive] >> shift).astype(np.int64), minlength=nrows
                 )
             else:
-                arrs = [enc[t] for t in sorted(want)]
+                arrs = [slot_arr(s) for s in slots]
                 if any(a.size == 0 for a in arrs):
                     continue
                 merged = np.sort(np.concatenate(arrs))
@@ -496,15 +509,19 @@ class SearchEngine:
         slop: int = 0,
         salts: list[int] | None = None,
         ordered: bool = True,
+        slots: list[tuple[str, ...]] | None = None,
     ) -> DataFrame:
         """(doc_id, score) of docs matching the phrase (``slop=0``: exact
         adjacency; ``slop>0``: ordered window; ``ordered=False``:
-        unordered minimal-window — see _phrase_score_fn).
+        unordered minimal-window — see _phrase_score_fn).  ``slots``
+        switches to per-position term SETS (complexphrase): the salt/doc
+        gates then require >=1 member of EVERY slot instead of every term.
 
         Scale shape: the scan prunes to the phrase terms' buckets AND to the
-        salt ranges containing ALL constituent terms before any decode; the
-        position intersection then runs only on docs carrying every term
-        (count_distinct gate), which for a selective phrase is a tiny set.
+        salt ranges containing ALL constituent terms (one member per slot in
+        slot mode) before any decode; the position intersection then runs
+        only on docs passing that gate, which for a selective phrase is a
+        tiny set.
         """
         if not self.cfg.store_positions:
             raise NotImplementedError(
@@ -515,13 +532,45 @@ class SearchEngine:
         blocks = self._blocks_for(uniq)
         if salts is not None:
             blocks = blocks.filter(F.col("salt").isin(salts))
-        ok_salts = (
-            blocks.groupBy("salt")
-            .agg(F.count_distinct("term").alias("nt"))
-            .filter(F.col("nt") == len(uniq))
-            .select("salt")
-        )
-        blocks = blocks.join(ok_salts, "salt", "left_semi")
+        if slots is None:
+            slot_map = None
+            n_gate = len(uniq)
+        else:
+            # term -> ARRAY of slot ids it can satisfy (a term may serve
+            # several slots); the gate explodes that array and counts
+            # covered SLOTS — a doc/salt passes iff every slot has >=1
+            # member present.  The map is query-sized: it compiles to a
+            # literal expression, no join.
+            slot_ids: dict[str, list[int]] = {}
+            for i, s in enumerate(slots):
+                for t in s:
+                    slot_ids.setdefault(t, []).append(i)
+            slot_map = F.create_map(
+                *[
+                    x
+                    for t, ids in sorted(slot_ids.items())
+                    for x in (F.lit(t), F.array(*[F.lit(i) for i in ids]))
+                ]
+            )
+            n_gate = len(slots)
+
+        def _gate(df: DataFrame, key: str) -> DataFrame:
+            """keys of df covering every gate unit (term / slot)."""
+            if slot_map is None:
+                unit = F.col("term")
+                src = df.select(key, unit.alias("unit"))
+            else:
+                src = df.select(
+                    key, F.explode(slot_map[F.col("term")]).alias("unit")
+                )
+            return (
+                src.groupBy(key)
+                .agg(F.count_distinct("unit").alias("nt"))
+                .filter(F.col("nt") == n_gate)
+                .select(key)
+            )
+
+        blocks = blocks.join(_gate(blocks, "salt"), "salt", "left_semi")
         decoded = blocks.select(
             "term", "salt", "n_docs", "doc_gaps", "tfs", "norms",
             "positions", "sum_tf",
@@ -529,14 +578,23 @@ class SearchEngine:
             _decode_positions_fn(self.cfg.salt_range),
             schema="term string, doc_id long, norm int, positions array<long>",
         )
+        nt_expr = (
+            F.count_distinct("term")
+            if slot_map is None
+            else F.size(
+                F.array_distinct(
+                    F.flatten(F.collect_list(slot_map[F.col("term")]))
+                )
+            )
+        )
         grouped = (
             decoded.groupBy("doc_id")
             .agg(
                 F.first("norm").alias("norm"),
-                F.count_distinct("term").alias("nt"),
+                nt_expr.alias("nt"),
                 F.collect_list(F.struct("term", "positions")).alias("plists"),
             )
-            .filter(F.col("nt") == len(uniq))
+            .filter(F.col("nt") == n_gate)
             .select("doc_id", "norm", "plists")
         )
         sum_idf = float(sum(idf_by_term[t] for t in ptoks)) * float(boost)
@@ -549,6 +607,7 @@ class SearchEngine:
             self._dtype,
             slop=slop,
             ordered=ordered,
+            slots=slots,
         )
         return grouped.mapInPandas(fn, schema=f"doc_id long, score {self._sql_t}")
 
@@ -592,6 +651,95 @@ class SearchEngine:
         }
         frame = self._phrase_frame(
             toks, idf_by_term, slop=dist - 1, ordered=ordered
+        )
+        if self.deletes is not None:
+            frame = frame.join(self.deletes, "doc_id", "left_anti")
+        return self._finalize(frame, k, with_url)
+
+    def complex_phrase(
+        self,
+        phrase: str,
+        slop: int = 0,
+        ordered: bool = True,
+        k: int = 10,
+        with_url: bool = True,
+        max_expansions: int = 128,
+    ) -> DataFrame:
+        """ComplexPhraseQParserPlugin: a phrase whose positions may be
+        wildcard/prefix/fuzzy patterns — ``"jo* smith"``, ``"web pag?"~2``
+        (ComplexPhraseQParserPlugin.java; Lucene ComplexPhraseQueryParser
+        rewrites each pattern slot to a SpanOr of its dictionary
+        expansions inside a SpanNear(slop, inOrder)).
+
+        Each whitespace token becomes one slot: patterns (``*``/``?``)
+        expand against the term dictionary (capped at ``max_expansions``
+        by df desc, MultiTermQuery rewrite cap semantics); ``term~N``
+        expands by Levenshtein; plain tokens analyze (a multi-token
+        analysis contributes its tokens as consecutive slots).  Scoring:
+        BM25 with tf = span frequency, idf = summed idfs of every slot
+        member (SpanWeight aggregates the term statistics of ALL terms
+        under the query — documented: the expansion cap bounds the sum).
+        Returns (rank, doc_id[, url], score).
+        """
+        from apache___solr_spark.query.parser import Clause
+
+        slots: list[tuple[str, ...]] = []
+        for raw in phrase.split():
+            fm = re.fullmatch(r"(.+?)~(\d*)", raw)
+            if "*" in raw or "?" in raw:
+                kind = (
+                    "prefix"
+                    if raw.endswith("*") and "*" not in raw[:-1] and "?" not in raw
+                    else "wildcard"
+                )
+                cl = Clause(occur="SHOULD", kind=kind, value=raw.lower())
+                members = self._expand_clause(cl, max_expansions=max_expansions)
+                if not members:
+                    return self.spark.createDataFrame(
+                        [], f"rank int, doc_id long, url string, score {self._sql_t}"
+                    )
+                slots.append(tuple(sorted(members)))
+            elif fm:
+                cl = Clause(
+                    occur="SHOULD",
+                    kind="fuzzy",
+                    value=fm.group(1).lower(),
+                    fuzz=int(fm.group(2) or 2),
+                )
+                members = self._expand_clause(cl, max_expansions=max_expansions)
+                if not members:
+                    return self.spark.createDataFrame(
+                        [], f"rank int, doc_id long, url string, score {self._sql_t}"
+                    )
+                slots.append(tuple(sorted(members)))
+            else:
+                for t in self._analyze(raw):
+                    slots.append((t,))
+        schema = f"rank int, doc_id long, url string, score {self._sql_t}"
+        if not slots:
+            return self.spark.createDataFrame([], schema)
+        ptoks = [t for s in slots for t in s]
+        meta = self._term_meta(sorted(set(ptoks)))
+        found = set(meta["term"])
+        # a slot member missing from the dictionary can never match; a
+        # slot with NO present member makes the whole span unmatchable
+        slots = tuple(
+            tuple(t for t in s if t in found) for s in slots
+        )
+        if any(not s for s in slots):
+            return self.spark.createDataFrame([], schema)
+        ptoks = [t for s in slots for t in s]
+        n_docs = self.stats["N"]
+        idf_by_term = {
+            r["term"]: float(bm25_idf(n_docs, int(r["df"]), dtype=self._dtype))
+            for _, r in meta.iterrows()
+        }
+        frame = self._phrase_frame(
+            ptoks,
+            idf_by_term,
+            slop=slop,
+            ordered=ordered,
+            slots=[tuple(s) for s in slots],
         )
         if self.deletes is not None:
             frame = frame.join(self.deletes, "doc_id", "left_anti")

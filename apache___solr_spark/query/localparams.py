@@ -445,6 +445,20 @@ def dispatch_query(engine, q: str, k: int = 10, **kw) -> DataFrame:
         _check_field(params)
         return engine.search(ParsedQuery(must=[rest]), k=k, **kw)
 
+    if ptype == "complexphrase":
+        # ComplexPhraseQParserPlugin.java: wildcards/fuzzy inside quoted
+        # phrases; inOrder=false allows unordered spans.
+        m = re.fullmatch(r'\s*"([^"]*)"(?:~(\d+))?\s*', rest)
+        if not m:
+            raise ValueError('{!complexphrase} needs a quoted "..." phrase')
+        return engine.complex_phrase(
+            m.group(1),
+            slop=int(m.group(2) or 0),
+            ordered=params.get("inOrder", "true") != "false",
+            k=k,
+            **kw,
+        )
+
     if ptype == "mlt":
         # CloudMLTQParser (MLTQParserPlugin.java): rest is the source doc
         # id; mintf/mindf/maxqt tune term selection.  qf is accepted for

@@ -916,3 +916,110 @@ def test_span_near_matches_oracle(spark, built, oracle_idx):
         for r in eng.span_near(["web", "data"], dist=4, ordered=False, k=10).collect()
     ]
     assert via_lp == direct
+
+
+def test_complex_phrase_matches_oracle(spark, built, oracle_idx):
+    """{!complexphrase}: wildcard/prefix/fuzzy slots inside phrases
+    (ComplexPhraseQParserPlugin -> SpanNear over SpanOr rewrites) vs an
+    independent per-doc bisect oracle with independently-expanded slots.
+    Cross-checks: a pattern-free complex phrase == the plain phrase; the
+    wildcard variant's doc set contains the concrete phrase's."""
+    import re as _re
+
+    from apache___solr_spark.oracle import oracle_complex_phrase
+    from apache___solr_spark.query.localparams import dispatch_query
+
+    eng = SearchEngine(spark, built, cfg=CFG)
+    vocab = sorted(oracle_idx.postings)
+
+    def expand(tok):
+        rx = _re.compile(
+            "^"
+            + "".join(
+                ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+                for c in tok
+            )
+            + "$"
+        )
+        return tuple(t for t in vocab if rx.match(t))
+
+    def lev(a, b):
+        # plain DP — independent of the engine's F.levenshtein
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    def slots_of(phrase):
+        out = []
+        for tok in phrase.split():
+            if "*" in tok or "?" in tok:
+                out.append(expand(tok))
+                continue
+            m = _re.fullmatch(r"(.+?)~(\d+)", tok)
+            if m:
+                base, fz = m.group(1), int(m.group(2))
+                out.append(
+                    tuple(t for t in vocab if lev(t, base) <= fz)
+                )
+            else:
+                out.append((tok,))
+        return out
+
+    cases = [
+        ("pag* data", 0, True),
+        ("web pag*", 2, True),
+        ("w?b data", 1, True),
+        ("pag* web", 4, False),
+        ("page~1 data", 1, True),
+    ]
+    for phrase, slop, ordered in cases:
+        got = [
+            (r["rank"], r["doc_id"], round(r["score"], 5))
+            for r in eng.complex_phrase(
+                phrase, slop=slop, ordered=ordered, k=25, max_expansions=100000
+            ).collect()
+        ]
+        want = [
+            (h["rank"], h["doc_id"], round(h["score"], 5))
+            for h in oracle_complex_phrase(
+                oracle_idx, slots_of(phrase), slop=slop, ordered=ordered, k=25
+            )
+        ]
+        assert got == want, (phrase, slop, ordered)
+        assert want, (phrase, slop, ordered)  # non-vacuous
+
+    # pattern-free == plain phrase query (identical docs + scores)
+    cp = {
+        (r["doc_id"], round(r["score"], 5))
+        for r in eng.complex_phrase("web page", k=400).collect()
+    }
+    ph = {
+        (r["doc_id"], round(r["score"], 5))
+        for r in eng.search('"web page"', k=400, prune=False).collect()
+    }
+    assert cp == ph
+
+    # the wildcard phrase's docs contain the concrete phrase's docs
+    wide = {r["doc_id"] for r in eng.complex_phrase("web pag*", k=400).collect()}
+    narrow = {r["doc_id"] for r in eng.complex_phrase("web page", k=400).collect()}
+    assert narrow <= wide
+
+    # {!complexphrase} local-params dispatch, incl. inOrder=false + slop
+    via_lp = [
+        (r["rank"], r["doc_id"], round(r["score"], 5))
+        for r in dispatch_query(
+            eng, '{!complexphrase inOrder=false}"pag* web"~4', k=10
+        ).collect()
+    ]
+    direct = [
+        (r["rank"], r["doc_id"], round(r["score"], 5))
+        for r in eng.complex_phrase(
+            "pag* web", slop=4, ordered=False, k=10
+        ).collect()
+    ]
+    assert via_lp == direct
