@@ -191,3 +191,66 @@ def highlight(
         )
         .orderBy("rank")
     )
+
+
+def elevate(
+    engine: SearchEngine,
+    query: str,
+    elevate_ids: list[int],
+    exclude_ids: list[int] | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """QueryElevationComponent (handler/component/
+    QueryElevationComponent.java, elevate.xml): editorially pin the
+    configured docs to the top ranks IN CONFIG ORDER — whether or not
+    they match the query (forceElevation) — drop excluded docs, and let
+    the organic hits follow by score.  Adds the ``elevated`` boolean
+    the reference exposes via the [elevated] transformer.
+
+    Scale shape: the pinned/excluded id sets are editorial-sized (a few
+    rows) — the pinned docs come from a broadcast-semi-joined docs-table
+    lookup, the organic tail is the normal pruned top-k; no extra corpus
+    scan.
+    """
+    exclude = [int(x) for x in (exclude_ids or [])]
+    pin = [int(x) for x in elevate_ids if int(x) not in exclude]
+    organic = engine.search(query, k=k + len(pin), with_url=True)
+    drop = set(pin) | set(exclude)
+    organic = organic.filter(~F.col("doc_id").isin([*drop]))
+    order = {d: i for i, d in enumerate(pin)}
+    pinned = (
+        engine.docs.filter(F.col("doc_id").isin(pin))
+        .select(
+            "doc_id",
+            "url",
+            F.lit(None).cast(organic.schema["score"].dataType).alias("score"),
+        )
+        .withColumn(
+            "_ord",
+            F.coalesce(
+                *[
+                    F.when(F.col("doc_id") == d, F.lit(i))
+                    for d, i in order.items()
+                ],
+                F.lit(len(pin)),
+            )
+            if order
+            else F.lit(0),
+        )
+        .withColumn("elevated", F.lit(True))
+    )
+    tail = organic.select(
+        "doc_id", "url", "score",
+        (F.col("rank") + len(pin)).alias("_ord"),
+        F.lit(False).alias("elevated"),
+    )
+    out = pinned.select("doc_id", "url", "score", "_ord", "elevated").unionByName(tail)
+    w = Window.orderBy(F.col("_ord").asc(), F.col("doc_id").asc())
+    return (
+        out.select(
+            F.row_number().over(w).alias("rank"),
+            "doc_id", "url", "score", "elevated",
+        )
+        .orderBy("rank")
+        .limit(k)
+    )

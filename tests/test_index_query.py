@@ -1023,3 +1023,43 @@ def test_complex_phrase_matches_oracle(spark, built, oracle_idx):
         ).collect()
     ]
     assert via_lp == direct
+
+
+def test_spellcheck_collate(spark, built, oracle_idx):
+    """SpellCheckCollator: misspelled terms replaced by dictionary-nearest
+    corrections, collations verified by re-running the query (hits capped
+    at collateMaxCollectDocs)."""
+    from apache___solr_spark.query.suggest import spellcheck_collate
+
+    eng = SearchEngine(spark, built, cfg=CFG)
+    out = spellcheck_collate(eng, "webb dataa", max_collations=3)
+    assert out, "a near-miss misspelling must collate"
+    assert all(c["hits"] > 0 for c in out)
+    toks = set(out[0]["collation"].split())
+    assert toks <= set(oracle_idx.postings), out  # every term now real
+    # fully-spelled queries produce no collation
+    assert spellcheck_collate(eng, "web data") == []
+    # unfixable garbage produces none either
+    assert spellcheck_collate(eng, "qqqqqqqqqqqq") == []
+
+
+def test_elevate(spark, built):
+    """QueryElevationComponent: pinned docs first in config order (even
+    non-matching ones), excluded docs dropped, organic tail by score."""
+    from apache___solr_spark.query.extras import elevate
+
+    eng = SearchEngine(spark, built, cfg=CFG)
+    organic = [r["doc_id"] for r in eng.search("web data", k=10).collect()]
+    stranger = 399 if organic[5] != 399 else 398
+    pin = [organic[5], stranger]  # one matching doc + one arbitrary doc
+    out = elevate(eng, "web data", pin, exclude_ids=[organic[0]], k=10).collect()
+    got = [r["doc_id"] for r in out]
+    assert got[:2] == pin  # config order, incl. the non-matching doc
+    assert out[0]["elevated"] and out[1]["elevated"]
+    assert organic[0] not in got  # excluded
+    # organic tail keeps score order, no duplicates of the pinned docs
+    tail = got[2:]
+    want_tail = [d for d in organic if d not in set(pin) | {organic[0]}]
+    assert tail[: len(want_tail)] == want_tail[: len(tail)]
+    assert not any(r["elevated"] for r in out[2:])
+    assert [r["rank"] for r in out] == list(range(1, len(out) + 1))

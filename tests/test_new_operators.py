@@ -171,3 +171,22 @@ def test_gather_nodes_deep_traversal_checkpoints(spark):
     out = gather_nodes(edges, seeds, "src", "dst", hops=12)
     rows = {r["node"]: r["depth"] for r in out.collect()}
     assert rows == {i: i for i in range(13)}
+
+
+def test_suggest_infix(spark):
+    dictionary = spark.createDataFrame(
+        [("table", 100), ("cable", 20), ("tale", 30), ("zzz", 5), ("abject", 40)],
+        "term string, df long",
+    )
+    from apache___solr_spark.query.suggest import suggest_infix
+
+    got = [
+        (r["term"], r["highlighted"])
+        for r in suggest_infix(dictionary, "ab").collect()
+    ]
+    # prefix match first (abject), then infix by freq desc (table, cable)
+    assert got == [
+        ("abject", "<b>ab</b>ject"),
+        ("table", "t<b>ab</b>le"),
+        ("cable", "c<b>ab</b>le"),
+    ]
