@@ -71,16 +71,81 @@ def build_oracle_index(rows: list[dict]) -> OracleIndex:
     )
 
 
+def _sim_term_weight(idx: OracleIndex, sim: str, t: str) -> float:
+    """Scalar mirror of query/similarities.py weight() — recomputed here
+    from the oracle's plain-dict stats (independent of the dictionary
+    table the engine aggregates)."""
+    plist = idx.postings[t]
+    df = len(plist)
+    if sim == "bm25":
+        return float(
+            np.float32(math.log(1.0 + (idx.n_docs - df + 0.5) / (df + 0.5)))
+        )
+    if sim == "classic":
+        idf = np.float32(1.0 + math.log((idx.n_docs + 1) / (df + 1)))
+        return float(idf * idf)
+    if sim in ("lmdirichlet", "lmjelinekmercer"):
+        cf = sum(plist.values())
+        return float(cf) / float(sum(idx.doclen))
+    if sim == "boolean":
+        return 1.0
+    raise NotImplementedError(f"oracle similarity {sim!r}")
+
+
+def _sim_term_doc_score(
+    sim: str,
+    w: float,
+    boost: float,
+    tf: int,
+    dl: np.float32,
+    k1f: np.float32,
+    one_minus_b: np.float32,
+    bf: np.float32,
+    avgdlf: np.float32,
+    mu: float = 2000.0,
+    lam: float = 0.7,
+) -> np.float32:
+    """Scalar float32 mirror of the engine's vectorized kernels."""
+    tff = np.float32(tf)
+    if sim == "bm25":
+        idf = np.float32(float(w) * float(boost))
+        cache = k1f * (one_minus_b + bf * dl / avgdlf)
+        return idf * tff / (tff + cache)
+    if sim == "classic":
+        wf = np.float32(float(w) * float(boost))
+        return wf * np.sqrt(tff) / np.sqrt(np.maximum(dl, np.float32(1.0)))
+    if sim == "lmdirichlet":
+        muf = np.float32(mu)
+        p = np.float32(w)
+        s = np.log1p(tff / (muf * p)) + np.log(muf / (dl + muf))
+        return np.float32(boost) * np.maximum(
+            np.float32(s), np.float32(0.0)
+        )
+    if sim == "lmjelinekmercer":
+        ratio = np.float32((1.0 - lam) / lam)
+        p = np.float32(w)
+        return np.float32(boost) * np.float32(
+            np.log1p(ratio * tff / (dl * p))
+        )
+    if sim == "boolean":
+        return np.float32(float(w) * float(boost))
+    raise NotImplementedError(f"oracle similarity {sim!r}")
+
+
 def oracle_search(
     idx: OracleIndex,
     query: str | ParsedQuery,
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    similarity: str = "bm25",
 ) -> list[dict]:
-    """BM25 top-k with the exact arithmetic the engine uses:
+    """Similarity top-k with the exact arithmetic the engine uses:
     per-term float32 score via quantized doc length, float64 accumulation,
-    final float32; ties broken by doc_id asc."""
+    final float32; ties broken by doc_id asc.  ``similarity`` mirrors the
+    engine's pluggable factories (bm25 default; classic, lmdirichlet,
+    lmjelinekmercer, boolean score term clauses only — phrases raise,
+    matching the engine)."""
     pq = parse_query(query) if isinstance(query, str) else query
     terms = [t for t in pq.scoring_terms if t in idx.postings]
     phrases = [
@@ -119,6 +184,12 @@ def oracle_search(
                 if _pf(idx, ph, d, slop=sl) > 0
             )
 
+    if similarity != "bm25" and (
+        phrases or pq.must_phrases or pq.must_not_phrases
+    ):
+        raise NotImplementedError(
+            f"similarity {similarity!r} scores term queries only"
+        )
     k1f = np.float32(k1)
     one_minus_b = np.float32(1.0 - b)
     bf = np.float32(b)
@@ -128,16 +199,13 @@ def oracle_search(
     nmust: dict[int, int] = {}
     for t in terms:
         plist = idx.postings[t]
-        df = len(plist)
-        idf = np.float32(math.log(1.0 + (idx.n_docs - df + 0.5) / (df + 0.5)))
+        w = _sim_term_weight(idx, similarity, t)
         bst = float(pq.boosts.get(t, 1.0))
-        if bst != 1.0:
-            idf = np.float32(float(idf) * bst)
         for doc_id, tf in plist.items():
             dl = np.float32(byte4_to_int(idx.norm_byte[doc_id]))
-            cache = k1f * (one_minus_b + bf * dl / avgdlf)
-            tff = np.float32(tf)
-            s = idf * tff / (tff + cache)
+            s = _sim_term_doc_score(
+                similarity, w, bst, tf, dl, k1f, one_minus_b, bf, avgdlf
+            )
             acc[doc_id] = acc.get(doc_id, 0.0) + float(s)  # f64 accumulation
             if t in must:
                 nmust[doc_id] = nmust.get(doc_id, 0) + 1
@@ -146,20 +214,20 @@ def oracle_search(
         group_docs: set[int] = set()
         for t in matched:
             plist = idx.postings[t]
-            df = len(plist)
-            idf = np.float32(
-                float(
-                    np.float32(
-                        math.log(1.0 + (idx.n_docs - df + 0.5) / (df + 0.5))
-                    )
-                )
-                * float(boost)
-            )
+            w = _sim_term_weight(idx, similarity, t)
             for doc_id, tf in plist.items():
                 dl = np.float32(byte4_to_int(idx.norm_byte[doc_id]))
-                cache = k1f * (one_minus_b + bf * dl / avgdlf)
-                tff = np.float32(tf)
-                s = idf * tff / (tff + cache)
+                s = _sim_term_doc_score(
+                    similarity,
+                    w,
+                    float(boost),
+                    tf,
+                    dl,
+                    k1f,
+                    one_minus_b,
+                    bf,
+                    avgdlf,
+                )
                 acc[doc_id] = acc.get(doc_id, 0.0) + float(s)
                 group_docs.add(doc_id)
         if occ == "MUST":

@@ -102,21 +102,21 @@ def bm25_idf(n_docs: int, df: int, dtype=np.float32):
 
 
 def _score_blocks(
-    idf_by_term: dict[str, float],
-    k1: float,
-    b: float,
-    avgdl: float,
+    weight_by_term: dict[str, float],
+    kernel,
+    boost_by_term: dict[str, float] | None = None,
     dtype=np.float32,
 ):
     """mapInPandas fn: decode posting blocks -> (term, doc_id, score) rows.
 
-    ``dtype`` is float32 by default (Lucene BM25Similarity computes in
-    float); float64 backs the SQL-oracle-checked configuration."""
+    ``kernel`` is the similarity scoring closure (query/similarities.py)
+    ``f(weight, boost, tfs, dl) -> scores``; ``weight_by_term`` carries the
+    per-term statistic weight (idf / collection probability / 1), boosts
+    travel separately because the LM similarities are not linear in the
+    weight.  ``dtype`` is float32 by default (Lucene computes similarity
+    scores in float); float64 backs the SQL-oracle-checked configuration."""
     norm_table_f32 = NORM_TABLE.astype(dtype)
-    k1f = dtype(k1)
-    one_minus_b = dtype(1.0 - b)
-    bf = dtype(b)
-    avgdlf = dtype(avgdl)
+    boosts = boost_by_term or {}
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -140,8 +140,9 @@ def _score_blocks(
                 tfs = decode_vbyte(tfs_bin, int(n)).astype(dtype)
                 norms = np.frombuffer(norms_bin, dtype=np.uint8)
                 dl = norm_table_f32[norms]
-                cache = k1f * (one_minus_b + bf * dl / avgdlf)
-                score = dtype(idf_by_term[term]) * tfs / (tfs + cache)
+                score = kernel(
+                    weight_by_term[term], boosts.get(term, 1.0), tfs, dl
+                )
                 terms_out.append(np.full(int(n), term, dtype=object))
                 docs_out.append(doc_ids)
                 scores_out.append(score)
@@ -344,13 +345,22 @@ class SearchEngine:
         index_dir: str,
         cfg: IndexConfig = DEFAULT_CONFIG,
         synonyms: dict[str, list[str]] | None = None,
+        similarity: str | object = "bm25",
     ) -> None:
         """``synonyms``: query-time synonym map (SynonymGraphFilter in the
         default schema's QUERY analyzer, managed-schema.xml:308-314) —
         analyzed lowercase term -> equivalent terms.  A query term with
         synonyms becomes one disjunction clause over the synonym set
         (divergence from Lucene's SynonymQuery blended statistics: each
-        synonym scores with its own idf — documented)."""
+        synonym scores with its own idf — documented).
+
+        ``similarity``: a factory name ("bm25", "classic", "lmdirichlet",
+        "lmjelinekmercer", "boolean") or a Similarity instance
+        (query/similarities.py — the SchemaSimilarityFactory analog).
+        Non-BM25 similarities score term queries only; phrase/span clauses
+        raise, and block-max θ pruning is disabled (BM25 impacts)."""
+        from apache___solr_spark.query.similarities import get_similarity
+
         self.spark = spark
         self.cfg = cfg
         self.paths = IndexPaths(index_dir)
@@ -363,6 +373,8 @@ class SearchEngine:
         self._sql_t = "double" if cfg.score_dtype == "float64" else "float"
         self._analyze = analyzer_fn(cfg.analyzer)
         self.synonyms = synonyms or {}
+        self.sim = get_similarity(similarity, cfg)
+        self._kernel = self.sim.kernel(self.stats["avgdl"], dtype=self._dtype)
         from apache___solr_spark.index.updates import load_deletes
 
         # tombstoned doc_ids (liveDocs mask) — None when never deleted
@@ -406,12 +418,28 @@ class SearchEngine:
         )
 
     # -- scoring -----------------------------------------------------------
-    def _scored(self, blocks: DataFrame, idf_by_term: dict[str, float]) -> DataFrame:
+    def _weights(self, meta: pd.DataFrame) -> dict[str, float]:
+        """Per-term similarity weights from the aggregated dictionary rows
+        (TermStates/CollectionStatistics analog: df + cf + corpus totals)."""
+        n_docs, total_len = self.stats["N"], self.stats["total_len"]
+        return {
+            r["term"]: self.sim.weight(
+                n_docs, int(r["df"]), int(r["cf"]), total_len, dtype=self._dtype
+            )
+            for _, r in meta.iterrows()
+        }
+
+    def _scored(
+        self,
+        blocks: DataFrame,
+        weight_by_term: dict[str, float],
+        boost_by_term: dict[str, float] | None = None,
+        kernel=None,
+    ) -> DataFrame:
         fn = _score_blocks(
-            idf_by_term,
-            self.cfg.bm25_k1,
-            self.cfg.bm25_b,
-            self.stats["avgdl"],
+            weight_by_term,
+            kernel if kernel is not None else self._kernel,
+            boost_by_term,
             dtype=self._dtype,
         )
         cols = blocks.select(
@@ -428,16 +456,23 @@ class SearchEngine:
         )
 
     def _theta(
-        self, meta: pd.DataFrame, idf_by_term: dict[str, float], k: int
+        self,
+        meta: pd.DataFrame,
+        weight_by_term: dict[str, float],
+        boost_by_term: dict[str, float],
+        k: int,
     ) -> float:
         """Lower bound on the k-th best final score: fully score the rarest
-        term alone; partial scores lower-bound full scores."""
+        term alone; partial scores lower-bound full scores (sound because
+        every similarity kernel is non-negative)."""
         scorable = meta[meta["df"] >= k]
         if scorable.empty:
             return 0.0
         rarest = scorable.sort_values(["df", "term"]).iloc[0]["term"]
         blocks = self._blocks_for([rarest])
-        part = self._scored(blocks, {rarest: idf_by_term[rarest]})
+        part = self._scored(
+            blocks, {rarest: weight_by_term[rarest]}, boost_by_term
+        )
         rows = part.orderBy(F.col("score").desc()).limit(k).collect()
         if len(rows) < k:
             return 0.0
@@ -632,6 +667,10 @@ class SearchEngine:
         """
         if dist < 1:
             raise ValueError("span distance must be >= 1")
+        if not self.sim.supports_phrases:
+            raise NotImplementedError(
+                f"similarity {self.sim.name!r}: span queries need BM25"
+            )
         toks: list[str] = []
         for w in words:
             toks.extend(self._analyze(w))
@@ -683,6 +722,10 @@ class SearchEngine:
         """
         from apache___solr_spark.query.parser import Clause
 
+        if not self.sim.supports_phrases:
+            raise NotImplementedError(
+                f"similarity {self.sim.name!r}: complex phrases need BM25"
+            )
         slots: list[tuple[str, ...]] = []
         for raw in phrase.split():
             fm = re.fullmatch(r"(.+?)~(\d*)", raw)
@@ -829,16 +872,22 @@ class SearchEngine:
             return spark.createDataFrame([], empty_schema)
         if not terms and not scoring_phrases and not exp_groups:
             return spark.createDataFrame([], empty_schema)
-        n_docs = self.stats["N"]
-        idf_by_term = {
-            r["term"]: float(bm25_idf(n_docs, int(r["df"]), dtype=self._dtype))
-            for _, r in meta.iterrows()
-        }
-        # per-clause boosts multiply the clause's idf (score is linear in
-        # idf, so this matches Lucene's boost-times-score semantics); the
-        # boosted map feeds scoring AND the theta/ub pruning consistently.
-        scoring_idf = {
-            t: idf_by_term[t] * float(pq.boosts.get(t, 1.0)) for t in terms
+        if not self.sim.supports_phrases and (
+            scoring_phrases or pq.must_not_phrases
+        ):
+            raise NotImplementedError(
+                f"similarity {self.sim.name!r} scores term queries only; "
+                "phrase clauses need BM25 (see query/similarities.py)"
+            )
+        idf_by_term = self._weights(meta)
+        # per-clause boosts travel separately from the statistic weight (the
+        # kernel decides how they compose: multiplied into idf for BM25/
+        # classic, a plain score multiplier for the LM family); the same
+        # (weight, boost) pair feeds scoring AND theta/ub pruning.
+        term_boosts = {
+            t: float(pq.boosts.get(t, 1.0))
+            for t in terms
+            if pq.boosts.get(t, 1.0) != 1.0
         }
 
         blocks = self._blocks_for(terms) if terms else None
@@ -860,6 +909,7 @@ class SearchEngine:
         # in the query also disables the theta pass.
         if (
             prune
+            and self.sim.prunable  # ub(salt) is built from BM25 impacts
             and blocks is not None
             and not pq.must_not
             and not exclude_exp_terms
@@ -869,7 +919,7 @@ class SearchEngine:
             and not exp_groups
         ):
             term_meta = meta[meta["term"].isin(terms)]
-            theta = self._theta(term_meta, scoring_idf, k)
+            theta = self._theta(term_meta, idf_by_term, term_boosts, k)
             if theta > 0.0:
                 # per-term scores are float32-rounded, so a doc score can sit
                 # one ulp ABOVE the float64 upper bound — prune with a small
@@ -877,7 +927,16 @@ class SearchEngine:
                 # prune-on == prune-off invariant is enforced by tests).
                 cutoff = theta * (1.0 - 1e-4)
                 idf_expr = F.create_map(
-                    *[x for t in terms for x in (F.lit(t), F.lit(scoring_idf[t]))]
+                    *[
+                        x
+                        for t in terms
+                        for x in (
+                            F.lit(t),
+                            F.lit(
+                                idf_by_term[t] * term_boosts.get(t, 1.0)
+                            ),
+                        )
+                    ]
                 )
                 ub = (
                     blocks.select(
@@ -905,7 +964,7 @@ class SearchEngine:
 
         frames = []
         if blocks is not None:
-            frames.append(self._scored(blocks, scoring_idf))
+            frames.append(self._scored(blocks, idf_by_term, term_boosts))
         for ph in scoring_phrases:
             frames.append(
                 self._phrase_frame(
@@ -920,7 +979,7 @@ class SearchEngine:
             # the clause; its score is the sum of the matched terms' scores
             gb = self._blocks_for(matched)
             gscored = self._scored(
-                gb, {t: idf_by_term[t] * float(boost) for t in matched}
+                gb, idf_by_term, {t: float(boost) for t in matched}
             )
             frames.append(
                 gscored.groupBy("doc_id")
@@ -952,8 +1011,16 @@ class SearchEngine:
         exclude_terms = list(pq.must_not) + exclude_exp_terms
         if exclude_terms:
             nb = self._blocks_for(exclude_terms)
+            # exclusion only needs doc ids — the constant boolean kernel
+            # sidesteps LM kernels dividing by a zero weight
+            from apache___solr_spark.query.similarities import BooleanSimilarity
+
             excluded = self._scored(
-                nb, {t: 0.0 for t in exclude_terms}
+                nb,
+                {t: 0.0 for t in exclude_terms},
+                kernel=BooleanSimilarity().kernel(
+                    self.stats["avgdl"], dtype=self._dtype
+                ),
             ).select("doc_id").distinct()
             agg = agg.join(excluded, "doc_id", "left_anti")
         for ph in pq.must_not_phrases:
@@ -1084,11 +1151,7 @@ class SearchEngine:
         walk(tree, "SHOULD")
         meta = self._term_meta(sorted(leaf_terms))
         found = set(meta["term"])
-        n_docs = self.stats["N"]
-        idf_by_term = {
-            r["term"]: float(bm25_idf(n_docs, int(r["df"]), dtype=self._dtype))
-            for _, r in meta.iterrows()
-        }
+        idf_by_term = self._weights(meta)
         salts = (
             sorted({int(d) // self.cfg.salt_range for d in doc_filter})
             if doc_filter is not None
@@ -1108,9 +1171,15 @@ class SearchEngine:
                     return None
                 return self._scored(
                     blocks_of([node.term]),
-                    {node.term: idf_by_term[node.term] * float(node.boost)},
+                    idf_by_term,
+                    {node.term: float(node.boost)},
                 ).select("doc_id", "score")
             if isinstance(node, PhraseNode):
+                if not self.sim.supports_phrases:
+                    raise NotImplementedError(
+                        f"similarity {self.sim.name!r} scores term queries "
+                        "only; phrase clauses need BM25"
+                    )
                 if any(t not in found for t in node.toks):
                     return None
                 return self._phrase_frame(
@@ -1126,7 +1195,8 @@ class SearchEngine:
                     return None
                 g = self._scored(
                     blocks_of(matched),
-                    {t: idf_by_term[t] * float(node.boost) for t in matched},
+                    idf_by_term,
+                    {t: float(node.boost) for t in matched},
                 )
                 # accumulate in double; the final cast to the configured
                 # score dtype happens once, just before top-k (mirrors the

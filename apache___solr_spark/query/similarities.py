@@ -1,0 +1,222 @@
+"""Pluggable similarity factories (SURVEY §2.11 — "Similarity factories").
+
+The reference registers one similarity per field type via factories in
+solr/core/src/java/org/apache/solr/search/similarities/ —
+BM25SimilarityFactory.java (the default since 8.0,
+SchemaSimilarityFactory.java:57), ClassicSimilarityFactory.java,
+LMDirichletSimilarityFactory.java, LMJelinekMercerSimilarityFactory.java,
+BooleanSimilarityFactory.java — each wrapping the Lucene
+org.apache.lucene.search.similarities class of the same name.
+
+Here a :class:`Similarity` contributes two pure pieces the engine composes:
+
+- ``weight(n_docs, df, cf, total_len)`` — the per-term statistic weight
+  (idf for BM25/Classic, the collection language-model probability for the
+  LM family, 1 for Boolean), computed once per query term on the driver
+  from the aggregated dictionary row (df = doc freq, cf = collection
+  freq).
+- ``kernel(avgdl, dtype)`` — a vectorized numpy scoring closure
+  ``f(weight, boost, tfs, dl) -> scores`` applied inside the Arrow-batched
+  posting decode (query/engine.py:_score_blocks), so switching similarity
+  never changes the distributed plan: same pruned scan, same decode, same
+  top-k.
+
+Scoring formulas follow the Lucene javadocs exactly (float32 by default,
+matching Lucene's float arithmetic; float64 when cfg.score_dtype says so):
+
+- BM25(k1=1.2, b=0.75):  idf·tf / (tf + k1·(1-b + b·dl/avgdl)),
+  idf = ln(1 + (N-df+0.5)/(df+0.5)).
+- Classic (TFIDFSimilarity): sqrt(tf) · idf² · 1/sqrt(dl),
+  idf = 1 + ln((N+1)/(df+1)).
+- LMDirichlet(mu=2000):  max(0, log(1 + tf/(mu·p)) + log(mu/(dl+mu))),
+  p = cf/total_len (the term's collection LM probability).
+- LMJelinekMercer(lambda=0.7): log(1 + (1-λ)·tf/dl / (λ·p)).
+- Boolean: the boost, constant per matching term.
+
+Engine integration notes:
+
+- Block-max (θ) pruning stays gated to BM25 (``prunable``): the stored
+  per-block ``max_impact`` is the BM25 impact upper bound and does not
+  bound other similarities.  Salt-level MUST pruning, bucket pruning, and
+  pushdown are score-independent and apply to every similarity.
+- Phrase/span clauses score BM25-style (tf = phrase freq, summed idf);
+  only BM25 declares ``supports_phrases`` — a phrase query under another
+  similarity raises NotImplementedError instead of silently mixing
+  formulas (documented divergence; the reference scores phrases through
+  whichever similarity the field declares).
+- ``dl`` is the SmallFloat-quantized doc length (the same norm byte
+  Lucene's similarities read), so Classic's 1/sqrt(dl) and the LM doc-length
+  terms see exactly what the reference sees.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+__all__ = [
+    "Similarity",
+    "BM25Similarity",
+    "ClassicSimilarity",
+    "LMDirichletSimilarity",
+    "LMJelinekMercerSimilarity",
+    "BooleanSimilarity",
+    "get_similarity",
+]
+
+
+@dataclass(frozen=True)
+class Similarity:
+    """Base: subclasses override weight() and kernel()."""
+
+    name: str = "base"
+    # θ/block-max pruning uses stored BM25 impacts — only sound for BM25
+    prunable: bool = False
+    # phrase/span scoring composes BM25 arithmetic (summed idf weights)
+    supports_phrases: bool = False
+
+    def weight(
+        self, n_docs: int, df: int, cf: int, total_len: int, dtype=np.float32
+    ) -> float:
+        raise NotImplementedError
+
+    def kernel(self, avgdl: float, dtype=np.float32):
+        """-> f(weight: float, boost: float, tfs: ndarray, dl: ndarray)."""
+        raise NotImplementedError
+
+
+@dataclass(frozen=True)
+class BM25Similarity(Similarity):
+    """BM25Similarity.java — the reference default (k1=1.2, b=0.75)."""
+
+    name: str = "bm25"
+    prunable: bool = True
+    supports_phrases: bool = True
+    k1: float = 1.2
+    b: float = 0.75
+
+    def weight(self, n_docs, df, cf, total_len, dtype=np.float32) -> float:
+        return float(dtype(math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))))
+
+    def kernel(self, avgdl, dtype=np.float32):
+        k1f = dtype(self.k1)
+        one_minus_b = dtype(1.0 - self.b)
+        bf = dtype(self.b)
+        avgdlf = dtype(avgdl)
+
+        def score(w, boost, tfs, dl):
+            # boost folds into the weight as a python-float product before
+            # the dtype round — bit-identical to the historic idf*boost map
+            idf = dtype(float(w) * float(boost))
+            cache = k1f * (one_minus_b + bf * dl / avgdlf)
+            return idf * tfs / (tfs + cache)
+
+        return score
+
+
+@dataclass(frozen=True)
+class ClassicSimilarity(Similarity):
+    """ClassicSimilarity.java (Lucene TFIDFSimilarity):
+    score = sqrt(tf) · idf² · lengthNorm, lengthNorm = 1/sqrt(dl)."""
+
+    name: str = "classic"
+
+    def weight(self, n_docs, df, cf, total_len, dtype=np.float32) -> float:
+        idf = dtype(1.0 + math.log((n_docs + 1) / (df + 1)))
+        return float(idf * idf)
+
+    def kernel(self, avgdl, dtype=np.float32):
+        def score(w, boost, tfs, dl):
+            wf = dtype(float(w) * float(boost))
+            return wf * np.sqrt(tfs) / np.sqrt(np.maximum(dl, dtype(1.0)))
+
+        return score
+
+
+@dataclass(frozen=True)
+class LMDirichletSimilarity(Similarity):
+    """LMDirichletSimilarity.java: Bayesian smoothing with Dirichlet prior
+    (Zhai & Lafferty 2004), mu=2000; negative scores clamp to 0 like the
+    Lucene implementation."""
+
+    name: str = "lmdirichlet"
+    mu: float = 2000.0
+
+    def weight(self, n_docs, df, cf, total_len, dtype=np.float32) -> float:
+        # collection LM probability P(t|C); cf >= 1 for any indexed term
+        return float(cf) / float(total_len)
+
+    def kernel(self, avgdl, dtype=np.float32):
+        muf = dtype(self.mu)
+
+        def score(w, boost, tfs, dl):
+            p = dtype(w)
+            s = np.log1p(tfs / (muf * p)) + np.log(muf / (dl + muf))
+            return dtype(boost) * np.maximum(s.astype(dtype), dtype(0.0))
+
+        return score
+
+
+@dataclass(frozen=True)
+class LMJelinekMercerSimilarity(Similarity):
+    """LMJelinekMercerSimilarity.java: linear interpolation smoothing,
+    lambda=0.7 (long queries; the javadoc suggests 0.1 for short ones)."""
+
+    name: str = "lmjelinekmercer"
+    lam: float = 0.7
+
+    def weight(self, n_docs, df, cf, total_len, dtype=np.float32) -> float:
+        return float(cf) / float(total_len)
+
+    def kernel(self, avgdl, dtype=np.float32):
+        ratio = dtype((1.0 - self.lam) / self.lam)
+
+        def score(w, boost, tfs, dl):
+            p = dtype(w)
+            s = np.log1p(ratio * tfs / (dl * p)).astype(dtype)
+            return dtype(boost) * s
+
+        return score
+
+
+@dataclass(frozen=True)
+class BooleanSimilarity(Similarity):
+    """BooleanSimilarity.java: score = query boost, ignoring tf/dl/stats."""
+
+    name: str = "boolean"
+
+    def weight(self, n_docs, df, cf, total_len, dtype=np.float32) -> float:
+        return 1.0
+
+    def kernel(self, avgdl, dtype=np.float32):
+        def score(w, boost, tfs, dl):
+            return np.full(tfs.shape, dtype(float(w) * float(boost)), dtype)
+
+        return score
+
+
+_REGISTRY = {
+    "bm25": BM25Similarity,
+    "classic": ClassicSimilarity,
+    "lmdirichlet": LMDirichletSimilarity,
+    "lmjelinekmercer": LMJelinekMercerSimilarity,
+    "boolean": BooleanSimilarity,
+}
+
+
+def get_similarity(name: str | Similarity, cfg=None, **params) -> Similarity:
+    """Resolve a similarity by factory name (case-insensitive).  ``cfg``
+    supplies k1/b for BM25 so the engine default stays config-driven;
+    ``params`` override per-similarity knobs (mu, lam, k1, b)."""
+    if isinstance(name, Similarity):
+        return name
+    key = str(name).lower()
+    if key not in _REGISTRY:
+        raise NotImplementedError(
+            f"unknown similarity {name!r}; available: {sorted(_REGISTRY)}"
+        )
+    if key == "bm25" and cfg is not None and not params:
+        return BM25Similarity(k1=cfg.bm25_k1, b=cfg.bm25_b)
+    return _REGISTRY[key](**params)
