@@ -1,0 +1,167 @@
+"""UpdateRequestProcessor chain (update/processor/*.java analogs)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from apache___solr_spark.ingest import (
+    clone_field,
+    concat_field,
+    count_field_values,
+    default_value,
+    field_length,
+    html_strip_field,
+    ignore_field,
+    langid_field,
+    processor_chain,
+    regex_replace,
+    remove_blank,
+    signature_dedup,
+    timestamp_field,
+    trim_field,
+    truncate_field,
+    uuid_field,
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "  Hello World  ", ["a", "b", "c"], None),
+            (2, "", ["x"], "keep"),
+            (3, None, None, None),
+        ],
+        "id long, title string, tags array<string>, note string",
+    )
+
+
+def test_scalar_processors_compose(spark):
+    chain = processor_chain(
+        trim_field("title"),
+        remove_blank("title"),
+        clone_field("title", "title_copy"),
+        default_value("note", "n/a"),
+        truncate_field("title", 5),
+        field_length("title_copy", "title_len"),
+        count_field_values("tags", "n_tags"),
+        concat_field("tags"),
+    )
+    rows = {r["id"]: r.asDict() for r in chain(_docs(spark)).collect()}
+    assert rows[1]["title"] == "Hello"
+    assert rows[1]["title_copy"] == "Hello World"
+    assert rows[1]["title_len"] == 11
+    assert rows[1]["n_tags"] == 3 and rows[1]["tags"] == "a, b, c"
+    assert rows[1]["note"] == "n/a"
+    assert rows[2]["title"] is None  # blank removed
+    assert rows[2]["note"] == "keep"  # default only fills absent
+    assert rows[3]["title"] is None and rows[3]["n_tags"] == 0
+
+
+def test_regex_replace(spark):
+    df = spark.createDataFrame([(1, "a   b\tc")], "id long, s string")
+    out = regex_replace("s", r"\s+", " ")(df).collect()[0]
+    assert out["s"] == "a b c"
+
+
+def test_ignore_and_timestamp_and_uuid(spark):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id long, s string")
+    chain = processor_chain(
+        timestamp_field("ts", literal="2026-01-02 03:04:05"),
+        uuid_field("doc_uuid", from_field="s"),
+        ignore_field("s"),
+    )
+    rows = chain(df).collect()
+    assert all(str(r["ts"]).startswith("2026-01-02") for r in rows)
+    assert "s" not in chain(df).columns
+    uuids = [r["doc_uuid"] for r in rows]
+    assert all(
+        re.fullmatch(r"[0-9a-f]{8}(-[0-9a-f]{4}){3}-[0-9a-f]{12}", u)
+        for u in uuids
+    )
+    # content-derived => deterministic and distinct
+    assert uuids == [r["doc_uuid"] for r in chain(df).collect()]
+    assert uuids[0] != uuids[1]
+    # random variant fills only absent values
+    df2 = spark.createDataFrame([("fixed",), (None,)], "id string")
+    got = uuid_field("id")(df2).collect()
+    assert got[0]["id"] == "fixed" or got[1]["id"] == "fixed"
+    assert all(r["id"] for r in got)
+
+
+def test_html_strip_field(spark):
+    df = spark.createDataFrame(
+        [(1, "<p>Hello <b>world</b></p>"), (2, None)],
+        "id long, body string",
+    )
+    rows = {
+        r["id"]: r["body_text"]
+        for r in html_strip_field("body", "body_text")(df).collect()
+    }
+    assert "Hello" in rows[1] and "world" in rows[1] and "<" not in rows[1]
+    assert rows[2] is None
+
+
+def test_signature_dedup(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "dup text", "A"),
+            (2, "dup text", "A"),
+            (3, "other", "A"),
+            (4, "dup text", "B"),  # different sig_field combo -> kept
+        ],
+        "id long, body string, site string",
+    )
+    out = signature_dedup(["body", "site"], order_by="id")(df)
+    rows = sorted(r["id"] for r in out.collect())
+    assert rows == [1, 3, 4]
+    # signature column present and equal for the collapsed pair
+    sigs = {
+        r["id"]: r["signature_"]
+        for r in signature_dedup(["body", "site"], overwrite_dupes=False)(
+            df
+        ).collect()
+    }
+    assert sigs[1] == sigs[2] and sigs[1] != sigs[4]
+
+
+def test_langid_matches_pipeline_layer(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox is on the hill and it was there"),
+            (2, "zzz qqq kkk vvv mmm nnn"),
+        ],
+        "id long, body string",
+    )
+    rows = {
+        r["id"]: r["language_"] for r in langid_field("body")(df).collect()
+    }
+    assert rows == {1: "en", 2: "other"}
+    # agrees with pipeline.textqual.detect_language on the same docs
+    from apache___solr_spark.pipeline.textqual import detect_language
+
+    ref = {
+        r["id"]: r["lang_pred"]
+        for r in detect_language(df, "body", "id").collect()
+    }
+    assert ref == rows
+
+
+def test_chain_is_one_projection(spark):
+    """The scalar chain must not introduce shuffles/actions: the plan of a
+    composed chain over a parquet scan stays exchange-free."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    p = os.path.join(d, "t.parquet")
+    _docs(spark).write.mode("overwrite").parquet(p)
+    chain = processor_chain(
+        trim_field("title"),
+        clone_field("title", "t2"),
+        default_value("note", "n/a"),
+        langid_field("title"),
+    )
+    plan = chain(spark.read.parquet(p))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
