@@ -4,15 +4,25 @@ Media travel as opaque ``binary`` columns plus typed metadata structs; the
 decode/feature kernels run as Arrow-batched ``mapInPandas`` so executors
 stream batches without materializing whole partitions.
 
-The decode step itself is STUBBED in this container (no PIL/ffmpeg):
-``decode_image`` raises NotImplementedError unless ``fake=True``, which
-substitutes a deterministic fake decoder so the Spark-side plumbing —
-schema, batch iteration, partition sizing — is real and tested.
+Decode support is honest about the container:
+
+- REAL decoders (pure numpy/stdlib, no PIL/ffmpeg needed): uncompressed
+  24-bit BMP, binary PPM (P6) / PGM (P5), PCM WAV (8/16-bit), and a
+  length-prefixed frame container for video-style frame sampling.
+  Encoders for the same formats make every decoder roundtrip-testable.
+- Codec formats (JPEG/PNG/MP4/...) raise NotImplementedError unless
+  ``fake=True`` substitutes the deterministic digest-seeded decoder, so
+  the Spark-side plumbing — schema, batch iteration, partition sizing —
+  is identical either way and a real PIL/ffmpeg kernel drops in without
+  touching the plan.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from typing import Iterator
 
 import numpy as np
@@ -23,15 +33,147 @@ MEDIA_SCHEMA = (
     "media_id long, content binary, mime string, width int, height int"
 )
 FEATURE_SCHEMA = "media_id long, width int, height int, feature array<float>"
+AUDIO_FEATURE_SCHEMA = (
+    "media_id long, sample_rate int, n_samples long, duration_sec double, "
+    "rms double, zero_crossing_rate double, spectral_centroid_hz double"
+)
+
+# ---------------------------------------------------------------------------
+# image codecs (numpy-only)
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """RGB uint8 (h, w, 3) -> uncompressed 24-bit BMP (BI_RGB, bottom-up,
+    4-byte row padding)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = np.repeat(px[:, :, None], 3, axis=2)
+    h, w, _ = px.shape
+    row = w * 3
+    pad = (-row) % 4
+    body = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up
+        body += px[r, :, ::-1].tobytes()  # BGR order
+        body += b"\x00" * pad
+    size = 14 + 40 + len(body)
+    hdr = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return bytes(hdr + info + body)
+
+
+def decode_bmp(content: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP -> RGB uint8 (h, w, 3)."""
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    offset = struct.unpack_from("<I", content, 10)[0]
+    (
+        _biSize,
+        w,
+        h,
+        _planes,
+        bitcount,
+        compression,
+    ) = struct.unpack_from("<IiiHHI", content, 14)
+    if bitcount != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported (got {bitcount}-bit, "
+            f"compression={compression})"
+        )
+    flip = h > 0
+    h = abs(h)
+    row = w * 3
+    stride = row + ((-row) % 4)
+    data = np.frombuffer(content, dtype=np.uint8, count=stride * h, offset=offset)
+    px = data.reshape(h, stride)[:, :row].reshape(h, w, 3)[:, :, ::-1]  # BGR->RGB
+    return px[::-1] if flip else px
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """RGB uint8 (h, w, 3) -> binary PPM (P6); grayscale (h, w) -> PGM (P5)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        h, w = px.shape
+        return b"P5\n%d %d\n255\n" % (w, h) + px.tobytes()
+    h, w, _ = px.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def decode_ppm(content: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> (h, w, 3); PGM (P5) -> (h, w); uint8."""
+    magic = content[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError("not a binary PPM/PGM stream")
+    # header: magic, whitespace/comments, width, height, maxval, single ws
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":
+            while content[pos : pos + 1] not in (b"\n", b""):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(content[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM unsupported")
+    if magic == b"P5":
+        return np.frombuffer(content, np.uint8, count=w * h, offset=pos).reshape(h, w)
+    return np.frombuffer(content, np.uint8, count=w * h * 3, offset=pos).reshape(
+        h, w, 3
+    )
 
 
 def _fake_decode(content: bytes, width: int, height: int) -> np.ndarray:
-    """Deterministic stand-in for an image decoder: derive a small pixel
-    array from a content digest (stable across runs/machines)."""
+    """Deterministic stand-in for a codec decoder: derive a pixel array
+    from a content digest (stable across runs/machines)."""
     digest = hashlib.sha256(content or b"").digest()
     seed = int.from_bytes(digest[:8], "big")
     rng = np.random.default_rng(seed)
     return rng.random((max(height, 1), max(width, 1)), dtype=np.float32)
+
+
+def decode_image(
+    content: bytes, mime: str = "", fake: bool = False, width: int = 0, height: int = 0
+) -> np.ndarray:
+    """binary -> grayscale float32 (h, w) in [0, 1].  BMP and PPM/PGM decode
+    for real; codec formats need ``fake=True`` (or a PIL kernel swapped in)."""
+    head = bytes(content[:2]) if content else b""
+    if head == b"BM" or "bmp" in mime:
+        rgb = decode_bmp(bytes(content))
+    elif head in (b"P5", b"P6") or "portable" in mime or "pnm" in mime:
+        rgb = decode_ppm(bytes(content))
+    elif fake:
+        return _fake_decode(bytes(content) if content is not None else b"", width, height)
+    else:
+        raise NotImplementedError(
+            f"no numpy decoder for mime={mime!r} (header {head!r}); JPEG/PNG "
+            "need PIL/libvips — not in this container; pass fake=True for "
+            "the deterministic stub"
+        )
+    if rgb.ndim == 3:
+        # ITU-R BT.601 luma
+        gray = rgb @ np.array([0.299, 0.587, 0.114], dtype=np.float32)
+    else:
+        gray = rgb.astype(np.float32)
+    return (gray / np.float32(255.0)).astype(np.float32)
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize — index arithmetic only, any dtype/channels."""
+    h, w = img.shape[:2]
+    rows = (np.arange(out_h) * h // out_h).astype(np.int64)
+    cols = (np.arange(out_w) * w // out_w).astype(np.int64)
+    return img[rows][:, cols]
+
+
+# ---------------------------------------------------------------------------
+# image operators
+# ---------------------------------------------------------------------------
 
 
 def extract_image_features(
@@ -39,35 +181,214 @@ def extract_image_features(
     fake: bool = False,
     feature_dim: int = 8,
 ) -> DataFrame:
-    """binary image column -> small feature vector per image.
-
-    Real deployments drop a PIL/torchvision kernel into ``run``; the batch
+    """binary image column -> small feature vector per image (row-mean
+    pooled to ``feature_dim`` buckets).  BMP/PPM decode for real;
+    ``fake=True`` routes unknown codecs through the digest stub.  Real
+    deployments drop a PIL/torchvision kernel into ``run``; the batch
     shape (Arrow record batches in, pandas out) and output schema stay
-    identical.
-    """
+    identical."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
-            for content, w, h in zip(pdf["content"], pdf["width"], pdf["height"]):
-                if not fake:
-                    raise NotImplementedError(
-                        "image decoding requires PIL/libvips — not in this "
-                        "container; pass fake=True for the deterministic stub"
-                    )
-                img = _fake_decode(bytes(content) if content is not None else b"", w, h)
-                # toy feature: row-mean pooled to feature_dim buckets
+            feats, widths, heights = [], [], []
+            for content, mime, w, h in zip(
+                pdf["content"], pdf["mime"], pdf["width"], pdf["height"]
+            ):
+                img = decode_image(
+                    content, mime or "", fake=fake, width=w, height=h
+                )
+                heights.append(img.shape[0])
+                widths.append(img.shape[1])
                 pooled = np.array_split(img.mean(axis=1), feature_dim)
                 feats.append(
-                    np.array([p.mean() if p.size else 0.0 for p in pooled], np.float32)
+                    np.array(
+                        [p.mean() if p.size else 0.0 for p in pooled],
+                        np.float32,
+                    )
                 )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "width": pdf["width"],
-                    "height": pdf["height"],
+                    "width": widths,
+                    "height": heights,
                     "feature": feats,
                 }
             )
 
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def resize_images(df: DataFrame, out_h: int, out_w: int) -> DataFrame:
+    """Decode BMP/PPM, nearest-neighbor resize to (out_h, out_w), re-encode
+    as BMP.  Returns (media_id, content, mime, width, height) — the same
+    MEDIA_SCHEMA shape, so resize stages chain."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for content, mime in zip(pdf["content"], pdf["mime"]):
+                head = bytes(content[:2]) if content is not None else b""
+                if head == b"BM":
+                    px = decode_bmp(bytes(content))
+                elif head in (b"P5", b"P6"):
+                    px = decode_ppm(bytes(content))
+                else:
+                    raise NotImplementedError(
+                        f"resize: no numpy decoder for {mime!r}"
+                    )
+                out.append(encode_bmp(resize_nearest(px, out_h, out_w)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": out,
+                    "mime": ["image/bmp"] * len(out),
+                    "width": [out_w] * len(out),
+                    "height": [out_h] * len(out),
+                }
+            )
+
+    return df.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# audio (stdlib wave + numpy)
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(
+    samples: np.ndarray, sample_rate: int = 16000, sampwidth: int = 2
+) -> bytes:
+    """float samples in [-1, 1] (or int16) -> mono PCM WAV bytes."""
+    s = np.asarray(samples)
+    if s.dtype.kind == "f":
+        s = np.clip(s, -1.0, 1.0)
+        s = (s * 32767.0).astype("<i2") if sampwidth == 2 else (
+            ((s + 1.0) * 127.5).astype(np.uint8)
+        )
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(sampwidth)
+        w.setframerate(sample_rate)
+        w.writeframes(s.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV -> (float32 mono samples in [-1, 1], sample_rate)."""
+    with wave.open(io.BytesIO(bytes(content)), "rb") as w:
+        rate = w.getframerate()
+        nch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if width == 2:
+        s = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 1:
+        s = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"{8 * width}-bit PCM unsupported")
+    if nch > 1:
+        s = s.reshape(-1, nch).mean(axis=1)
+    return s, rate
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """binary WAV column -> per-clip acoustic features: duration, RMS
+    energy, zero-crossing rate, and FFT spectral centroid — the numpy
+    feature set a training-data audio-quality filter needs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                s, rate = decode_wav(content)
+                n = len(s)
+                if n == 0:
+                    rows.append((mid, rate, 0, 0.0, 0.0, 0.0, 0.0))
+                    continue
+                rms = float(np.sqrt(np.mean(s * s)))
+                zcr = float(np.mean(np.abs(np.diff(np.signbit(s))))) if n > 1 else 0.0
+                spec = np.abs(np.fft.rfft(s))
+                freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+                denom = float(spec.sum())
+                centroid = float((freqs * spec).sum() / denom) if denom > 0 else 0.0
+                rows.append(
+                    (mid, rate, n, n / rate, rms, zcr, centroid)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "sample_rate",
+                    "n_samples",
+                    "duration_sec",
+                    "rms",
+                    "zero_crossing_rate",
+                    "spectral_centroid_hz",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# video-style frame container
+# ---------------------------------------------------------------------------
+
+
+def encode_frames(frames: list[bytes]) -> bytes:
+    """Length-prefixed frame container: u32 count, then (u32 len, bytes)
+    per frame — the deterministic stand-in for a video container so the
+    frame-sampling plumbing is real and testable without ffmpeg."""
+    out = bytearray(struct.pack("<I", len(frames)))
+    for f in frames:
+        out += struct.pack("<I", len(f)) + f
+    return bytes(out)
+
+
+def decode_frames(content: bytes) -> list[bytes]:
+    (n,) = struct.unpack_from("<I", content, 0)
+    pos, frames = 4, []
+    for _ in range(n):
+        (ln,) = struct.unpack_from("<I", content, pos)
+        pos += 4
+        frames.append(bytes(content[pos : pos + ln]))
+        pos += ln
+    return frames
+
+
+def sample_video_frames(df: DataFrame, every_n: int = 1) -> DataFrame:
+    """Explode each clip's frame container into one row per sampled frame
+    (every ``every_n``-th) — the frame-sampling stage of a video training
+    pipeline.  Output (media_id, frame_idx, content, mime, width, height)
+    chains into resize_images/extract_image_features.  A real MP4 kernel
+    replaces decode_frames; the explode shape stays."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, idxs, blobs = [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                for i, frame in enumerate(decode_frames(bytes(content))):
+                    if i % every_n:
+                        continue
+                    mids.append(mid)
+                    idxs.append(i)
+                    blobs.append(frame)
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "frame_idx": idxs,
+                    "content": blobs,
+                    "mime": ["image/bmp"] * len(blobs),
+                    "width": [0] * len(blobs),
+                    "height": [0] * len(blobs),
+                }
+            )
+
+    return df.mapInPandas(
+        run,
+        schema=(
+            "media_id long, frame_idx int, content binary, mime string, "
+            "width int, height int"
+        ),
+    )
