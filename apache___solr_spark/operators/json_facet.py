@@ -192,6 +192,34 @@ def _lower_level(
             if subs:
                 _lower_level(ranged, subs, keys, path + ".", out)
 
+        elif typ == "heatmap":
+            # FacetHeatmap.java capability (json.facet type:heatmap):
+            # grid-cell counting over two numeric dims; gridLevel is
+            # replaced by explicit start/gap per axis (our points are
+            # plain numeric columns, not encoded geohash prefixes).
+            # Subfacets/stats aggregate per cell like any other bucket.
+            fx, fy = node["x"], node["y"]
+            gx = (
+                F.floor(
+                    (F.col(fx) - F.lit(float(node["xStart"])))
+                    / F.lit(float(node["xGap"]))
+                )
+                .cast("long")
+                .alias("x_bucket")
+            )
+            gy = (
+                F.floor(
+                    (F.col(fy) - F.lit(float(node["yStart"])))
+                    / F.lit(float(node["yGap"]))
+                )
+                .cast("long")
+                .alias("y_bucket")
+            )
+            cells = df.withColumn("x_bucket", gx).withColumn("y_bucket", gy)
+            keys = parents + ["x_bucket", "y_bucket"]
+            out[path] = _agg_frame(cells, keys, stats).orderBy(*keys)
+            if subs:
+                _lower_level(cells, subs, keys, path + ".", out)
+
         else:
-            raise NotImplementedError(f"facet type {typ!r} (heatmap lives in "
-                                      "operators.streams.heatmap_facet)")
+            raise NotImplementedError(f"unknown facet type {typ!r}")

@@ -795,6 +795,8 @@ class SearchEngine:
         prune: bool = True,
         with_url: bool = True,
         doc_filter: list[int] | None = None,
+        bf: list | None = None,
+        boost: list | None = None,
     ) -> DataFrame:
         """Top-k docs for a query. Returns (rank, doc_id[, url], score).
 
@@ -802,6 +804,13 @@ class SearchEngine:
         the rescoring path (ReRankQParserPlugin semantics): the postings scan
         is pruned to the salt ranges containing those ids and only their
         postings are decoded, so rescoring 100 docs never scans the corpus.
+
+        ``bf``: additive function boosts (dismax bf param — each a Column
+        over the docs-table fields, functions/registry.parse_func_query);
+        ``boost``: multiplicative function boosts (edismax boost param /
+        BoostQParserPlugin).  Both join the matching docs' function values
+        BEFORE top-k, so the functions influence ranking like the
+        reference's FunctionQuery clauses.
         """
         if isinstance(query, str):
             tree = parse_query_tree(query, analyze_fn=self._analyze)
@@ -812,12 +821,22 @@ class SearchEngine:
                 # QueryParser.jj:135-172 recursive Clause/Query productions)
                 # -> the recursive evaluator
                 return self._search_tree(
-                    tree, k=k, with_url=with_url, doc_filter=doc_filter
+                    tree,
+                    k=k,
+                    with_url=with_url,
+                    doc_filter=doc_filter,
+                    bf=bf,
+                    boost=boost,
                 )
         elif isinstance(query, BoolQuery):
             # programmatic tree (dismax/edismax dispatch, mm support)
             return self._search_tree(
-                query, k=k, with_url=with_url, doc_filter=doc_filter
+                query,
+                k=k,
+                with_url=with_url,
+                doc_filter=doc_filter,
+                bf=bf,
+                boost=boost,
             )
         else:
             pq = query
@@ -1035,10 +1054,48 @@ class SearchEngine:
             )
 
         return self._finalize(
-            agg.select("doc_id", F.col("_s").cast(self._sql_t).alias("score")),
+            self._apply_funcs(
+                agg.select(
+                    "doc_id", F.col("_s").cast(self._sql_t).alias("score")
+                ),
+                bf,
+                boost,
+            ),
             k,
             with_url,
         )
+
+    def _apply_funcs(
+        self, frame: DataFrame, bf: list | None, boost: list | None
+    ) -> DataFrame:
+        """Fold additive (dismax ``bf``) / multiplicative (edismax
+        ``boost``) function values into the scored frame BEFORE top-k:
+        final = (query_score + Σ bf_i(doc)) · Π boost_j(doc).
+
+        Scale shape: the function columns project off the docs table and
+        hash-join the (already query-pruned) scored frame on doc_id — one
+        codegen'd projection plus one key join, no extra corpus pass."""
+        if not bf and not boost:
+            return frame
+        cols = []
+        if bf:
+            add = bf[0]
+            for c in bf[1:]:
+                add = add + c
+            cols.append(add.cast("double").alias("_bf"))
+        if boost:
+            mul = boost[0]
+            for c in boost[1:]:
+                mul = mul * c
+            cols.append(mul.cast("double").alias("_mult"))
+        vals = self.docs.select("doc_id", *cols)
+        out = frame.join(vals, "doc_id", "left")
+        score = F.col("score").cast("double")
+        if bf:
+            score = score + F.coalesce(F.col("_bf"), F.lit(0.0))
+        if boost:
+            score = score * F.coalesce(F.col("_mult"), F.lit(1.0))
+        return out.select("doc_id", score.cast(self._sql_t).alias("score"))
 
     def _finalize(self, scored: DataFrame, k: int, with_url: bool) -> DataFrame:
         """Top-k + two-phase fields fetch (QueryComponent.java:1000): phase 1
@@ -1104,6 +1161,8 @@ class SearchEngine:
         k: int = 10,
         with_url: bool = True,
         doc_filter: list[int] | None = None,
+        bf: list | None = None,
+        boost: list | None = None,
     ) -> DataFrame:
         """Recursive BooleanQuery evaluation (BooleanQuery nesting semantics,
         QueryParser.jj:135-172): each node yields a (doc_id, score) frame of
@@ -1270,4 +1329,4 @@ class SearchEngine:
         if self.deletes is not None:
             res = res.join(self.deletes, "doc_id", "left_anti")
         res = res.select("doc_id", F.col("score").cast(self._sql_t).alias("score"))
-        return self._finalize(res, k, with_url)
+        return self._finalize(self._apply_funcs(res, bf, boost), k, with_url)

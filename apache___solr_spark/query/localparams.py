@@ -144,6 +144,28 @@ def _parse_boosted_field(spec: str, param: str) -> float:
     return float(m.group(2) or 1.0)
 
 
+def _parse_func_boosts(spec: str | None) -> list:
+    """``bf``/``boost`` param -> list of doc-table Column expressions.
+    The reference accepts whitespace-separated function queries, each with
+    an optional trailing ``^N`` weight (DisMaxQParser.java getBoostFunctions
+    / ExtendedDismaxQParser getMultiplicativeBoosts); a function score is
+    linear in its weight, so ``f^N`` compiles to ``N * f``."""
+    if not spec:
+        return []
+    from pyspark.sql import functions as F
+
+    from apache___solr_spark.functions.registry import parse_func_query
+
+    out = []
+    for part in spec.split():
+        m = re.fullmatch(r"(.+?)\^(\d+(?:\.\d+)?)", part)
+        col = parse_func_query(m.group(1) if m else part)
+        if m:
+            col = col.cast("double") * F.lit(float(m.group(2)))
+        out.append(col)
+    return out
+
+
 def _dismax_tree(engine, rest: str, params: dict[str, str]) -> BoolQuery:
     """DisMaxQParser.java: the user string is escaped (no grammar beyond
     +/-/phrases), each chunk analyzed into an optional clause, ``mm``
@@ -153,9 +175,9 @@ def _dismax_tree(engine, rest: str, params: dict[str, str]) -> BoolQuery:
     Single-field simplifications (documented): ``qf``/``pf`` accept only
     ``text^boost`` (the boost is applied; with one field the per-term
     DisjunctionMax == the field score, so ``tie`` changes nothing and is
-    accepted-ignored); ``bf`` function boosts raise."""
-    if "bf" in params:
-        raise NotImplementedError("bf function boosts unsupported")
+    accepted-ignored).  ``bf``/``boost`` function params are handled by
+    dispatch_query (they compile to doc-table Column expressions, not
+    tree clauses)."""
     qf_boost = _parse_boosted_field(params.get("qf", "text"), "qf")
 
     root = BoolQuery()
@@ -219,8 +241,6 @@ def _edismax_tree(engine, rest: str, params: dict[str, str]) -> BoolQuery:
     dismax extras (mm over the root's SHOULD clauses, pf/ps/bq).  mm is
     applied unconditionally (the reference's operator-aware mm autorelax,
     ExtendedDismaxQParser.java parseOriginalQuery, is not modeled)."""
-    if "bf" in params:
-        raise NotImplementedError("bf function boosts unsupported")
     _parse_boosted_field(params.get("qf", "text"), "qf")
     root = parse_query_tree(rest, analyze_fn=engine._analyze)
     n_optional = sum(1 for c in root.children if c.occur == "SHOULD")
@@ -350,10 +370,23 @@ def dispatch_query(engine, q: str, k: int = 10, **kw) -> DataFrame:
         return _surround_query(engine, rest, k=k, **kw)
 
     if ptype == "dismax":
-        return engine.search(_dismax_tree(engine, rest, params), k=k, **kw)
+        return engine.search(
+            _dismax_tree(engine, rest, params),
+            k=k,
+            bf=_parse_func_boosts(params.get("bf")),
+            **kw,
+        )
 
     if ptype == "edismax":
-        return engine.search(_edismax_tree(engine, rest, params), k=k, **kw)
+        # edismax accepts dismax's additive bf AND the multiplicative
+        # boost param (ExtendedDismaxQParser.java: boost -> BoostedQuery)
+        return engine.search(
+            _edismax_tree(engine, rest, params),
+            k=k,
+            bf=_parse_func_boosts(params.get("bf")),
+            boost=_parse_func_boosts(params.get("boost")),
+            **kw,
+        )
 
     if ptype == "func":
         # FunctionQParserPlugin.java: every doc scores the function value

@@ -854,8 +854,55 @@ def test_dismax_dispatch(spark, built, oracle_idx):
     # qf boost scales scores; unknown field still raises
     with pytest.raises(NotImplementedError):
         dispatch_query(eng, "{!dismax qf=title}web", k=5)
-    with pytest.raises(NotImplementedError):
-        dispatch_query(eng, "{!dismax bf=log(popularity)}web", k=5)
+
+
+def test_dismax_bf_and_edismax_boost_functions(spark, built, oracle_idx):
+    """bf (additive, DisMaxQParser getBoostFunctions) and boost
+    (multiplicative, ExtendedDismaxQParser getMultiplicativeBoosts) over
+    docs-table function queries: final = (score + Σbf)·Πboost, verified
+    against the plain search re-ranked with the same arithmetic."""
+    from apache___solr_spark.query.localparams import dispatch_query
+
+    eng = SearchEngine(spark, built, cfg=CFG)
+    base = {
+        r["doc_id"]: r["score"]
+        for r in eng.search("web data", k=400).collect()
+    }
+    dl = {
+        r["doc_id"]: r["doclen"]
+        for r in eng.docs.select("doc_id", "doclen").collect()
+    }
+
+    def expect(keyf, k=10):
+        order = sorted(base, key=lambda d: (-keyf(d), d))[:k]
+        return order
+
+    # additive: score + 0.01*doclen  (bf=div(doclen,100))
+    got = [
+        r["doc_id"]
+        for r in dispatch_query(
+            eng, "{!dismax bf=div(doclen,100)}web data", k=10
+        ).collect()
+    ]
+    assert got == expect(lambda d: base[d] + dl[d] / 100.0)
+
+    # bf with ^weight: f^2 == 2*f
+    got_w = [
+        r["doc_id"]
+        for r in dispatch_query(
+            eng, "{!dismax bf=div(doclen,100)^2}web data", k=10
+        ).collect()
+    ]
+    assert got_w == expect(lambda d: base[d] + 2 * dl[d] / 100.0)
+
+    # multiplicative: score * doclen (edismax boost param)
+    got_m = [
+        r["doc_id"]
+        for r in dispatch_query(
+            eng, "{!edismax boost=doclen}web data", k=10
+        ).collect()
+    ]
+    assert got_m == expect(lambda d: base[d] * dl[d])
 
 
 def test_span_near_matches_oracle(spark, built, oracle_idx):

@@ -160,4 +160,38 @@ def test_mincount_and_bad_specs(events):
         json_facet(events, {"t": {"type": "terms", "field": "x",
                                   "facet": {"bad": "nonsense"}}})
     with pytest.raises(NotImplementedError):
-        json_facet(events, {"t": {"type": "heatmap", "field": "x"}})
+        json_facet(events, {"t": {"type": "geodist", "field": "x"}})
+
+
+def test_heatmap_facet_type(events, ddb):
+    """type:heatmap (FacetHeatmap.java capability): 2D grid-cell counts
+    with per-cell stats, DuckDB-oracled."""
+    out = json_facet(
+        events,
+        {
+            "grid": {
+                "type": "heatmap",
+                "x": "value",
+                "y": "user_id",
+                "xStart": 0.0,
+                "xGap": 25.0,
+                "yStart": 0.0,
+                "yGap": 500.0,
+                "facet": {"s": "sum(value)"},
+            }
+        },
+    )["grid"]
+    want = ddb.sql(
+        """
+        SELECT CAST(floor(value / 25.0) AS BIGINT) AS x_bucket,
+               CAST(floor(user_id / 500.0) AS BIGINT) AS y_bucket,
+               count(*) AS count, sum(value) AS s
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    got = [
+        (r["x_bucket"], r["y_bucket"], r["count"], round(r["s"], 6))
+        for r in out.collect()
+    ]
+    assert got == [(x, y, c, round(s, 6)) for x, y, c, s in want]
+    assert len(got) > 3
