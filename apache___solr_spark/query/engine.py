@@ -993,12 +993,13 @@ class SearchEngine:
                     slop=int(pq.slops.get(phrase_label(ph), 0)),
                 ).select(F.lit(phrase_label(ph)).alias("term"), "doc_id", "score")
             )
-        for label, _occur, matched, boost in exp_groups:
+        # NB: the loop variable must not shadow the ``boost`` parameter
+        for label, _occur, matched, gboost in exp_groups:
             # one disjunction clause: any matching expansion term matches
             # the clause; its score is the sum of the matched terms' scores
             gb = self._blocks_for(matched)
             gscored = self._scored(
-                gb, idf_by_term, {t: float(boost) for t in matched}
+                gb, idf_by_term, {t: float(gboost) for t in matched}
             )
             frames.append(
                 gscored.groupBy("doc_id")
