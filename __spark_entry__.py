@@ -141,11 +141,13 @@ def q_bm25_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.search("spark AND window -error", k=50)
 
 
-def _simple_engine(spark: SparkSession, sf_dir: str):
+def _simple_engine(spark: SparkSession, sf_dir: str, similarity: str = "bm25"):
     idx = _fulltext_index(spark, sf_dir, "simple")
     from apache___solr_spark.query.engine import SearchEngine
 
-    return SearchEngine(spark, idx, cfg=_index_cfg("simple"))
+    return SearchEngine(
+        spark, idx, cfg=_index_cfg("simple"), similarity=similarity
+    )
 
 
 def _rounded_hits(out: DataFrame) -> DataFrame:
@@ -161,6 +163,23 @@ def q_bm25_simple_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms, salted scan, block-max machinery) on the SQL-expressible analyzer
     — the driver value-hash-checks the engine's scoring itself."""
     eng = _simple_engine(spark, sf_dir)
+    return _rounded_hits(eng.search("table query merge", k=50, with_url=False))
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic TF-IDF similarity (search/similarities/
+    ClassicSimilarityFactory.java; Lucene TFIDFSimilarity: sqrt(tf) * idf^2
+    / sqrt(dl), idf = 1+ln((N+1)/(df+1))) through the pluggable similarity
+    registry on the real index — DuckDB-oracle-checked."""
+    eng = _simple_engine(spark, sf_dir, similarity="classic")
+    return _rounded_hits(eng.search("table query merge", k=50, with_url=False))
+
+
+def q_lmdirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM Dirichlet similarity (LMDirichletSimilarityFactory.java, mu=2000:
+    max(0, ln(1+tf/(mu*p)) + ln(mu/(dl+mu))), p = cf/total_len) through the
+    pluggable registry — DuckDB-oracle-checked."""
+    eng = _simple_engine(spark, sf_dir, similarity="lmdirichlet")
     return _rounded_hits(eng.search("table query merge", k=50, with_url=False))
 
 
@@ -1178,9 +1197,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": q_percentiles,
         "rrf": q_rrf,
         # oracle-checkable overflow: first past the driver's check window so
-        # it gets verified the moment the window grows; DuckDB-oracled in
-        # tests/test_textml.py either way
+        # they get verified the moment the window grows; DuckDB-oracled by
+        # tests/test_entry_contract.py (and test_textml.py) either way
         "features_igain": q_features_igain,
+        "tfidf_topk": q_tfidf_topk,
+        "lmdirichlet_topk": q_lmdirichlet_topk,
         # ---- rows-only tail (no SQL oracle; approximate / non-SQL ops,
         # each covered by pytest goldens): keep AFTER every oracle entry
         "bm25_topk": q_bm25_topk,
@@ -1240,6 +1261,59 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY score DESC, doc_id ASC LIMIT 20
             )
             SELECT doc_id, round(score, 6) AS score FROM top
+            ORDER BY round(score, 6) DESC, doc_id ASC
+        """,
+        "tfidf_topk": f"""
+            WITH {bm25},
+            tf_c AS (
+                SELECT doc_id, term, count(*) AS tf FROM toks
+                WHERE term IN ('table', 'query', 'merge') GROUP BY doc_id, term
+            ), df_c AS (
+                SELECT term, count(DISTINCT doc_id) AS df FROM toks
+                WHERE term IN ('table', 'query', 'merge') GROUP BY term
+            ), scored_c AS (
+                SELECT t.doc_id,
+                       sum(((1 + ln((s.n + 1.0) / (d.df + 1.0)))
+                            * (1 + ln((s.n + 1.0) / (d.df + 1.0))))
+                           * sqrt(t.tf) / sqrt(greatest(q.dlq, 1))) AS score
+                FROM tf_c t
+                JOIN df_c d USING (term)
+                JOIN qdl q USING (doc_id)
+                CROSS JOIN stats s
+                GROUP BY t.doc_id
+            ),
+            hits AS (
+                SELECT doc_id, score FROM scored_c
+                ORDER BY score DESC, doc_id ASC LIMIT 50
+            )
+            SELECT doc_id, round(score, 6) AS score FROM hits
+            ORDER BY round(score, 6) DESC, doc_id ASC
+        """,
+        "lmdirichlet_topk": f"""
+            WITH {bm25},
+            tf_l AS (
+                SELECT doc_id, term, count(*) AS tf FROM toks
+                WHERE term IN ('table', 'query', 'merge') GROUP BY doc_id, term
+            ), cf_l AS (
+                SELECT term, count(*) AS cf FROM toks
+                WHERE term IN ('table', 'query', 'merge') GROUP BY term
+            ), scored_l AS (
+                SELECT t.doc_id,
+                       sum(greatest(0.0,
+                           ln(1 + t.tf / (2000.0
+                               * (c.cf / CAST(s.total_len AS DOUBLE))))
+                           + ln(2000.0 / (q.dlq + 2000.0)))) AS score
+                FROM tf_l t
+                JOIN cf_l c USING (term)
+                JOIN qdl q USING (doc_id)
+                CROSS JOIN stats s
+                GROUP BY t.doc_id
+            ),
+            hits AS (
+                SELECT doc_id, score FROM scored_l
+                ORDER BY score DESC, doc_id ASC LIMIT 50
+            )
+            SELECT doc_id, round(score, 6) AS score FROM hits
             ORDER BY round(score, 6) DESC, doc_id ASC
         """,
         "prefix_boost_search": f"""

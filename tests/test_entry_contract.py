@@ -90,6 +90,11 @@ def test_oracle_keys_subset():
 # equivalent DuckDB-oracle comparison in pytest instead (named here).
 _ORACLE_OVERFLOW_OK = {
     "features_igain",  # tests/test_textml.py::test_igain_matches_duckdb
+    # similarity factories: DuckDB-checked by test_query_matches_oracle
+    # here (every oracle_sql entry is parametrized regardless of window)
+    # plus the scalar-oracle sweep in tests/test_similarities.py
+    "tfidf_topk",
+    "lmdirichlet_topk",
 }
 
 
