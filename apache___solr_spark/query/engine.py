@@ -1098,6 +1098,39 @@ class SearchEngine:
             score = score * F.coalesce(F.col("_mult"), F.lit(1.0))
         return out.select("doc_id", score.cast(self._sql_t).alias("score"))
 
+    def terms_query(
+        self, values: list[str], k: int = 10, with_url: bool = True
+    ) -> DataFrame:
+        """{!terms} (TermsQParserPlugin.java): set-membership filter over
+        the indexed field — docs containing ANY of the RAW values (no
+        analysis, matching the reference), constant score 1
+        (ConstantScoreQuery).  The scan prunes to the values' buckets with
+        the term predicate pushed down; intended for large IN lists where
+        the classic grammar would be unwieldy."""
+        vals = sorted({str(v) for v in values if v})
+        if not vals:
+            return self.spark.createDataFrame(
+                [],
+                "rank int, doc_id long"
+                + (", url string" if with_url else "")
+                + f", score {self._sql_t}",
+            )
+        from apache___solr_spark.query.similarities import BooleanSimilarity
+
+        scored = self._scored(
+            self._blocks_for(vals),
+            {v: 1.0 for v in vals},
+            kernel=BooleanSimilarity().kernel(
+                self.stats["avgdl"], dtype=self._dtype
+            ),
+        )
+        frame = scored.groupBy("doc_id").agg(
+            F.lit(1.0).cast(self._sql_t).alias("score")
+        )
+        if self.deletes is not None:
+            frame = frame.join(self.deletes, "doc_id", "left_anti")
+        return self._finalize(frame, k, with_url)
+
     def _finalize(self, scored: DataFrame, k: int, with_url: bool) -> DataFrame:
         """Top-k + two-phase fields fetch (QueryComponent.java:1000): phase 1
         ranks on the narrow (doc_id, score) via TakeOrderedAndProject; phase 2

@@ -310,7 +310,6 @@ _TABLE_SHAPED = {
     "graph": "operators.graph.gather_nodes/shortest_path",
     "parent": "operators.streams.block_join_parent",
     "child": "operators.streams.block_join_children",
-    "terms": "Column.isin / broadcast semi-join",
     "geofilt": "functions.spatial.geofilt (bbox prefilter + haversine)",
     "bbox": "functions.spatial.bbox_predicate",
     "ltr": "query.ltr.ltr_rerank (linear / tree-ensemble rescoring)",
@@ -470,6 +469,13 @@ def dispatch_query(engine, q: str, k: int = 10, **kw) -> DataFrame:
         if sub is None:
             raise ValueError(f"{{!switch}} has no case for {key!r}")
         return dispatch_query(engine, sub, k=k, **kw)
+
+    if ptype == "terms":
+        # TermsQParserPlugin.java: {!terms f=field separator=","}A,B,C —
+        # raw (un-analyzed) set filter, constant score, bucket-pruned scan
+        _check_field(params)
+        sep = params.get("separator", ",")
+        return engine.terms_query(rest.split(sep), k=k, **kw)
 
     if ptype == "raw":
         # RawQParserPlugin.java: like {!term} — no analysis, no readable-

@@ -1110,3 +1110,25 @@ def test_elevate(spark, built):
     assert tail[: len(want_tail)] == want_tail[: len(tail)]
     assert not any(r["elevated"] for r in out[2:])
     assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+
+
+def test_terms_qparser_set_filter(spark, built, oracle_idx):
+    """{!terms}: raw-value set membership, constant score 1, no analysis
+    (TermsQParserPlugin.java) — vs the oracle postings dict."""
+    from apache___solr_spark.query.localparams import dispatch_query
+
+    eng = SearchEngine(spark, built, cfg=CFG)
+    got = dispatch_query(eng, "{!terms f=text}web,data,zzznotaterm", k=500).collect()
+    want = sorted(
+        set(oracle_idx.postings.get("web", {})) | set(oracle_idx.postings.get("data", {}))
+    )
+    assert [r["doc_id"] for r in got] == want
+    assert all(r["score"] == 1.0 for r in got)
+    # raw means NO analysis: an uppercase value matches nothing
+    up = dispatch_query(eng, "{!terms f=text}WEB", k=50).collect()
+    assert up == []
+    # custom separator
+    got2 = dispatch_query(
+        eng, "{!terms f=text separator=|}web|data", k=500
+    ).collect()
+    assert [r["doc_id"] for r in got2] == want
