@@ -3,3 +3,7 @@ from apache___solr_spark.streaming.topic import (  # noqa: F401
     index_topic,
     topic_stream,
 )
+from apache___solr_spark.streaming.windows import (  # noqa: F401
+    sessionized_agg,
+    windowed_agg,
+)
