@@ -87,6 +87,8 @@ def _sim_term_weight(idx: OracleIndex, sim: str, t: str) -> float:
     if sim in ("lmdirichlet", "lmjelinekmercer"):
         cf = sum(plist.values())
         return float(cf) / float(sum(idx.doclen))
+    if sim in ("dfr", "dfr_inl2"):
+        return float(np.float32(math.log2((idx.n_docs + 1.0) / (df + 0.5))))
     if sim == "boolean":
         return 1.0
     raise NotImplementedError(f"oracle similarity {sim!r}")
@@ -127,6 +129,11 @@ def _sim_term_doc_score(
         return np.float32(boost) * np.float32(
             np.log1p(ratio * tff / (dl * p))
         )
+    if sim in ("dfr", "dfr_inl2"):
+        wf = np.float32(float(w) * float(boost))
+        ln2 = np.float32(math.log(2.0))
+        tfn = tff * np.float32(np.log1p(np.float32(1.0) * avgdlf / dl) / ln2)
+        return wf * tfn / (np.float32(1.0) + tfn)
     if sim == "boolean":
         return np.float32(float(w) * float(boost))
     raise NotImplementedError(f"oracle similarity {sim!r}")

@@ -31,6 +31,7 @@ matching Lucene's float arithmetic; float64 when cfg.score_dtype says so):
 - LMDirichlet(mu=2000):  max(0, log(1 + tf/(mu·p)) + log(mu/(dl+mu))),
   p = cf/total_len (the term's collection LM probability).
 - LMJelinekMercer(lambda=0.7): log(1 + (1-λ)·tf/dl / (λ·p)).
+- DFR InL2: log2((N+1)/(df+0.5)) · tfn/(1+tfn), tfn = tf·log2(1+avgdl/dl).
 - Boolean: the boost, constant per matching term.
 
 Engine integration notes:
@@ -60,6 +61,7 @@ __all__ = [
     "Similarity",
     "BM25Similarity",
     "ClassicSimilarity",
+    "DFRInL2Similarity",
     "LMDirichletSimilarity",
     "LMJelinekMercerSimilarity",
     "BooleanSimilarity",
@@ -182,6 +184,37 @@ class LMJelinekMercerSimilarity(Similarity):
 
 
 @dataclass(frozen=True)
+class DFRInL2Similarity(Similarity):
+    """DFRSimilarity.java with the classic InL2 combination —
+    BasicModelIn (inverse document frequency), AfterEffectL (Laplace,
+    whose score×(1+tfn) term is identically 1), NormalizationH2
+    (tfn = tf·log2(1 + c·avgdl/dl), c=1):
+
+        score = boost · log2((N+1)/(df+0.5)) · tfn/(1+tfn)
+
+    (search/similarities/DFRSimilarityFactory.java; Lucene
+    BasicModelIn/AfterEffectL/NormalizationH2 javadocs.)"""
+
+    name: str = "dfr_inl2"
+    c: float = 1.0
+
+    def weight(self, n_docs, df, cf, total_len, dtype=np.float32) -> float:
+        return float(dtype(math.log2((n_docs + 1.0) / (df + 0.5))))
+
+    def kernel(self, avgdl, dtype=np.float32):
+        avgdlf = dtype(avgdl)
+        cf_ = dtype(self.c)
+        ln2 = dtype(math.log(2.0))
+
+        def score(w, boost, tfs, dl):
+            wf = dtype(float(w) * float(boost))
+            tfn = tfs * (np.log1p(cf_ * avgdlf / dl) / ln2).astype(dtype)
+            return wf * tfn / (dtype(1.0) + tfn)
+
+        return score
+
+
+@dataclass(frozen=True)
 class BooleanSimilarity(Similarity):
     """BooleanSimilarity.java: score = query boost, ignoring tf/dl/stats."""
 
@@ -203,6 +236,8 @@ _REGISTRY = {
     "lmdirichlet": LMDirichletSimilarity,
     "lmjelinekmercer": LMJelinekMercerSimilarity,
     "boolean": BooleanSimilarity,
+    "dfr": DFRInL2Similarity,
+    "dfr_inl2": DFRInL2Similarity,
 }
 
 

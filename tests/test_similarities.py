@@ -22,7 +22,7 @@ from apache___solr_spark.query.engine import SearchEngine
 N_DOCS = 400
 CFG = IndexConfig(block_range=32, salt_range=128, n_buckets=8)
 
-SIMS = ["classic", "lmdirichlet", "lmjelinekmercer", "boolean"]
+SIMS = ["classic", "lmdirichlet", "lmjelinekmercer", "boolean", "dfr_inl2"]
 QUERIES = [
     "web",                 # single head term
     "web data",            # OR of two terms
@@ -130,7 +130,7 @@ def test_phrase_raises_under_non_bm25(spark, built):
 
 def test_unknown_similarity_raises(spark, built):
     with pytest.raises(NotImplementedError, match="unknown similarity"):
-        SearchEngine(spark, built, cfg=CFG, similarity="dfr")
+        SearchEngine(spark, built, cfg=CFG, similarity="sweetspot")
 
 
 def test_similarity_params_override(spark, built, oracle_idx):
