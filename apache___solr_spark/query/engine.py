@@ -1227,16 +1227,25 @@ class SearchEngine:
         # dictionary lookup for all idfs
         resolved: dict[int, list[str]] = {}
         leaf_terms: set[str] = set()
+        # terms scored WITHOUT a boost (TermNode boost==1 / unboosted
+        # Clause members) — these share ONE postings scan + decode below
+        # instead of one per leaf; boosted leaves keep the per-leaf path so
+        # the float32 weight*boost rounding stays bit-identical
+        shared_terms: set[str] = set()
 
         def walk(node, occur: str) -> None:
             if isinstance(node, TermNode):
                 leaf_terms.add(node.term)
+                if node.boost == 1.0:
+                    shared_terms.add(node.term)
             elif isinstance(node, PhraseNode):
                 leaf_terms.update(node.toks)
             elif isinstance(node, Clause):
                 cap = None if occur == "MUST_NOT" else 128
                 resolved[id(node)] = self._expand_clause(node, max_expansions=cap)
                 leaf_terms.update(resolved[id(node)])
+                if node.boost == 1.0:
+                    shared_terms.update(resolved[id(node)])
             elif isinstance(node, BoolQuery):
                 for c in node.children:
                     walk(c.node, c.occur)
@@ -1257,11 +1266,26 @@ class SearchEngine:
                 b = b.filter(F.col("salt").isin(salts))
             return b
 
+        # one bucket-pruned scan + vectorized decode for EVERY unboosted
+        # leaf term in the tree; leaves slice it by term predicate.  persist
+        # keeps the decode single-pass when several leaves (plan branches)
+        # read it; unpersisted after _finalize materializes the top-k.
+        shared_terms &= found
+        shared: DataFrame | None = None
+        if len(shared_terms) > 1:
+            shared = self._scored(
+                blocks_of(sorted(shared_terms)), idf_by_term
+            ).persist()
+
         def ev(node) -> DataFrame | None:
             """(doc_id, score) of matching docs; None == matches nothing."""
             if isinstance(node, TermNode):
                 if node.term not in found:
                     return None
+                if shared is not None and node.boost == 1.0:
+                    return shared.filter(F.col("term") == node.term).select(
+                        "doc_id", "score"
+                    )
                 return self._scored(
                     blocks_of([node.term]),
                     idf_by_term,
@@ -1286,11 +1310,14 @@ class SearchEngine:
                 matched = [t for t in resolved[id(node)] if t in found]
                 if not matched:
                     return None
-                g = self._scored(
-                    blocks_of(matched),
-                    idf_by_term,
-                    {t: float(node.boost) for t in matched},
-                )
+                if shared is not None and node.boost == 1.0:
+                    g = shared.filter(F.col("term").isin(matched))
+                else:
+                    g = self._scored(
+                        blocks_of(matched),
+                        idf_by_term,
+                        {t: float(node.boost) for t in matched},
+                    )
                 # accumulate in double; the final cast to the configured
                 # score dtype happens once, just before top-k (mirrors the
                 # oracle's f64 accumulation + single final rounding)
@@ -1357,10 +1384,15 @@ class SearchEngine:
 
         res = ev(tree)
         if res is None:
+            if shared is not None:
+                shared.unpersist()
             return spark.createDataFrame([], empty_schema)
         if doc_filter is not None:
             res = res.filter(F.col("doc_id").isin([int(d) for d in doc_filter]))
         if self.deletes is not None:
             res = res.join(self.deletes, "doc_id", "left_anti")
         res = res.select("doc_id", F.col("score").cast(self._sql_t).alias("score"))
-        return self._finalize(self._apply_funcs(res, bf, boost), k, with_url)
+        out = self._finalize(self._apply_funcs(res, bf, boost), k, with_url)
+        if shared is not None:
+            shared.unpersist()  # _finalize materialized the top-k
+        return out
