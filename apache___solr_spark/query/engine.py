@@ -797,6 +797,7 @@ class SearchEngine:
         doc_filter: list[int] | None = None,
         bf: list | None = None,
         boost: list | None = None,
+        _docset: bool = False,
     ) -> DataFrame:
         """Top-k docs for a query. Returns (rank, doc_id[, url], score).
 
@@ -827,6 +828,7 @@ class SearchEngine:
                     doc_filter=doc_filter,
                     bf=bf,
                     boost=boost,
+                    _docset=_docset,
                 )
         elif isinstance(query, BoolQuery):
             # programmatic tree (dismax/edismax dispatch, mm support)
@@ -837,6 +839,7 @@ class SearchEngine:
                 doc_filter=doc_filter,
                 bf=bf,
                 boost=boost,
+                _docset=_docset,
             )
         else:
             pq = query
@@ -916,6 +919,12 @@ class SearchEngine:
             blocks = blocks.filter(F.col("salt").isin(salts))
         if doc_filter is not None:
             prune = False  # the scan is already tiny; theta pass costs more
+        if _docset:
+            # theta is a TOP-K bound (k-th best partial score); a DocSet
+            # wants every match, so the pass is unsound here.  Salt-level
+            # MUST pruning below stays on — it only drops ranges that
+            # cannot contain a qualifying doc.
+            prune = False
 
         # theta pruning is only sound for pure-SHOULD queries: theta is the
         # k-th best PARTIAL score over docs containing the rarest term, and
@@ -1054,6 +1063,8 @@ class SearchEngine:
                 "left_anti",
             )
 
+        if _docset:
+            return agg.select("doc_id")
         return self._finalize(
             self._apply_funcs(
                 agg.select(
@@ -1065,6 +1076,14 @@ class SearchEngine:
             k,
             with_url,
         )
+
+    def docset(self, query: str | ParsedQuery) -> DataFrame:
+        """Full matching DocSet (search/BitDocSet.java / fq DocSet analog):
+        EVERY matching doc_id, no top-k, no scores, no two-phase fetch —
+        the input SimpleFacets-style components aggregate over.  Same
+        boolean/expansion/deletion semantics as search(); theta pruning is
+        forced off (it is a top-k bound, unsound for a full DocSet)."""
+        return self.search(query, prune=False, _docset=True).select("doc_id")
 
     def _apply_funcs(
         self, frame: DataFrame, bf: list | None, boost: list | None
@@ -1197,6 +1216,7 @@ class SearchEngine:
         doc_filter: list[int] | None = None,
         bf: list | None = None,
         boost: list | None = None,
+        _docset: bool = False,
     ) -> DataFrame:
         """Recursive BooleanQuery evaluation (BooleanQuery nesting semantics,
         QueryParser.jj:135-172): each node yields a (doc_id, score) frame of
@@ -1391,6 +1411,11 @@ class SearchEngine:
             res = res.filter(F.col("doc_id").isin([int(d) for d in doc_filter]))
         if self.deletes is not None:
             res = res.join(self.deletes, "doc_id", "left_anti")
+        if _docset:
+            # NB: shared stays persisted only within this plan; Spark frees
+            # it with the session — acceptable for the docset path, whose
+            # caller aggregates immediately
+            return res.select("doc_id")
         res = res.select("doc_id", F.col("score").cast(self._sql_t).alias("score"))
         out = self._finalize(self._apply_funcs(res, bf, boost), k, with_url)
         if shared is not None:

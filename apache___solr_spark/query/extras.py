@@ -254,3 +254,50 @@ def elevate(
         .orderBy("rank")
         .limit(k)
     )
+
+
+def simple_facets(
+    engine: SearchEngine,
+    query: str,
+    meta: DataFrame,
+    fields: list[str],
+    limit: int = 10,
+    mincount: int = 1,
+) -> DataFrame:
+    """facet.field counts over the FULL DocSet of a query — the classic
+    search+facet combo (handler/component/FacetComponent.java +
+    request/SimpleFacets.java:483 getTermCounts: count each field value
+    across every matching doc, not just the returned page).
+
+    ``meta``: DataFrame carrying ``url`` plus the facet fields (the
+    stored-fields/docValues analog; the index's docs table stores only
+    url/doclen/norm, so facet metadata rides a url-keyed side table).
+
+    Returns (field, value, count) — per field the top ``limit`` values with
+    count >= ``mincount``, ordered count desc then value asc (facet.sort=
+    count with index-order ties, SimpleFacets.java:520).
+
+    Scale shape: the DocSet never leaves the cluster — docset() is a
+    bucket-pruned postings scan + aggregation; the url join and the
+    stack/groupBy are one shuffle each, all JVM expressions."""
+    ids = engine.docset(query)
+    hit_urls = engine.docs.join(ids, "doc_id", "left_semi").select("url")
+    joined = hit_urls.join(meta, "url")
+    pairs = ", ".join(f"'{f}', cast(`{f}` as string)" for f in fields)
+    stacked = joined.select(
+        F.expr(f"stack({len(fields)}, {pairs}) as (field, value)")
+    )
+    counts = (
+        stacked.groupBy("field", "value")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .filter(F.col("count") >= mincount)
+    )
+    w = Window.partitionBy("field").orderBy(
+        F.col("count").desc(), F.col("value").asc()
+    )
+    return (
+        counts.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= limit)
+        .select("field", "value", "count")
+        .orderBy("field", F.col("count").desc(), "value")
+    )

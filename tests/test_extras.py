@@ -653,3 +653,48 @@ def test_parse_func_query(spark):
         parse_func_query("sum(a,b) trailing")
     with pytest.raises(ValueError):
         parse_func_query("@#!")
+
+
+def test_docset_equals_exhaustive_search(spark, built):
+    out, _ = built
+    eng = SearchEngine(spark, out, cfg=CFG)
+    from apache___solr_spark.query.extras import simple_facets  # noqa: F401
+
+    for q in ["web", "web data page", "web AND data", "web -data", '"web data"']:
+        ds = {r["doc_id"] for r in eng.docset(q).collect()}
+        full = {
+            r["doc_id"]
+            for r in eng.search(q, k=10**9, prune=False, with_url=False).collect()
+        }
+        assert ds == full, q
+        assert ds  # non-vacuous: every query matches something
+
+
+def test_simple_facets_match_python_oracle(spark, built):
+    from collections import Counter
+
+    from apache___solr_spark.query.extras import simple_facets
+
+    out, table = built
+    eng = SearchEngine(spark, out, cfg=CFG)
+    idx = build_oracle_index(table.to_pylist())
+    hits = oracle_search(idx, "web data", k=idx.n_docs)
+    url_by_doc = {r["doc_id"]: r["url"] for r in eng.docs.collect()}
+    lang_by_url = dict(
+        zip(table.column("url").to_pylist(), table.column("lang").to_pylist())
+    )
+    want = Counter(lang_by_url[url_by_doc[h["doc_id"]]] for h in hits)
+    assert len(want) == 2  # planted: en + xx both present in the DocSet
+
+    meta = spark.createDataFrame(
+        [(u, l) for u, l in lang_by_url.items()], "url string, lang string"
+    )
+    got = {
+        (r["field"], r["value"]): r["count"]
+        for r in simple_facets(eng, "web data", meta, ["lang"]).collect()
+    }
+    assert got == {("lang", k): v for k, v in want.items()}
+
+    # limit=1 keeps only the top value per field; mincount filters the rest
+    top = simple_facets(eng, "web data", meta, ["lang"], limit=1).collect()
+    assert len(top) == 1 and top[0]["value"] == want.most_common(1)[0][0]
