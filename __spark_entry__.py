@@ -1080,6 +1080,164 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tagged_union(frames: dict[str, DataFrame], tag: str) -> DataFrame:
+    """Union same-schema case frames with a literal tag column — the driver
+    value-hash-checks every case of a merged entry in one window slot."""
+    out = None
+    for name, df in frames.items():
+        f = df.select(F.lit(name).alias(tag), "*")
+        out = f if out is None else out.unionByName(f)
+    return out
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pluggable similarity registry (search/similarities/*Factory.java) —
+    the SAME query scored by BM25, classic TF-IDF and LM Dirichlet through
+    the real index + engine, one tagged case per model; every case is
+    value-hash-checked against its DuckDB scoring oracle (merged from the
+    round-2 entries bm25_simple_topk / tfidf_topk / lmdirichlet_topk to fit
+    the driver's 50-entry check window)."""
+    frames = {}
+    for sim in ("bm25", "classic", "lmdirichlet"):
+        eng = _simple_engine(spark, sf_dir, similarity=sim)
+        frames[sim] = _rounded_hits(
+            eng.search("table query merge", k=50, with_url=False)
+        )
+    return _tagged_union(frames, "sim").orderBy(
+        "sim", F.col("score").desc(), "doc_id"
+    )
+
+
+def q_query_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic-parser surface in one tagged entry (merged from the round-2
+    entries bm25_simple_and / bm25_simple_nested / phrase_search /
+    prefix_boost_search): MUST+MUST_NOT boolean, nested groups with a sloppy
+    phrase, exact-adjacency phrase, and prefix-expansion+boost — each case
+    value-hash-checked against its DuckDB BM25 oracle."""
+    eng = _simple_engine(spark, sf_dir)
+    frames = {
+        "must_not": _rounded_hits(
+            eng.search("table AND query -merge", k=50, with_url=False)
+        ),
+        "nested_sloppy": _rounded_hits(
+            eng.search(
+                '+("part filter"~2 merge) +(table query) -scan',
+                k=50,
+                with_url=False,
+            )
+        ),
+        "phrase": _rounded_hits(
+            eng.search('"part filter" merge', k=50, with_url=False)
+        ),
+        "prefix_boost": _rounded_hits(
+            eng.search("s* merge^2", k=50, with_url=False)
+        ),
+    }
+    return _tagged_union(frames, "qcase").orderBy(
+        "qcase", F.col("score").desc(), "doc_id"
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline text metrics in one wide frame (merged from the
+    round-2 entries token_count / detect_language / quality_score): token
+    and subword counts, stopword-ratio language id, and the quality
+    heuristic, joined per doc — every column oracle-checked."""
+    tc = q_token_count(spark, sf_dir)
+    dl = q_detect_language(spark, sf_dir)
+    qs = q_quality_score(spark, sf_dir).drop("n_tokens")
+    return tc.join(dl, "doc_id").join(qs, "doc_id").orderBy("doc_id")
+
+
+def q_topk_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k collector + CursorMark keyset paging (RankStream.java:54,
+    search/CursorMark.java:46) as tagged cases of one entry (merged from
+    the round-2 entries topk_orders / cursor_page)."""
+    frames = {
+        "topk": q_topk_orders(spark, sf_dir),
+        "cursor": q_cursor_page(spark, sf_dir),
+    }
+    return _tagged_union(frames, "page").orderBy("page", "o_orderkey")
+
+
+def q_range_facet_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range facet gap buckets plus other=all before/after/between buckets
+    (FacetRangeProcessor.java:51) as tagged cases of one entry (merged from
+    the round-2 entries range_facet / range_facet_other)."""
+    gap = q_range_facet(spark, sf_dir).select(
+        F.lit("gap").alias("fkind"),
+        F.col("bucket_start").cast("string").alias("bucket"),
+        F.col("n"),
+    )
+    other = q_range_facet_other(spark, sf_dir)
+    cnt = [c for c in other.columns if c != "bucket"][0]
+    other = other.select(
+        F.lit("other").alias("fkind"),
+        F.col("bucket").cast("string").alias("bucket"),
+        F.col(cnt).alias("n"),
+    )
+    return gap.unionByName(other).orderBy("fkind", "bucket")
+
+
+def q_near_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH and SimHash near-dup candidate pairs as tagged cases of
+    one entry (merged from the round-2 rows-only entries
+    minhash_lsh_candidates / simhash_candidates; hash families not
+    SQL-expressible — rows-only here, value-checked vs exact Jaccard in
+    tests/test_pipeline.py).  ``sim`` is the method's own estimate:
+    est_jaccard for minhash, 1 - hamming/64 for simhash."""
+    mh = q_minhash_lsh(spark, sf_dir).select(
+        F.lit("minhash").alias("method"),
+        "id_a",
+        "id_b",
+        F.round("est_jaccard", 6).alias("sim"),
+    )
+    sh = q_simhash(spark, sf_dir).select(
+        F.lit("simhash").alias("method"),
+        "id_a",
+        "id_b",
+        F.round(1 - F.col("hamming") / 64.0, 6).alias("sim"),
+    )
+    return mh.unionByName(sh).orderBy("method", "id_a", "id_b")
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted approximate-nearest-neighbor top-k through BOTH index
+    shapes — random-hyperplane LSH buckets and the IVF spherical-k-means
+    coarse quantizer — as tagged cases of one entry (merged from the
+    round-2 rows-only entries cosine_topk_lsh / ann_ivf_topk; approximate
+    by design, recall + partition pruning asserted in
+    tests/test_pipeline.py)."""
+    lsh = q_cosine_topk_lsh(spark, sf_dir).select(
+        F.lit("lsh").alias("method"), "vec_id", "cosine"
+    )
+    ivf = q_ann_ivf_topk(spark, sf_dir).select(
+        F.lit("ivf").alias("method"), "vec_id", "cosine"
+    )
+    return lsh.unionByName(ivf).orderBy(
+        "method", F.col("cosine").desc(), "vec_id"
+    )
+
+
+def q_simple_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """facet.field counts over the FULL DocSet of a query — the classic
+    search+facet combo (handler/component/FacetComponent.java +
+    request/SimpleFacets.java:483 getTermCounts): every matching doc
+    counted, not just the returned page.  The DocSet comes from the real
+    index's bucket-pruned postings scan (engine.docset()); field metadata
+    rides a url-keyed side table."""
+    from apache___solr_spark.query.extras import simple_facets
+
+    eng = _simple_engine(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    meta = d.select(
+        F.format_string("doc%09d", F.col("doc_id")).alias("url"),
+        "lang",
+        "source",
+    )
+    return simple_facets(eng, "table AND query", meta, ["lang", "source"])
+
+
 def _bm25_sql_prefix() -> str:
     """Shared CTEs for the BM25 oracles: SQL tokens, corpus stats, the
     SmallFloat 256-entry norm table (index/smallfloat.py — encode rounds a
@@ -1133,29 +1291,41 @@ def _bm25_scored_cte(name: str, terms: list[str], boost: float = 1.0) -> str:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Entry order matters: the driver checks the FIRST 50 entries, so every
-    oracle-backed entry (one per key of oracle_sql()) comes first; the
-    rows-only tail (genuinely approximate / non-SQL-expressible operators,
-    each pytest-covered) follows.  tests/test_entry_contract.py asserts the
-    invariant.  The redundant standard-mode duplicates of oracle-green
-    entries (rerank ~ bm25_simple_rerank, more_like_this ~ mlt_simple) are
-    exposed as library functions but not registered twice."""
+    """Exactly 50 entries — the driver checks the FIRST 50, so EVERY entry
+    (45 oracle-backed first, then 5 rows-only approximate/non-SQL operators,
+    each pytest-covered) is inside the window; tests/test_entry_contract.py
+    asserts the invariant.  Same-shape round-2 entries are merged into
+    tagged-union entries whose DuckDB oracles UNION ALL the per-case SQL, so
+    every merged operator stays value-hash-checked:
+
+    - similarity_topk = bm25_simple_topk + tfidf_topk + lmdirichlet_topk
+      (tag ``sim``)
+    - query_suite = bm25_simple_and + bm25_simple_nested + phrase_search +
+      prefix_boost_search (tag ``qcase``)
+    - text_quality = token_count + detect_language + quality_score (joined)
+    - topk_page = topk_orders + cursor_page (tag ``page``)
+    - range_facet = range_facet + range_facet_other (tag ``fkind``)
+    - near_dup_candidates = minhash_lsh_candidates + simhash_candidates
+      (tag ``method``, rows-only)
+    - ann_topk = cosine_topk_lsh + ann_ivf_topk (tag ``method``, rows-only)
+
+    The redundant standard-analyzer duplicates of oracle-green entries
+    (bm25_topk ~ similarity_topk's bm25 case, bm25_and_not ~ query_suite's
+    must_not case, rerank ~ bm25_simple_rerank, more_like_this ~ mlt_simple)
+    stay exported as library functions and bench headlines but are not
+    registered twice."""
     return {
         # fulltext core, SQL-expressible analyzer: the REAL index + engine,
-        # value-hash-checked against DuckDB BM25 arithmetic end to end
-        "bm25_simple_topk": q_bm25_simple_topk,
-        "bm25_simple_and": q_bm25_simple_and,
+        # value-hash-checked against DuckDB scoring arithmetic end to end
+        "similarity_topk": q_similarity_topk,
+        "query_suite": q_query_suite,
         "bm25_simple_rerank": q_bm25_simple_rerank,
-        "bm25_simple_nested": q_bm25_simple_nested,
-        "phrase_search": q_phrase_search,
-        "prefix_boost_search": q_prefix_boost_search,
         # SQL-checkable text/search ops
         "term_stats": q_term_stats,
         "boolean_and_search": q_boolean_and_search,
+        "simple_facets": q_simple_facets,
         # training-pipeline ops
-        "token_count": q_token_count,
-        "detect_language": q_detect_language,
-        "quality_score": q_quality_score,
+        "text_quality": q_text_quality,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "cosine_topk": q_cosine_topk,
@@ -1169,15 +1339,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersect": q_intersect,
         "complement": q_complement,
         "cartesian_product": q_cartesian_product,
-        "range_facet": q_range_facet,
+        "range_facet": q_range_facet_all,
         "timeseries": q_timeseries,
         "facet_event_types": q_facet_event_types,
         "facet2d": q_facet2d,
         "collapse": q_collapse,
         "group_top_n": q_group_top_n,
         "expand": q_expand,
-        "topk_orders": q_topk_orders,
-        "cursor_page": q_cursor_page,
+        "topk_page": q_topk_page,
         "merge_unique": q_merge_unique,
         "having": q_having,
         "stats_stream": q_stats_stream,
@@ -1189,37 +1358,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relatedness": q_relatedness,
         "gather_nodes": q_gather_nodes,
         "suggest": q_suggest,
-        "range_facet_other": q_range_facet_other,
         "highlight": q_highlight,
         "pivot_facet": q_pivot_facet,
         "query_facet": q_query_facet,
         "mlt_simple": q_mlt_simple,
         "percentiles": q_percentiles,
         "rrf": q_rrf,
-        # oracle-checkable overflow: first past the driver's check window so
-        # they get verified the moment the window grows; DuckDB-oracled by
-        # tests/test_entry_contract.py (and test_textml.py) either way
         "features_igain": q_features_igain,
-        "tfidf_topk": q_tfidf_topk,
-        "lmdirichlet_topk": q_lmdirichlet_topk,
         # ---- rows-only tail (no SQL oracle; approximate / non-SQL ops,
         # each covered by pytest goldens): keep AFTER every oracle entry
-        "bm25_topk": q_bm25_topk,
-        "bm25_and_not": q_bm25_and,
-        "minhash_lsh_candidates": q_minhash_lsh,
-        "simhash_candidates": q_simhash,
-        "cosine_topk_lsh": q_cosine_topk_lsh,
-        "ann_ivf_topk": q_ann_ivf_topk,
+        "near_dup_candidates": q_near_dup_candidates,
+        "ann_topk": q_ann_topk,
         "json_facet_nested": q_json_facet_nested,
         "classify_logit": q_classify_logit,
         "span_near_unordered": q_span_near,
     }
 
 
+def _union_cases(tag: str, cases: dict[str, str], order: str) -> str:
+    """Compose a merged-entry oracle: each component's oracle SQL, verbatim,
+    as a tagged subquery (DuckDB allows WITH inside derived tables) — the
+    per-case arithmetic stays byte-identical to the round-2 oracles."""
+    parts = " UNION ALL ".join(
+        f"SELECT '{name}' AS {tag}, * FROM ({sql})"
+        for name, sql in cases.items()
+    )
+    return parts + f" ORDER BY {order}"
+
+
 def oracle_sql() -> dict[str, str]:
     stops = _stops_sql()
     bm25 = _bm25_sql_prefix()
-    return {
+    d = {
         "bm25_simple_topk": f"""
             WITH {bm25}{_bm25_scored_cte("q", ["table", "query", "merge"])},
             hits AS (
@@ -1995,3 +2165,69 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY raw_score DESC, term LIMIT 25
         """,
     }
+
+    # ---- merged entries (see queries() docstring): compose each from the
+    # component oracles verbatim so the per-case arithmetic is unchanged.
+    d["similarity_topk"] = _union_cases(
+        "sim",
+        {
+            "bm25": d.pop("bm25_simple_topk"),
+            "classic": d.pop("tfidf_topk"),
+            "lmdirichlet": d.pop("lmdirichlet_topk"),
+        },
+        "sim, score DESC, doc_id",
+    )
+    d["query_suite"] = _union_cases(
+        "qcase",
+        {
+            "must_not": d.pop("bm25_simple_and"),
+            "nested_sloppy": d.pop("bm25_simple_nested"),
+            "phrase": d.pop("phrase_search"),
+            "prefix_boost": d.pop("prefix_boost_search"),
+        },
+        "qcase, score DESC, doc_id",
+    )
+    d["text_quality"] = f"""
+        SELECT t.doc_id AS doc_id, t.n_tokens, t.n_subwords_est,
+               l.stopword_ratio, l.lang_pred,
+               q.mean_wordlen, q.punct_ratio, q.stop_ratio, q.quality
+        FROM ({d.pop("token_count")}) t
+        JOIN ({d.pop("detect_language")}) l ON t.doc_id = l.doc_id
+        JOIN ({d.pop("quality_score")}) q ON t.doc_id = q.doc_id
+        ORDER BY doc_id
+    """
+    d["topk_page"] = _union_cases(
+        "page",
+        {"topk": d.pop("topk_orders"), "cursor": d.pop("cursor_page")},
+        "page, o_orderkey",
+    )
+    gap, other = d.pop("range_facet"), d.pop("range_facet_other")
+    d["range_facet"] = f"""
+        SELECT 'gap' AS fkind, CAST(bucket_start AS VARCHAR) AS bucket, n
+        FROM ({gap})
+        UNION ALL
+        SELECT 'other' AS fkind, CAST(bucket AS VARCHAR) AS bucket, n
+        FROM ({other})
+        ORDER BY fkind, bucket
+    """
+    d["simple_facets"] = f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+        ), m AS (
+            SELECT doc_id FROM toks WHERE term IN ('table', 'query')
+            GROUP BY doc_id HAVING count(DISTINCT term) = 2
+        ), j AS (
+            SELECT d.lang, d.source FROM documents d JOIN m USING (doc_id)
+        ), c AS (
+            SELECT 'lang' AS field, lang AS value, count(*) AS count
+            FROM j GROUP BY lang
+            UNION ALL
+            SELECT 'source' AS field, source AS value, count(*) AS count
+            FROM j GROUP BY source
+        )
+        SELECT field, value, count FROM c
+        QUALIFY row_number() OVER (
+            PARTITION BY field ORDER BY count DESC, value ASC) <= 10
+        ORDER BY field, count DESC, value
+    """
+    return d

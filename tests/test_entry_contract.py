@@ -84,27 +84,15 @@ def test_oracle_keys_subset():
     assert set(ORACLES) <= set(ALL)
 
 
-# Oracle-backed entries allowed past the driver's 50-entry check window:
-# every slot inside the window is already a distinct green operator from
-# round 2 that must stay checked, so these overflow entries carry an
-# equivalent DuckDB-oracle comparison in pytest instead (named here).
-_ORACLE_OVERFLOW_OK = {
-    "features_igain",  # tests/test_textml.py::test_igain_matches_duckdb
-    # similarity factories: DuckDB-checked by test_query_matches_oracle
-    # here (every oracle_sql entry is parametrized regardless of window)
-    # plus the scalar-oracle sweep in tests/test_similarities.py
-    "tfidf_topk",
-    "lmdirichlet_topk",
-}
-
-
-def test_every_oracle_entry_inside_driver_window():
-    """The driver checks only the FIRST 50 queries() entries; every
-    oracle-backed entry must sit inside that window (rows-only entries may
-    spill past it — they carry pytest evidence instead), except the
-    documented pytest-oracled overflow above."""
-    first50 = set(list(ALL)[:50])
-    outside = [
-        k for k in ORACLES if k not in first50 and k not in _ORACLE_OVERFLOW_OK
-    ]
-    assert outside == [], outside
+def test_every_entry_inside_driver_window():
+    """The driver checks only the FIRST 50 queries() entries; the registry
+    holds exactly <= 50 (merged tagged-union entries keep every operator
+    value-checked) with all oracle-backed entries before the rows-only
+    tail, so NO entry is ever outside the check window."""
+    assert len(ALL) <= 50, len(ALL)
+    keys = list(ALL)
+    first_rows_only = next(
+        (i for i, k in enumerate(keys) if k not in ORACLES), len(keys)
+    )
+    misplaced = [k for k in keys[first_rows_only:] if k in ORACLES]
+    assert misplaced == [], misplaced
