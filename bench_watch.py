@@ -1,0 +1,96 @@
+"""Opportunistic scaling-session launcher.
+
+The shared host's noise cycles on ~minutes periods and genuinely quiet
+windows (where BOTH parallelism levels of the probe hit uncontended
+throughput) are rare — about 1 probe in 30.  Launching bench_scaling.py
+blind therefore mostly measures neighbors, not the engine.  This watcher
+probes cheaply (~25 s per probe pair, no Spark) every ~2 minutes and fires
+ONE full bench_scaling session the moment a window opens, then exits.
+
+Gate (absolute levels, per BENCH/BASELINE.md): the 4-worker probe must be
+near the uncontended ~4.5 tasks/s and the 16-worker probe near ~15.5 —
+the probe-pair RATIO alone is too noisy to gate on, and a "superlinear"
+ratio (> 1.05) means neighbors are crushing the low level, which would
+dishonestly inflate the measured efficiency.
+
+Usage: python bench_watch.py [session_tag]   (env WATCH_BUDGET_SEC,
+WATCH_MIN_P4, WATCH_MIN_P16 override the defaults)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from bench_ceiling import run as probe  # noqa: E402
+
+CORPUS = os.environ.get(
+    "SCALING_CORPUS", "/tmp/scaling_corpus_s567asuu/pages.parquet"
+)
+
+
+def main() -> None:
+    tag = sys.argv[1] if len(sys.argv) > 1 else "watch"
+    budget = float(os.environ.get("WATCH_BUDGET_SEC", "10800"))
+    min_p4 = float(os.environ.get("WATCH_MIN_P4", "4.4"))
+    min_p16 = float(os.environ.get("WATCH_MIN_P16", "15.0"))
+    deadline = time.time() + budget
+    if not os.path.exists(CORPUS):
+        from apache___solr_spark.corpus import write_pages_parquet
+
+        os.makedirs(os.path.dirname(CORPUS), exist_ok=True)
+        write_pages_parquet(
+            CORPUS, n_docs=3_000_000, seed=42, n_jobs=os.cpu_count() or 8
+        )
+    n = 0
+    while time.time() < deadline:
+        p4 = probe(4, tasks=32)
+        p16 = probe(16, tasks=32)
+        eff = p16 / p4 / 4.0
+        n += 1
+        print(
+            f"[watch {n}] probe4={p4:.2f} probe16={p16:.2f} eff={eff:.3f}",
+            flush=True,
+        )
+        if p4 >= min_p4 and p16 >= min_p16 and eff <= 1.05:
+            print("[watch] window open — launching bench_scaling", flush=True)
+            env = dict(
+                os.environ,
+                SCALING_LEVELS="4,16",
+                SCALING_CORPUS=CORPUS,
+                SCALING_REPEATS=os.environ.get("SCALING_REPEATS", "1"),
+                SCALING_PROBE_BUDGET_SEC="60",
+            )
+            r = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench_scaling.py")],
+                env=env,
+                cwd=REPO,
+            )
+            src = os.path.join(REPO, "BENCH", "scaling_4_16.json")
+            if r.returncode == 0 and os.path.exists(src):
+                dst = os.path.join(
+                    REPO, "BENCH", f"scaling_4_16_session{tag}.json"
+                )
+                shutil.copyfile(src, dst)
+                with open(src) as f:
+                    res = json.load(f)
+                print(
+                    f"[watch] session {tag}: raw="
+                    f"{res['scaling_efficiency']} normalized="
+                    f"{res['ceiling_normalized_efficiency']} -> {dst}",
+                    flush=True,
+                )
+            return
+        time.sleep(105)
+    print("[watch] budget exhausted without a quiet window", flush=True)
+
+
+if __name__ == "__main__":
+    main()
