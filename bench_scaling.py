@@ -138,8 +138,31 @@ def main() -> None:
             if 0.62 <= probe_eff <= 1.05 or time.time() > deadline:
                 break
             time.sleep(90)
-        for cores in (lo, hi):
-            ceil_samples[cores].append(round(ceiling_run(cores), 2))
+        # Run the HI level FIRST: quiet windows on this host last only a few
+        # minutes, the hi level is both the shortest run and by far the most
+        # contention-sensitive (it needs hi-of-32 cores free; the lo level
+        # runs near-uncontended even on a busy host — session I measured the
+        # 16-level at HALF throughput because it ran last, after the window
+        # that admitted the round had closed).  Optionally re-gate each
+        # level on its own ABSOLUTE probe floor (SCALING_MIN_PROBE_LO/_HI,
+        # tasks/s; 0 = no per-level gate) so a window that dies mid-session
+        # stalls the next level instead of polluting the pair.
+        min_probe = {
+            lo: float(os.environ.get("SCALING_MIN_PROBE_LO", "0")),
+            hi: float(os.environ.get("SCALING_MIN_PROBE_HI", "0")),
+        }
+        for cores in (hi, lo):
+            lvl_deadline = time.time() + probe_budget
+            while True:
+                p = round(ceiling_run(cores), 2)
+                if p >= min_probe[cores] or time.time() > lvl_deadline:
+                    break
+                print(
+                    f"level {cores}: probe {p} < floor {min_probe[cores]}; "
+                    "waiting for the window to reopen"
+                )
+                time.sleep(60)
+            ceil_samples[cores].append(p)
             samples[cores].append(run_level(cores, pages))
     ok_lo = [s for s in samples[lo] if s]
     ok_hi = [s for s in samples[hi] if s]

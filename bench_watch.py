@@ -41,6 +41,8 @@ def main() -> None:
     budget = float(os.environ.get("WATCH_BUDGET_SEC", "10800"))
     min_p4 = float(os.environ.get("WATCH_MIN_P4", "4.4"))
     min_p16 = float(os.environ.get("WATCH_MIN_P16", "15.0"))
+    target = float(os.environ.get("WATCH_TARGET_RAW", "0.8"))
+    sess = 0
     deadline = time.time() + budget
     if not os.path.exists(CORPUS):
         from apache___solr_spark.corpus import write_pages_parquet
@@ -60,13 +62,24 @@ def main() -> None:
             flush=True,
         )
         if p4 >= min_p4 and p16 >= min_p16 and eff <= 1.05:
-            print("[watch] window open — launching bench_scaling", flush=True)
+            sess += 1
+            stag = tag if sess == 1 else f"{tag}{sess}"
+            print(
+                f"[watch] window open — launching bench_scaling ({stag})",
+                flush=True,
+            )
             env = dict(
                 os.environ,
                 SCALING_LEVELS="4,16",
                 SCALING_CORPUS=CORPUS,
                 SCALING_REPEATS=os.environ.get("SCALING_REPEATS", "1"),
                 SCALING_PROBE_BUDGET_SEC="60",
+                # per-level re-gate: the hi level runs first and must see
+                # its own probe floor immediately before launching; a
+                # window that dies mid-session stalls the next level
+                # instead of polluting the pair (see session I).
+                SCALING_MIN_PROBE_LO=str(min_p4),
+                SCALING_MIN_PROBE_HI=str(min_p16),
             )
             r = subprocess.run(
                 [sys.executable, os.path.join(REPO, "bench_scaling.py")],
@@ -76,20 +89,22 @@ def main() -> None:
             src = os.path.join(REPO, "BENCH", "scaling_4_16.json")
             if r.returncode == 0 and os.path.exists(src):
                 dst = os.path.join(
-                    REPO, "BENCH", f"scaling_4_16_session{tag}.json"
+                    REPO, "BENCH", f"scaling_4_16_session{stag}.json"
                 )
                 shutil.copyfile(src, dst)
                 with open(src) as f:
                     res = json.load(f)
+                raw = res["scaling_efficiency"]
                 print(
-                    f"[watch] session {tag}: raw="
-                    f"{res['scaling_efficiency']} normalized="
+                    f"[watch] session {stag}: raw={raw} normalized="
                     f"{res['ceiling_normalized_efficiency']} -> {dst}",
                     flush=True,
                 )
-            return
+                if raw is not None and raw >= target:
+                    print("[watch] target reached; stopping", flush=True)
+                    return
         time.sleep(105)
-    print("[watch] budget exhausted without a quiet window", flush=True)
+    print("[watch] budget exhausted", flush=True)
 
 
 if __name__ == "__main__":
