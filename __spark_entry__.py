@@ -581,8 +581,7 @@ def q_classify_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_json_facet_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON Facet API (search/facet/FacetRequest.java DSL): nested
     terms->terms with per-parent limits and named stats, lowered to one
-    groupBy per level (DuckDB-oracle-backed in tests/test_json_facet.py;
-    rows-only here — past the driver window)."""
+    groupBy per level (DuckDB-oracled: window top-N per parent)."""
     from apache___solr_spark.operators.json_facet import json_facet
 
     e = _t(spark, sf_dir, "events")
@@ -1386,11 +1385,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": q_percentiles,
         "rrf": q_rrf,
         "features_igain": q_features_igain,
+        "json_facet_nested": q_json_facet_nested,
         # ---- rows-only tail (no SQL oracle; approximate / non-SQL ops,
         # each covered by pytest goldens): keep AFTER every oracle entry
         "near_dup_candidates": q_near_dup_candidates,
         "ann_topk": q_ann_topk,
-        "json_facet_nested": q_json_facet_nested,
         "classify_logit": q_classify_logit,
         "span_near_unordered": q_span_near,
     }
@@ -2275,5 +2274,26 @@ def oracle_sql() -> dict[str, str]:
         QUALIFY row_number() OVER (
             PARTITION BY field ORDER BY count DESC, value ASC) <= 10
         ORDER BY field, count DESC, value
+    """
+    # json_facet nested terms->terms: parent top-3 event_types by sum(value)
+    # desc (tie: event_type asc), child top-2 user_ids per parent by count
+    # desc (tie: user_id asc) — the exact _sort_order/window-top-N semantics
+    # of operators/json_facet.py.
+    d["json_facet_nested"] = """
+        WITH parents AS (
+            SELECT event_type FROM (
+                SELECT event_type, sum(value) AS s
+                FROM events GROUP BY event_type
+                ORDER BY s DESC, event_type ASC LIMIT 3
+            )
+        ), children AS (
+            SELECT e.event_type, e.user_id, count(*) AS count
+            FROM events e JOIN parents p ON e.event_type = p.event_type
+            GROUP BY e.event_type, e.user_id
+        )
+        SELECT event_type, user_id, count FROM children
+        QUALIFY row_number() OVER (
+            PARTITION BY event_type ORDER BY count DESC, user_id ASC) <= 2
+        ORDER BY event_type, count DESC, user_id
     """
     return d
