@@ -63,6 +63,7 @@ from apache___solr_spark.index.codec import (
     encode_vbyte_packed,
 )
 from apache___solr_spark.index.smallfloat import NORM_TABLE, int_to_byte4_np
+from apache___solr_spark.sources.loaders import read_pages
 
 # tfs / positions are vbyte-packed binaries, NOT int arrays: the doc-id
 # numbering range-shuffle moves every analyzed row through an exchange, and
@@ -627,7 +628,10 @@ def build_index(
     """Build (or resume) the full index under ``out_dir``."""
     source = pages if isinstance(pages, str) else None
     if isinstance(pages, str):
-        pages = spark.read.parquet(pages)
+        # parquet path or Iceberg catalog table, auto-detected; Iceberg
+        # additionally gives the resume path snapshot isolation (the
+        # resumed read sees the same snapshot the manifests were cut from).
+        pages = read_pages(spark, pages, validate=False)
     if n_parts is None:
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     paths = IndexPaths(out_dir)

@@ -14,6 +14,66 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+PAGES_COLUMNS = ("url", "warc_ts", "html", "text", "lang")
+
+
+def read_pages(
+    spark: SparkSession,
+    source: str,
+    fmt: str = "auto",
+    validate: bool = True,
+) -> DataFrame:
+    """Load the Common-Crawl-style pages table the index builds over.
+
+    The canonical production source is an Iceberg table
+    ``(url string, warc_ts timestamp, html binary, text string, lang string)``
+    — Iceberg gives the build snapshot isolation (a resumed build re-reads
+    the SAME snapshot), partition pruning, and incremental-append feeds for
+    :mod:`..index.updates`.  ``fmt``:
+
+    - ``"parquet"`` — a parquet path (the tested path in this sandbox).
+    - ``"iceberg"`` — ``source`` is a catalog table name (``db.pages``) or
+      a path; requires the iceberg-spark-runtime jar on the Spark
+      classpath (not bundled with pyspark).  Raises a clear RuntimeError
+      if the runtime is missing instead of an opaque ClassNotFound deep
+      in a job.
+    - ``"auto"`` — iceberg when ``source`` looks like a catalog table name
+      (contains ``.`` and no ``/``), else parquet.
+
+    With ``validate=True`` the pages schema is checked for the five
+    canonical columns up front, so a mis-shaped table fails at load with a
+    readable message rather than inside the analysis UDF.
+    """
+    if fmt == "auto":
+        fmt = "iceberg" if ("." in source and "/" not in source) else "parquet"
+    if fmt == "parquet":
+        df = spark.read.parquet(source)
+    elif fmt == "iceberg":
+        try:
+            df = (
+                spark.read.format("iceberg").load(source)
+                if "/" in source
+                else spark.table(source)
+            )
+        except Exception as exc:  # ClassNotFound / AnalysisException
+            raise RuntimeError(
+                "iceberg source requires the iceberg-spark-runtime jar on "
+                "the Spark classpath (spark.jars.packages="
+                "org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver>) "
+                f"and a configured catalog; underlying error: {exc}"
+            ) from exc
+    else:
+        raise ValueError(f"unknown pages format {fmt!r}")
+    if validate:
+        missing = [c for c in PAGES_COLUMNS if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"pages table at {source!r} is missing columns {missing}; "
+                f"expected {PAGES_COLUMNS}, got {tuple(df.columns)}"
+            )
+    return df
+
+
 def read_json_docs(
     spark: SparkSession, path: str, schema: str | None = None, unique_key: str = "id"
 ) -> DataFrame:

@@ -114,6 +114,31 @@ def test_merge_unique(spark):
     assert sorted(r["k"] for r in unique(merge(a, b), ["k"]).collect()) == [1, 2, 3]
 
 
+def test_read_pages_parquet_and_validation(spark, tmp_path):
+    """read_pages: the canonical pages-table entry point — parquet loads and
+    validates the five-column shape; a mis-shaped table fails with a
+    readable message; the iceberg branch (no runtime jar in this container)
+    raises a clear RuntimeError instead of an opaque ClassNotFound."""
+    import pytest
+
+    from apache___solr_spark.corpus import write_pages_parquet
+    from apache___solr_spark.sources.loaders import read_pages
+
+    p = str(tmp_path / "pages.parquet")
+    write_pages_parquet(p, n_docs=20, seed=1)
+    df = read_pages(spark, p)  # fmt="auto" -> parquet (path has "/")
+    assert set(("url", "warc_ts", "html", "text", "lang")) <= set(df.columns)
+    assert df.count() == 20
+
+    bad = str(tmp_path / "bad.parquet")
+    spark.createDataFrame([(1,)], "x int").write.parquet(bad)
+    with pytest.raises(ValueError, match="missing columns"):
+        read_pages(spark, bad)
+
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        read_pages(spark, "catalog.db.pages", fmt="iceberg")
+
+
 def test_read_xml_docs(spark, tmp_path):
     """XMLLoader parity: <add><doc><field name=...> payloads, last-wins
     uniqueKey overwrite."""
