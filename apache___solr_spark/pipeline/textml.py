@@ -49,7 +49,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["select_features_igain", "train_text_logit", "term_vectors", "top_features"]
@@ -191,14 +191,14 @@ def train_text_logit(
     Returns one dict per iteration: {iteration, weights (intercept-first),
     error, truePositive_i, trueNegative_i, falsePositive_i,
     falseNegative_i} — the TextLogitStream tuple shape.  Weights live on
-    the driver (num_terms + 1 doubles); each epoch is two keyed
-    aggregations over the cached design matrix.
+    the driver (num_terms + 1 doubles); each epoch is ONE job over the
+    cached design matrix (window dot + a single groupBy(term)).
     """
     # hash-partition on the doc key BEFORE caching: the epoch loop's
-    # groupBy("__doc") and its err-join both require distribution by
-    # __doc, and InMemoryRelation preserves output partitioning, so every
-    # epoch runs them exchange-free off the cache (only the term-gradient
-    # aggregation shuffles, and it moves k rows per task)
+    # per-doc window requires distribution by __doc, and InMemoryRelation
+    # preserves output partitioning, so every epoch runs the window
+    # exchange-free off the cache (only the term-keyed partial rows
+    # shuffle, k rows per task)
     design = (
         _design_matrix(
             df, text_col, outcome_col, positive_label, features,
@@ -211,6 +211,8 @@ def train_text_logit(
         terms = [t for t, _ in features]
         weights = [0.0] * (len(terms) + 1)  # [intercept, w_term...]
         out = []
+        wdoc = Window.partitionBy("__doc", "y")
+        wrep = wdoc.orderBy("term")
         for it in range(1, iterations + 1):
             w_map = F.create_map(
                 *[
@@ -219,47 +221,51 @@ def train_text_logit(
                     for x in (F.lit(t), F.lit(float(w)))
                 ]
             )
-            per_doc = design.groupBy("__doc", "y").agg(
-                (
-                    F.sum(w_map[F.col("term")] * F.col("value"))
-                    + F.lit(float(weights[0]))
-                ).alias("dot")
+            # ONE job per epoch, one pass over the cached design matrix:
+            # the per-doc dot product is a window sum over the cache's own
+            # __doc partitioning (no exchange, no join), doc-level stats
+            # ride the SAME groupBy(term) as the gradient by counting them
+            # only on each doc's representative row (row_number()==1 —
+            # exact integers, no fractional-weight float drift), and the
+            # driver sums the k per-term partials.  The only shuffle per
+            # epoch is k terms x n_partitions partial rows.
+            dot = (
+                F.sum(w_map[F.col("term")] * F.col("value")).over(wdoc)
+                + F.lit(float(weights[0]))
             )
-            sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("dot")))
-            per_doc = per_doc.select(
-                "__doc",
+            sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-dot))
+            rows = design.select(
+                "term",
+                "value",
                 "y",
                 (sig - F.col("y")).alias("err"),
-                F.abs(sig - F.col("y")).alias("abs_err"),
-                (sig >= F.lit(float(threshold)))
-                .cast("int")
-                .alias("pred"),
+                (sig >= F.lit(float(threshold))).cast("int").alias("pred"),
+                (F.row_number().over(wrep) == 1).alias("rep"),
             )
-            # term-keyed gradient + the scalar stats in one pass each
-            grad_rows = (
-                design.join(per_doc.select("__doc", "err"), "__doc")
-                .groupBy("term")
-                .agg(F.sum(F.col("err") * F.col("value")).alias("g"))
+            rep = F.col("rep")
+            y1 = F.col("y") == 1.0
+            p1 = F.col("pred") == 1
+            agg = (
+                rows.groupBy("term")
+                .agg(
+                    F.sum(F.col("err") * F.col("value")).alias("g"),
+                    F.sum(F.when(rep, F.col("err"))).alias("g0"),
+                    F.sum(rep.cast("long")).alias("n_docs"),
+                    F.sum(F.when(rep, F.abs(F.col("err")))).alias(
+                        "total_err"
+                    ),
+                    F.sum((rep & y1 & p1).cast("long")).alias("tp"),
+                    F.sum((rep & ~y1 & ~p1).cast("long")).alias("tn"),
+                    F.sum((rep & ~y1 & p1).cast("long")).alias("fp"),
+                    F.sum((rep & y1 & ~p1).cast("long")).alias("fn"),
+                )
                 .collect()
             )
-            stats = per_doc.agg(
-                F.sum("err").alias("g0"),
-                F.count(F.lit(1)).alias("n_docs"),
-                F.sum("abs_err").alias("total_err"),
-                F.sum(
-                    ((F.col("y") == 1.0) & (F.col("pred") == 1)).cast("long")
-                ).alias("tp"),
-                F.sum(
-                    ((F.col("y") == 0.0) & (F.col("pred") == 0)).cast("long")
-                ).alias("tn"),
-                F.sum(
-                    ((F.col("y") == 0.0) & (F.col("pred") == 1)).cast("long")
-                ).alias("fp"),
-                F.sum(
-                    ((F.col("y") == 1.0) & (F.col("pred") == 0)).cast("long")
-                ).alias("fn"),
-            ).collect()[0]
-            g = {r["term"]: r["g"] for r in grad_rows}
+            g = {r["term"]: r["g"] for r in agg}
+            stats = {
+                k: float(sum(r[k] or 0 for r in agg))
+                for k in ("g0", "n_docs", "total_err", "tp", "tn", "fp", "fn")
+            }
             # mean gradient: step magnitude independent of corpus size
             n_docs = float(stats["n_docs"]) or 1.0
             weights[0] -= alpha * float(stats["g0"]) / n_docs
