@@ -1160,13 +1160,23 @@ def q_query_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-pipeline text metrics in one wide frame (merged from the
-    round-2 entries token_count / detect_language / quality_score): token
-    and subword counts, stopword-ratio language id, and the quality
-    heuristic, joined per doc — every column oracle-checked."""
+    round-2 entries token_count / detect_language / quality_score, plus the
+    Gopher repetition filters): token and subword counts, stopword-ratio
+    language id, the quality heuristic, and duplicate-line / top-n-gram /
+    duplicate-n-gram fractions (Rae et al. 2021 §A1.1), joined per doc —
+    every column oracle-checked."""
+    from apache___solr_spark.pipeline.textqual import repetition_stats
+
     tc = q_token_count(spark, sf_dir)
     dl = q_detect_language(spark, sf_dir)
     qs = q_quality_score(spark, sf_dir).drop("n_tokens")
-    return tc.join(dl, "doc_id").join(qs, "doc_id").orderBy("doc_id")
+    rep = repetition_stats(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    return (
+        tc.join(dl, "doc_id")
+        .join(qs, "doc_id")
+        .join(rep, "doc_id")
+        .orderBy("doc_id")
+    )
 
 
 def q_topk_page(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2232,13 +2242,61 @@ def oracle_sql() -> dict[str, str]:
         },
         "qcase, score DESC, doc_id",
     )
+    _rep_sql = f"""
+        WITH rbase AS (
+          SELECT doc_id,
+                 list_filter(list_transform(string_split(text, chr(10)),
+                             s -> trim(s)), s -> s <> '') AS lines,
+                 {_TOKS_SQL} AS toks
+          FROM documents
+        ), rg AS (
+          SELECT doc_id, lines, toks, len(toks) AS n_tokens,
+                 CASE WHEN len(toks) >= 2 THEN list_transform(
+                   range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+                 ELSE [] END AS g2,
+                 CASE WHEN len(toks) >= 3 THEN list_transform(
+                   range(1, len(toks)-1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                 ELSE [] END AS g3
+          FROM rbase
+        ), rtop2 AS (
+          SELECT doc_id, max(cnt) AS top2_count FROM (
+            SELECT doc_id, gram, count(*) AS cnt
+            FROM rg, unnest(rg.g2) AS u(gram) GROUP BY doc_id, gram
+          ) GROUP BY doc_id
+        )
+        SELECT rg.doc_id AS doc_id,
+          len(lines) AS n_lines,
+          round(CASE WHEN len(lines) > 0 THEN
+            (len(lines) - len(list_distinct(lines))) * 1.0 / len(lines)
+            ELSE 0.0 END, 6) AS dup_line_frac,
+          round(CASE WHEN list_sum(list_transform(lines, s -> length(s))) > 0
+            THEN (list_sum(list_transform(lines, s -> length(s)))
+                  - list_sum(list_transform(list_distinct(lines),
+                                            s -> length(s)))) * 1.0
+                 / list_sum(list_transform(lines, s -> length(s)))
+            ELSE 0.0 END, 6) AS dup_line_char_frac,
+          round(CASE WHEN n_tokens > 0 THEN
+            least(coalesce(rtop2.top2_count, 0) * 2.0 / n_tokens, 1.0)
+            ELSE 0.0 END, 6) AS top_2gram_frac,
+          round(CASE WHEN len(g2) > 0 THEN
+            (len(g2) - len(list_distinct(g2))) * 1.0 / len(g2)
+            ELSE 0.0 END, 6) AS dup_2gram_frac,
+          round(CASE WHEN len(g3) > 0 THEN
+            (len(g3) - len(list_distinct(g3))) * 1.0 / len(g3)
+            ELSE 0.0 END, 6) AS dup_3gram_frac
+        FROM rg LEFT JOIN rtop2 USING (doc_id)
+    """
     d["text_quality"] = f"""
         SELECT t.doc_id AS doc_id, t.n_tokens, t.n_subwords_est,
                l.stopword_ratio, l.lang_pred,
-               q.mean_wordlen, q.punct_ratio, q.stop_ratio, q.quality
+               q.mean_wordlen, q.punct_ratio, q.stop_ratio, q.quality,
+               r.n_lines, r.dup_line_frac, r.dup_line_char_frac,
+               r.top_2gram_frac, r.dup_2gram_frac, r.dup_3gram_frac
         FROM ({d.pop("token_count")}) t
         JOIN ({d.pop("detect_language")}) l ON t.doc_id = l.doc_id
         JOIN ({d.pop("quality_score")}) q ON t.doc_id = q.doc_id
+        JOIN ({_rep_sql}) r ON t.doc_id = r.doc_id
         ORDER BY doc_id
     """
     d["topk_page"] = _union_cases(

@@ -86,6 +86,105 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1, the standard
+    web-scale pre-training quality gates), all as built-in column
+    expressions — one projection, no shuffle, no UDF:
+
+    - ``n_lines``, ``dup_line_frac``: fraction of non-empty lines that are
+      repeats of an earlier-seen line (1 - distinct/total).
+    - ``dup_line_char_frac``: characters in those repeat occurrences over
+      total line characters (each distinct line's first occurrence is not
+      counted as duplicate).
+    - ``top_2gram_frac``: token share covered by the single most frequent
+      2-gram (count * 2 / n_tokens; overlap between occurrences is not
+      deducted — documented upper-bound variant of the paper's
+      character-fraction).
+    - ``dup_2gram_frac`` / ``dup_3gram_frac``: fraction of n-gram
+      POSITIONS that are repeats of an earlier-seen n-gram
+      (1 - distinct/total — position-fraction variant of the paper's
+      character-fraction).
+
+    The most-frequent-2-gram count is a max-run-length fold over the
+    sorted 2-gram array (aggregate with a {prev, run, best} struct state),
+    so the whole frame stays inside whole-stage codegen.
+    """
+    text = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(text, r"\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    n_lines = F.size(lines)
+    n_dlines = F.size(F.array_distinct(lines))
+    line_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda a, s: a + F.length(s)
+    )
+    dline_chars = F.aggregate(
+        F.array_distinct(lines),
+        F.lit(0).cast("long"),
+        lambda a, s: a + F.length(s),
+    )
+    dup_line_frac = F.when(
+        n_lines > 0, (n_lines - n_dlines) / n_lines
+    ).otherwise(F.lit(0.0))
+    dup_line_char_frac = F.when(
+        line_chars > 0, (line_chars - dline_chars) / line_chars
+    ).otherwise(F.lit(0.0))
+
+    toks = _simple_tokens(text)
+    n_tokens = F.size(toks)
+
+    def ngrams(n: int) -> Column:
+        return F.when(
+            n_tokens >= n,
+            F.transform(
+                F.sequence(F.lit(0), n_tokens - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def dup_frac(grams: Column) -> Column:
+        total = F.size(grams)
+        return F.when(
+            total > 0, (total - F.size(F.array_distinct(grams))) / total
+        ).otherwise(F.lit(0.0))
+
+    g2, g3 = ngrams(2), ngrams(3)
+    # most-frequent-2-gram count: longest equal run in the sorted array
+    run_state = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def run_step(s: Column, x: Column) -> Column:
+        run2 = F.when(x == s["prev"], s["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"),
+            run2.alias("run"),
+            F.greatest(s["best"], run2).alias("best"),
+        )
+
+    top2_count = F.aggregate(
+        F.array_sort(g2), run_state, run_step, lambda s: s["best"]
+    )
+    top_2gram_frac = F.when(
+        n_tokens > 0, F.least(top2_count * 2 / n_tokens, F.lit(1.0))
+    ).otherwise(F.lit(0.0))
+
+    return df.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        F.round(dup_line_frac, 6).alias("dup_line_frac"),
+        F.round(dup_line_char_frac, 6).alias("dup_line_char_frac"),
+        F.round(top_2gram_frac, 6).alias("top_2gram_frac"),
+        F.round(dup_frac(g2), 6).alias("dup_2gram_frac"),
+        F.round(dup_frac(g3), 6).alias("dup_3gram_frac"),
+    )
+
+
 def document_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit content fingerprint (order-sensitive): xxhash64 of the
     normalized token stream — the dedup-signature capability of

@@ -127,6 +127,40 @@ def test_fingerprint_and_quality(spark, sf_dir):
     assert q.filter(F.col("quality") > 1.0).count() == 0
 
 
+def test_repetition_stats_hand_computed(spark):
+    """Gopher repetition filters vs hand-computed fixtures: duplicate
+    lines, a dominating 2-gram, empty text, and a no-repeat doc."""
+    from apache___solr_spark.pipeline.textqual import repetition_stats
+
+    rows = [
+        (1, "a b c\na b c\nx y z"),          # 1 dup line of 3; "a b"/"b c" x2
+        (2, "the cat the cat the cat sat"),  # "the cat" covers 6/7 tokens
+        (3, ""),                              # all-zero guards
+        (4, "unique words only here now"),    # no repetition at all
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_stats(df, "text", "doc_id").collect()
+    }
+    assert got[1]["n_lines"] == 3
+    assert got[1]["dup_line_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    assert got[1]["dup_line_char_frac"] == pytest.approx(5 / 15, abs=1e-6)
+    # 9 tokens, 8 2-grams, top count 2 -> 4/9; distinct 6 -> dup 2/8
+    assert got[1]["top_2gram_frac"] == pytest.approx(4 / 9, abs=1e-6)
+    assert got[1]["dup_2gram_frac"] == pytest.approx(2 / 8, abs=1e-6)
+    # 7 3-grams, "a b c" twice -> 1/7
+    assert got[1]["dup_3gram_frac"] == pytest.approx(1 / 7, abs=1e-6)
+    # doc 2: 7 tokens; "the cat" x3 -> 6/7; 6 2-grams, 3 distinct -> 0.5;
+    # 5 3-grams, 3 distinct -> 0.4
+    assert got[2]["top_2gram_frac"] == pytest.approx(6 / 7, abs=1e-6)
+    assert got[2]["dup_2gram_frac"] == pytest.approx(0.5, abs=1e-6)
+    assert got[2]["dup_3gram_frac"] == pytest.approx(0.4, abs=1e-6)
+    assert all(v == 0 for k, v in got[3].items() if k != "doc_id")
+    assert got[4]["dup_2gram_frac"] == 0.0
+    assert got[4]["top_2gram_frac"] == pytest.approx(2 / 5, abs=1e-6)
+
+
 def test_minhash_bucket_cap_bounds_degenerate_cliques(spark):
     """A degenerate bucket (many identical docs) must not go O(n^2): with a
     cap the clique's pairs are dropped, while normal near-dup pairs in small
