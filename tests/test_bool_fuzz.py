@@ -1,0 +1,118 @@
+"""Differential fuzz of the boolean query surface: random boolean ASTs are
+rendered to classic query strings (explicit parens, AND/OR/NOT), run through
+the full parse -> tree-evaluate -> index path, and the MATCH SET is compared
+against the AST's set semantics computed directly from the corpus — an
+oracle that shares no code with the parser or engine.
+
+Scores are oracled elsewhere (DuckDB BM25 entries, rank-identity tests);
+this test pins down pure matching semantics for arbitrarily nested
+(a AND (b OR NOT c)) shapes the golden suites can't enumerate.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from apache___solr_spark.index.builder import build_index
+from apache___solr_spark.query.engine import SearchEngine
+
+VOCAB = [f"qt{i}" for i in range(8)]
+N_DOCS = 120
+
+
+def _doc_terms(doc_id: int) -> set[str]:
+    # deterministic, hits varied subsets: doc i contains qt_j iff bit j of
+    # a mixed hash is set (plus qt0 for every 5th doc so head/rare mix)
+    h = (doc_id * 2654435761) & 0xFFFFFFFF
+    terms = {VOCAB[j] for j in range(8) if (h >> j) & 1}
+    if doc_id % 5 == 0:
+        terms.add(VOCAB[0])
+    return terms or {VOCAB[1]}
+
+
+@pytest.fixture(scope="module")
+def fuzz_engine(spark):
+    rows = [
+        (
+            f"https://fuzz.example/{i}",
+            None,
+            " ".join(sorted(_doc_terms(i))),
+            "en",
+        )
+        for i in range(N_DOCS)
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, html binary, text string, lang string"
+    ).withColumn("warc_ts", F.current_timestamp())
+    work = tempfile.mkdtemp(prefix="boolfuzz_")
+    idx = os.path.join(work, "index")
+    build_index(spark, pages, idx)
+    eng = SearchEngine(spark, idx)
+    # url -> oracle doc-term sets, keyed by the engine's own url column
+    url_terms = {f"https://fuzz.example/{i}": _doc_terms(i) for i in range(N_DOCS)}
+    return eng, url_terms
+
+
+# ---- random AST ------------------------------------------------------------
+
+leaf = st.sampled_from(VOCAB).map(lambda t: ("term", t))
+
+
+def _node(children):
+    return st.one_of(
+        st.tuples(st.just("and"), children, children),
+        st.tuples(st.just("or"), children, children),
+        # NOT only in guarded form (x AND NOT y): pure-negative queries have
+        # engine-specific top-level semantics and are tested separately
+        st.tuples(st.just("andnot"), children, children),
+    )
+
+
+ast = st.recursive(leaf, _node, max_leaves=6)
+
+
+def render(node) -> str:
+    kind = node[0]
+    if kind == "term":
+        return node[1]
+    _, a, b = node
+    if kind == "and":
+        return f"({render(a)} AND {render(b)})"
+    if kind == "or":
+        return f"({render(a)} OR {render(b)})"
+    return f"({render(a)} AND NOT {render(b)})"
+
+
+def semantics(node, doc: set[str]) -> bool:
+    kind = node[0]
+    if kind == "term":
+        return node[1] in doc
+    _, a, b = node
+    if kind == "and":
+        return semantics(a, doc) and semantics(b, doc)
+    if kind == "or":
+        return semantics(a, doc) or semantics(b, doc)
+    return semantics(a, doc) and not semantics(b, doc)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(tree=ast)
+def test_random_boolean_tree_matches_set_oracle(fuzz_engine, tree):
+    eng, url_terms = fuzz_engine
+    q = render(tree)
+    got = {r["url"] for r in eng.search(q, k=N_DOCS + 1).collect()}
+    want = {u for u, terms in url_terms.items() if semantics(tree, terms)}
+    assert got == want, f"query {q!r}: engine{sorted(got)[:5]}... oracle{sorted(want)[:5]}..."
