@@ -102,6 +102,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _TOKS_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+# GPT-2 pre-tokenizer pattern shared with pipeline.textqual (kept inline so
+# the oracle module has no import-order dependence on the package)
+BPE_PRETOKEN_RE = r"""'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
 _CENTS = "CAST(round(l_extendedprice * 100) AS BIGINT)"
 _DISC_PCT = "CAST(round(l_discount * 100) AS BIGINT)"
 
@@ -295,6 +298,7 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_pretokens").cast("long").alias("n_pretokens"),
         F.col("n_subwords_est").cast("long").alias("n_subwords_est"),
     ).orderBy("doc_id")
 
@@ -1648,6 +1652,9 @@ def oracle_sql() -> dict[str, str]:
         "token_count": f"""
             SELECT doc_id,
                    len({_TOKS_SQL}) AS n_tokens,
+                   len(regexp_extract_all(text,
+                       '{BPE_PRETOKEN_RE.replace(chr(39), chr(39) * 2)}'
+                   )) AS n_pretokens,
                    CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subwords_est
             FROM documents ORDER BY doc_id
         """,
@@ -2288,7 +2295,7 @@ def oracle_sql() -> dict[str, str]:
         FROM rg LEFT JOIN rtop2 USING (doc_id)
     """
     d["text_quality"] = f"""
-        SELECT t.doc_id AS doc_id, t.n_tokens, t.n_subwords_est,
+        SELECT t.doc_id AS doc_id, t.n_tokens, t.n_pretokens, t.n_subwords_est,
                l.stopword_ratio, l.lang_pred,
                q.mean_wordlen, q.punct_ratio, q.stop_ratio, q.quality,
                r.n_lines, r.dup_line_frac, r.dup_line_char_frac,

@@ -20,13 +20,25 @@ def _simple_tokens(col: Column) -> Column:
     return F.array_remove(F.split(F.lower(col), r"[^a-z0-9]+"), "")
 
 
+# GPT-2-style pre-tokenizer (public tokenizer regex), lookahead-free so the
+# same pattern runs identically under Java regex (Spark) and RE2 (DuckDB
+# oracle); the dropped `\s+(?!\S)` branch only changes how trailing
+# whitespace runs group, not the count of content pre-tokens.
+BPE_PRETOKEN_RE = r"""'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
+
+
 def token_count(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Whitespace/punctuation token count + a BPE-ish subword estimate
-    (chars/4 is the common heuristic for byte-pair tokenizers)."""
+    """Token counting, three granularities per doc: whitespace/punct word
+    count, a BPE pre-token count (the GPT-2 pre-tokenizer regex — the unit
+    byte-pair merges start from, the standard budget proxy for LLM
+    training data), and the chars/4 subword heuristic."""
     toks = _simple_tokens(F.col(text_col))
     return df.select(
         F.col(id_col),
         F.size(toks).alias("n_tokens"),
+        F.size(
+            F.regexp_extract_all(text_col, F.lit(BPE_PRETOKEN_RE), F.lit(0))
+        ).alias("n_pretokens"),
         F.ceil(F.length(F.col(text_col)) / F.lit(4)).cast("long").alias("n_subwords_est"),
     )
 
