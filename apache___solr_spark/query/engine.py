@@ -379,27 +379,50 @@ class SearchEngine:
 
         # tombstoned doc_ids (liveDocs mask) — None when never deleted
         self.deletes = load_deletes(spark, index_dir)
+        # term -> aggregated dictionary row (or None for a vocabulary miss),
+        # the in-memory term-dictionary analog of Lucene's mmapped FST: an
+        # engine instance pins an index snapshot anyway (spark.read lists
+        # files at read time; rebuild the engine after add/delete/optimize),
+        # so repeated queries on seen terms skip the dictionary job.
+        self._meta_cache: dict[str, dict | None] = {}
 
     # -- term metadata -----------------------------------------------------
+    _META_COLS = ["term", "df", "cf", "max_impact", "bucket"]
+
     def _term_meta(self, terms: list[str]) -> pd.DataFrame:
         if not terms:
-            return pd.DataFrame(columns=["term", "df", "cf", "max_impact", "bucket"])
-        buckets = self._buckets(terms)
-        # a term may hold several dictionary rows after incremental add_docs
-        # (one per appended segment) — aggregate them (ExactStatsCache merge)
-        return (
-            self.dictionary.filter(
-                F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+            return pd.DataFrame(columns=self._META_COLS)
+        missing = sorted({t for t in terms if t not in self._meta_cache})
+        if missing:
+            buckets = self._buckets(missing)
+            # a term may hold several dictionary rows after incremental
+            # add_docs (one per appended segment) — aggregate them
+            # (ExactStatsCache merge)
+            fetched = (
+                self.dictionary.filter(
+                    F.col("bucket").isin(buckets) & F.col("term").isin(missing)
+                )
+                .groupBy("term")
+                .agg(
+                    F.sum("df").alias("df"),
+                    F.sum("cf").alias("cf"),
+                    F.max("max_impact").alias("max_impact"),
+                    F.first("bucket").alias("bucket"),
+                )
+                .toPandas()
             )
-            .groupBy("term")
-            .agg(
-                F.sum("df").alias("df"),
-                F.sum("cf").alias("cf"),
-                F.max("max_impact").alias("max_impact"),
-                F.first("bucket").alias("bucket"),
-            )
-            .toPandas()
-        )
+            for rec in fetched.to_dict("records"):
+                self._meta_cache[rec["term"]] = rec
+            for t in missing:  # cache vocabulary misses too
+                self._meta_cache.setdefault(t, None)
+        rows = [
+            self._meta_cache[t]
+            for t in dict.fromkeys(terms)
+            if self._meta_cache[t] is not None
+        ]
+        if not rows:
+            return pd.DataFrame(columns=self._META_COLS)
+        return pd.DataFrame(rows, columns=self._META_COLS)
 
     def _buckets(self, terms: list[str]) -> list[int]:
         # driver-side XXH64 (index/xxhash.py) == Spark's xxhash64, so the
