@@ -9,32 +9,44 @@ import zipfile
 from pyspark.sql import SparkSession
 
 
+def build_pyfiles_zip(dest: str | None = None) -> str:
+    """Zip this package for ``spark-submit --py-files`` (or addPyFile).
+
+    With no ``dest`` the zip lands in the system temp dir, keyed on the
+    NEWEST nested .py mtime — the dir's own mtime does not change when a
+    file inside a subpackage is edited (stale-zip bug) — so rebuilds are
+    skipped while the source is unchanged."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    if dest is None:
+        newest = 0.0
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    newest = max(
+                        newest, os.path.getmtime(os.path.join(root, f))
+                    )
+        dest = os.path.join(
+            tempfile.gettempdir(), f"{pkg_name}-{newest:.0f}.zip"
+        )
+        if os.path.exists(dest):
+            return dest
+    with zipfile.ZipFile(dest + ".tmp", "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                    z.write(full, rel)
+    os.replace(dest + ".tmp", dest)
+    return dest
+
+
 def ship_package(spark: SparkSession) -> None:
     """Make this package importable on executors (the ``spark-submit
     --py-files`` analog, applied automatically so library users don't hit
     ModuleNotFoundError in UDF workers)."""
-    pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    pkg_name = os.path.basename(pkg_dir)
-    # key the zip on the NEWEST nested .py mtime — the dir's own mtime does
-    # not change when a file inside a subpackage is edited (stale-zip bug)
-    newest = 0.0
-    for root, _dirs, files in os.walk(pkg_dir):
-        for f in files:
-            if f.endswith(".py"):
-                newest = max(newest, os.path.getmtime(os.path.join(root, f)))
-    zpath = os.path.join(tempfile.gettempdir(), f"{pkg_name}-{newest:.0f}.zip")
-    if not os.path.exists(zpath):
-        with zipfile.ZipFile(zpath + ".tmp", "w") as z:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for f in files:
-                    if f.endswith(".py"):
-                        full = os.path.join(root, f)
-                        rel = os.path.join(
-                            pkg_name, os.path.relpath(full, pkg_dir)
-                        )
-                        z.write(full, rel)
-        os.replace(zpath + ".tmp", zpath)
-    spark.sparkContext.addPyFile(zpath)
+    spark.sparkContext.addPyFile(build_pyfiles_zip())
 
 
 def get_spark(
