@@ -114,6 +114,30 @@ def test_merge_unique(spark):
     assert sorted(r["k"] for r in unique(merge(a, b), ["k"]).collect()) == [1, 2, 3]
 
 
+def test_read_jdbc_stream_embedded_derby(spark, tmp_path):
+    """JDBCStream parity against a real RDBMS: Spark bundles embedded Derby
+    (the Hive-metastore dependency), so create and populate a database
+    through the driver JVM and pull it back with read_jdbc_stream."""
+    from apache___solr_spark.sources.loaders import read_jdbc_stream
+
+    url = f"jdbc:derby:{tmp_path}/jdbcdb;create=true"
+    jvm = spark.sparkContext._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        st.executeUpdate("CREATE TABLE people(id INT, name VARCHAR(20))")
+        for i, name in enumerate(["ada", "grace", "edsger"]):
+            st.executeUpdate(f"INSERT INTO people VALUES ({i}, '{name}')")
+        st.close()
+    finally:
+        conn.close()
+    df = read_jdbc_stream(
+        spark, url, "people", driver="org.apache.derby.jdbc.EmbeddedDriver"
+    )
+    got = {(r["ID"], r["NAME"]) for r in df.collect()}
+    assert got == {(0, "ada"), (1, "grace"), (2, "edsger")}
+
+
 def test_read_pages_parquet_and_validation(spark, tmp_path):
     """read_pages: the canonical pages-table entry point — parquet loads and
     validates the five-column shape; a mis-shaped table fails with a
