@@ -38,14 +38,19 @@ def read_pages(
       if the runtime is missing instead of an opaque ClassNotFound deep
       in a job.
     - ``"auto"`` — iceberg when ``source`` looks like a catalog table name
-      (contains ``.`` and no ``/``), else parquet.
+      (dotted, no path separator, no ``.parquet`` suffix), else parquet.
 
     With ``validate=True`` the pages schema is checked for the five
     canonical columns up front, so a mis-shaped table fails at load with a
     readable message rather than inside the analysis UDF.
     """
     if fmt == "auto":
-        fmt = "iceberg" if ("." in source and "/" not in source) else "parquet"
+        looks_like_table = (
+            "." in source
+            and "/" not in source
+            and not source.endswith(".parquet")
+        )
+        fmt = "iceberg" if looks_like_table else "parquet"
     if fmt == "parquet":
         df = spark.read.parquet(source)
     elif fmt == "iceberg":

@@ -162,6 +162,12 @@ def test_read_pages_parquet_and_validation(spark, tmp_path):
     with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
         read_pages(spark, "catalog.db.pages", fmt="iceberg")
 
+    # auto-detection: a bare relative *.parquet name is NOT a table name —
+    # it must route to the parquet reader (path error), never to iceberg
+    with pytest.raises(Exception) as ei:
+        read_pages(spark, "nonexistent.parquet")
+    assert "iceberg" not in str(ei.value).lower()
+
 
 def test_read_xml_docs(spark, tmp_path):
     """XMLLoader parity: <add><doc><field name=...> payloads, last-wins
