@@ -32,7 +32,8 @@ def extract_text(html: bytes | str | None, text: str | None) -> str:
 
 def analyze(text: str | None, max_token_len: int = 255) -> list[str]:
     """Tokenize + stop (ignoreCase) + lowercase.  Index == query analyzer
-    (minus query-time synonyms, which v1 does not ship)."""
+    (query-time synonyms are applied engine-side on the parsed clause,
+    SearchEngine(synonyms=...), not in this chain)."""
     toks = standard_tokenize(text, max_token_len=max_token_len)
     return [t.lower() for t in toks if t.lower() not in ENGLISH_STOP_WORDS]
 
