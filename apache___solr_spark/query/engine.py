@@ -388,6 +388,7 @@ class SearchEngine:
 
     # -- term metadata -----------------------------------------------------
     _META_COLS = ["term", "df", "cf", "max_impact", "bucket"]
+    _META_CACHE_MAX = 1_000_000  # ~200 MB driver ceiling at 5 fields/term
 
     def _term_meta(self, terms: list[str]) -> pd.DataFrame:
         if not terms:
@@ -411,6 +412,12 @@ class SearchEngine:
                 )
                 .toPandas()
             )
+            if len(self._meta_cache) + len(missing) > self._META_CACHE_MAX:
+                # bound driver memory on long-lived engines: drop the oldest
+                # quarter (dict preserves insertion order — FIFO eviction)
+                drop = len(self._meta_cache) // 4 + len(missing)
+                for t in list(self._meta_cache)[:drop]:
+                    del self._meta_cache[t]
             for rec in fetched.to_dict("records"):
                 self._meta_cache[rec["term"]] = rec
             for t in missing:  # cache vocabulary misses too
