@@ -91,9 +91,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-k over the documents corpus at sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
     idx = _fulltext_index(spark, sf_dir)
-    from apache___solr_spark.query.engine import SearchEngine
-
-    eng = SearchEngine(spark, idx)
+    eng = _engine(spark, idx)
     return eng.search("table AND query", k=20)
 
 
@@ -130,27 +128,37 @@ def _stops_sql() -> str:
 
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _fulltext_index(spark, sf_dir)
-    from apache___solr_spark.query.engine import SearchEngine
-
-    eng = SearchEngine(spark, idx)
+    eng = _engine(spark, idx)
     return eng.search("table query merge", k=50)
 
 
 def q_bm25_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _fulltext_index(spark, sf_dir)
+    eng = _engine(spark, idx)
+    return eng.search("spark AND window -error", k=50)
+
+
+_ENGINE_CACHE: dict[tuple, object] = {}
+
+
+def _engine(spark: SparkSession, idx: str, mode: str = "standard",
+            similarity: str = "bm25"):
+    """One SearchEngine per (session, index, similarity) — the server shape
+    (an engine instance holds the term-meta cache and pins the index
+    snapshot), instead of rebuilding per query entry."""
     from apache___solr_spark.query.engine import SearchEngine
 
-    eng = SearchEngine(spark, idx)
-    return eng.search("spark AND window -error", k=50)
+    key = (id(spark), idx, mode, similarity)
+    if key not in _ENGINE_CACHE:
+        _ENGINE_CACHE[key] = SearchEngine(
+            spark, idx, cfg=_index_cfg(mode), similarity=similarity
+        )
+    return _ENGINE_CACHE[key]
 
 
 def _simple_engine(spark: SparkSession, sf_dir: str, similarity: str = "bm25"):
     idx = _fulltext_index(spark, sf_dir, "simple")
-    from apache___solr_spark.query.engine import SearchEngine
-
-    return SearchEngine(
-        spark, idx, cfg=_index_cfg("simple"), similarity=similarity
-    )
+    return _engine(spark, idx, "simple", similarity)
 
 
 def _rounded_hits(out: DataFrame) -> DataFrame:
@@ -889,20 +897,18 @@ def q_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rerank (ReRankQParserPlugin): rescore BM25 top-100 with a second
     query — fulltext, rows-only check (golden-tested in tests/)."""
     idx = _fulltext_index(spark, sf_dir)
-    from apache___solr_spark.query.engine import SearchEngine
     from apache___solr_spark.query.extras import rerank
 
-    eng = SearchEngine(spark, idx)
+    eng = _engine(spark, idx)
     return rerank(eng, "table query", "merge", k=20, rerank_docs=100)
 
 
 def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MoreLikeThis (MoreLikeThisHandler): docs similar to doc 0."""
     idx = _fulltext_index(spark, sf_dir)
-    from apache___solr_spark.query.engine import SearchEngine
     from apache___solr_spark.query.extras import more_like_this
 
-    eng = SearchEngine(spark, idx)
+    eng = _engine(spark, idx)
     return more_like_this(eng, doc_id=0, k=10)
 
 
