@@ -138,9 +138,14 @@ def _lower_level(
         if typ == "terms":
             field = node["field"]
             limit = int(node.get("limit", 10))
+            offset = int(node.get("offset", 0))
             mincount = int(node.get("mincount", 1))
             keys = parents + [field]
-            grouped = _agg_frame(df, keys, stats)
+            # Solr terms buckets exclude missing values (FacetField docs:
+            # the null group is NOT a bucket; it's the opt-in missing:true
+            # bucket below) — Spark's groupBy would include it.
+            domain = df.filter(F.col(field).isNotNull())
+            grouped = _agg_frame(domain, keys, stats)
             if mincount > 1:
                 grouped = grouped.filter(F.col("count") >= mincount)
             prefix_filter = node.get("prefix")
@@ -150,16 +155,34 @@ def _lower_level(
                 )
             order = _sort_order(node, stats, field)
             if limit >= 0:
-                if parents:
+                if parents or offset:
                     w = Window.partitionBy(*parents).orderBy(*order)
                     grouped = (
                         grouped.withColumn("_rn", F.row_number().over(w))
-                        .filter(F.col("_rn") <= limit)
+                        .filter(
+                            (F.col("_rn") > offset)
+                            & (F.col("_rn") <= offset + limit)
+                        )
                         .drop("_rn")
                     )
                 else:
                     grouped = grouped.orderBy(*order).limit(limit)
             out[path] = grouped
+            # special buckets (FacetField params), emitted as sibling
+            # frames so the dict-of-frames response shape stays uniform:
+            if node.get("missing"):
+                out[path + "._missing_"] = _agg_frame(
+                    df.filter(F.col(field).isNull()), parents, stats
+                )
+            if node.get("allBuckets"):
+                out[path + "._all_"] = _agg_frame(domain, parents, stats)
+            if node.get("numBuckets"):
+                nb = F.count_distinct(F.col(field)).alias("numBuckets")
+                out[path + "._num_"] = (
+                    domain.groupBy(*parents).agg(nb)
+                    if parents
+                    else domain.agg(nb)
+                )
             if subs:
                 survivors = grouped.select(*keys)
                 child = df.join(F.broadcast(survivors), keys, "left_semi")

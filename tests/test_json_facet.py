@@ -163,6 +163,38 @@ def test_mincount_and_bad_specs(events):
         json_facet(events, {"t": {"type": "geodist", "field": "x"}})
 
 
+def test_offset_missing_allbuckets_numbuckets(spark):
+    """FacetField params: offset paging, missing bucket (null field values
+    are EXCLUDED from terms buckets, Solr semantics), allBuckets,
+    numBuckets."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        [("a", 1)] * 5 + [("b", 2)] * 4 + [("c", 3)] * 3
+        + [("d", 4)] * 2 + [(None, 9)] * 6
+    )
+    df = spark.createDataFrame(rows, "k string, v int")
+    out = json_facet(
+        df,
+        {
+            "t": {
+                "type": "terms", "field": "k", "limit": 2, "offset": 1,
+                "sort": "count desc", "missing": True, "allBuckets": True,
+                "numBuckets": True, "facet": {"s": "sum(v)"},
+            }
+        },
+    )
+    # offset 1, limit 2 over count-desc [a:5, b:4, c:3, d:2] -> b, c;
+    # the 6 null rows must NOT form a bucket
+    got = [(r["k"], r["count"]) for r in out["t"].collect()]
+    assert got == [("b", 4), ("c", 3)]
+    miss = out["t._missing_"].collect()[0]
+    assert (miss["count"], miss["s"]) == (6, 54)
+    allb = out["t._all_"].collect()[0]
+    assert (allb["count"], allb["s"]) == (14, 5 + 8 + 9 + 8)
+    assert out["t._num_"].collect()[0]["numBuckets"] == 4
+
+
 def test_heatmap_facet_type(events, ddb):
     """type:heatmap (FacetHeatmap.java capability): 2D grid-cell counts
     with per-cell stats, DuckDB-oracled."""
