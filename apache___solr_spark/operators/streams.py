@@ -144,6 +144,10 @@ def facet(
     aggs = dict(aggs or {})
     if "count" not in aggs:
         aggs["count"] = F.count(F.lit(1))
+    # docs without the facet field form no bucket (docValues iteration
+    # skips them in the reference) — Spark's groupBy would emit a null key
+    for f in fields:
+        df = df.filter(F.col(f).isNotNull())
     out = df.groupBy(*fields).agg(*[c.alias(n) for n, c in aggs.items()])
     key = F.col(sort_by)
     order = [key.asc() if ascending else key.desc()] + [F.col(f).asc() for f in fields]
@@ -243,16 +247,33 @@ def significant_terms(
 # ---- grouping / collapse ----------------------------------------------------
 
 
-def collapse(df: DataFrame, group_by: str, order_by: Sequence[Column]) -> DataFrame:
+def collapse(
+    df: DataFrame,
+    group_by: str,
+    order_by: Sequence[Column],
+    null_policy: str = "ignore",
+) -> DataFrame:
     """CollapsingQParserPlugin (search/CollapsingQParserPlugin.java:121,
     3812 LoC of custom collector): keep the single best tuple per group.
-    Spark-first this is one window function."""
+    Spark-first this is one window function.  ``null_policy`` is the
+    reference's nullPolicy param for docs with a null collapse field:
+    ``ignore`` drops them (reference default), ``expand`` keeps each as
+    its own group, ``collapse`` folds them into one null group."""
+    if null_policy not in ("ignore", "expand", "collapse"):
+        raise ValueError(f"unknown nullPolicy {null_policy!r}")
+    nulls = None
+    if null_policy == "ignore":
+        df = df.filter(F.col(group_by).isNotNull())
+    elif null_policy == "expand":
+        nulls = df.filter(F.col(group_by).isNull())
+        df = df.filter(F.col(group_by).isNotNull())
     w = Window.partitionBy(group_by).orderBy(*order_by)
-    return (
+    out = (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+    return out.unionByName(nulls) if nulls is not None else out
 
 
 def group_top_n(

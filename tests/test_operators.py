@@ -73,6 +73,38 @@ def test_collapse_keeps_one_per_group(spark):
     assert got == {1: "b", 2: "c"}
 
 
+def test_collapse_null_policy(spark):
+    """nullPolicy (CollapsingQParserPlugin): ignore drops null-group docs
+    (reference default), expand keeps each as its own group, collapse
+    folds them into one best-scored null group."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (1, 20.0, "b"), (None, 7.0, "x"), (None, 9.0, "y")],
+        "g int, s double, v string",
+    )
+    order = [F.col("s").desc()]
+    assert {r["v"] for r in collapse(df, "g", order).collect()} == {"b"}
+    assert {r["v"] for r in collapse(df, "g", order, "expand").collect()} == {
+        "b", "x", "y",
+    }
+    assert {r["v"] for r in collapse(df, "g", order, "collapse").collect()} == {
+        "b", "y",
+    }
+    with pytest.raises(ValueError):
+        collapse(df, "g", order, "bogus")
+
+
+def test_facet_excludes_null_buckets(spark):
+    from apache___solr_spark.operators.streams import facet
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), (None, 3), ("b", 4)], "k string, v int"
+    )
+    got = {(r["k"], r["count"]) for r in facet(df, "k").collect()}
+    assert got == {("a", 2), ("b", 1)}
+
+
 def test_cursor_page_walks_whole_set(spark):
     df = spark.createDataFrame(
         [(i, float(i % 7)) for i in range(50)], "id int, s double"
