@@ -163,9 +163,14 @@ def facet2d(
     agg: Column | None = None,
 ) -> DataFrame:
     """facet2D() stream (Facet2DStream.java, 533 LoC): top dimX values of x,
-    and per x-bucket the top dimY values of y."""
+    and per x-bucket the top dimY values of y.  Docs missing either
+    dimension form no bucket (same docValues-skip semantics as facet())."""
     agg = agg if agg is not None else F.count(F.lit(1))
-    counts = df.groupBy(x, y).agg(agg.alias("agg"))
+    counts = (
+        df.filter(F.col(x).isNotNull() & F.col(y).isNotNull())
+        .groupBy(x, y)
+        .agg(agg.alias("agg"))
+    )
     top_x = (
         counts.groupBy(x)
         .agg(F.sum("agg").alias("_tot"))
@@ -211,10 +216,13 @@ def timeseries(
     aggs: dict[str, Column],
 ) -> DataFrame:
     """timeseries() stream (TimeSeriesStream.java:53,59): date-range facet
-    with a gap — tumbling time windows via window()/date_trunc."""
+    with a gap — tumbling time windows via window()/date_trunc.  Docs with
+    a null timestamp form no window (the reference's range facet skips
+    them)."""
     w = F.window(F.col(ts_field), gap)
     return (
-        df.groupBy(w.alias("w"))
+        df.filter(F.col(ts_field).isNotNull())
+        .groupBy(w.alias("w"))
         .agg(*[c.alias(n) for n, c in aggs.items()])
         .select(F.col("w.start").alias("window_start"), *aggs.keys())
         .orderBy("window_start")
@@ -537,16 +545,25 @@ def pivot_facet(df: DataFrame, fields: Sequence[str]) -> DataFrame:
     (partial aggregation map-side); the grand-total row the reference does
     not emit is filtered out."""
     cols = list(fields)
+    # F.grouping() distinguishes rollup's structural nulls from null DATA,
+    # so levels stay correct on sparse fields; a null data value at a
+    # grouped level forms no bucket (the reference skips docs missing the
+    # pivot field at that level) while the doc still counts at the levels
+    # above it.
     out = (
         df.rollup(*cols)
-        .agg(F.count(F.lit(1)).alias("count"))
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            *[F.grouping(c).alias(f"_g_{c}") for c in cols],
+        )
         .withColumn(
-            "level",
-            sum(F.when(F.col(c).isNotNull(), 1).otherwise(0) for c in cols),
+            "level", sum(1 - F.col(f"_g_{c}") for c in cols)
         )
         .filter(F.col("level") > 0)
     )
-    return out.orderBy("level", *cols)
+    for c in cols:
+        out = out.filter(~(F.col(c).isNull() & (F.col(f"_g_{c}") == 0)))
+    return out.drop(*[f"_g_{c}" for c in cols]).orderBy("level", *cols)
 
 
 def heatmap_facet(

@@ -105,6 +105,29 @@ def test_facet_excludes_null_buckets(spark):
     assert got == {("a", 2), ("b", 1)}
 
 
+def test_pivot_facet_sparse_fields(spark):
+    """Pivot semantics on sparse data: a doc missing the level-2 field
+    still counts in its level-1 bucket but forms no level-2 bucket, and
+    data nulls never masquerade as rollup levels."""
+    from apache___solr_spark.operators.streams import pivot_facet
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", None), ("b", "y"), (None, "z")],
+        "f1 string, f2 string",
+    )
+    rows = {
+        (r["level"], r["f1"], r["f2"]): r["count"]
+        for r in pivot_facet(df, ["f1", "f2"]).collect()
+    }
+    # level 1: a counts BOTH its docs (one missing f2); null f1 no bucket
+    assert rows == {
+        (1, "a", None): 2,
+        (1, "b", None): 1,
+        (2, "a", "x"): 1,
+        (2, "b", "y"): 1,
+    }
+
+
 def test_cursor_page_walks_whole_set(spark):
     df = spark.createDataFrame(
         [(i, float(i % 7)) for i in range(50)], "id int, s double"
