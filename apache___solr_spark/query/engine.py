@@ -827,9 +827,13 @@ class SearchEngine:
         doc_filter: list[int] | None = None,
         bf: list | None = None,
         boost: list | None = None,
+        default_op: str = "OR",
         _docset: bool = False,
     ) -> DataFrame:
         """Top-k docs for a query. Returns (rank, doc_id[, url], score).
+
+        ``default_op``: Solr's q.op — with "AND", bare clauses bind as
+        MUST (Lucene AND_OPERATOR promote/demote semantics).
 
         ``doc_filter`` restricts scoring to an explicit (small) doc_id set —
         the rescoring path (ReRankQParserPlugin semantics): the postings scan
@@ -844,7 +848,9 @@ class SearchEngine:
         reference's FunctionQuery clauses.
         """
         if isinstance(query, str):
-            tree = parse_query_tree(query, analyze_fn=self._analyze)
+            tree = parse_query_tree(
+                query, analyze_fn=self._analyze, default_op=default_op
+            )
             try:
                 pq = lower_tree(tree)
             except NotFlatQuery:

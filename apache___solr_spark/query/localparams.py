@@ -330,6 +330,8 @@ def dispatch_query(engine, q: str, k: int = 10, **kw) -> DataFrame:
     """Run a local-params query through ``engine`` (a SearchEngine)."""
     ptype, params, rest = parse_local_params(q)
     if ptype is None or ptype == "lucene":
+        if "q.op" in params:  # {!lucene q.op=AND} (QueryParsing.OP)
+            kw = {**kw, "default_op": params["q.op"].upper()}
         return engine.search(rest if ptype else q, k=k, **kw)
 
     if ptype == "term":

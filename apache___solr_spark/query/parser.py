@@ -201,14 +201,23 @@ def _tokenize(q: str) -> tuple[list[str], list[tuple]]:
 
 
 def parse_query_tree(
-    q: str, analyze_fn=analyze, default_field: str = "text"
+    q: str,
+    analyze_fn=analyze,
+    default_field: str = "text",
+    default_op: str = "OR",
 ) -> BoolQuery:
     """Parse ``q`` into the full boolean tree with the given query-time
     analysis function (defaults to the standard chain; the engine passes its
     index's configured analyzer so query analysis always matches index
-    analysis)."""
+    analysis).  ``default_op`` is Solr's q.op: with ``"AND"`` bare clauses
+    bind as MUST and ``OR`` demotes its neighbors to SHOULD
+    (QueryParserBase.addClause AND_OPERATOR semantics)."""
+    if default_op not in ("OR", "AND"):
+        raise ValueError(f"default_op must be OR or AND, got {default_op!r}")
     tokens, phrases = _tokenize(q)
-    node, i = _parse_level(tokens, 0, phrases, analyze_fn, default_field)
+    node, i = _parse_level(
+        tokens, 0, phrases, analyze_fn, default_field, default_op
+    )
     if i != len(tokens):
         raise ValueError(f"unbalanced ')' at token {i} in query {q!r}")
     return node
@@ -220,6 +229,7 @@ def _parse_level(
     phrases: list[tuple],
     analyze_fn,
     default_field: str,
+    default_op: str = "OR",
 ) -> tuple[BoolQuery, int]:
     """One BooleanQuery level (Lucene's flat-clause binding: AND promotes
     its ADJACENT clauses to MUST, no precedence).  Returns at ')' or EOF."""
@@ -228,11 +238,13 @@ def _parse_level(
     conj: str | None = None
 
     def occur_of(sign: str) -> str:
-        return (
-            "MUST_NOT"
-            if (pending_not or sign == "-")
-            else ("MUST" if (sign == "+" or conj == "AND") else "SHOULD")
-        )
+        if pending_not or sign == "-":
+            return "MUST_NOT"
+        if sign == "+" or conj == "AND":
+            return "MUST"
+        if conj is None and default_op == "AND":
+            return "MUST"
+        return "SHOULD"
 
     def _reset():
         nonlocal pending_not, conj
@@ -248,6 +260,14 @@ def _parse_level(
             conj = "AND"
             continue
         if tok in ("OR", "||"):
+            # AND_OPERATOR mode: OR demotes its left neighbor
+            # (QueryParserBase.addClause CONJ_OR)
+            if (
+                default_op == "AND"
+                and children
+                and children[-1].occur == "MUST"
+            ):
+                children[-1].occur = "SHOULD"
             conj = "OR"
             continue
         if tok == "NOT":
@@ -255,7 +275,9 @@ def _parse_level(
             continue
         if tok.endswith("(") and tok.lstrip("+-") == "(":
             sign = tok[0] if tok[0] in "+-" else ""
-            sub, i = _parse_level(tokens, i, phrases, analyze_fn, default_field)
+            sub, i = _parse_level(
+                tokens, i, phrases, analyze_fn, default_field, default_op
+            )
             # consume the matching ')' (with optional glued boost)
             if i >= len(tokens) or not tokens[i].startswith(")"):
                 raise ValueError("unbalanced '(' in query")

@@ -603,6 +603,13 @@ def test_localparams_dispatch(spark, corpus, built):
     assert ids(dispatch_query(eng, "{!term f=text}web", k=10)) == ids(
         eng.search(ParsedQuery(must=["web"]), k=10)
     )
+    # {!lucene q.op=AND}: bare terms bind MUST (QueryParsing.OP)
+    assert ids(dispatch_query(eng, "{!lucene q.op=AND}web data", k=10)) == ids(
+        eng.search("web AND data", k=10)
+    )
+    assert ids(eng.search("web data", default_op="AND", k=10)) == ids(
+        eng.search("web AND data", k=10)
+    )
     # {!field}: analyzed; multi-token value becomes a phrase
     got = dispatch_query(eng, "{!field f=text}Web Data", k=10)
     toks = eng._analyze("Web Data")

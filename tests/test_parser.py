@@ -173,6 +173,25 @@ def test_empty_group_dropped():
     assert pq.should == ["alpha", "beta"] and not pq.expand
 
 
+def test_default_op_and():
+    """q.op=AND (QueryParserBase AND_OPERATOR): bare clauses bind MUST; OR
+    demotes BOTH neighbors to SHOULD; explicit +/- and AND unchanged;
+    nested groups inherit the operator."""
+    t = parse_query_tree("a1 b1", default_op="AND")
+    assert [c.occur for c in t.children] == ["MUST", "MUST"]
+    t = parse_query_tree("a1 b1 OR c1", default_op="AND")
+    assert [c.occur for c in t.children] == ["MUST", "SHOULD", "SHOULD"]
+    t = parse_query_tree("a1 OR b1 c1", default_op="AND")
+    assert [c.occur for c in t.children] == ["SHOULD", "SHOULD", "MUST"]
+    t = parse_query_tree("-a1 +b1 c1", default_op="AND")
+    assert [c.occur for c in t.children] == ["MUST_NOT", "MUST", "MUST"]
+    t = parse_query_tree("(a1 b1) OR c1", default_op="AND")
+    assert [c.occur for c in t.children] == ["SHOULD", "SHOULD"]
+    assert [c.occur for c in t.children[0].node.children] == ["MUST", "MUST"]
+    with pytest.raises(ValueError):
+        parse_query_tree("a1", default_op="XOR")
+
+
 def test_calculate_mm_spec():
     """SolrPluginUtils.calculateMinShouldMatch grammar: plain ints,
     negative ints, percentages (truncate toward zero), negative
