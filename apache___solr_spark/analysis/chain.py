@@ -58,10 +58,45 @@ def simple_analyze(text: str | None, max_token_len: int = 255) -> list[str]:
     return _SIMPLE_RE.findall((text or "").lower())
 
 
+def analyze_folding(text: str | None, max_token_len: int = 255) -> list[str]:
+    """``text_general`` + ASCIIFoldingFilter after lowercase (the common
+    ``text_general_folding`` schema variant): 'café' and 'cafe' meet."""
+    from apache___solr_spark.analysis.filters import ascii_fold_tokens
+
+    return ascii_fold_tokens(analyze(text, max_token_len=max_token_len))
+
+
+def analyze_en_splitting(text: str | None, max_token_len: int = 255) -> list[str]:
+    """The ``text_en_splitting`` chain (sample managed-schema):
+    WHITESPACE tokenize (so 'wi-fi' reaches the next filter as one token —
+    the reason the reference schema pairs WDGF with WhitespaceTokenizer,
+    not StandardTokenizer), WordDelimiterGraphFilter (generateWordParts/
+    NumberParts, catenateWords, splitOnCaseChange, stemEnglishPossessive),
+    lowercase, stop, PorterStemFilter.  'PowerShot' matches power, shot,
+    and powershot; 'wi-fi' matches wi, fi, and wifi."""
+    from apache___solr_spark.analysis.filters import word_delimiter
+    from apache___solr_spark.analysis.porter import porter_stem
+
+    toks = (text or "").split()
+    toks = word_delimiter(toks, catenate_words=True)
+    toks = [
+        t if len(t) <= max_token_len else t[:max_token_len] for t in toks
+    ]
+    return [
+        porter_stem(lt)
+        for t in toks
+        if (lt := t.lower()) not in ENGLISH_STOP_WORDS
+    ]
+
+
 def analyzer_fn(analyzer: str):
     """Resolve an IndexConfig.analyzer name to its chain function."""
     if analyzer == "simple":
         return simple_analyze
     if analyzer == "standard_porter":
         return analyze_porter
+    if analyzer == "standard_folding":
+        return analyze_folding
+    if analyzer == "en_splitting":
+        return analyze_en_splitting
     return analyze

@@ -70,7 +70,13 @@ class IndexConfig:
     def __post_init__(self) -> None:
         if self.salt_range % self.block_range != 0:
             raise ValueError("salt_range must be a multiple of block_range")
-        if self.analyzer not in ("standard", "simple", "standard_porter"):
+        if self.analyzer not in (
+            "standard",
+            "simple",
+            "standard_porter",
+            "standard_folding",
+            "en_splitting",
+        ):
             raise ValueError(f"unknown analyzer {self.analyzer!r}")
         if self.score_dtype not in ("float32", "float64"):
             raise ValueError(f"unknown score_dtype {self.score_dtype!r}")

@@ -130,3 +130,102 @@ def test_analyze_porter_chain():
     assert analyzer_fn("standard_porter") is analyze_porter
     # stemming happens after lowercase + stop removal
     assert analyze_porter("Motoring AGREED") == ["motor", "agre"]
+
+
+# ---------------------------------------------------------------------------
+# Token filters (analysis/filters.py)
+# ---------------------------------------------------------------------------
+
+from apache___solr_spark.analysis.chain import (
+    analyze_en_splitting,
+    analyze_folding,
+)
+from apache___solr_spark.analysis.filters import (
+    ascii_fold,
+    edge_ngrams,
+    shingles,
+    word_delimiter,
+)
+
+
+def test_ascii_fold_accents_and_ligatures():
+    # ASCIIFoldingFilter.java canonical examples
+    assert ascii_fold("café") == "cafe"
+    assert ascii_fold("Señor") == "Senor"
+    assert ascii_fold("Ærø") == "AEro"
+    assert ascii_fold("straße") == "strasse"
+    assert ascii_fold("œuvre") == "oeuvre"
+    assert ascii_fold("łódź") == "lodz"
+    assert ascii_fold("naïve") == "naive"
+    # no ASCII equivalent -> unchanged
+    assert ascii_fold("日本語") == "日本語"
+    assert ascii_fold("москва") == "москва"
+    # pure ASCII fast path
+    assert ascii_fold("plain") == "plain"
+
+
+def test_word_delimiter_canonical_cases():
+    # WordDelimiterGraphFilter javadoc examples, flattened order
+    assert word_delimiter(["Wi-Fi"]) == ["Wi", "Fi"]
+    assert word_delimiter(["PowerShot"]) == ["Power", "Shot"]
+    assert word_delimiter(["SD500"]) == ["SD", "500"]
+    assert word_delimiter(["O'Neil's"]) == ["O", "Neil"]
+    assert word_delimiter(["j2se"]) == ["j", "2", "se"]
+    # catenateWords appends the joined word parts
+    assert word_delimiter(["wi-fi"], catenate_words=True) == ["wi", "fi", "wifi"]
+    # catenateAll joins everything
+    assert word_delimiter(["SD-500x"], catenate_all=True) == [
+        "SD", "500", "x", "SD500x",
+    ]
+    # preserveOriginal keeps the raw token
+    assert word_delimiter(["Wi-Fi"], preserve_original=True) == [
+        "Wi", "Fi", "Wi-Fi",
+    ]
+    # no delimiters: pass through untouched
+    assert word_delimiter(["plain", "UPPER"]) == ["plain", "UPPER"]
+    # all-delimiter tokens vanish
+    assert word_delimiter(["--"]) == []
+    # flag variants
+    assert word_delimiter(["SD500"], split_on_numerics=False) == ["SD500"]
+    assert word_delimiter(["PowerShot"], split_on_case_change=False) == [
+        "PowerShot"
+    ]
+    assert word_delimiter(["500-42"], generate_number_parts=False) == []
+    assert word_delimiter(
+        ["500-42"], generate_number_parts=False, catenate_numbers=True
+    ) == ["50042"]
+
+
+def test_edge_ngrams():
+    assert edge_ngrams(["search"], 1, 3) == ["s", "se", "sea"]
+    assert edge_ngrams(["ab"], 3, 5) == []
+    assert edge_ngrams(["ab"], 3, 5, preserve_original=True) == ["ab"]
+    assert edge_ngrams(["abcdef"], 2, 3, preserve_original=True) == [
+        "ab", "abc", "abcdef",
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        edge_ngrams(["x"], 0, 3)
+
+
+def test_shingles():
+    assert shingles(["a", "b", "c"]) == ["a", "a b", "b", "b c", "c"]
+    assert shingles(["a", "b", "c"], output_unigrams=False) == ["a b", "b c"]
+    assert shingles(["a", "b", "c"], 2, 3, output_unigrams=False) == [
+        "a b", "a b c", "b c",
+    ]
+    # lone token with no possible shingle still emitted
+    assert shingles(["only"], output_unigrams=False) == ["only"]
+
+
+def test_analyze_folding_chain():
+    # folding applies after the standard chain: stopwords out, accents folded
+    assert analyze_folding("the Café résumé") == ["cafe", "resume"]
+
+
+def test_analyze_en_splitting_chain():
+    # WDGF + lowercase + stop + porter: PowerShot -> power/shot/powershot,
+    # running -> run, possessive stripped
+    out = analyze_en_splitting("The PowerShot's running")
+    assert out == ["power", "shot", "powershot", "run"]

@@ -1139,3 +1139,51 @@ def test_terms_qparser_set_filter(spark, built, oracle_idx):
         eng, "{!terms f=text separator=|}web|data", k=500
     ).collect()
     assert [r["doc_id"] for r in got2] == want
+
+
+def test_en_splitting_analyzer_end_to_end(spark, tmp_path_factory):
+    """Index built with analyzer='en_splitting' (WDGF+porter chain): a query
+    for the catenated form ('powershot') and for a stemmed part ('run')
+    both hit docs whose raw text contains neither literal token."""
+    from apache___solr_spark.config import IndexConfig
+
+    rows = [
+        ("a000", "The new PowerShot camera is running fast"),
+        ("a001", "another camera entirely"),
+        ("a002", "wi-fi setup guide"),
+    ]
+    pages = spark.createDataFrame(
+        [(u, None, None, t, "en") for u, t in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    cfg = IndexConfig(analyzer="en_splitting", n_buckets=4, store_positions=False)
+    out = str(tmp_path_factory.mktemp("ensplit") / "idx")
+    build_index(spark, pages, out, cfg=cfg)
+    eng = SearchEngine(spark, out, cfg=cfg)
+    assert {r["doc_id"] for r in eng.search("powershot", k=5).collect()} == {0}
+    assert {r["doc_id"] for r in eng.search("run", k=5).collect()} == {0}
+    assert {r["doc_id"] for r in eng.search("wifi", k=5).collect()} == {2}
+    # and the un-catenated parts hit too
+    assert {r["doc_id"] for r in eng.search("shot", k=5).collect()} == {0}
+
+
+def test_standard_folding_analyzer_end_to_end(spark, tmp_path_factory):
+    """analyzer='standard_folding': accented doc text matches the ASCII
+    query and vice versa (ASCIIFoldingFilter applied index- and query-side)."""
+    from apache___solr_spark.config import IndexConfig
+
+    rows = [
+        ("a000", "le café résumé"),
+        ("a001", "coffee shop cafe"),
+        ("a002", "unrelated text"),
+    ]
+    pages = spark.createDataFrame(
+        [(u, None, None, t, "en") for u, t in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    cfg = IndexConfig(analyzer="standard_folding", n_buckets=4, store_positions=False)
+    out = str(tmp_path_factory.mktemp("folding") / "idx")
+    build_index(spark, pages, out, cfg=cfg)
+    eng = SearchEngine(spark, out, cfg=cfg)
+    assert {r["doc_id"] for r in eng.search("cafe", k=5).collect()} == {0, 1}
+    assert {r["doc_id"] for r in eng.search("café", k=5).collect()} == {0, 1}
