@@ -105,11 +105,95 @@ def _sort_order(node: dict, stats: dict[str, Column], bucket_col: str) -> list:
     return [lead, F.col(bucket_col).asc()]
 
 
-def json_facet(df: DataFrame, spec: dict) -> dict[str, DataFrame]:
-    """Evaluate a JSON Facet request; see module docstring."""
+def json_facet(
+    df: DataFrame,
+    spec: dict,
+    fqs: dict[str, Column | str] | None = None,
+    root_col: str = "_root_",
+    key_col: str = "id",
+) -> dict[str, DataFrame]:
+    """Evaluate a JSON Facet request; see module docstring.
+
+    ``fqs`` maps filter-query TAGS to predicates (Column or structured-q
+    string); all of them narrow the base domain, and a facet node whose
+    ``domain: {excludeTags: [...]}`` names some of them is evaluated with
+    those filters removed — the reference's multi-select faceting
+    (FacetRequest.java domain excludeTags, via JsonQueryConverter tags).
+    ``root_col``/``key_col`` name the block-join columns used by
+    ``domain: {blockChildren|blockParent: "<q>"}`` transforms.
+    """
+    fq_preds: dict[str, Column] = {}
+    for tag, p in (fqs or {}).items():
+        pred = structured_q_predicate(p) if isinstance(p, str) else p
+        if pred is not None:
+            fq_preds[tag] = pred
+    base = df
+    for pred in fq_preds.values():
+        base = base.filter(pred)
+    ctx = {"raw": df, "fq_preds": fq_preds, "root": root_col, "key": key_col}
     out: dict[str, DataFrame] = {}
-    _lower_level(df, spec, parents=[], prefix="", out=out)
+    _lower_level(base, spec, parents=[], prefix="", out=out, ctx=ctx)
     return out
+
+
+def _apply_domain(
+    df: DataFrame, node: dict, parents: list[str], ctx: dict | None
+) -> DataFrame:
+    """Apply a facet node's ``domain`` transform (FacetRequest.java
+    parseDomain: excludeTags / filter / blockChildren / blockParent /
+    join) before bucketing."""
+    dom = node.get("domain")
+    if not dom:
+        return df
+    ctx = ctx or {}
+    if "excludeTags" in dom:
+        # recompute from the un-filtered scan with the named fq tags
+        # dropped (multi-select faceting).  Only meaningful where the
+        # domain IS the fq-filtered base, i.e. top-level facets.
+        if parents:
+            raise NotImplementedError(
+                "domain.excludeTags on a nested facet (bucket-context "
+                "re-derivation) is not supported; restructure as a "
+                "top-level facet"
+            )
+        excl = dom["excludeTags"]
+        excl = {excl} if isinstance(excl, str) else set(excl)
+        df = ctx.get("raw", df)
+        for tag, pred in ctx.get("fq_preds", {}).items():
+            if tag not in excl:
+                df = df.filter(pred)
+    if "filter" in dom:
+        filters = dom["filter"]
+        for q in [filters] if isinstance(filters, str) else filters:
+            pred = structured_q_predicate(q)
+            if pred is not None:
+                df = df.filter(pred)
+    if "blockChildren" in dom:
+        # current domain = parent docs; new domain = their children
+        # (rows whose root_col points at a parent key in the domain).
+        parents_mask = structured_q_predicate(dom["blockChildren"])
+        raw, root, key = ctx["raw"], ctx["root"], ctx["key"]
+        par = df.filter(parents_mask) if parents_mask is not None else df
+        keys = par.select(F.col(key).alias(root)).distinct()
+        df = raw.join(F.broadcast(keys), root, "left_semi")
+        if parents_mask is not None:
+            df = df.filter(~parents_mask)
+    if "blockParent" in dom:
+        # current domain = child docs; new domain = their parents.
+        parents_mask = structured_q_predicate(dom["blockParent"])
+        raw, root, key = ctx["raw"], ctx["root"], ctx["key"]
+        roots = df.select(F.col(root).alias(key)).distinct()
+        par = raw.join(F.broadcast(roots), key, "left_semi")
+        df = par.filter(parents_mask) if parents_mask is not None else par
+    if "join" in dom:
+        # self-join domain transform ({"join": {"from": f, "to": t}}):
+        # docs whose `to` value appears among the domain's `from` values.
+        j = dom["join"]
+        raw = ctx["raw"]
+        frm, to = j["from"], j["to"]
+        vals = df.select(F.col(frm).alias(to)).distinct()
+        df = raw.join(vals, to, "left_semi")
+    return df
 
 
 def _agg_frame(
@@ -127,13 +211,16 @@ def _lower_level(
     parents: list[str],
     prefix: str,
     out: dict[str, DataFrame],
+    ctx: dict | None = None,
 ) -> None:
+    base_df = df
     for name, node in facets.items():
         if not isinstance(node, dict):
             raise ValueError(f"top-level facet {name!r} must be a dict")
         path = prefix + name
         typ = node.get("type", "terms")
         stats, subs = _split_node(node)
+        df = _apply_domain(base_df, node, parents, ctx)
 
         if typ == "terms":
             field = node["field"]
@@ -186,14 +273,14 @@ def _lower_level(
             if subs:
                 survivors = grouped.select(*keys)
                 child = df.join(F.broadcast(survivors), keys, "left_semi")
-                _lower_level(child, subs, keys, path + ".", out)
+                _lower_level(child, subs, keys, path + ".", out, ctx)
 
         elif typ == "query":
             pred = structured_q_predicate(node["q"])
             sub_df = df.filter(pred) if pred is not None else df
             out[path] = _agg_frame(sub_df, parents, stats)
             if subs:
-                _lower_level(sub_df, subs, parents, path + ".", out)
+                _lower_level(sub_df, subs, parents, path + ".", out, ctx)
 
         elif typ == "range":
             field = node["field"]
@@ -213,7 +300,7 @@ def _lower_level(
             keys = parents + ["bucket_start"]
             out[path] = _agg_frame(ranged, keys, stats).orderBy(*keys)
             if subs:
-                _lower_level(ranged, subs, keys, path + ".", out)
+                _lower_level(ranged, subs, keys, path + ".", out, ctx)
 
         elif typ == "heatmap":
             # FacetHeatmap.java capability (json.facet type:heatmap):
@@ -242,7 +329,7 @@ def _lower_level(
             keys = parents + ["x_bucket", "y_bucket"]
             out[path] = _agg_frame(cells, keys, stats).orderBy(*keys)
             if subs:
-                _lower_level(cells, subs, keys, path + ".", out)
+                _lower_level(cells, subs, keys, path + ".", out, ctx)
 
         else:
             raise NotImplementedError(f"unknown facet type {typ!r}")

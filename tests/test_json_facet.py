@@ -227,3 +227,165 @@ def test_heatmap_facet_type(events, ddb):
     ]
     assert got == [(x, y, c, round(s, 6)) for x, y, c, s in want]
     assert len(got) > 3
+
+
+# ---------------------------------------------------------------------------
+# domain transforms (FacetRequest.java parseDomain)
+# ---------------------------------------------------------------------------
+
+
+def test_domain_exclude_tags_multiselect(events, ddb):
+    """Multi-select faceting: the facet over event_type drops its own fq
+    tag, the sibling keeps all fqs."""
+    out = json_facet(
+        events,
+        {
+            "types_all": {"type": "terms", "field": "event_type", "limit": -1,
+                          "sort": "index asc"},
+            "types_self_excl": {
+                "type": "terms", "field": "event_type", "limit": -1,
+                "sort": "index asc",
+                "domain": {"excludeTags": ["bytype"]},
+            },
+        },
+        fqs={"bytype": "event_type:click", "byval": "value:[50 TO *]"},
+    )
+    want_all = ddb.sql(
+        "SELECT event_type, count(*) FROM events "
+        "WHERE event_type='click' AND value>=50 GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    want_excl = ddb.sql(
+        "SELECT event_type, count(*) FROM events WHERE value>=50 "
+        "GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    got_all = _rows(out["types_all"].orderBy("event_type"), "event_type", "count")
+    got_excl = _rows(
+        out["types_self_excl"].orderBy("event_type"), "event_type", "count"
+    )
+    assert got_all == want_all
+    assert got_excl == want_excl
+
+
+def test_domain_filter(events, ddb):
+    out = json_facet(
+        events,
+        {
+            "types": {
+                "type": "terms", "field": "event_type", "limit": -1,
+                "sort": "index asc",
+                "domain": {"filter": ["value:[10 TO 90]", "user_id:[0 TO 40]"]},
+                "facet": {"s": "sum(value)"},
+            }
+        },
+    )["types"]
+    want = ddb.sql(
+        "SELECT event_type, count(*), round(sum(value), 6) FROM events "
+        "WHERE value BETWEEN 10 AND 90 AND user_id BETWEEN 0 AND 40 "
+        "GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    got = [
+        (r["event_type"], r["count"], round(r["s"], 6))
+        for r in out.orderBy("event_type").collect()
+    ]
+    assert got == [tuple(w) for w in want]
+
+
+def test_domain_join(events, ddb):
+    """domain.join: all events of users who ever clicked, faceted by type."""
+    out = json_facet(
+        events,
+        {
+            "types": {
+                "type": "terms", "field": "event_type", "limit": -1,
+                "sort": "index asc",
+                "domain": {
+                    "filter": "event_type:click",
+                    "join": {"from": "user_id", "to": "user_id"},
+                },
+            }
+        },
+    )["types"]
+    want = ddb.sql(
+        "SELECT event_type, count(*) FROM events WHERE user_id IN "
+        "(SELECT user_id FROM events WHERE event_type='click') "
+        "GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    assert _rows(out.orderBy("event_type"), "event_type", "count") == want
+
+
+@pytest.fixture(scope="module")
+def blocks(spark):
+    """Parent/child block corpus: parents carry _root_ = own id (Solr's
+    root-document convention), children _root_ = parent id."""
+    rows = []
+    brands = ["acme", "beta", "acme", "gamma"]
+    colors = {0: ["red", "blue"], 1: ["red"], 2: ["green", "green", "blue"],
+              3: ["blue"]}
+    for pid, brand in enumerate(brands):
+        rows.append((pid, pid, "p", brand, None))
+        for j, c in enumerate(colors[pid]):
+            rows.append((100 + pid * 10 + j, pid, "c", None, c))
+    return spark.createDataFrame(
+        rows, "id long, _root_ long, doc_type string, brand string, color string"
+    )
+
+
+def test_domain_block_children(blocks):
+    """Facet child colors under acme parents: domain filter->blockChildren."""
+    out = json_facet(
+        blocks,
+        {
+            "colors": {
+                "type": "terms", "field": "color", "limit": -1,
+                "sort": "index asc",
+                "domain": {
+                    "filter": "brand:acme doc_type:p",
+                    "blockChildren": "doc_type:p",
+                },
+            }
+        },
+    )["colors"]
+    # acme parents 0 and 2 -> children red, blue, green, green, blue
+    assert _rows(out.orderBy("color"), "color", "count") == [
+        ("blue", 2), ("green", 2), ("red", 1),
+    ]
+
+
+def test_domain_block_parent(blocks):
+    """Facet brands of parents having a red child: filter->blockParent."""
+    out = json_facet(
+        blocks,
+        {
+            "brands": {
+                "type": "terms", "field": "brand", "limit": -1,
+                "sort": "index asc",
+                "domain": {
+                    "filter": "color:red doc_type:c",
+                    "blockParent": "doc_type:p",
+                },
+            }
+        },
+    )["brands"]
+    # red children under parents 0 (acme) and 1 (beta)
+    assert _rows(out.orderBy("brand"), "brand", "count") == [
+        ("acme", 1), ("beta", 1),
+    ]
+
+
+def test_domain_exclude_tags_nested_raises(events):
+    with pytest.raises(NotImplementedError):
+        json_facet(
+            events,
+            {
+                "types": {
+                    "type": "terms", "field": "event_type",
+                    "facet": {
+                        "users": {
+                            "type": "terms", "field": "user_id",
+                            "domain": {"excludeTags": "x"},
+                        }
+                    },
+                }
+            },
+            fqs={"x": "value:[0 TO 10]"},
+        )["types.users"]
