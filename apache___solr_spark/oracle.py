@@ -91,6 +91,19 @@ def _sim_term_weight(idx: OracleIndex, sim: str, t: str) -> float:
         return float(np.float32(math.log2((idx.n_docs + 1.0) / (df + 0.5))))
     if sim == "boolean":
         return 1.0
+    if sim == "rawtf":
+        return 1.0
+    if sim.startswith("dfi"):
+        cf = sum(plist.values())
+        return (float(cf) + 1.0) / (float(sum(idx.doclen)) + 1.0)
+    if sim.startswith("ib"):
+        # ib_<dist>_<lambda>_<norm>
+        lam_type = sim.split("_")[2] if "_" in sim else "df"
+        num = df if lam_type == "df" else sum(plist.values())
+        return (float(num) + 1.0) / (float(idx.n_docs) + 1.0)
+    if sim.startswith("sweetspot"):
+        idf = np.float32(1.0 + math.log((idx.n_docs + 1) / (df + 1)))
+        return float(idf * idf)
     raise NotImplementedError(f"oracle similarity {sim!r}")
 
 
@@ -106,8 +119,10 @@ def _sim_term_doc_score(
     avgdlf: np.float32,
     mu: float = 2000.0,
     lam: float = 0.7,
+    ss_params: dict | None = None,
 ) -> np.float32:
     """Scalar float32 mirror of the engine's vectorized kernels."""
+    ss_params = ss_params or {}
     tff = np.float32(tf)
     if sim == "bm25":
         idf = np.float32(float(w) * float(boost))
@@ -136,6 +151,68 @@ def _sim_term_doc_score(
         return wf * tfn / (np.float32(1.0) + tfn)
     if sim == "boolean":
         return np.float32(float(w) * float(boost))
+    if sim == "rawtf":
+        return np.float32(float(w) * float(boost)) * tff
+    if sim.startswith("dfi"):
+        measure = sim.split("_", 1)[1] if "_" in sim else "chisquared"
+        expected = np.float32(w) * dl
+        if tff <= expected:
+            return np.float32(0.0)
+        diff = tff - expected
+        if measure == "chisquared":
+            m = diff * diff / expected
+        elif measure == "standardized":
+            m = diff / np.sqrt(expected)
+        else:
+            m = diff / expected
+        ln2 = np.float32(math.log(2.0))
+        return np.float32(boost) * np.float32(
+            np.log1p(np.maximum(m, 0)) / ln2
+        )
+    if sim.startswith("ib"):
+        parts = sim.split("_")
+        dist = parts[1] if len(parts) > 1 else "ll"
+        norm = parts[3] if len(parts) > 3 else "h2"
+        ln2 = np.float32(math.log(2.0))
+        one = np.float32(1.0)
+        if norm == "h1":
+            tfn = one * tff * avgdlf / dl
+        elif norm == "h2":
+            tfn = tff * np.float32(np.log1p(one * avgdlf / dl) / ln2)
+        elif norm == "z":
+            tfn = tff * np.float32(np.power(avgdlf / dl, np.float32(0.30)))
+        else:
+            tfn = tff
+        lamf = np.float32(w)
+        if dist == "ll":
+            s = np.float32(np.log1p(tfn / lamf) / ln2)
+        else:
+            ratio = (np.power(lamf, tfn / (tfn + one)) - lamf) / (one - lamf)
+            s = np.float32(
+                -np.log(np.maximum(ratio, np.finfo(np.float32).tiny)) / ln2
+            )
+        return np.float32(boost) * s
+    if sim.startswith("sweetspot"):
+        lo = np.float32(ss_params.get("ln_min", 1))
+        hi = np.float32(ss_params.get("ln_max", 1))
+        steep = np.float32(ss_params.get("steepness", 0.5))
+        base = np.float32(ss_params.get("tf_base", 0.0))
+        tfmin = np.float32(ss_params.get("tf_min", 0.0))
+        wf = np.float32(float(w) * float(boost))
+        tfp = (
+            base
+            if tff <= tfmin
+            else np.float32(
+                np.sqrt(max(np.float32(tff + base * base - tfmin), 0.0))
+            )
+        )
+        ln = np.float32(1.0) / np.float32(
+            np.sqrt(
+                steep * (np.abs(dl - lo) + np.abs(dl - hi) - (hi - lo))
+                + np.float32(1.0)
+            )
+        )
+        return wf * np.float32(tfp) * ln
     raise NotImplementedError(f"oracle similarity {sim!r}")
 
 
@@ -146,6 +223,7 @@ def oracle_search(
     k1: float = 1.2,
     b: float = 0.75,
     similarity: str = "bm25",
+    sim_params: dict | None = None,
 ) -> list[dict]:
     """Similarity top-k with the exact arithmetic the engine uses:
     per-term float32 score via quantized doc length, float64 accumulation,
@@ -211,7 +289,8 @@ def oracle_search(
         for doc_id, tf in plist.items():
             dl = np.float32(byte4_to_int(idx.norm_byte[doc_id]))
             s = _sim_term_doc_score(
-                similarity, w, bst, tf, dl, k1f, one_minus_b, bf, avgdlf
+                similarity, w, bst, tf, dl, k1f, one_minus_b, bf, avgdlf,
+                ss_params=sim_params,
             )
             acc[doc_id] = acc.get(doc_id, 0.0) + float(s)  # f64 accumulation
             if t in must:
@@ -234,6 +313,7 @@ def oracle_search(
                     one_minus_b,
                     bf,
                     avgdlf,
+                    ss_params=sim_params,
                 )
                 acc[doc_id] = acc.get(doc_id, 0.0) + float(s)
                 group_docs.add(doc_id)

@@ -62,9 +62,13 @@ __all__ = [
     "BM25Similarity",
     "ClassicSimilarity",
     "DFRInL2Similarity",
+    "DFISimilarity",
+    "IBSimilarity",
     "LMDirichletSimilarity",
     "LMJelinekMercerSimilarity",
     "BooleanSimilarity",
+    "RawTFSimilarity",
+    "SweetSpotSimilarity",
     "get_similarity",
 ]
 
@@ -230,6 +234,179 @@ class BooleanSimilarity(Similarity):
         return score
 
 
+@dataclass(frozen=True)
+class RawTFSimilarity(Similarity):
+    """RawTFSimilarityFactory.java (Lucene misc RawTFSimilarity):
+    score = boost · tf — no idf, no length norm.  Useful when tf already
+    encodes an externally computed weight (the factory javadoc's use case)."""
+
+    name: str = "rawtf"
+
+    def weight(self, n_docs, df, cf, total_len, dtype=np.float32) -> float:
+        return 1.0
+
+    def kernel(self, avgdl, dtype=np.float32):
+        def score(w, boost, tfs, dl):
+            return dtype(float(w) * float(boost)) * tfs
+
+        return score
+
+
+@dataclass(frozen=True)
+class DFISimilarity(Similarity):
+    """DFISimilarityFactory.java (Lucene DFISimilarity): divergence from
+    independence.  expected = (cf+1)·dl/(total_len+1); docs whose observed
+    tf ≤ expected score 0; otherwise
+
+        score = boost · log2(independence(tf, expected) + 1)
+
+    with independence ∈ {ChiSquared: (tf-e)²/e, Standardized: (tf-e)/√e,
+    Saturated: (tf-e)/e} (the factory's required ``independenceMeasure``)."""
+
+    name: str = "dfi"
+    measure: str = "chisquared"  # chisquared | standardized | saturated
+
+    def __post_init__(self):
+        if self.measure not in ("chisquared", "standardized", "saturated"):
+            raise NotImplementedError(
+                f"invalid independence measure {self.measure!r}"
+            )
+
+    def weight(self, n_docs, df, cf, total_len, dtype=np.float32) -> float:
+        # expected tf per unit of doc length: (cf+1)/(total_len+1)
+        return (float(cf) + 1.0) / (float(total_len) + 1.0)
+
+    def kernel(self, avgdl, dtype=np.float32):
+        measure = self.measure
+        ln2 = math.log(2.0)
+
+        def score(w, boost, tfs, dl):
+            expected = dtype(w) * dl
+            diff = tfs - expected
+            if measure == "chisquared":
+                m = diff * diff / expected
+            elif measure == "standardized":
+                m = diff / np.sqrt(expected)
+            else:  # saturated
+                m = diff / expected
+            s = dtype(boost) * (np.log1p(np.maximum(m, 0)) / dtype(ln2))
+            return np.where(tfs <= expected, dtype(0.0), s.astype(dtype))
+
+        return score
+
+
+@dataclass(frozen=True)
+class IBSimilarity(Similarity):
+    """IBSimilarityFactory.java (Lucene IBSimilarity): information-based
+    models (Clinchant & Gaussier 2010).
+
+        score = boost · distribution(tfn, λ)
+
+    distribution LL: -log2(λ/(tfn+λ));  SPL: -log2((λ^(tfn/(tfn+1))-λ)/(1-λ))
+    λ DF: (df+1)/(N+1);  TTF: (cf+1)/(N+1)
+    tfn H1: c·tf·avgdl/dl;  H2: tf·log2(1+c·avgdl/dl);  Z: tf·(avgdl/dl)^z;
+    none: tf.  (H3 needs per-term collection LM stats beyond the single
+    weight slot — inventoried, raises.)"""
+
+    name: str = "ib"
+    distribution: str = "ll"  # ll | spl
+    lam_type: str = "df"  # df | ttf
+    normalization: str = "h2"  # h1 | h2 | z | none
+    c: float = 1.0
+    z: float = 0.30
+
+    def __post_init__(self):
+        if self.distribution not in ("ll", "spl"):
+            raise NotImplementedError(
+                f"invalid IB distribution {self.distribution!r}"
+            )
+        if self.lam_type not in ("df", "ttf"):
+            raise NotImplementedError(f"invalid IB lambda {self.lam_type!r}")
+        if self.normalization not in ("h1", "h2", "z", "none"):
+            raise NotImplementedError(
+                f"IB normalization {self.normalization!r} unsupported "
+                "(h1/h2/z/none; h3 inventoried)"
+            )
+
+    def weight(self, n_docs, df, cf, total_len, dtype=np.float32) -> float:
+        num = df if self.lam_type == "df" else cf
+        return (float(num) + 1.0) / (float(n_docs) + 1.0)
+
+    def kernel(self, avgdl, dtype=np.float32):
+        avgdlf = dtype(avgdl)
+        cf_ = dtype(self.c)
+        zf = dtype(self.z)
+        ln2 = dtype(math.log(2.0))
+        norm, dist = self.normalization, self.distribution
+
+        def score(w, boost, tfs, dl):
+            if norm == "h1":
+                tfn = cf_ * tfs * avgdlf / dl
+            elif norm == "h2":
+                tfn = tfs * (np.log1p(cf_ * avgdlf / dl) / ln2).astype(dtype)
+            elif norm == "z":
+                tfn = tfs * np.power(avgdlf / dl, zf).astype(dtype)
+            else:
+                tfn = tfs.astype(dtype)
+            lam = dtype(w)
+            if dist == "ll":
+                s = np.log1p(tfn / lam) / ln2
+            else:  # spl
+                ratio = (
+                    np.power(lam, tfn / (tfn + dtype(1.0))) - lam
+                ) / (dtype(1.0) - lam)
+                s = -np.log(np.maximum(ratio, np.finfo(dtype).tiny)) / ln2
+            return dtype(boost) * s.astype(dtype)
+
+        return score
+
+
+@dataclass(frozen=True)
+class SweetSpotSimilarity(Similarity):
+    """SweetSpotSimilarityFactory.java (Lucene misc SweetSpotSimilarity,
+    extends ClassicSimilarity): a plateau length norm —
+
+        lengthNorm(dl) = 1/√(steepness·(|dl-min| + |dl-max| - (max-min)) + 1)
+
+    (flat 1.0 inside [ln_min, ln_max], sloping off outside) and the
+    baselineTf variant  tf' = base if tf ≤ tf_min else √(tf + base² - tf_min).
+    With the Lucene defaults (ln_min=ln_max=1, steepness=0.5, base=min=0)
+    this reduces exactly to ClassicSimilarity (hyperbolicTf inventoried)."""
+
+    name: str = "sweetspot"
+    ln_min: int = 1
+    ln_max: int = 1
+    steepness: float = 0.5
+    tf_base: float = 0.0
+    tf_min: float = 0.0
+
+    def weight(self, n_docs, df, cf, total_len, dtype=np.float32) -> float:
+        idf = dtype(1.0 + math.log((n_docs + 1) / (df + 1)))
+        return float(idf * idf)
+
+    def kernel(self, avgdl, dtype=np.float32):
+        lo = dtype(self.ln_min)
+        hi = dtype(self.ln_max)
+        steep = dtype(self.steepness)
+        base = dtype(self.tf_base)
+        tfmin = dtype(self.tf_min)
+
+        def score(w, boost, tfs, dl):
+            wf = dtype(float(w) * float(boost))
+            tfp = np.where(
+                tfs <= tfmin,
+                base,
+                np.sqrt(np.maximum(tfs + base * base - tfmin, dtype(0.0))),
+            ).astype(dtype)
+            ln = dtype(1.0) / np.sqrt(
+                steep * (np.abs(dl - lo) + np.abs(dl - hi) - (hi - lo))
+                + dtype(1.0)
+            ).astype(dtype)
+            return wf * tfp * ln
+
+        return score
+
+
 _REGISTRY = {
     "bm25": BM25Similarity,
     "classic": ClassicSimilarity,
@@ -238,16 +415,39 @@ _REGISTRY = {
     "boolean": BooleanSimilarity,
     "dfr": DFRInL2Similarity,
     "dfr_inl2": DFRInL2Similarity,
+    "rawtf": RawTFSimilarity,
+    "dfi": DFISimilarity,
+    "ib": IBSimilarity,
+    "sweetspot": SweetSpotSimilarity,
 }
 
 
 def get_similarity(name: str | Similarity, cfg=None, **params) -> Similarity:
     """Resolve a similarity by factory name (case-insensitive).  ``cfg``
     supplies k1/b for BM25 so the engine default stays config-driven;
-    ``params`` override per-similarity knobs (mu, lam, k1, b)."""
+    ``params`` override per-similarity knobs (mu, lam, k1, b, measure,
+    distribution, ...).  Compound spellings configure inline —
+    ``dfi_<measure>`` and ``ib_<distribution>_<lambda>_<normalization>``
+    (e.g. ``dfi_saturated``, ``ib_spl_ttf_h1``) — mirroring the factory
+    params the reference reads from the schema."""
     if isinstance(name, Similarity):
         return name
     key = str(name).lower()
+    if key.startswith("dfi_") and key not in _REGISTRY:
+        return DFISimilarity(measure=key[4:], **params)
+    if key.startswith("ib_") and key not in _REGISTRY:
+        parts = key.split("_")
+        if len(parts) != 4:
+            raise NotImplementedError(
+                f"compound IB spelling must be ib_<dist>_<lambda>_<norm>, "
+                f"got {name!r}"
+            )
+        return IBSimilarity(
+            distribution=parts[1],
+            lam_type=parts[2],
+            normalization=parts[3],
+            **params,
+        )
     if key not in _REGISTRY:
         raise NotImplementedError(
             f"unknown similarity {name!r}; available: {sorted(_REGISTRY)}"

@@ -22,7 +22,22 @@ from apache___solr_spark.query.engine import SearchEngine
 N_DOCS = 400
 CFG = IndexConfig(block_range=32, salt_range=128, n_buckets=8)
 
-SIMS = ["classic", "lmdirichlet", "lmjelinekmercer", "boolean", "dfr_inl2"]
+SIMS = [
+    "classic",
+    "lmdirichlet",
+    "lmjelinekmercer",
+    "boolean",
+    "dfr_inl2",
+    "rawtf",
+    "sweetspot",
+    "dfi_chisquared",
+    "dfi_standardized",
+    "dfi_saturated",
+    "ib_ll_df_h2",
+    "ib_spl_ttf_h1",
+    "ib_ll_ttf_z",
+    "ib_spl_df_none",
+]
 QUERIES = [
     "web",                 # single head term
     "web data",            # OR of two terms
@@ -130,7 +145,52 @@ def test_phrase_raises_under_non_bm25(spark, built):
 
 def test_unknown_similarity_raises(spark, built):
     with pytest.raises(NotImplementedError, match="unknown similarity"):
-        SearchEngine(spark, built, cfg=CFG, similarity="sweetspot")
+        SearchEngine(spark, built, cfg=CFG, similarity="notasim")
+    with pytest.raises(NotImplementedError, match="independence"):
+        SearchEngine(spark, built, cfg=CFG, similarity="dfi_bogus")
+    with pytest.raises(NotImplementedError):
+        SearchEngine(spark, built, cfg=CFG, similarity="ib_ll_df_h3")
+
+
+def test_sweetspot_defaults_reduce_to_classic(spark, built):
+    """Lucene defaults (ln_min=ln_max=1, steepness=0.5, base=min=0) make
+    SweetSpotSimilarity's lengthNorm collapse to 1/sqrt(dl) and baselineTf
+    to sqrt(tf) — ClassicSimilarity up to one float32 ulp (the plateau
+    computes x·(1/√dl) where classic computes x/√dl)."""
+    a = SearchEngine(spark, built, cfg=CFG, similarity="classic")
+    b = SearchEngine(spark, built, cfg=CFG, similarity="sweetspot")
+    ra = [r.asDict() for r in a.search("web data merge", k=20).collect()]
+    rb = [r.asDict() for r in b.search("web data merge", k=20).collect()]
+    assert ra and [r["doc_id"] for r in ra] == [r["doc_id"] for r in rb]
+    for x, y in zip(ra, rb):
+        assert math.isclose(x["score"], y["score"], rel_tol=1e-6)
+
+
+def test_sweetspot_plateau_params(spark, built, oracle_idx):
+    """A real plateau (ln_min=3, ln_max=12) scores oracle-exactly and
+    differs from the classic ranking's scores."""
+    from apache___solr_spark.query.similarities import SweetSpotSimilarity
+
+    sim = SweetSpotSimilarity(ln_min=3, ln_max=12)
+    eng = SearchEngine(spark, built, cfg=CFG, similarity=sim)
+    got = [r.asDict() for r in eng.search("web data", k=15).collect()]
+    want = oracle_search(
+        oracle_idx,
+        "web data",
+        k=15,
+        similarity="sweetspot",
+        sim_params={"ln_min": 3, "ln_max": 12},
+    )
+    assert [g["doc_id"] for g in got] == [w["doc_id"] for w in want]
+    for g, w in zip(got, want):
+        assert math.isclose(g["score"], w["score"], rel_tol=1e-6)
+    classic = SearchEngine(spark, built, cfg=CFG, similarity="classic")
+    rc = [r.asDict() for r in classic.search("web data", k=15).collect()]
+    assert any(
+        not math.isclose(a["score"], b["score"], rel_tol=1e-9)
+        for a, b in zip(got, rc)
+        if a["doc_id"] == b["doc_id"]
+    )
 
 
 def test_similarity_params_override(spark, built, oracle_idx):
