@@ -90,17 +90,7 @@ def read_json_docs(
     if schema:
         reader = reader.schema(schema)
     df = reader.json(path)
-    return (
-        df.withColumn("_arrival", F.monotonically_increasing_id())
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy(unique_key).orderBy(F.col("_arrival").desc())
-            ),
-        )
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_arrival")
-    )
+    return _last_wins(df, unique_key)
 
 
 def read_csv_docs(
@@ -151,6 +141,94 @@ def write_response(df: DataFrame, path: str, fmt: str = "json") -> None:
         raise NotImplementedError(f"format {fmt!r}")
 
 
+def _last_wins(df: DataFrame, unique_key: str) -> DataFrame:
+    """Duplicate uniqueKey keeps the LAST occurrence — Solr's
+    overwrite-on-add (DirectUpdateHandler2.addDoc: updateDocument by id)."""
+    if unique_key not in df.columns:
+        return df
+    return (
+        df.withColumn("_arrival", F.monotonically_increasing_id())
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(unique_key).orderBy(
+                    F.col("_arrival").desc()
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_arrival")
+    )
+
+
+def _docs_from_binary_files(
+    spark: SparkSession, path: str, extract, unique_key: str
+) -> DataFrame:
+    """Shared shape for binary update-payload formats: a distributed
+    binaryFile scan, per-file decode in an Arrow-batched UDF (one task per
+    payload file — the scalable unit), docs re-parsed from JSON lines with
+    schema inference, then last-wins uniqueKey dedup."""
+    import json as _json
+    from typing import Iterator
+
+    import pandas as pd
+
+    raw = spark.read.format("binaryFile").load(path).select("content")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf["content"]:
+                for doc in extract(bytes(payload)):
+                    out.append(_json.dumps(doc, default=str))
+            yield pd.DataFrame({"value": out})
+
+    jsonl = raw.mapInPandas(parse, schema="value string")
+    df = spark.read.json(jsonl.rdd.map(lambda r: r["value"]))
+    return _last_wins(df, unique_key)
+
+
+def read_javabin_docs(
+    spark: SparkSession, path: str, unique_key: str = "id"
+) -> DataFrame:
+    """JavabinLoader equivalent (handler/loader/JavabinLoader.java): decode
+    JavaBin update payloads (JavaBinUpdateRequestCodec NamedList with a
+    streamed docs iterator, or a bare marshalled doc list) into docs.
+    The wire format is implemented from JavaBinCodec.java's public tag
+    table in sources/binformats.py."""
+    from apache___solr_spark.sources.binformats import (
+        javabin_extract_docs,
+        javabin_loads,
+    )
+
+    def extract(payload: bytes) -> list[dict]:
+        return javabin_extract_docs(javabin_loads(payload))
+
+    return _docs_from_binary_files(spark, path, extract, unique_key)
+
+
+def read_cbor_docs(
+    spark: SparkSession, path: str, unique_key: str = "id"
+) -> DataFrame:
+    """CborLoader equivalent (handler/loader/CborLoader.java): each payload
+    file is a CBOR array of doc maps, a single doc map, or a sequence of
+    doc maps; empty docs are dropped (CborLoader.handleDoc guards
+    !doc.isEmpty())."""
+    from apache___solr_spark.sources.binformats import cbor_loads
+
+    def extract(payload: bytes) -> list[dict]:
+        items = cbor_loads(payload, stream=True)
+        docs: list[dict] = []
+        for item in items:
+            if isinstance(item, list):
+                docs.extend(d for d in item if isinstance(d, dict) and d)
+            elif isinstance(item, dict) and item:
+                docs.append(item)
+        return docs
+
+    return _docs_from_binary_files(spark, path, extract, unique_key)
+
+
 def read_xml_docs(
     spark: SparkSession, path: str, unique_key: str = "id"
 ) -> DataFrame:
@@ -188,18 +266,4 @@ def read_xml_docs(
 
     jsonl = raw.mapInPandas(parse, schema="value string")
     df = spark.read.json(jsonl.rdd.map(lambda r: r["value"]))
-    if unique_key in df.columns:
-        df = (
-            df.withColumn("_arrival", F.monotonically_increasing_id())
-            .withColumn(
-                "_rn",
-                F.row_number().over(
-                    Window.partitionBy(unique_key).orderBy(
-                        F.col("_arrival").desc()
-                    )
-                ),
-            )
-            .filter(F.col("_rn") == 1)
-            .drop("_rn", "_arrival")
-        )
-    return df
+    return _last_wins(df, unique_key)
