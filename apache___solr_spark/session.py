@@ -83,6 +83,16 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # local mode: executor and driver share one JVM and one fate, but
+        # the executor still runs the heartbeat self-kill designed for real
+        # clusters — after spark.executor.heartbeat.maxFailures consecutive
+        # driver-side RPC stalls (long GC / giant plan compilation) it
+        # System.exit(56)s the WHOLE JVM mid-suite.  Make heartbeats
+        # effectively non-fatal locally; a real deployment overrides these
+        # via spark-submit conf where executor self-kill is the right call.
+        .config("spark.executor.heartbeatInterval", "60s")
+        .config("spark.executor.heartbeat.maxFailures", "10000")
+        .config("spark.network.timeout", "3600s")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # smaller split targets than the 128MB/4MB defaults: our corpora are
         # heavily-compressed parquet, and the expensive part is the Python
