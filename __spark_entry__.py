@@ -1200,10 +1200,23 @@ def q_topk_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tagged_union(frames, "page").orderBy("page", "o_orderkey")
 
 
+INTERVALS = ["[*,100000)", "[50000,200000]", "(200000,400000)", "[400000,*]"]
+
+
+def q_interval_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """facet.interval (request/IntervalFacets.java): overlapping arbitrary
+    intervals over o_totalprice, one conditional-agg pass."""
+    from apache___solr_spark.operators import interval_facet
+
+    o = _t(spark, sf_dir, "orders")
+    return interval_facet(o, "o_totalprice", INTERVALS)
+
+
 def q_range_facet_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range facet gap buckets plus other=all before/after/between buckets
-    (FacetRangeProcessor.java:51) as tagged cases of one entry (merged from
-    the round-2 entries range_facet / range_facet_other)."""
+    """Range facet gap buckets, other=all before/after/between buckets
+    (FacetRangeProcessor.java:51), and facet.interval overlapping buckets
+    (IntervalFacets.java) as tagged cases of one entry (merged from the
+    round-2 entries range_facet / range_facet_other)."""
     gap = q_range_facet(spark, sf_dir).select(
         F.lit("gap").alias("fkind"),
         F.col("bucket_start").cast("string").alias("bucket"),
@@ -1216,7 +1229,12 @@ def q_range_facet_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").cast("string").alias("bucket"),
         F.col(cnt).alias("n"),
     )
-    return gap.unionByName(other).orderBy("fkind", "bucket")
+    iv = q_interval_facet(spark, sf_dir).select(
+        F.lit("interval").alias("fkind"),
+        F.col("interval").alias("bucket"),
+        F.col("n"),
+    )
+    return gap.unionByName(other).unionByName(iv).orderBy("fkind", "bucket")
 
 
 def q_near_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2318,12 +2336,24 @@ def oracle_sql() -> dict[str, str]:
         "page, o_orderkey",
     )
     gap, other = d.pop("range_facet"), d.pop("range_facet_other")
+    iv_cases = " UNION ALL ".join(
+        f"""SELECT '{spec}' AS bucket,
+            count(*) FILTER (WHERE {cond}) AS n FROM orders"""
+        for spec, cond in [
+            ("[*,100000)", "o_totalprice < 100000"),
+            ("[50000,200000]", "o_totalprice >= 50000 AND o_totalprice <= 200000"),
+            ("(200000,400000)", "o_totalprice > 200000 AND o_totalprice < 400000"),
+            ("[400000,*]", "o_totalprice >= 400000"),
+        ]
+    )
     d["range_facet"] = f"""
         SELECT 'gap' AS fkind, CAST(bucket_start AS VARCHAR) AS bucket, n
         FROM ({gap})
         UNION ALL
         SELECT 'other' AS fkind, CAST(bucket AS VARCHAR) AS bucket, n
         FROM ({other})
+        UNION ALL
+        SELECT 'interval' AS fkind, bucket, n FROM ({iv_cases})
         ORDER BY fkind, bucket
     """
     d["simple_facets"] = f"""

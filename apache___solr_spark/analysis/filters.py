@@ -239,3 +239,63 @@ def shingles(
         # ShingleFilter emits the lone token when no shingle is possible
         out = list(tokens)
     return out
+
+
+# ---------------------------------------------------------------------------
+# PhoneticFilter (soundex encoders)
+# ---------------------------------------------------------------------------
+
+# American Soundex code table (commons-codec Soundex.US_ENGLISH, the
+# default encoder of solr.PhoneticFilterFactory —
+# lucene/analysis/phonetic/.../PhoneticFilterFactory.java).
+_SOUNDEX_CODE = {
+    **dict.fromkeys("bfpv", "1"),
+    **dict.fromkeys("cgjkqsxz", "2"),
+    **dict.fromkeys("dt", "3"),
+    "l": "4",
+    **dict.fromkeys("mn", "5"),
+    "r": "6",
+}
+
+
+def soundex(token: str) -> str:
+    """American Soundex (the Odell-Russell algorithm commons-codec
+    implements): first letter + 3 digits; adjacent same-code letters
+    collapse; H and W are transparent (letters either side of them merge
+    if same-coded); vowels break runs.  Non-alpha tokens pass through
+    unchanged, matching PhoneticFilter's leniency."""
+    letters = [c for c in token.lower() if "a" <= c <= "z"]
+    if not letters:
+        return token
+    first = letters[0]
+    out = [first.upper()]
+    prev_code = _SOUNDEX_CODE.get(first, "")
+    for c in letters[1:]:
+        if c in "hw":  # transparent: keep prev_code across it
+            continue
+        code = _SOUNDEX_CODE.get(c, "")
+        if code and code != prev_code:
+            out.append(code)
+            if len(out) == 4:
+                break
+        prev_code = code
+    return "".join(out).ljust(4, "0")
+
+
+def phonetic_tokens(
+    tokens: list[str], encoder=soundex, inject: bool = True
+) -> list[str]:
+    """PhoneticFilterFactory semantics: with ``inject=True`` (the factory
+    default) each token is followed by its phonetic code at the same
+    position (flattened here, like the WDGF note above); with
+    ``inject=False`` codes replace the tokens."""
+    out: list[str] = []
+    for t in tokens:
+        code = encoder(t)
+        if inject:
+            out.append(t)
+            if code != t:
+                out.append(code)
+        else:
+            out.append(code)
+    return out

@@ -537,6 +537,61 @@ def range_facet_other(
     return grouped.unionByName(between).orderBy("bucket")
 
 
+def _parse_interval(spec: str) -> tuple[str, object, object, bool, bool]:
+    """Parse the reference's interval syntax (request/IntervalFacets.java:
+    FacetInterval ctor, :500-560): ``[a,b]`` / ``(a,b)`` mixed brackets,
+    ``*`` for an open end.  Returns (key, start, end, start_open,
+    end_open); start/end are None for ``*``."""
+    from apache___solr_spark.query.structured import coerce_literal
+
+    s = spec.strip()
+    if len(s) < 3 or s[0] not in "[(" or s[-1] not in "])":
+        raise ValueError(f"invalid facet interval {spec!r}")
+    start_open = s[0] == "("
+    end_open = s[-1] == ")"
+    body = s[1:-1]
+    if "," not in body:
+        raise ValueError(f"facet interval needs 'start,end': {spec!r}")
+    lo_s, hi_s = (p.strip() for p in body.split(",", 1))
+    lo = None if lo_s == "*" else coerce_literal(lo_s)
+    hi = None if hi_s == "*" else coerce_literal(hi_s)
+    return s, lo, hi, start_open, end_open
+
+
+def interval_facet(
+    df: DataFrame, field: str, intervals: Sequence[str]
+) -> DataFrame:
+    """facet.interval (request/IntervalFacets.java): count docs per
+    arbitrary interval ``[a,b] (a,b) [*,x)``.  Unlike range facets the
+    intervals may OVERLAP — a doc counts in every interval containing its
+    value — so this is one conditional aggregation pass (one scan, no
+    shuffle beyond the single-row agg), then an unpivot back to
+    (interval, count) rows in the request's interval order."""
+    col = F.col(field)
+    conds = []
+    for spec in intervals:
+        key, lo, hi, lo_open, hi_open = _parse_interval(spec)
+        c = F.lit(True)
+        if lo is not None:
+            c = c & (col > lo if lo_open else col >= lo)
+        if hi is not None:
+            c = c & (col < hi if hi_open else col <= hi)
+        conds.append((key, c))
+    wide = df.agg(
+        *[
+            F.count(F.when(c, F.lit(1))).alias(f"_iv{i}")
+            for i, (_, c) in enumerate(conds)
+        ]
+    )
+    stack_args = ", ".join(
+        "'{}', _iv{}".format(key.replace("'", "\\'"), i)
+        for i, (key, _) in enumerate(conds)
+    )
+    return wide.selectExpr(
+        f"stack({len(conds)}, {stack_args}) as (interval, n)"
+    )
+
+
 def pivot_facet(df: DataFrame, fields: Sequence[str]) -> DataFrame:
     """Pivot facet (handler/component/PivotFacetComponent.java,
     PivotFacetProcessor): hierarchical counts along ``fields``, flattened as

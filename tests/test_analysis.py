@@ -229,3 +229,32 @@ def test_analyze_en_splitting_chain():
     # running -> run, possessive stripped
     out = analyze_en_splitting("The PowerShot's running")
     assert out == ["power", "shot", "powershot", "run"]
+
+
+def test_soundex_classic_vectors():
+    from apache___solr_spark.analysis.filters import phonetic_tokens, soundex
+
+    # commons-codec Soundex.US_ENGLISH golden values (PhoneticFilterFactory's
+    # default encoder), including the H/W transparency rule
+    vectors = {
+        "Robert": "R163",
+        "Rupert": "R163",
+        "Ashcraft": "A261",
+        "Ashcroft": "A261",
+        "Tymczak": "T522",
+        "Pfister": "P236",
+        "Honeyman": "H555",
+        "Jackson": "J250",
+        "Washington": "W252",
+        "Lee": "L000",
+        "Gutierrez": "G362",
+    }
+    for word, code in vectors.items():
+        assert soundex(word) == code, word
+    # inject=True keeps originals alongside codes; inject=False replaces
+    assert phonetic_tokens(["robert", "lee"]) == [
+        "robert", "R163", "lee", "L000",
+    ]
+    assert phonetic_tokens(["robert"], inject=False) == ["R163"]
+    # non-alpha tokens pass through
+    assert soundex("42") == "42"

@@ -190,3 +190,58 @@ def test_suggest_infix(spark):
         ("table", "t<b>ab</b>le"),
         ("cable", "c<b>ab</b>le"),
     ]
+
+
+def test_interval_facet_overlapping(spark):
+    from apache___solr_spark.operators import interval_facet
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in [0, 5, 10, 15, 20, 25, 30]], "x double"
+    )
+    got = {
+        r["interval"]: r["n"]
+        for r in interval_facet(
+            df, "x", ["[*,10)", "[5,20]", "(20,30)", "[30,*]", "(5,5)"]
+        ).collect()
+    }
+    # overlapping intervals each count independently; bounds honor open/closed
+    assert got == {
+        "[*,10)": 2,   # 0, 5
+        "[5,20]": 4,   # 5, 10, 15, 20
+        "(20,30)": 1,  # 25
+        "[30,*]": 1,   # 30
+        "(5,5)": 0,    # empty open interval
+    }
+    # request order is preserved in the output rows
+    order = [
+        r["interval"]
+        for r in interval_facet(df, "x", ["[30,*]", "[*,10)"]).collect()
+    ]
+    assert order == ["[30,*]", "[*,10)"]
+
+
+def test_interval_facet_bad_syntax(spark):
+    import pytest as _pytest
+
+    from apache___solr_spark.operators import interval_facet
+
+    df = spark.range(1).selectExpr("CAST(id AS DOUBLE) AS x")
+    with _pytest.raises(ValueError, match="invalid facet interval"):
+        interval_facet(df, "x", ["10,20"])
+    with _pytest.raises(ValueError, match="start,end"):
+        interval_facet(df, "x", ["[10]"])
+
+
+def test_sql_handler_views(spark):
+    from apache___solr_spark.query.sql_handler import sql
+
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("b", 3)], "k string, v int"
+    )
+    out = sql(
+        spark,
+        "SELECT k, sum(v) AS s FROM c GROUP BY k HAVING sum(v) > 1 "
+        "ORDER BY k",
+        c=df,
+    ).collect()
+    assert [(r["k"], r["s"]) for r in out] == [("b", 5)]
