@@ -1121,6 +1121,106 @@ class SearchEngine:
         forced off (it is a top-k bound, unsound for a full DocSet)."""
         return self.search(query, prune=False, _docset=True).select("doc_id")
 
+    def explain_scores(self, query: str | ParsedQuery, k: int = 10) -> DataFrame:
+        """debugQuery=true explain analog (response debug component,
+        Lucene Explanation tree): per-(doc, term) score contributions for
+        the top-k hits of a FLAT term/boolean query, flattened to rows
+
+            (rank, doc_id, term, weight, boost, contribution, score)
+
+        where sum(contribution) over a doc's rows equals its score (float
+        tolerance).  Dictionary-expanded clauses (prefix/wildcard/fuzzy/
+        range) are explained per matched term.  Phrase and nested-tree
+        queries raise — their contributions are not per-term-separable in
+        this flattened shape (honest subset; the reference emits a nested
+        Explanation tree there)."""
+        if isinstance(query, str):
+            try:
+                pq = lower_tree(
+                    parse_query_tree(query, analyze_fn=self._analyze)
+                )
+            except NotFlatQuery as exc:
+                raise NotImplementedError(
+                    "explain_scores covers flat term/boolean queries; "
+                    f"nested boolean structure: {exc}"
+                ) from exc
+        else:
+            pq = query
+        if (
+            pq.scoring_phrases
+            or pq.must_phrases
+            or pq.must_not_phrases
+        ):
+            raise NotImplementedError(
+                "explain_scores covers flat term/boolean queries; phrase "
+                "clauses have no flat per-term decomposition"
+            )
+        hits = self.search(pq, k=k).select("rank", "doc_id", "score")
+        doc_ids = [int(r["doc_id"]) for r in hits.collect()]
+        empty = (
+            "rank int, doc_id long, clause string, term string, "
+            f"weight double, boost double, contribution {self._sql_t}, "
+            f"score {self._sql_t}"
+        )
+        if not doc_ids:
+            return self.spark.createDataFrame([], empty)
+        if self.synonyms:
+            pq = _apply_synonyms(pq, self.synonyms)
+        # same clause resolution as the flat search path: each scoring term
+        # and each expanded SHOULD/MUST group is its OWN clause — a term
+        # matched both directly and via a wildcard group contributes twice,
+        # exactly as search() scores it
+        clauses: list[tuple[str, list[str], float]] = []
+        for t in pq.scoring_terms:
+            clauses.append((t, [t], float(pq.boosts.get(t, 1.0))))
+        for cl in pq.expand:
+            if cl.occur == "MUST_NOT":
+                continue
+            matched = self._expand_clause(cl)
+            if matched:
+                clauses.append((cl.label, matched, float(cl.boost)))
+        all_terms = sorted({t for _, ts, _ in clauses for t in ts})
+        if not all_terms:
+            return self.spark.createDataFrame([], empty)
+        meta = self._term_meta(all_terms)
+        weights = self._weights(meta)
+        found = set(meta["term"])
+        salts = sorted({d // self.cfg.salt_range for d in doc_ids})
+        parts = []
+        winfo_rows = []
+        for label, ts, boost in clauses:
+            ts = [t for t in ts if t in found]
+            if not ts:
+                continue
+            blocks = self._blocks_for(ts).filter(F.col("salt").isin(salts))
+            scored = self._scored(
+                blocks,
+                weights,
+                {t: boost for t in ts} if boost != 1.0 else None,
+            ).filter(F.col("doc_id").isin(doc_ids))
+            parts.append(scored.withColumn("clause", F.lit(label)))
+            winfo_rows.extend(
+                (label, t, float(weights[t]), boost) for t in ts
+            )
+        scored_all = parts[0]
+        for p in parts[1:]:
+            scored_all = scored_all.unionByName(p)
+        winfo = self.spark.createDataFrame(
+            winfo_rows, "clause string, term string, weight double, boost double"
+        )
+        return (
+            hits.join(
+                scored_all.withColumnRenamed("score", "contribution"),
+                "doc_id",
+            )
+            .join(F.broadcast(winfo), ["clause", "term"])
+            .select(
+                "rank", "doc_id", "clause", "term", "weight", "boost",
+                "contribution", "score",
+            )
+            .orderBy("rank", "clause", "term")
+        )
+
     def _apply_funcs(
         self, frame: DataFrame, bf: list | None, boost: list | None
     ) -> DataFrame:

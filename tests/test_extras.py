@@ -698,3 +698,39 @@ def test_simple_facets_match_python_oracle(spark, built):
     # limit=1 keeps only the top value per field; mincount filters the rest
     top = simple_facets(eng, "web data", meta, ["lang"], limit=1).collect()
     assert len(top) == 1 and top[0]["value"] == want.most_common(1)[0][0]
+
+
+def test_explain_scores_decomposition(spark, built):
+    """debugQuery explain analog: per-term contributions sum to the score,
+    single-term explains equal the score, boosts are surfaced, phrases and
+    nested trees raise."""
+    import math
+
+    out, _ = built if isinstance(built, tuple) else (built, None)
+    eng = SearchEngine(spark, out, cfg=CFG)
+
+    # single term: one row per hit, contribution == score
+    rows = eng.explain_scores("web", k=5).collect()
+    assert rows and all(r["term"] == "web" for r in rows)
+    for r in rows:
+        assert math.isclose(r["contribution"], r["score"], rel_tol=1e-6)
+
+    # multi-term with boost + expansion group: contributions sum to score
+    df = eng.explain_scores("web data^2.5 da*", k=8)
+    rows = df.collect()
+    assert any(r["boost"] == 2.5 and r["term"] == "data" for r in rows)
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], [0.0, r["score"]])
+        by_doc[r["doc_id"]][0] += r["contribution"]
+    for doc_id, (ssum, score) in by_doc.items():
+        assert math.isclose(ssum, score, rel_tol=1e-5), (doc_id, ssum, score)
+    # scores match the plain search ranking
+    plain = {r["doc_id"]: r["score"] for r in eng.search("web data^2.5 da*", k=8).collect()}
+    assert {r["doc_id"]: r["score"] for r in rows} == plain
+
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError, match="phrase"):
+        eng.explain_scores('"web data"')
+    with _pytest.raises(NotImplementedError):
+        eng.explain_scores("(web AND data) OR (query AND merge)")
