@@ -98,9 +98,14 @@ def _sim_term_weight(idx: OracleIndex, sim: str, t: str) -> float:
         return (float(cf) + 1.0) / (float(sum(idx.doclen)) + 1.0)
     if sim.startswith("ib"):
         # ib_<dist>_<lambda>_<norm>
-        lam_type = sim.split("_")[2] if "_" in sim else "df"
+        parts = sim.split("_")
+        lam_type = parts[2] if len(parts) > 2 else "df"
         num = df if lam_type == "df" else sum(plist.values())
-        return (float(num) + 1.0) / (float(idx.n_docs) + 1.0)
+        lam = (float(num) + 1.0) / (float(idx.n_docs) + 1.0)
+        if len(parts) > 3 and parts[3] == "h3":
+            cf = sum(plist.values())
+            return (lam, (float(cf) + 1.0) / (float(sum(idx.doclen)) + 1.0))
+        return lam
     if sim.startswith("sweetspot"):
         idf = np.float32(1.0 + math.log((idx.n_docs + 1) / (df + 1)))
         return float(idf * idf)
@@ -175,7 +180,11 @@ def _sim_term_doc_score(
         norm = parts[3] if len(parts) > 3 else "h2"
         ln2 = np.float32(math.log(2.0))
         one = np.float32(1.0)
-        if norm == "h1":
+        if norm == "h3":
+            lamf, p = np.float32(w[0]), np.float32(w[1])
+            muf = np.float32(800.0)
+            tfn = (tff + muf * p) / (dl + muf) * muf
+        elif norm == "h1":
             tfn = one * tff * avgdlf / dl
         elif norm == "h2":
             tfn = tff * np.float32(np.log1p(one * avgdlf / dl) / ln2)
@@ -183,7 +192,8 @@ def _sim_term_doc_score(
             tfn = tff * np.float32(np.power(avgdlf / dl, np.float32(0.30)))
         else:
             tfn = tff
-        lamf = np.float32(w)
+        if norm != "h3":
+            lamf = np.float32(w)
         if dist == "ll":
             s = np.float32(np.log1p(tfn / lamf) / ln2)
         else:
@@ -199,13 +209,29 @@ def _sim_term_doc_score(
         base = np.float32(ss_params.get("tf_base", 0.0))
         tfmin = np.float32(ss_params.get("tf_min", 0.0))
         wf = np.float32(float(w) * float(boost))
-        tfp = (
-            base
-            if tff <= tfmin
-            else np.float32(
-                np.sqrt(max(np.float32(tff + base * base - tfmin), 0.0))
+        if ss_params.get("tf_mode") == "hyperbolic":
+            hmin = np.float32(ss_params.get("hyper_min", 0.0))
+            hmax = np.float32(ss_params.get("hyper_max", 2.0))
+            lnb = np.float32(math.log(ss_params.get("hyper_base", 1.3)))
+            xoff = np.float32(ss_params.get("hyper_xoffset", 10.0))
+            tfp = (
+                np.float32(0.0)
+                if tff == 0
+                else np.float32(
+                    hmin
+                    + (hmax - hmin)
+                    / np.float32(2.0)
+                    * (np.tanh((tff - xoff) * lnb) + np.float32(1.0))
+                )
             )
-        )
+        else:
+            tfp = (
+                base
+                if tff <= tfmin
+                else np.float32(
+                    np.sqrt(max(np.float32(tff + base * base - tfmin), 0.0))
+                )
+            )
         ln = np.float32(1.0) / np.float32(
             np.sqrt(
                 steep * (np.abs(dl - lo) + np.abs(dl - hi) - (hi - lo))

@@ -1200,7 +1200,19 @@ class SearchEngine:
             ).filter(F.col("doc_id").isin(doc_ids))
             parts.append(scored.withColumn("clause", F.lit(label)))
             winfo_rows.extend(
-                (label, t, float(weights[t]), boost) for t in ts
+                # composite weights (e.g. IB-H3's (lambda, p)) surface
+                # their primary statistic
+                (
+                    label,
+                    t,
+                    float(
+                        weights[t][0]
+                        if isinstance(weights[t], tuple)
+                        else weights[t]
+                    ),
+                    boost,
+                )
+                for t in ts
             )
         scored_all = parts[0]
         for p in parts[1:]:

@@ -304,16 +304,19 @@ class IBSimilarity(Similarity):
 
     distribution LL: -log2(λ/(tfn+λ));  SPL: -log2((λ^(tfn/(tfn+1))-λ)/(1-λ))
     λ DF: (df+1)/(N+1);  TTF: (cf+1)/(N+1)
-    tfn H1: c·tf·avgdl/dl;  H2: tf·log2(1+c·avgdl/dl);  Z: tf·(avgdl/dl)^z;
-    none: tf.  (H3 needs per-term collection LM stats beyond the single
-    weight slot — inventoried, raises.)"""
+    tfn H1: c·tf·avgdl/dl;  H2: tf·log2(1+c·avgdl/dl);
+    H3: (tf + μ·p)/(dl+μ)·μ with p = (cf+1)/(total_len+1) (Dirichlet
+    prior, μ=800);  Z: tf·(avgdl/dl)^z;  none: tf.  H3 needs the per-term
+    collection LM probability alongside λ, so its weight slot carries the
+    (λ, p) pair the kernel unpacks."""
 
     name: str = "ib"
     distribution: str = "ll"  # ll | spl
     lam_type: str = "df"  # df | ttf
-    normalization: str = "h2"  # h1 | h2 | z | none
+    normalization: str = "h2"  # h1 | h2 | h3 | z | none
     c: float = 1.0
     z: float = 0.30
+    mu: float = 800.0
 
     def __post_init__(self):
         if self.distribution not in ("ll", "spl"):
@@ -322,33 +325,43 @@ class IBSimilarity(Similarity):
             )
         if self.lam_type not in ("df", "ttf"):
             raise NotImplementedError(f"invalid IB lambda {self.lam_type!r}")
-        if self.normalization not in ("h1", "h2", "z", "none"):
+        if self.normalization not in ("h1", "h2", "h3", "z", "none"):
             raise NotImplementedError(
                 f"IB normalization {self.normalization!r} unsupported "
-                "(h1/h2/z/none; h3 inventoried)"
+                "(h1/h2/h3/z/none)"
             )
 
-    def weight(self, n_docs, df, cf, total_len, dtype=np.float32) -> float:
+    def weight(self, n_docs, df, cf, total_len, dtype=np.float32):
         num = df if self.lam_type == "df" else cf
-        return (float(num) + 1.0) / (float(n_docs) + 1.0)
+        lam = (float(num) + 1.0) / (float(n_docs) + 1.0)
+        if self.normalization == "h3":
+            return (lam, (float(cf) + 1.0) / (float(total_len) + 1.0))
+        return lam
 
     def kernel(self, avgdl, dtype=np.float32):
         avgdlf = dtype(avgdl)
         cf_ = dtype(self.c)
         zf = dtype(self.z)
+        muf = dtype(self.mu)
         ln2 = dtype(math.log(2.0))
         norm, dist = self.normalization, self.distribution
 
         def score(w, boost, tfs, dl):
-            if norm == "h1":
-                tfn = cf_ * tfs * avgdlf / dl
-            elif norm == "h2":
-                tfn = tfs * (np.log1p(cf_ * avgdlf / dl) / ln2).astype(dtype)
-            elif norm == "z":
-                tfn = tfs * np.power(avgdlf / dl, zf).astype(dtype)
+            if norm == "h3":
+                lam, p = dtype(w[0]), dtype(w[1])
+                tfn = (tfs + muf * p) / (dl + muf) * muf
             else:
-                tfn = tfs.astype(dtype)
-            lam = dtype(w)
+                lam = dtype(w)
+                if norm == "h1":
+                    tfn = cf_ * tfs * avgdlf / dl
+                elif norm == "h2":
+                    tfn = tfs * (
+                        np.log1p(cf_ * avgdlf / dl) / ln2
+                    ).astype(dtype)
+                elif norm == "z":
+                    tfn = tfs * np.power(avgdlf / dl, zf).astype(dtype)
+                else:
+                    tfn = tfs.astype(dtype)
             if dist == "ll":
                 s = np.log1p(tfn / lam) / ln2
             else:  # spl
@@ -368,10 +381,12 @@ class SweetSpotSimilarity(Similarity):
 
         lengthNorm(dl) = 1/√(steepness·(|dl-min| + |dl-max| - (max-min)) + 1)
 
-    (flat 1.0 inside [ln_min, ln_max], sloping off outside) and the
-    baselineTf variant  tf' = base if tf ≤ tf_min else √(tf + base² - tf_min).
-    With the Lucene defaults (ln_min=ln_max=1, steepness=0.5, base=min=0)
-    this reduces exactly to ClassicSimilarity (hyperbolicTf inventoried)."""
+    (flat 1.0 inside [ln_min, ln_max], sloping off outside) and two tf
+    variants: baselineTf  tf' = base if tf ≤ tf_min else √(tf + base² -
+    tf_min), and hyperbolicTf  tf' = min + (max-min)/2 ·
+    (tanh((tf - xoffset)·ln(base)) + 1) (``tf_mode="hyperbolic"``).
+    With the Lucene defaults (ln_min=ln_max=1, steepness=0.5, base=min=0,
+    baseline mode) this reduces exactly to ClassicSimilarity."""
 
     name: str = "sweetspot"
     ln_min: int = 1
@@ -379,6 +394,15 @@ class SweetSpotSimilarity(Similarity):
     steepness: float = 0.5
     tf_base: float = 0.0
     tf_min: float = 0.0
+    tf_mode: str = "baseline"  # baseline | hyperbolic
+    hyper_min: float = 0.0
+    hyper_max: float = 2.0
+    hyper_base: float = 1.3
+    hyper_xoffset: float = 10.0
+
+    def __post_init__(self):
+        if self.tf_mode not in ("baseline", "hyperbolic"):
+            raise NotImplementedError(f"invalid tf_mode {self.tf_mode!r}")
 
     def weight(self, n_docs, df, cf, total_len, dtype=np.float32) -> float:
         idf = dtype(1.0 + math.log((n_docs + 1) / (df + 1)))
@@ -390,14 +414,31 @@ class SweetSpotSimilarity(Similarity):
         steep = dtype(self.steepness)
         base = dtype(self.tf_base)
         tfmin = dtype(self.tf_min)
+        hyperbolic = self.tf_mode == "hyperbolic"
+        hmin = dtype(self.hyper_min)
+        hmax = dtype(self.hyper_max)
+        lnb = dtype(math.log(self.hyper_base))
+        xoff = dtype(self.hyper_xoffset)
 
         def score(w, boost, tfs, dl):
             wf = dtype(float(w) * float(boost))
-            tfp = np.where(
-                tfs <= tfmin,
-                base,
-                np.sqrt(np.maximum(tfs + base * base - tfmin, dtype(0.0))),
-            ).astype(dtype)
+            if hyperbolic:
+                tfp = np.where(
+                    tfs == 0,
+                    dtype(0.0),
+                    hmin
+                    + (hmax - hmin)
+                    / dtype(2.0)
+                    * (np.tanh((tfs - xoff) * lnb) + dtype(1.0)),
+                ).astype(dtype)
+            else:
+                tfp = np.where(
+                    tfs <= tfmin,
+                    base,
+                    np.sqrt(
+                        np.maximum(tfs + base * base - tfmin, dtype(0.0))
+                    ),
+                ).astype(dtype)
             ln = dtype(1.0) / np.sqrt(
                 steep * (np.abs(dl - lo) + np.abs(dl - hi) - (hi - lo))
                 + dtype(1.0)

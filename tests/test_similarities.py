@@ -37,6 +37,8 @@ SIMS = [
     "ib_spl_ttf_h1",
     "ib_ll_ttf_z",
     "ib_spl_df_none",
+    "ib_ll_df_h3",
+    "ib_spl_ttf_h3",
 ]
 QUERIES = [
     "web",                 # single head term
@@ -149,7 +151,7 @@ def test_unknown_similarity_raises(spark, built):
     with pytest.raises(NotImplementedError, match="independence"):
         SearchEngine(spark, built, cfg=CFG, similarity="dfi_bogus")
     with pytest.raises(NotImplementedError):
-        SearchEngine(spark, built, cfg=CFG, similarity="ib_ll_df_h3")
+        SearchEngine(spark, built, cfg=CFG, similarity="ib_ll_df_h9")
 
 
 def test_sweetspot_defaults_reduce_to_classic(spark, built):
@@ -210,3 +212,22 @@ def test_similarity_params_override(spark, built, oracle_idx):
         for a, b in zip(got, got2k)
         if a["doc_id"] == b["doc_id"]
     )
+
+
+def test_sweetspot_hyperbolic_tf(spark, built, oracle_idx):
+    """hyperbolicTf variant: oracle-exact and distinct from baselineTf."""
+    from apache___solr_spark.query.similarities import SweetSpotSimilarity
+
+    sim = SweetSpotSimilarity(tf_mode="hyperbolic", hyper_xoffset=2.0)
+    eng = SearchEngine(spark, built, cfg=CFG, similarity=sim)
+    got = [r.asDict() for r in eng.search("web data", k=15).collect()]
+    want = oracle_search(
+        oracle_idx,
+        "web data",
+        k=15,
+        similarity="sweetspot",
+        sim_params={"tf_mode": "hyperbolic", "hyper_xoffset": 2.0},
+    )
+    assert got and [g["doc_id"] for g in got] == [w["doc_id"] for w in want]
+    for g, w in zip(got, want):
+        assert math.isclose(g["score"], w["score"], rel_tol=1e-6)
