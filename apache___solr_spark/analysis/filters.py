@@ -299,3 +299,258 @@ def phonetic_tokens(
         else:
             out.append(code)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Additional phonetic encoders (PhoneticFilterFactory name= values beyond
+# the Soundex default: Metaphone, Caverphone, Nysiis —
+# lucene/analysis/phonetic/.../PhoneticFilterFactory.java:86 registry).
+# Same contract as soundex(): pure token -> code, non-alpha tokens pass
+# through unchanged, usable as phonetic_tokens(encoder=...).
+# ---------------------------------------------------------------------------
+
+_VOWELS = "aeiou"
+
+
+def metaphone(token: str, max_code_len: int = 4) -> str:
+    """Classic Metaphone (Lawrence Philips, Computer Language 12/1990),
+    the ``name="Metaphone"`` encoder of PhoneticFilterFactory.  Default
+    ``max_code_len=4`` matches commons-codec's Metaphone default."""
+    s = "".join(c for c in token.lower() if "a" <= c <= "z")
+    if not s:
+        return token
+    # initial-pair exceptions
+    if s[:2] in ("ae", "gn", "kn", "pn", "wr"):
+        s = s[1:]
+    elif s[0] == "x":
+        s = "s" + s[1:]
+    elif s[:2] == "wh":
+        s = "w" + s[2:]
+    out: list[str] = []
+    n = len(s)
+    i = 0
+    while i < n and len(out) < max_code_len:
+        c = s[i]
+        nxt = s[i + 1] if i + 1 < n else ""
+        nxt2 = s[i + 2] if i + 2 < n else ""
+        prev = s[i - 1] if i > 0 else ""
+        if c == prev and c != "c":  # collapse doubles (C exempt: "accept")
+            i += 1
+            continue
+        if c in _VOWELS:
+            if i == 0:
+                out.append(c.upper())
+        elif c == "b":
+            if not (i == n - 1 and prev == "m"):  # silent -mb
+                out.append("B")
+        elif c == "c":
+            if s[i : i + 3] == "cia":
+                out.append("X")
+            elif nxt == "h":
+                out.append("K" if prev == "s" else "X")  # school vs church
+            elif nxt and nxt in "iey":
+                out.append("S")
+            else:
+                out.append("K")
+        elif c == "d":
+            if nxt == "g" and nxt2 in "eyi":  # dge/dgy/dgi -> J
+                out.append("J")
+                i += 2
+                continue
+            out.append("T")
+        elif c == "g":
+            if nxt == "h" and not (nxt2 and nxt2 in _VOWELS):
+                pass  # silent gh (night, dough)
+            elif s[i + 1 :] in ("n", "ned"):
+                pass  # silent in final -gn / -gned
+            elif nxt and nxt in "iey" and prev != "g":
+                out.append("J")
+            else:
+                out.append("K")
+        elif c == "h":
+            if prev and prev in "csptg":
+                pass  # consumed by the ch/sh/ph/th/gh digraph rules
+            elif prev and prev in _VOWELS and (not nxt or nxt not in _VOWELS):
+                pass  # silent after vowel with no vowel following
+            else:
+                out.append("H")
+        elif c == "k":
+            if prev != "c":
+                out.append("K")
+        elif c == "p":
+            out.append("F" if nxt == "h" else "P")
+        elif c == "q":
+            out.append("K")
+        elif c == "s":
+            if nxt == "h" or s[i + 1 : i + 3] in ("io", "ia"):
+                out.append("X")
+            else:
+                out.append("S")
+        elif c == "t":
+            if s[i + 1 : i + 3] in ("ia", "io"):
+                out.append("X")
+            elif nxt == "h":
+                out.append("0")  # theta
+            elif s[i + 1 : i + 3] == "ch":
+                pass  # silent in -tch-
+            else:
+                out.append("T")
+        elif c == "v":
+            out.append("F")
+        elif c == "w":
+            if nxt and nxt in _VOWELS:
+                out.append("W")
+        elif c == "x":
+            out.append("K")
+            out.append("S")
+        elif c == "y":
+            if nxt and nxt in _VOWELS:
+                out.append("Y")
+        elif c == "z":
+            out.append("S")
+        else:  # f j l m n r
+            out.append(c.upper())
+        i += 1
+    return "".join(out[:max_code_len])
+
+
+_CAVERPHONE_RULES: list[tuple[str, str]] = [
+    ("e$", ""),
+    ("^cough", "cou2f"),
+    ("^rough", "rou2f"),
+    ("^tough", "tou2f"),
+    ("^enough", "enou2f"),
+    ("^trough", "trou2f"),
+    ("^gn", "2n"),
+    ("mb$", "m2"),
+    ("cq", "2q"),
+    ("ci", "si"),
+    ("ce", "se"),
+    ("cy", "sy"),
+    ("tch", "2ch"),
+    ("c", "k"),
+    ("q", "k"),
+    ("x", "k"),
+    ("v", "f"),
+    ("dg", "2g"),
+    ("tio", "sio"),
+    ("tia", "sia"),
+    ("d", "t"),
+    ("ph", "fh"),
+    ("b", "p"),
+    ("sh", "s2"),
+    ("z", "s"),
+    ("^[aeiou]", "A"),
+    ("[aeiou]", "3"),
+    ("j", "y"),
+    ("^y3", "Y3"),
+    ("^y", "A"),
+    ("y", "3"),
+    ("3gh3", "3kh3"),
+    ("gh", "22"),
+    ("g", "k"),
+    ("s+", "S"),
+    ("t+", "T"),
+    ("p+", "P"),
+    ("k+", "K"),
+    ("f+", "F"),
+    ("m+", "M"),
+    ("n+", "N"),
+    ("w3", "W3"),
+    ("wh3", "Wh3"),
+    ("w$", "3"),
+    ("w", "2"),
+    ("^h", "A"),
+    ("h", "2"),
+    ("r3", "R3"),
+    ("r$", "3"),
+    ("r", "2"),
+    ("l3", "L3"),
+    ("l$", "3"),
+    ("l", "2"),
+    ("2", ""),
+    ("3$", "A"),
+    ("3", ""),
+]
+
+
+def caverphone2(token: str) -> str:
+    """Caverphone 2.0 (David Hood, "Caverphone Revisited", Caversham
+    Project 2004) — the ``name="Caverphone"`` encoder of
+    PhoneticFilterFactory.  Fixed-width 10-char code padded with '1'."""
+    s = "".join(c for c in token.lower() if "a" <= c <= "z")
+    if not s:
+        return token
+    for pat, rep in _CAVERPHONE_RULES:
+        s = re.sub(pat, rep, s)
+    return (s + "1" * 10)[:10]
+
+
+def nysiis(token: str, strict: bool = True) -> str:
+    """NYSIIS (Taft 1970, New York State Identification and Intelligence
+    System) — the ``name="Nysiis"`` encoder of PhoneticFilterFactory.
+    ``strict=True`` truncates to 6 chars (commons-codec default)."""
+    s = "".join(c for c in token.lower() if "a" <= c <= "z")
+    if not s:
+        return token
+    # first-character transcodes
+    for pat, rep in (
+        ("^mac", "mcc"),
+        ("^kn", "nn"),
+        ("^k", "c"),
+        ("^(ph|pf)", "ff"),
+        ("^sch", "sss"),
+    ):
+        s2 = re.sub(pat, rep, s)
+        if s2 != s:
+            s = s2
+            break
+    # last-character transcodes
+    s = re.sub("(ee|ie)$", "y", s)
+    s = re.sub("(dt|rt|rd|nt|nd)$", "d", s)
+    key = [s[0]]
+    i = 1
+    n = len(s)
+    while i < n:
+        c = s[i]
+        step = 1
+        if s[i : i + 2] == "ev":
+            c, step = "af", 2
+        elif c in _VOWELS:
+            c = "a"
+        elif c == "q":
+            c = "g"
+        elif c == "z":
+            c = "s"
+        elif c == "m":
+            c = "n"
+        elif s[i : i + 2] == "kn":
+            c, step = "n", 2
+        elif c == "k":
+            c = "c"
+        elif s[i : i + 3] == "sch":
+            c, step = "sss", 3
+        elif s[i : i + 2] == "ph":
+            c, step = "ff", 2
+        elif c == "h":
+            prev, nxt = s[i - 1], s[i + 1] if i + 1 < n else ""
+            if prev not in _VOWELS or (nxt and nxt not in _VOWELS) or not nxt:
+                c = prev
+            if c in _VOWELS:
+                c = "a"
+        elif c == "w":
+            if s[i - 1] in _VOWELS:
+                c = "a"
+        for ch in c:
+            if ch != key[-1]:
+                key.append(ch)
+        i += step
+    # terminal cleanups
+    if key[-1] == "s" and len(key) > 1:
+        key.pop()
+    if len(key) >= 2 and key[-2:] == ["a", "y"]:
+        key[-2:] = ["y"]
+    if key[-1] == "a" and len(key) > 1:
+        key.pop()
+    code = "".join(key).upper()
+    return code[:6] if strict else code

@@ -494,10 +494,13 @@ class _CborReader:
     def read(self):
         ib = self._byte()
         major, info = ib >> 5, ib & 0x1F
-        if major == 0:
-            return self._length(info)
-        if major == 1:
-            return -1 - self._length(info)
+        if major in (0, 1):
+            n = self._length(info)
+            if n is None:
+                raise ValueError(
+                    f"indefinite length invalid for major type {major}"
+                )
+            return n if major == 0 else -1 - n
         if major in (2, 3):
             ln = self._length(info)
             if ln is None:  # indefinite: chunks until break

@@ -258,3 +258,64 @@ def test_soundex_classic_vectors():
     assert phonetic_tokens(["robert"], inject=False) == ["R163"]
     # non-alpha tokens pass through
     assert soundex("42") == "42"
+
+def test_metaphone_classic_vectors():
+    from apache___solr_spark.analysis.filters import metaphone, phonetic_tokens
+
+    # commons-codec MetaphoneTest golden values (PhoneticFilterFactory
+    # name="Metaphone"), default max code length 4
+    vectors = {
+        "howl": "HL",
+        "testing": "TSTN",
+        "The": "0",
+        "quick": "KK",
+        "brown": "BRN",
+        "fox": "FKS",
+        "jumped": "JMPT",
+        "over": "OFR",
+        "lazy": "LS",
+        "dogs": "TKS",
+        "school": "SKL",
+        "church": "XRX",
+        "knight": "NT",
+        "dumb": "TM",
+        "Thompson": "0MPS",  # TH->theta, P kept (only PH->F is special)
+    }
+    for word, code in vectors.items():
+        assert metaphone(word) == code, word
+    assert metaphone("42") == "42"
+    assert phonetic_tokens(["fox"], encoder=metaphone, inject=False) == ["FKS"]
+
+
+def test_caverphone2_vectors():
+    from apache___solr_spark.analysis.filters import caverphone2
+
+    # Caverphone 2.0 spec examples (David Hood, Caversham Project 2004);
+    # commons-codec Caverphone2Test golden values
+    vectors = {
+        "Peter": "PTA1111111",
+        "Thompson": "TMPSN11111",
+        "Stevenson": "STFNSN1111",
+        "Lee": "LA11111111",
+    }
+    for word, code in vectors.items():
+        assert caverphone2(word) == code, word
+    assert len(caverphone2("x")) == 10
+    assert caverphone2("42") == "42"
+
+
+def test_nysiis_vectors():
+    from apache___solr_spark.analysis.filters import nysiis
+
+    # commons-codec NysiisTest golden values (strict=true, 6-char truncation)
+    vectors = {
+        "MACINTOSH": "MCANT",
+        "KNIGHT": "NAGT",
+        "MITCHELL": "MATCAL",
+        "ODANIEL": "ODANAL",
+        "Brown": "BRAN",
+        "SCHMIDT": "SNAD",  # SCH->SSS transcode collapses in the key dedup
+    }
+    for word, code in vectors.items():
+        assert nysiis(word) == code, word
+    assert nysiis("42") == "42"

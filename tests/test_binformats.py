@@ -267,3 +267,10 @@ def test_read_javabin_docs_last_wins_within_file(spark, tmp_path):
     rows = df.collect()
     assert len(rows) == 1
     assert rows[0]["v_i"] == 3
+
+
+def test_cbor_indefinite_int_rejected():
+    with pytest.raises(ValueError, match="indefinite"):
+        cbor_loads(bytes([0x1F]))
+    with pytest.raises(ValueError, match="indefinite"):
+        cbor_loads(bytes([0x3F]))
