@@ -20,10 +20,11 @@ is "many files, one task each", identical to the parquet loaders.
 Scope: the decoders cover every tag an update payload can contain
 (primitives, strings incl. extern-string back-references, dates, byte
 arrays, maps, named lists, arrays, iterators, SolrInputDocuments with
-child documents, map entries, enum field values, primitive arrays).
-Query-RESPONSE-only structures (SOLRDOC / SOLRDOCLST) raise — this is a
-document loader, not a SolrJ client.  The encoders exist so tests can
-build golden payloads without SolrJ; they emit the same subset.
+child documents, map entries, enum field values, primitive arrays), plus
+the query-RESPONSE structures SOLRDOC / SOLRDOCLST
+(JavaBinCodec.readSolrDocument / readSolrDocumentList) so a stored query
+response re-ingests as documents.  The encoders exist so tests can build
+golden payloads without SolrJ; they emit the same subset.
 """
 
 from __future__ import annotations
@@ -35,6 +36,8 @@ from datetime import datetime, timezone
 __all__ = [
     "NamedList",
     "SolrInputDoc",
+    "SolrDoc",
+    "SolrDocList",
     "JavaBinIterator",
     "javabin_dumps",
     "javabin_loads",
@@ -112,6 +115,32 @@ class SolrInputDoc:
         if self.children:
             out["_childDocuments_"] = [c.as_plain() for c in self.children]
         return out
+
+
+@dataclass
+class SolrDoc:
+    """SolrDocument — the query-RESPONSE document shape (SOLRDOC tag,
+    JavaBinCodec.readSolrDocument): fields + optional child documents."""
+
+    fields: dict = field(default_factory=dict)
+    children: list = field(default_factory=list)
+
+    def as_plain(self) -> dict:
+        out = dict(self.fields)
+        if self.children:
+            out["_childDocuments_"] = [c.as_plain() for c in self.children]
+        return out
+
+
+class SolrDocList(list):
+    """SolrDocumentList (SOLRDOCLST tag): docs plus the result header
+    [numFound, start, maxScore, numFoundExact] JavaBinCodec marshals
+    ahead of the document array (readSolrDocumentList)."""
+
+    num_found: int = 0
+    start: int = 0
+    max_score: float | None = None
+    num_found_exact: bool = True
 
 
 def _write_vint(out: bytearray, i: int) -> None:
@@ -196,6 +225,23 @@ class _JavaBinWriter:
                 self.write(val)
             for child in v.children:
                 self.write(child)
+        elif isinstance(v, SolrDoc):
+            # writeSolrDocument: SOLRDOC tag, then an ORDERED_MAP sized
+            # fields+children — children follow the entries, untagged by name
+            self.out.append(_SOLRDOC)
+            self._tag(_ORDERED_MAP, len(v.fields) + len(v.children))
+            for name, val in v.fields.items():
+                self._extern_string(name)
+                self.write(val)
+            for child in v.children:
+                self.write(child)
+        elif isinstance(v, SolrDocList):
+            # writeSolrDocumentList: SOLRDOCLST tag, header array, doc array
+            self.out.append(_SOLRDOCLST)
+            self.write(
+                [v.num_found, v.start, v.max_score, v.num_found_exact]
+            )
+            self.write(list(v))
         elif isinstance(v, NamedList):
             self._tag(_ORDERED_MAP, len(v))
             for name, val in v:
@@ -395,11 +441,30 @@ class _JavaBinReader:
             return [
                 struct.unpack(fmt, self._take(w))[0] for _ in range(n)
             ]
-        if tag in (_SOLRDOC, _SOLRDOCLST):
-            raise NotImplementedError(
-                "SOLRDOC/SOLRDOCLST are query-response structures; this "
-                "decoder ingests update payloads"
+        if tag == _SOLRDOC:
+            # readSolrDocument: the ORDERED_MAP tag byte + size follow; each
+            # slot is either a field name (then its value) or a child doc
+            inner = self._byte()
+            sz = self._size(inner)
+            doc = SolrDoc()
+            for _ in range(sz):
+                obj = self.read()
+                if isinstance(obj, SolrDoc):
+                    doc.children.append(obj)
+                    continue
+                doc.fields[obj] = self.read()
+            return doc
+        if tag == _SOLRDOCLST:
+            # readSolrDocumentList: header array then the document array
+            header = self.read()
+            docs = SolrDocList(self.read())
+            docs.num_found = header[0]
+            docs.start = header[1]
+            docs.max_score = header[2]
+            docs.num_found_exact = (
+                bool(header[3]) if len(header) > 3 else True
             )
+            return docs
         raise ValueError(f"unknown JavaBin tag {tag}")
 
 
@@ -414,11 +479,15 @@ def javabin_loads(data: bytes):
 
 def javabin_extract_docs(obj) -> list[dict]:
     """Pull plain doc dicts out of a decoded payload: an update-request
-    NamedList ("docs" iterator / "docsMap" entries), a bare list of docs,
-    or a single document."""
-    if isinstance(obj, SolrInputDoc):
+    NamedList ("docs" iterator / "docsMap" entries), a query response
+    (its "response" SolrDocList), a bare list of docs, or a single
+    document."""
+    if isinstance(obj, (SolrInputDoc, SolrDoc)):
         return [obj.as_plain()]
     if isinstance(obj, NamedList):
+        resp = obj.get("response")
+        if isinstance(resp, SolrDocList):
+            return javabin_extract_docs(resp)
         docs = obj.get("docs") or []
         out = [d.as_plain() if isinstance(d, SolrInputDoc) else d for d in docs]
         for entry in obj.get("docsMap") or []:
@@ -427,7 +496,10 @@ def javabin_extract_docs(obj) -> list[dict]:
         return out
     if isinstance(obj, list):
         return [
-            d.as_plain() if isinstance(d, SolrInputDoc) else d for d in obj
+            d.as_plain()
+            if isinstance(d, (SolrInputDoc, SolrDoc))
+            else d
+            for d in obj
         ]
     raise ValueError(f"no documents in JavaBin payload ({type(obj).__name__})")
 

@@ -114,9 +114,10 @@ def test_javabin_version_check():
         javabin_loads(b"\x01\x00")
 
 
-def test_javabin_solrdoc_raises():
-    with pytest.raises(NotImplementedError, match="query-response"):
-        javabin_loads(b"\x02\x0b")  # SOLRDOC tag 11
+def test_javabin_truncated_solrdoc_raises():
+    # SOLRDOC tag with no body: the decoder must fail, not hang or guess
+    with pytest.raises((ValueError, IndexError)):
+        javabin_loads(b"\x02\x0b")  # SOLRDOC tag 11, truncated
 
 
 # -- CBOR: RFC 8949 Appendix A vectors ---------------------------------------
@@ -274,3 +275,56 @@ def test_cbor_indefinite_int_rejected():
         cbor_loads(bytes([0x1F]))
     with pytest.raises(ValueError, match="indefinite"):
         cbor_loads(bytes([0x3F]))
+
+
+def test_solrdoc_response_roundtrip():
+    from apache___solr_spark.sources.binformats import SolrDoc, SolrDocList
+
+    # a query-response SolrDocumentList: header + docs, child docs nested
+    docs = SolrDocList(
+        [
+            SolrDoc({"id": "a", "score": 1.5}),
+            SolrDoc(
+                {"id": "b"},
+                children=[SolrDoc({"id": "b.1", "rank": 2})],
+            ),
+        ]
+    )
+    docs.num_found = 42
+    docs.start = 10
+    docs.max_score = 3.25
+    out = javabin_loads(javabin_dumps(docs))
+    assert isinstance(out, SolrDocList)
+    assert out.num_found == 42 and out.start == 10
+    assert out.max_score == 3.25 and out.num_found_exact is True
+    assert [d.fields["id"] for d in out] == ["a", "b"]
+    assert out[1].children[0].fields == {"id": "b.1", "rank": 2}
+
+    # null maxScore (no scored fields requested) survives
+    docs.max_score = None
+    out2 = javabin_loads(javabin_dumps(docs))
+    assert out2.max_score is None
+
+
+def test_solrdoc_golden_bytes():
+    from apache___solr_spark.sources.binformats import SolrDoc
+
+    # SOLRDOC tag (0x0b) + ORDERED_MAP (0xa0|size) + extern-string name
+    # (0xe0, first use writes the STR) + value
+    raw = javabin_dumps(SolrDoc({"id": 5}))
+    assert raw == bytes([2, 0x0B, 0xA1, 0xE0, 0x22]) + b"id" + bytes([0x45])
+
+
+def test_extract_docs_from_query_response():
+    from apache___solr_spark.sources.binformats import SolrDoc, SolrDocList
+
+    docs = SolrDocList([SolrDoc({"id": "x", "v_i": 1})])
+    docs.num_found = 1
+    resp = NamedList(
+        [
+            ("responseHeader", NamedList([("status", 0), ("QTime", 3)])),
+            ("response", docs),
+        ]
+    )
+    out = javabin_extract_docs(javabin_loads(javabin_dumps(resp)))
+    assert out == [{"id": "x", "v_i": 1}]
