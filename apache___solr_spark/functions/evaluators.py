@@ -1370,3 +1370,153 @@ def monte_carlo(
     return df.select(
         "iteration", expr_fn(df).cast("double").alias("result")
     )
+
+
+# ---- vector / scalar long-tail evaluators (round 3 batch 2) ----------------
+# io/eval: L1Norm-, LInfNorm-, CosineDistance-, Canberra-, EarthMovers-,
+# MeanDifference-, SumDifference-, SumSq-, TimeDifferencing-, PairSort-,
+# Repeat-, IndexOf-, Primes-, BinomialCoefficientEvaluator.java — all lowered
+# to JVM column expressions (higher-order functions), zero Python per row.
+
+
+def l1_norm(arr: Column) -> Column:
+    """L1NormEvaluator: sum of absolute values."""
+    return F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + F.abs(v))
+
+
+def linf_norm(arr: Column) -> Column:
+    """LInfNormEvaluator: max absolute value."""
+    return F.array_max(F.transform(arr, lambda v: F.abs(v)))
+
+
+def cosine_distance(a: Column, b: Column) -> Column:
+    """CosineDistanceEvaluator: 1 - cosine similarity."""
+    return F.lit(1.0) - cosine_similarity(a, b)
+
+
+def canberra_distance(a: Column, b: Column) -> Column:
+    """CanberraEvaluator (Commons Math CanberraDistance): sum of
+    |x-y| / (|x|+|y|) with the 0/0 term defined as 0."""
+    term = F.zip_with(
+        a,
+        b,
+        lambda x, y: F.when(
+            F.abs(x - y) == 0.0, F.lit(0.0)
+        ).otherwise(F.abs(x - y) / (F.abs(x) + F.abs(y))),
+    )
+    return F.aggregate(term, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def earth_movers_distance(a: Column, b: Column) -> Column:
+    """EarthMoversEvaluator (Commons Math EarthMoversDistance): running
+    flow ``f_i = a_i + f_{i-1} - b_i``; the distance is sum of |f_i|.
+    Struct accumulator keeps (flow, total) through one JVM fold."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x - y),
+        F.struct(F.lit(0.0).alias("flow"), F.lit(0.0).alias("total")),
+        lambda acc, d: F.struct(
+            (acc["flow"] + d).alias("flow"),
+            (acc["total"] + F.abs(acc["flow"] + d)).alias("total"),
+        ),
+        lambda acc: acc["total"],
+    )
+
+
+def mean_difference(a: Column, b: Column) -> Column:
+    """MeanDifferenceEvaluator (StatUtils.meanDifference): mean of a_i-b_i."""
+    return sum_difference(a, b) / F.size(a)
+
+
+def sum_difference(a: Column, b: Column) -> Column:
+    """SumDifferenceEvaluator: sum of element-wise differences."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x - y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def sum_sq(arr: Column) -> Column:
+    """SumSqEvaluator (StatUtils.sumSq): sum of squares."""
+    return F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v * v)
+
+
+def time_differencing(arr: Column, lag: int = 1) -> Column:
+    """TimeDifferencingEvaluator.java:90-96: ``out_n = x[n] - x[n-lag]``
+    for n in [lag, size), result length size-lag."""
+    idx = F.sequence(F.lit(lag + 1), F.size(arr))  # 1-based positions
+    return F.transform(
+        idx, lambda i: F.element_at(arr, i) - F.element_at(arr, i - lag)
+    )
+
+
+def pair_sort(a: Column, b: Column) -> Column:
+    """PairSortEvaluator: sort (a_i, b_i) pairs by a ascending (stable,
+    like the reference's List.sort) and return the 2-row matrix
+    [sorted_a, sorted_b] as array<array<double>>."""
+    paired = F.array_sort(
+        F.zip_with(
+            a,
+            F.sequence(F.lit(1), F.size(a)),
+            lambda x, i: F.struct(
+                x.alias("k"), F.element_at(b, i).alias("v"), i.alias("i")
+            ),
+        )
+    )  # struct ordering (k, v, i) — the trailing index keeps ties stable
+    return F.array(
+        F.transform(paired, lambda s: s["k"]),
+        F.transform(paired, lambda s: s["v"]),
+    )
+
+
+def repeat_value(value: Column | float, size: int) -> Column:
+    """RepeatEvaluator: array of ``size`` copies of ``value``."""
+    v = value if isinstance(value, Column) else F.lit(float(value))
+    return F.array_repeat(v.cast("double"), size)
+
+
+def index_of(arr: Column, value) -> Column:
+    """IndexOfEvaluator: 0-based index of the first element whose string
+    form equals the (quote-stripped) needle, -1 when absent.  The
+    reference compares toString() — mirrored with string casts."""
+    needle = (
+        value.cast("string")
+        if isinstance(value, Column)
+        else F.lit(str(value).replace('"', ""))
+    )
+    return (
+        F.array_position(
+            F.transform(arr, lambda o: o.cast("string")), needle
+        ).cast("int")
+        - 1
+    )
+
+
+def primes(size: int, start: int) -> Column:
+    """PrimesEvaluator.java:54-62: the first ``size`` primes >= ``start``
+    (Commons Math Primes.nextPrime chain).  Number-typed args in the
+    reference; computed driver-side, returned as a literal array."""
+    out: list[int] = []
+    n = max(int(start), 2)
+    while len(out) < int(size):
+        is_p = n >= 2 and all(n % d for d in range(2, int(n**0.5) + 1))
+        if is_p:
+            out.append(n)
+        n += 1
+    return F.array(*[F.lit(p) for p in out])
+
+
+def binomial_coefficient(n, k) -> Column:
+    """BinomialCoefficientEvaluator (CombinatoricsUtils.binomialCoefficient).
+    Exact for int literals (math.comb); columns go through the existing
+    lgamma identity with a final round."""
+    if not isinstance(n, Column) and not isinstance(k, Column):
+        return F.lit(float(math.comb(int(n), int(k))))
+    nc = (n if isinstance(n, Column) else F.lit(n)).cast("double")
+    kc = (k if isinstance(k, Column) else F.lit(k)).cast("long")
+    log_c = F.aggregate(
+        _seq1(kc),
+        F.lit(0.0),
+        lambda acc, i: acc + F.log((nc - kc.cast("double") + i) / i),
+    )
+    return F.round(F.exp(log_c), 0)

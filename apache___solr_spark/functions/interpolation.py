@@ -33,6 +33,8 @@ Numerical notes (documented divergences, all tested):
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -46,6 +48,7 @@ __all__ = [
     "poly_fit_derivative",
     "gauss_fit",
     "harmonic_fit",
+    "harmonic_fit_params",
 ]
 
 _ARR = T.ArrayType(T.DoubleType())
@@ -277,11 +280,80 @@ def gauss_fit(xs: Column, ys: Column) -> Column:
     return _gf(xs, ys)
 
 
+def _harmonic_solve(
+    x: np.ndarray, y: np.ndarray
+) -> tuple[float, float, float, np.ndarray]:
+    """Fit ``a * cos(w x + phi)``; returns (a, w, phi, fitted values).
+    Deterministic: coarse frequency grid up to the sampling Nyquist,
+    linear solve for (a cos phi, -a sin phi) at each w, two local grid
+    refinements plus a parabolic SSE refinement around the best w."""
+    span = x.max() - x.min()
+    n = len(x)
+    if span <= 0 or n < 4:
+        return float("nan"), float("nan"), float("nan"), y
+    dt = span / max(n - 1, 1)
+    w_max = np.pi / dt  # Nyquist for the mean sampling step
+    w_min = 2.0 * np.pi / (4.0 * span)  # a quarter period per span
+
+    def sse_fit_coef(w: float):
+        C, S = np.cos(w * x), np.sin(w * x)
+        A = np.stack([C, S], axis=1)
+        coef, *_ = np.linalg.lstsq(A, y, rcond=None)
+        fit = A @ coef
+        return float(((fit - y) ** 2).sum()), fit, coef
+
+    grid = np.linspace(w_min, w_max, 512)
+    best_w, best_sse, best_fit, best_coef = None, np.inf, y, (0.0, 0.0)
+    for w in grid:
+        sse, fit, coef = sse_fit_coef(float(w))
+        if sse < best_sse:
+            best_w, best_sse, best_fit, best_coef = float(w), sse, fit, coef
+    stepw = grid[1] - grid[0]
+    for _ in range(2):
+        for w in np.linspace(best_w - stepw, best_w + stepw, 64):
+            if w <= 0:
+                continue
+            sse, fit, coef = sse_fit_coef(float(w))
+            if sse < best_sse:
+                best_w, best_sse, best_fit, best_coef = (
+                    float(w),
+                    sse,
+                    fit,
+                    coef,
+                )
+        stepw /= 16.0
+    # parabolic refinement on SSE(w): quadratic convergence to the
+    # local optimum the grid bracketed
+    h = stepw
+    for _ in range(6):
+        s_m, _, _ = sse_fit_coef(best_w - h)
+        s_p, _, _ = sse_fit_coef(best_w + h)
+        denom = s_m - 2.0 * best_sse + s_p
+        if denom <= 0:
+            h /= 4.0
+            continue
+        w_new = best_w + 0.5 * h * (s_m - s_p) / denom
+        if w_new > 0:
+            sse, fit, coef = sse_fit_coef(float(w_new))
+            if sse < best_sse:
+                best_w, best_sse, best_fit, best_coef = (
+                    float(w_new),
+                    sse,
+                    fit,
+                    coef,
+                )
+        h /= 4.0
+    # c1 cos(wx) + c2 sin(wx) = a cos(wx + phi):
+    # c1 = a cos(phi), c2 = -a sin(phi)
+    c1, c2 = float(best_coef[0]), float(best_coef[1])
+    a = math.hypot(c1, c2)
+    phi = math.atan2(-c2, c1)
+    return a, best_w, phi, best_fit
+
+
 def harmonic_fit(xs: Column, ys: Column) -> Column:
     """HarmonicFitEvaluator: fit ``a * cos(w x + phi)`` and return the
-    fitted values at the x points.  Deterministic: coarse frequency grid
-    up to the sampling Nyquist, linear solve for (a cos phi, -a sin phi)
-    at each w, two local grid refinements around the best w."""
+    fitted values at the x points (see ``_harmonic_solve``)."""
 
     @F.pandas_udf(_ARR)
     def _hf(xcol: pd.Series, ycol: pd.Series) -> pd.Series:
@@ -289,59 +361,44 @@ def harmonic_fit(xs: Column, ys: Column) -> Column:
         for xv, yv in zip(xcol, ycol):
             x = np.asarray(xv, dtype=np.float64)
             y = np.asarray(yv, dtype=np.float64)
-            span = x.max() - x.min()
-            n = len(x)
-            if span <= 0 or n < 4:
-                out.append(list(y))
-                continue
-            dt = span / max(n - 1, 1)
-            w_max = np.pi / dt  # Nyquist for the mean sampling step
-            w_min = 2.0 * np.pi / (4.0 * span)  # a quarter period per span
-
-            def sse_and_fit(w: float):
-                C, S = np.cos(w * x), np.sin(w * x)
-                A = np.stack([C, S], axis=1)
-                coef, *_ = np.linalg.lstsq(A, y, rcond=None)
-                fit = A @ coef
-                return float(((fit - y) ** 2).sum()), fit
-
-            grid = np.linspace(w_min, w_max, 512)
-            best_w, best_sse, best_fit = None, np.inf, y
-            for w in grid:
-                sse, fit = sse_and_fit(float(w))
-                if sse < best_sse:
-                    best_w, best_sse, best_fit = float(w), sse, fit
-            stepw = grid[1] - grid[0]
-            for _ in range(2):
-                for w in np.linspace(
-                    best_w - stepw, best_w + stepw, 64
-                ):
-                    if w <= 0:
-                        continue
-                    sse, fit = sse_and_fit(float(w))
-                    if sse < best_sse:
-                        best_w, best_sse, best_fit = float(w), sse, fit
-                stepw /= 16.0
-            # parabolic refinement on SSE(w): quadratic convergence to the
-            # local optimum the grid bracketed
-            h = stepw
-            for _ in range(6):
-                s_m, _ = sse_and_fit(best_w - h)
-                s_p, _ = sse_and_fit(best_w + h)
-                denom = s_m - 2.0 * best_sse + s_p
-                if denom <= 0:
-                    h /= 4.0
-                    continue
-                w_new = best_w + 0.5 * h * (s_m - s_p) / denom
-                if w_new > 0:
-                    sse, fit = sse_and_fit(float(w_new))
-                    if sse < best_sse:
-                        best_w, best_sse, best_fit = float(w_new), sse, fit
-                h /= 4.0
-            out.append(list(best_fit))
+            out.append(list(_harmonic_solve(x, y)[3]))
         return pd.Series(out)
 
     return _hf(xs, ys)
+
+
+def harmonic_fit_params(xs: Column, ys: Column) -> Column:
+    """HarmonicFitEvaluator's fitted model as a struct — the reference
+    attaches (amplitude, angularFrequency, phase) to the returned
+    VectorFunction, read back by GetAmplitudeEvaluator/
+    GetAngularFrequencyEvaluator/GetPhaseEvaluator (io/eval/
+    GetAmplitudeEvaluator.java etc.); here they are struct fields and the
+    accessors are field accesses (``functions.signal.get_amplitude``)."""
+
+    @F.pandas_udf(
+        "struct<amplitude: double, angular_frequency: double, "
+        "phase: double, fit: array<double>>"
+    )
+    def _hp(xcol: pd.Series, ycol: pd.Series) -> pd.DataFrame:
+        amps, ws, phis, fits = [], [], [], []
+        for xv, yv in zip(xcol, ycol):
+            x = np.asarray(xv, dtype=np.float64)
+            y = np.asarray(yv, dtype=np.float64)
+            a, w, phi, fit = _harmonic_solve(x, y)
+            amps.append(a)
+            ws.append(w)
+            phis.append(phi)
+            fits.append(list(fit))
+        return pd.DataFrame(
+            {
+                "amplitude": amps,
+                "angular_frequency": ws,
+                "phase": phis,
+                "fit": fits,
+            }
+        )
+
+    return _hp(xs, ys)
 
 
 def natural_spline_moments(x: np.ndarray, y: np.ndarray) -> np.ndarray:

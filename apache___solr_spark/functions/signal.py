@@ -43,6 +43,10 @@ __all__ = [
     "convolve_arr",
     "find_delay",
     "oscillate",
+    "oscillate_model",
+    "get_amplitude",
+    "get_angular_frequency",
+    "get_phase",
     "spline_derivative",
     "spline_integral",
 ]
@@ -128,6 +132,39 @@ def oscillate(amplitude: float, angular_freq: float, phase: float) -> Column:
         lambda i: F.lit(float(amplitude))
         * F.cos(F.lit(float(angular_freq)) * i + F.lit(float(phase))),
     )
+
+
+def oscillate_model(
+    amplitude: float, angular_freq: float, phase: float
+) -> Column:
+    """The reference's oscillate() returns a VectorFunction with the
+    sinusoid params attached, which GetAmplitudeEvaluator/
+    GetAngularFrequencyEvaluator/GetPhaseEvaluator read back
+    (io/eval/GetAmplitudeEvaluator.java:42-55 sibling trio).  Here the
+    model is a struct column carrying the params plus the sampled wave —
+    the same struct shape ``interpolation.harmonic_fit_params`` returns,
+    so the accessors below work on either."""
+    return F.struct(
+        F.lit(float(amplitude)).alias("amplitude"),
+        F.lit(float(angular_freq)).alias("angular_frequency"),
+        F.lit(float(phase)).alias("phase"),
+        oscillate(amplitude, angular_freq, phase).alias("fit"),
+    )
+
+
+def get_amplitude(model: Column) -> Column:
+    """GetAmplitudeEvaluator: read ``a`` off an oscillate/harmonicFit model."""
+    return model["amplitude"]
+
+
+def get_angular_frequency(model: Column) -> Column:
+    """GetAngularFrequencyEvaluator: read ``w`` off the model struct."""
+    return model["angular_frequency"]
+
+
+def get_phase(model: Column) -> Column:
+    """GetPhaseEvaluator: read ``phi`` off the model struct."""
+    return model["phase"]
 
 
 def _spline_pieces(x: np.ndarray, y: np.ndarray):

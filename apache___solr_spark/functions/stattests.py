@@ -43,6 +43,7 @@ __all__ = [
     "chi_square_dataset",
     "g_test_dataset",
     "betainc_reg",
+    "correlation_significance",
     "gammainc_reg_upper",
     "t_sf",
     "f_sf",
@@ -251,6 +252,26 @@ def paired_ttest(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     return _result(
         d.sparkSession,
         {"t_statistic": t, "p_value": t_sf(t, n - 1), "df": n - 1},
+    )
+
+
+def correlation_significance(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """CorrelationSignificanceEvaluator (PearsonsCorrelation
+    .getCorrelationPValues): two-sided p-value of Pearson r —
+    t = r * sqrt((n-2) / (1-r^2)), p = P(|T_{n-2}| > |t|).  One Spark
+    aggregation; the scalar p comes from the same regularized
+    incomplete-beta identity Commons Math evaluates."""
+    (r,) = df.agg(
+        F.corr(x_col, y_col).alias("r"), F.count(F.lit(1)).alias("n")
+    ).collect()
+    corr, n = float(r["r"]), int(r["n"])
+    if n < 3 or abs(corr) >= 1.0:
+        p = 0.0 if abs(corr) >= 1.0 else float("nan")
+    else:
+        t = abs(corr) * math.sqrt((n - 2) / (1.0 - corr * corr))
+        p = t_sf(t, n - 2)
+    return _result(
+        df.sparkSession, {"corr": corr, "p_value": p, "n": n}
     )
 
 

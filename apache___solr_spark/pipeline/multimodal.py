@@ -7,14 +7,16 @@ stream batches without materializing whole partitions.
 Decode support is honest about the container:
 
 - REAL decoders (pure numpy/stdlib, no PIL/ffmpeg needed): uncompressed
-  24-bit BMP, binary PPM (P6) / PGM (P5), PCM WAV (8/16-bit), and a
-  length-prefixed frame container for video-style frame sampling.
-  Encoders for the same formats make every decoder roundtrip-testable.
-- Codec formats (JPEG/PNG/MP4/...) raise NotImplementedError unless
-  ``fake=True`` substitutes the deterministic digest-seeded decoder, so
-  the Spark-side plumbing — schema, batch iteration, partition sizing —
-  is identical either way and a real PIL/ffmpeg kernel drops in without
-  touching the plan.
+  24-bit BMP, binary PPM (P6) / PGM (P5), PNG (stdlib zlib inflate +
+  numpy scanline unfiltering — 8-bit gray/RGB/RGBA/palette,
+  non-interlaced), PCM WAV (8/16-bit), and a length-prefixed frame
+  container for video-style frame sampling.  Encoders for the same
+  formats make every decoder roundtrip-testable.
+- Codec formats with no stdlib entropy coder (JPEG/MP4/...) raise
+  NotImplementedError unless ``fake=True`` substitutes the deterministic
+  digest-seeded decoder, so the Spark-side plumbing — schema, batch
+  iteration, partition sizing — is identical either way and a real
+  PIL/ffmpeg kernel drops in without touching the plan.
 """
 
 from __future__ import annotations
@@ -23,6 +25,7 @@ import hashlib
 import io
 import struct
 import wave
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -128,6 +131,151 @@ def decode_ppm(content: bytes) -> np.ndarray:
     )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/px
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """uint8 (h, w) grayscale / (h, w, 3) RGB / (h, w, 4) RGBA -> PNG
+    (8-bit, filter 0 on every scanline, one zlib IDAT)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        color_type, ch = 0, 1
+        px = px[:, :, None]
+    elif px.shape[2] == 3:
+        color_type, ch = 2, 3
+    elif px.shape[2] == 4:
+        color_type, ch = 6, 4
+    else:
+        raise ValueError(f"unsupported channel count {px.shape[2]}")
+    h, w = px.shape[:2]
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), px.reshape(h, w * ch)], axis=1
+    ).tobytes()
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the per-scanline PNG filters (spec §6: None/Sub/Up/
+    Average/Paeth).  Row loop in Python (h iterations); Up is a
+    vectorized row op; Sub/Average/Paeth walk the row in ``bpp``-wide
+    vectorized steps, so the inner work is numpy for multi-byte pixels."""
+    rows = raw.reshape(h, 1 + stride)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = int(rows[y, 0])
+        cur = rows[y, 1:].astype(np.int32)
+        if ftype == 0:
+            line = cur
+        elif ftype == 2:  # Up
+            line = (cur + prior) & 0xFF
+        elif ftype == 1:  # Sub
+            line = cur.copy()
+            for x in range(bpp, stride, bpp):
+                line[x : x + bpp] = (
+                    line[x : x + bpp] + line[x - bpp : x]
+                ) & 0xFF
+        elif ftype == 3:  # Average
+            line = cur.copy()
+            pr = prior.astype(np.int32)
+            line[:bpp] = (line[:bpp] + pr[:bpp] // 2) & 0xFF
+            for x in range(bpp, stride, bpp):
+                line[x : x + bpp] = (
+                    line[x : x + bpp]
+                    + (line[x - bpp : x] + pr[x : x + bpp]) // 2
+                ) & 0xFF
+        elif ftype == 4:  # Paeth
+            line = cur.copy()
+            pr = prior.astype(np.int32)
+            line[:bpp] = (line[:bpp] + pr[:bpp]) & 0xFF  # a=c=0 -> pred=b
+            for x in range(bpp, stride, bpp):
+                a = line[x - bpp : x]
+                b = pr[x : x + bpp]
+                c = pr[x - bpp : x]
+                p = a + b - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                )
+                line[x : x + bpp] = (line[x : x + bpp] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = line.astype(np.uint8)
+        prior = out[y]
+    return out
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """PNG -> uint8 array: (h, w) for grayscale, (h, w, 3) RGB,
+    (h, w, 4) RGBA.  8-bit non-interlaced gray/RGB/palette/gray+alpha/
+    RGBA (PNG spec color types 0/2/3/4/6); stdlib zlib + numpy only."""
+    content = bytes(content)
+    if content[:8] != _PNG_SIG:
+        raise ValueError("not a PNG stream")
+    pos, idat, plte, trns = 8, [], None, None
+    w = h = depth = color_type = interlace = None
+    while pos < len(content):
+        (ln,) = struct.unpack_from(">I", content, pos)
+        tag = content[pos + 4 : pos + 8]
+        body = content[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # len + tag + body + crc
+        if tag == b"IHDR":
+            w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(body, np.uint8)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced PNG supported (depth={depth}, "
+            f"interlace={interlace})"
+        )
+    if color_type not in _PNG_CHANNELS:
+        raise NotImplementedError(f"PNG color type {color_type}")
+    ch = _PNG_CHANNELS[color_type]
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    stride = w * ch
+    if raw.size != h * (1 + stride):
+        raise ValueError("PNG pixel payload size mismatch")
+    px = _png_unfilter(raw, h, stride, ch).reshape(h, w, ch)
+    if color_type == 3:  # palette lookup (+ optional tRNS alpha)
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        rgb = plte[px[:, :, 0]]
+        if trns is not None:
+            alpha = np.full((h, w, 1), 255, np.uint8)
+            idx = px[:, :, 0]
+            mask = idx < len(trns)
+            alpha[mask, 0] = trns[idx[mask]]
+            return np.concatenate([rgb, alpha], axis=2)
+        return rgb
+    return px[:, :, 0] if ch == 1 else px
+
+
 def _fake_decode(content: bytes, width: int, height: int) -> np.ndarray:
     """Deterministic stand-in for a codec decoder: derive a pixel array
     from a content digest (stable across runs/machines)."""
@@ -140,21 +288,26 @@ def _fake_decode(content: bytes, width: int, height: int) -> np.ndarray:
 def decode_image(
     content: bytes, mime: str = "", fake: bool = False, width: int = 0, height: int = 0
 ) -> np.ndarray:
-    """binary -> grayscale float32 (h, w) in [0, 1].  BMP and PPM/PGM decode
-    for real; codec formats need ``fake=True`` (or a PIL kernel swapped in)."""
+    """binary -> grayscale float32 (h, w) in [0, 1].  BMP, PPM/PGM, and
+    PNG decode for real; entropy-coded formats (JPEG/...) need
+    ``fake=True`` (or a PIL kernel swapped in)."""
     head = bytes(content[:2]) if content else b""
     if head == b"BM" or "bmp" in mime:
         rgb = decode_bmp(bytes(content))
     elif head in (b"P5", b"P6") or "portable" in mime or "pnm" in mime:
         rgb = decode_ppm(bytes(content))
+    elif head == _PNG_SIG[:2] or "png" in mime:
+        rgb = decode_png(bytes(content))
     elif fake:
         return _fake_decode(bytes(content) if content is not None else b"", width, height)
     else:
         raise NotImplementedError(
-            f"no numpy decoder for mime={mime!r} (header {head!r}); JPEG/PNG "
-            "need PIL/libvips — not in this container; pass fake=True for "
+            f"no numpy decoder for mime={mime!r} (header {head!r}); JPEG "
+            "needs PIL/libvips — not in this container; pass fake=True for "
             "the deterministic stub"
         )
+    if rgb.ndim == 3 and rgb.shape[2] == 4:
+        rgb = rgb[:, :, :3]  # drop alpha for luma
     if rgb.ndim == 3:
         # ITU-R BT.601 luma
         gray = rgb @ np.array([0.299, 0.587, 0.114], dtype=np.float32)
@@ -232,6 +385,10 @@ def resize_images(df: DataFrame, out_h: int, out_w: int) -> DataFrame:
                     px = decode_bmp(bytes(content))
                 elif head in (b"P5", b"P6"):
                     px = decode_ppm(bytes(content))
+                elif head == _PNG_SIG[:2]:
+                    px = decode_png(bytes(content))
+                    if px.ndim == 3 and px.shape[2] == 4:
+                        px = px[:, :, :3]
                 else:
                     raise NotImplementedError(
                         f"resize: no numpy decoder for {mime!r}"

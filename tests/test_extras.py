@@ -734,3 +734,132 @@ def test_explain_scores_decomposition(spark, built):
         eng.explain_scores('"web data"')
     with _pytest.raises(NotImplementedError):
         eng.explain_scores("(web AND data) OR (query AND merge)")
+
+
+def test_stream_evaluators_vector_tail(spark):
+    """Round-3 batch 2: L1/Linf norms, cosine/canberra/earth-movers
+    distances, pair sort, diffs, repeat/indexOf/primes/binomial —
+    numpy/stdlib-checked against the reference formulas."""
+    import math as m
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from apache___solr_spark.functions import evaluators as E
+
+    a = [1.0, -2.0, 3.0, 0.0]
+    b = [2.0, 0.0, 1.0, 0.0]
+    df = spark.createDataFrame([(a, b)], "a array<double>, b array<double>")
+    row = df.select(
+        E.l1_norm(F.col("a")).alias("l1"),
+        E.linf_norm(F.col("a")).alias("linf"),
+        E.cosine_distance(F.col("a"), F.col("b")).alias("cosd"),
+        E.canberra_distance(F.col("a"), F.col("b")).alias("canb"),
+        E.earth_movers_distance(F.col("a"), F.col("b")).alias("emd"),
+        E.mean_difference(F.col("a"), F.col("b")).alias("meand"),
+        E.sum_difference(F.col("a"), F.col("b")).alias("sumd"),
+        E.sum_sq(F.col("a")).alias("ssq"),
+        E.time_differencing(F.col("a")).alias("td1"),
+        E.time_differencing(F.col("a"), 2).alias("td2"),
+        E.pair_sort(F.col("a"), F.col("b")).alias("ps"),
+        E.repeat_value(7.5, 3).alias("rep"),
+        E.index_of(F.col("a"), -2.0).alias("hit"),
+        E.index_of(F.col("a"), 99.0).alias("miss"),
+        E.primes(5, 10).alias("pr"),
+        E.binomial_coefficient(10, 3).alias("c_lit"),
+        E.binomial_coefficient(F.lit(10.0), F.lit(3)).alias("c_col"),
+    ).collect()[0]
+
+    av, bv = np.array(a), np.array(b)
+    assert row["l1"] == float(np.abs(av).sum())
+    assert row["linf"] == 3.0
+    cos = float(av @ bv / (np.linalg.norm(av) * np.linalg.norm(bv)))
+    assert abs(row["cosd"] - (1.0 - cos)) < 1e-12
+    # Canberra with the 0/0 term (index 3) defined as 0
+    want_canb = sum(
+        0.0 if abs(x - y) == 0 else abs(x - y) / (abs(x) + abs(y))
+        for x, y in zip(a, b)
+    )
+    assert abs(row["canb"] - want_canb) < 1e-12
+    # Earth mover's: sum |cumsum(a-b)| = |−1| + |−3| + |−1| + |−1|
+    assert abs(row["emd"] - float(np.abs(np.cumsum(av - bv)).sum())) < 1e-12
+    assert abs(row["meand"] - float((av - bv).mean())) < 1e-12
+    assert row["sumd"] == float((av - bv).sum())
+    assert row["ssq"] == float((av**2).sum())
+    assert row["td1"] == [-3.0, 5.0, -3.0]
+    assert row["td2"] == [2.0, 2.0]
+    # pairSort by a asc: a-sorted [-2,0,1,3], b follows [0,0,2,1]
+    assert row["ps"] == [[-2.0, 0.0, 1.0, 3.0], [0.0, 0.0, 2.0, 1.0]]
+    assert row["rep"] == [7.5, 7.5, 7.5]
+    assert row["hit"] == 1 and row["miss"] == -1
+    assert row["pr"] == [11, 13, 17, 19, 23]
+    assert row["c_lit"] == m.comb(10, 3) == 120
+    assert row["c_col"] == 120.0
+
+    # pairSort stability on ties: equal keys keep input order
+    tie = spark.createDataFrame(
+        [([1.0, 1.0, 0.0], [10.0, 20.0, 30.0])],
+        "a array<double>, b array<double>",
+    )
+    ps = tie.select(E.pair_sort(F.col("a"), F.col("b")).alias("p")).collect()[
+        0
+    ]["p"]
+    assert ps == [[0.0, 1.0, 1.0], [30.0, 10.0, 20.0]]
+
+
+def test_matrix_evaluators(spark):
+    """Matrix family (io/eval Matrix-, Transpose-, MatrixMultiply-,
+    SumRows-, SumColumns-, GrandSum-, RowAt-, ColumnAt-, ScalarAdd/
+    Subtract/Multiply/Divide-, TopFeatures-, FeatureSelectEvaluator) —
+    numpy-checked."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from apache___solr_spark.functions import matrix as M
+
+    a = [[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]]
+    b = [[7.0, 8.0], [9.0, 10.0], [11.0, 12.0]]
+    df = spark.createDataFrame(
+        [(a, b)], "a array<array<double>>, b array<array<double>>"
+    )
+    row = df.select(
+        M.transpose(F.col("a")).alias("at"),
+        M.matmul(F.col("a"), F.col("b")).alias("ab"),
+        M.sum_rows(F.col("a")).alias("sr"),
+        M.sum_columns(F.col("a")).alias("sc"),
+        M.grand_sum(F.col("a")).alias("gs"),
+        M.row_at(F.col("a"), 1).alias("r1"),
+        M.column_at(F.col("a"), 2).alias("c2"),
+        M.row_count(F.col("a")).alias("rc"),
+        M.column_count(F.col("a")).alias("cc"),
+        M.scalar_add(10.0, F.col("a")).alias("sadd"),
+        M.scalar_subtract(1.0, F.col("a")).alias("ssub"),
+        M.scalar_multiply(2.0, F.col("a")).alias("smul"),
+        M.scalar_divide(2.0, F.col("a")).alias("sdiv"),
+    ).collect()[0]
+
+    na, nb = np.array(a), np.array(b)
+    assert row["at"] == na.T.tolist()
+    assert row["ab"] == (na @ nb).tolist()
+    assert row["sr"] == na.sum(axis=1).tolist()
+    assert row["sc"] == na.sum(axis=0).tolist()
+    assert row["gs"] == float(na.sum())
+    assert row["r1"] == [4.0, 5.0, 6.0]  # 0-based like RowAtEvaluator
+    assert row["c2"] == [3.0, 6.0]
+    assert row["rc"] == 2 and row["cc"] == 3
+    assert row["sadd"] == (na + 10).tolist()
+    assert row["ssub"] == (na - 1).tolist()  # operate(cell, s) order
+    assert row["smul"] == (na * 2).tolist()
+    assert row["sdiv"] == (na / 2).tolist()
+
+    # topFeatures: labels of the k largest strictly-positive cells, desc
+    m2 = [[0.5, 0.0, 2.0, 1.0], [-3.0, 0.1, 0.0, 0.0]]
+    df2 = spark.createDataFrame([(m2,)], "m array<array<double>>")
+    labels = ["w", "x", "y", "z"]
+    got = df2.select(
+        M.top_features(F.col("m"), 2, labels).alias("tf"),
+        M.feature_select(F.col("m"), labels, ["z", "w"]).alias("fs"),
+    ).collect()[0]
+    assert got["tf"] == [["y", "z"], ["x"]]  # <=0 cells never qualify
+    # featureSelect keeps matrix-label order (w before z), all rows
+    assert got["fs"] == [[0.5, 1.0], [-3.0, 0.0]]

@@ -154,3 +154,41 @@ def test_harmonic_fit_recovers_exact_oscillator(spark):
     assert fit == pytest.approx(y, abs=1e-6)
     # reconstructed amplitude matches
     assert fit.max() == pytest.approx(a, abs=1e-4)
+
+
+def test_harmonic_fit_params_recovers_model(spark):
+    """harmonic_fit_params exposes (a, w, phi) — the reference's
+    GetAmplitude/GetAngularFrequency/GetPhase accessors read these off
+    the fitted VectorFunction."""
+    import pyspark.sql.functions as F
+
+    from apache___solr_spark.functions.interpolation import (
+        harmonic_fit_params,
+    )
+    from apache___solr_spark.functions.signal import (
+        get_amplitude,
+        get_angular_frequency,
+        get_phase,
+    )
+
+    x = np.linspace(0, 12, 80)
+    a, w, phi = 2.0, 1.7, 0.6
+    y = a * np.cos(w * x + phi)
+    df = _curve_df(spark, [(0, list(x), list(y), [])])
+    row = df.select(
+        harmonic_fit_params(F.col("xs"), F.col("ys")).alias("m")
+    ).select(
+        get_amplitude(F.col("m")).alias("a"),
+        get_angular_frequency(F.col("m")).alias("w"),
+        get_phase(F.col("m")).alias("phi"),
+        F.col("m.fit").alias("fit"),
+    ).first()
+    assert row["a"] == pytest.approx(a, abs=1e-4)
+    assert row["w"] == pytest.approx(w, abs=1e-4)
+    # phase is identifiable modulo 2*pi with sign coupled to amplitude>0
+    assert (row["phi"] - phi) % (2 * np.pi) == pytest.approx(
+        0.0, abs=1e-3
+    ) or (row["phi"] - phi) % (2 * np.pi) == pytest.approx(
+        2 * np.pi, abs=1e-3
+    )
+    assert np.array(row["fit"]) == pytest.approx(y, abs=1e-6)

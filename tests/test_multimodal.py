@@ -5,6 +5,8 @@ operators over them."""
 from __future__ import annotations
 
 import math
+import struct
+import zlib
 
 import numpy as np
 import pytest
@@ -13,10 +15,12 @@ from apache___solr_spark.pipeline.multimodal import (
     decode_bmp,
     decode_frames,
     decode_image,
+    decode_png,
     decode_ppm,
     decode_wav,
     encode_bmp,
     encode_frames,
+    encode_png,
     encode_ppm,
     encode_wav,
     extract_audio_features,
@@ -52,10 +56,83 @@ def test_decode_image_luma_and_dispatch():
     assert g.shape == (2, 2) and g.dtype == np.float32
     assert math.isclose(float(g[0, 0]), 1.0, rel_tol=1e-5)
     assert float(g[1, 1]) == 0.0
-    # ppm dispatch by magic bytes, no mime needed
+    # ppm and png dispatch by magic bytes, no mime needed
     assert decode_image(encode_ppm(px)).shape == (2, 2)
+    assert decode_image(encode_png(px)).shape == (2, 2)
+    # entropy-coded formats still refuse honestly (JPEG SOI marker)
     with pytest.raises(NotImplementedError, match="PIL"):
-        decode_image(b"\x89PNG1234", "image/png")
+        decode_image(b"\xff\xd8\xff\xe0junk", "image/jpeg")
+
+
+def test_png_roundtrip_exact():
+    for shape in [(1, 1, 3), (3, 5, 3), (7, 2, 4), (16, 16, 3)]:
+        rng = np.random.default_rng(sum(shape))
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(px)), px)
+    gray = _rgb(6, 9, seed=3)[:, :, 0]
+    assert np.array_equal(decode_png(encode_png(gray)), gray)
+
+
+def test_png_all_filter_types_and_palette():
+    """Decode a hand-filtered PNG exercising every spec filter (0-4) and a
+    palette (color type 3) image — the paths a filter-0-only encoder
+    roundtrip can't reach."""
+    rng = np.random.default_rng(11)
+    h, w, ch = 6, 8, 3
+    px = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+    raw = bytearray()
+    prior = np.zeros(w * ch, np.int32)
+    for y in range(h):  # row y uses filter y % 5
+        cur = px[y].reshape(-1).astype(np.int32)
+        f = y % 5
+        raw.append(f)
+        line = cur.copy()
+        for x in range(len(cur)):
+            a = int(cur[x - ch]) if x >= ch else 0
+            b = int(prior[x])
+            c = int(prior[x - ch]) if x >= ch else 0
+            if f == 1:
+                line[x] = (cur[x] - a) & 0xFF
+            elif f == 2:
+                line[x] = (cur[x] - b) & 0xFF
+            elif f == 3:
+                line[x] = (cur[x] - (a + b) // 2) & 0xFF
+            elif f == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (cur[x] - pred) & 0xFF
+        raw += bytes(line.astype(np.uint8))
+        prior = cur
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    png = (
+        sig
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(png), px)
+
+    plte = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (4, 7), dtype=np.uint8)
+    raw2 = b"".join(b"\x00" + bytes(idx[y]) for y in range(4))
+    png2 = (
+        sig
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 4, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte.tobytes())
+        + chunk(b"IDAT", zlib.compress(raw2))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(png2), plte[idx])
 
 
 def test_resize_nearest_shapes():
@@ -105,6 +182,7 @@ def test_image_features_real_decode_spark(spark):
     imgs = [
         (1, encode_bmp(_rgb(6, 8, seed=1)), "image/bmp", 8, 6),
         (2, encode_ppm(_rgb(4, 4, seed=2)), "image/x-portable-pixmap", 4, 4),
+        (3, encode_png(_rgb(5, 7, seed=3)), "image/png", 7, 5),
     ]
     df = spark.createDataFrame(
         imgs, "media_id long, content binary, mime string, width int, height int"
@@ -119,6 +197,7 @@ def test_image_features_real_decode_spark(spark):
     want = [float(np.float32(p.mean() if p.size else 0.0)) for p in pooled]
     got = [float(v) for v in rows[2]["feature"]]
     assert all(math.isclose(a, b, rel_tol=1e-6) for a, b in zip(got, want))
+    assert rows[3]["height"] == 5 and rows[3]["width"] == 7
 
 
 def test_resize_images_spark_chains(spark):

@@ -82,6 +82,20 @@ def test_oscillate_is_sampled_cosine_in_codegen(spark):
     assert len(got) == 128
     assert got == pytest.approx(exp, abs=1e-12)
     # stays a column expression: no python UDF / ArrowEvalPython in the plan
+    # the model struct carries the params for the accessor trio
+    from apache___solr_spark.functions.signal import (
+        get_amplitude,
+        get_angular_frequency,
+        get_phase,
+        oscillate_model,
+    )
+
+    m = df.select(oscillate_model(2.0, 0.3, 1.1).alias("m")).select(
+        get_amplitude(F.col("m")).alias("a"),
+        get_angular_frequency(F.col("m")).alias("w"),
+        get_phase(F.col("m")).alias("p"),
+    ).first()
+    assert (m["a"], m["w"], m["p"]) == (2.0, 0.3, 1.1)
     plan = df.select(oscillate(2.0, 0.3, 1.1).alias("o"))._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
 

@@ -328,3 +328,78 @@ def test_dbscan_rejects_high_dim(spark):
     )
     with pytest.raises(NotImplementedError):
         dbscan(df, "vec", 0.5, 3, "id")
+
+
+def test_geometry_evaluators(spark):
+    """convexHull / getArea / getBoundarySize / getBaryCenter /
+    projectToBorder / enclosingDisk (io/eval ConvexHullEvaluator,
+    EnclosingDiskEvaluator + accessors) — exact-shape oracles."""
+    from pyspark.sql import functions as F
+
+    from apache___solr_spark.functions import geometry as G
+
+    # unit square corners + interior/collinear points that must drop out
+    pts = [
+        [0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0],
+        [0.5, 0.5], [0.5, 0.0], [0.25, 0.75],
+    ]
+    df = spark.createDataFrame([(pts,)], "pts array<array<double>>")
+    hulled = df.select("pts", G.convex_hull(F.col("pts")).alias("hull"))
+    row = hulled.select(
+        "hull",
+        G.polygon_area(F.col("hull")).alias("area"),
+        G.polygon_boundary_size(F.col("hull")).alias("perim"),
+        G.polygon_barycenter(F.col("hull")).alias("bc"),
+    ).collect()[0]
+    assert sorted(map(tuple, row["hull"])) == [
+        (0.0, 0.0), (0.0, 1.0), (1.0, 0.0), (1.0, 1.0),
+    ]  # interior + collinear-midpoint dropped (includeCollinear=false)
+    # CCW orientation: shoelace of the returned order is positive
+    assert abs(row["area"] - 1.0) < 1e-12
+    assert abs(row["perim"] - 4.0) < 1e-12
+    assert abs(row["bc"][0] - 0.5) < 1e-12 and abs(row["bc"][1] - 0.5) < 1e-12
+
+    # triangle barycenter = vertex mean (area centroid)
+    tri = [[0.0, 0.0], [3.0, 0.0], [0.0, 3.0]]
+    trow = (
+        spark.createDataFrame([(tri,)], "pts array<array<double>>")
+        .select(G.convex_hull(F.col("pts")).alias("h"))
+        .select(G.polygon_barycenter(F.col("h")).alias("bc"),
+                G.polygon_area(F.col("h")).alias("area"))
+        .collect()[0]
+    )
+    assert abs(trow["area"] - 4.5) < 1e-12
+    assert abs(trow["bc"][0] - 1.0) < 1e-12 and abs(trow["bc"][1] - 1.0) < 1e-12
+
+    # projectToBorder: interior point goes to the nearest edge; outside
+    # point lands on the closest boundary point
+    qry = [[0.5, 0.1], [2.0, 0.5], [-1.0, -1.0]]
+    prow = (
+        spark.createDataFrame(
+            [(qry, [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])],
+            "q array<array<double>>, hull array<array<double>>",
+        )
+        .select(G.project_to_border(F.col("q"), F.col("hull")).alias("p"))
+        .collect()[0]["p"]
+    )
+    assert prow[0] == [0.5, 0.0]
+    assert prow[1] == [1.0, 0.5]
+    assert prow[2] == [0.0, 0.0]
+
+    # enclosingDisk of the square: center (.5,.5), r = sqrt(2)/2, and the
+    # support points sit on the boundary circle
+    drow = (
+        spark.createDataFrame(
+            [([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0], [0.5, 0.5]],)],
+            "pts array<array<double>>",
+        )
+        .select(G.enclosing_disk(F.col("pts")).alias("d"))
+        .select("d.center", "d.radius", "d.support")
+        .collect()[0]
+    )
+    assert abs(drow["center"][0] - 0.5) < 1e-9
+    assert abs(drow["center"][1] - 0.5) < 1e-9
+    assert abs(drow["radius"] - 0.5 ** 0.5) < 1e-9
+    for s in drow["support"]:
+        d = ((s[0] - 0.5) ** 2 + (s[1] - 0.5) ** 2) ** 0.5
+        assert abs(d - drow["radius"]) < 1e-9
