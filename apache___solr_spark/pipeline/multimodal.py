@@ -292,20 +292,31 @@ def decode_image(
     PNG decode for real; entropy-coded formats (JPEG/...) need
     ``fake=True`` (or a PIL kernel swapped in)."""
     head = bytes(content[:2]) if content else b""
-    if head == b"BM" or "bmp" in mime:
-        rgb = decode_bmp(bytes(content))
-    elif head in (b"P5", b"P6") or "portable" in mime or "pnm" in mime:
-        rgb = decode_ppm(bytes(content))
-    elif head == _PNG_SIG[:2] or "png" in mime:
-        rgb = decode_png(bytes(content))
-    elif fake:
-        return _fake_decode(bytes(content) if content is not None else b"", width, height)
-    else:
-        raise NotImplementedError(
-            f"no numpy decoder for mime={mime!r} (header {head!r}); JPEG "
-            "needs PIL/libvips — not in this container; pass fake=True for "
-            "the deterministic stub"
-        )
+    try:
+        if head == b"BM" or "bmp" in mime:
+            rgb = decode_bmp(bytes(content))
+        elif head in (b"P5", b"P6") or "portable" in mime or "pnm" in mime:
+            rgb = decode_ppm(bytes(content))
+        elif head == _PNG_SIG[:2] or "png" in mime:
+            rgb = decode_png(bytes(content))
+        elif fake:
+            return _fake_decode(
+                bytes(content) if content is not None else b"", width, height
+            )
+        else:
+            raise NotImplementedError(
+                f"no numpy decoder for mime={mime!r} (header {head!r}); JPEG "
+                "needs PIL/libvips — not in this container; pass fake=True "
+                "for the deterministic stub"
+            )
+    except (ValueError, NotImplementedError, struct.error, zlib.error):
+        # fake mode tolerates mislabeled/corrupt payloads: anything the
+        # real decoders reject routes to the deterministic digest stub
+        if fake:
+            return _fake_decode(
+                bytes(content) if content is not None else b"", width, height
+            )
+        raise
     if rgb.ndim == 3 and rgb.shape[2] == 4:
         rgb = rgb[:, :, :3]  # drop alpha for luma
     if rgb.ndim == 3:

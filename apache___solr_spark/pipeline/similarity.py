@@ -425,3 +425,253 @@ def knn_regression(
         .agg(pred.alias("prediction"))
         .orderBy("probe_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# graph ANN: NSW beam search inside IVF cells (the HNSW-equivalent)
+# ---------------------------------------------------------------------------
+
+
+def _nsw_beam(
+    vn: np.ndarray,
+    adj: list[list[int]],
+    q: np.ndarray,
+    ef: int,
+    entries: list[int] | None = None,
+) -> tuple[list[int], int]:
+    """Best-first beam search over an NSW graph (Malkov et al.; the search
+    loop HNSW runs at its base layer): expand the closest unexpanded node,
+    batch-score its unvisited neighbors in one numpy matmul, keep the top
+    ``ef``.  Starts from ~sqrt(n) seeds spread across insertion order —
+    the role HNSW's upper routing layers play; too few entries can trap
+    the beam (and, worse, construction-time links) inside one cluster of
+    a clustered corpus, while sqrt(n) seeds stay a vanishing fraction of
+    the cell.  Returns (candidate positions sorted by cosine desc, number
+    of nodes scored) — the count is what the sublinearity test asserts."""
+    import heapq
+
+    n = len(vn)
+    if entries is None:
+        step = max(1, int(np.ceil(n / max(4.0, np.sqrt(n))))) if n else 1
+        entries = list(range(0, n, step))
+    entries = [e for e in entries if 0 <= e < n] or ([0] if n else [])
+    visited = set(entries)
+    seed_sims = vn[entries] @ q
+    cand = [(-float(s), e) for s, e in zip(seed_sims, entries)]
+    heapq.heapify(cand)  # max-heap by similarity (negated)
+    best = [(float(s), e) for s, e in zip(seed_sims, entries)]
+    heapq.heapify(best)  # min-heap of the running top-ef
+    while len(best) > ef:
+        heapq.heappop(best)
+    scored = len(entries)
+    while cand:
+        negs, u = heapq.heappop(cand)
+        if len(best) >= ef and -negs < best[0][0]:
+            break  # closest frontier node is worse than the ef-th result
+        nbrs = [v for v in adj[u] if v not in visited]
+        if not nbrs:
+            continue
+        visited.update(nbrs)
+        sims = vn[nbrs] @ q
+        scored += len(nbrs)
+        for v, s in zip(nbrs, sims):
+            s = float(s)
+            if len(best) < ef or s > best[0][0]:
+                heapq.heappush(cand, (-s, v))
+                heapq.heappush(best, (s, v))
+                if len(best) > ef:
+                    heapq.heappop(best)
+    out = sorted(best, key=lambda t: (-t[0], t[1]))
+    return [v for _, v in out], scored
+
+
+def _build_nsw_adj(
+    vn: np.ndarray, m: int = 8, ef_construction: int = 32
+) -> list[list[int]]:
+    """NSW construction (the incremental-insertion scheme HNSW uses per
+    layer): nodes insert in deterministic order, each linking
+    bidirectionally to its ``m`` nearest already-inserted nodes found by
+    beam search over the partial graph; a node collecting more than
+    ``2 m`` back-links keeps only its 2m most similar (degree bound =
+    HNSW's M_max)."""
+    n = len(vn)
+    adj: list[list[int]] = [[] for _ in range(n)]
+    cap = 2 * m
+    for i in range(1, n):
+        order, _ = _nsw_beam(vn[:i], adj[:i], vn[i], ef_construction)
+        for j in order[:m]:
+            adj[i].append(j)
+            adj[j].append(i)
+            if len(adj[j]) > cap:
+                sims = vn[adj[j]] @ vn[j]
+                keep = np.argsort(-sims)[:cap]
+                adj[j] = [adj[j][t] for t in keep]
+    return adj
+
+
+def build_graph_ann_index(
+    df: DataFrame,
+    out_dir: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    ef_construction: int = 32,
+    iters: int = 10,
+    seed: int = 42,
+    sample_limit: int = 20_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> str:
+    """Persist the HNSW-equivalent index: IVF spherical-k-means cells for
+    the DISTRIBUTED routing level (the role HNSW's upper layers play —
+    schema/DenseVectorField.java:69, search/vector/KnnQParserPlugin.java),
+    plus a navigable-small-world graph built INSIDE each cell for
+    sublinear intra-cell search (the role of HNSW's base layer).  A
+    monolithic HNSW graph is a single-machine in-memory structure; cells
+    shard it into partition-pruned parquet where each piece is
+    independently buildable (one ``applyInPandas`` group per cell) and
+    independently searchable.
+
+    Layout: rows (id, vector, nsw_pos, nsw_nbrs) PARTITIONED BY ivf_cell;
+    ``nsw_pos`` is the node's position in the cell's insertion order
+    (sorted by id — deterministic) and ``nsw_nbrs`` its adjacency as
+    positions, so a cell reassembles into (n, dim) + adjacency with one
+    argsort.  Centroids + params ride ``_GRAPH_ANN_META.json``.
+
+    Scale shape: centroid training reads a bounded deterministic sample;
+    cell assignment is one mapInPandas matmul pass; graph construction is
+    one groupBy(ivf_cell).applyInPandas — per-cell O(n_cell · ef · m)
+    independent work, no shuffle after the single cell-key exchange."""
+    import json
+    import os
+    from typing import Iterator
+
+    import pandas as pd
+
+    pdf = (
+        df.select(id_col, vec_col)
+        .orderBy(F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(999983)))
+        .limit(sample_limit)
+        .toPandas()
+    )
+    sample = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    dim = sample.shape[1]
+    cent = _spherical_kmeans(sample, n_centroids, iters=iters, seed=seed)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if len(b) == 0:
+                continue
+            mx = np.array([np.asarray(v, dtype=np.float64) for v in b[vec_col]])
+            mx = mx / np.maximum(np.linalg.norm(mx, axis=1, keepdims=True), 1e-12)
+            out = b.copy()
+            out["ivf_cell"] = (mx @ cent.T).argmax(axis=1).astype(np.int32)
+            yield out
+
+    base = df.select(id_col, vec_col)
+    # StructType.add mutates in place (it would corrupt base's cached
+    # schema) — build a fresh StructType for the mapInPandas output.
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    assigned_schema = StructType(
+        list(base.schema.fields) + [StructField("ivf_cell", IntegerType())]
+    )
+    assigned = base.mapInPandas(assign, schema=assigned_schema)
+
+    out_schema = (
+        f"{id_col} long, {vec_col} array<double>, nsw_pos int, "
+        "nsw_nbrs array<int>, ivf_cell int"
+    )
+
+    def build_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        vecs = np.array(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )
+        vn = vecs / np.maximum(
+            np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12
+        )
+        adj = _build_nsw_adj(vn, m=m, ef_construction=ef_construction)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                vec_col: pdf[vec_col],
+                "nsw_pos": np.arange(len(pdf), dtype=np.int32),
+                "nsw_nbrs": [list(map(int, a)) for a in adj],
+                "ivf_cell": pdf["ivf_cell"],
+            }
+        )
+
+    assigned.groupBy("ivf_cell").applyInPandas(
+        build_cell, schema=out_schema
+    ).write.mode("overwrite").partitionBy("ivf_cell").parquet(out_dir)
+
+    meta = {
+        "dim": int(dim),
+        "n_centroids": int(cent.shape[0]),
+        "m": int(m),
+        "ef_construction": int(ef_construction),
+        "seed": seed,
+        "vec_col": vec_col,
+        "id_col": id_col,
+        "centroids": [[float(x) for x in row] for row in cent],
+    }
+    with open(os.path.join(out_dir, "_GRAPH_ANN_META.json"), "w") as f:
+        json.dump(meta, f)
+    return out_dir
+
+
+def query_graph_ann_index(
+    spark,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probes: int = 4,
+    ef_search: int = 48,
+) -> DataFrame:
+    """Approximate cosine top-k against a persisted graph-ANN index:
+    route by centroid (``ivf_cell isin`` is a PARTITION filter — only the
+    probed cells' files are read), then beam-search each probed cell's
+    NSW graph instead of brute-force scoring it.  Per-cell candidates
+    merge through one global TakeOrderedAndProject.
+
+    Returns (vec_id, cosine) — the same shape as the exact baseline, so
+    the recall test diffs them directly."""
+    import json
+    import os
+
+    import pandas as pd
+
+    with open(os.path.join(index_dir, "_GRAPH_ANN_META.json")) as f:
+        meta = json.load(f)
+    cent = np.array(meta["centroids"], dtype=np.float64)
+    vec_col, id_col = meta["vec_col"], meta["id_col"]
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    order = np.argsort(-(cent @ qn))
+    probes = [int(c) for c in order[: max(1, n_probes)]]
+    ef = max(ef_search, k)
+
+    def search_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("nsw_pos").reset_index(drop=True)
+        vecs = np.array(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )
+        norms = np.maximum(np.linalg.norm(vecs, axis=1), 1e-12)
+        vn = vecs / norms[:, None]
+        adj = [list(a) for a in pdf["nsw_nbrs"]]
+        hits, _ = _nsw_beam(vn, adj, qn, ef)
+        hits = hits[: max(k, 1)]
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].iloc[hits].to_numpy(),
+                "cosine": (vn[hits] @ qn).astype(np.float64),
+            }
+        )
+
+    cells = spark.read.parquet(index_dir).filter(F.col("ivf_cell").isin(probes))
+    return (
+        cells.groupBy("ivf_cell")
+        .applyInPandas(search_cell, schema=f"{id_col} long, cosine double")
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -103,8 +103,11 @@ def test_multimodal_stub_plumbing(spark):
     # deterministic across runs
     again = extract_image_features(df, fake=True).collect()
     assert [r["feature"] for r in out] == [r["feature"] for r in again]
-    # real decoder is stubbed
-    with pytest.raises(Exception, match="NotImplementedError|PIL|decoding"):
+    # real path: garbage bytes raise a clear decode error (PNG decode is
+    # real now; formats we still can't decode raise NotImplementedError)
+    with pytest.raises(
+        Exception, match="NotImplementedError|PIL|decoding|not a PNG"
+    ):
         extract_image_features(df, fake=False).collect()
 
 
@@ -313,3 +316,68 @@ def test_ivf_finds_planted_near_dup_in_real_embeddings(spark, sf_dir, tmp_path):
         }
         hit += (vid + 100000) in got
     assert hit / len(by_id) >= 0.9, hit
+
+
+def test_nsw_beam_is_sublinear_and_accurate():
+    """Pure-graph check (no Spark): on a 2000-node NSW graph the beam
+    search scores a small fraction of the nodes yet lands >= 0.9 of the
+    exact top-10 — the property that makes per-cell graph search beat the
+    per-cell brute scan once cells grow."""
+    from apache___solr_spark.pipeline.similarity import (
+        _build_nsw_adj,
+        _nsw_beam,
+    )
+
+    rng = np.random.default_rng(9)
+    n, dim = 2000, 24
+    centers = rng.standard_normal((25, dim))
+    vecs = centers[rng.integers(0, 25, n)] + 0.2 * rng.standard_normal(
+        (n, dim)
+    )
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    adj = _build_nsw_adj(vn, m=8, ef_construction=32)
+    recalls, fractions = [], []
+    for qi in (3, 700, 1500):
+        q = vn[qi]
+        hits, scored = _nsw_beam(vn, adj, q, ef=48)
+        exact = set(np.argsort(-(vn @ q))[:10].tolist())
+        recalls.append(len(exact & set(hits[:10])) / 10)
+        fractions.append(scored / n)
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+    assert max(fractions) <= 0.5, fractions  # beam never scans the cell
+
+
+def test_graph_ann_recall_and_pruning(spark, tmp_path):
+    """Graph ANN (NSW inside IVF cells — the HNSW-equivalent): recall@20
+    >= 0.9 vs exact brute force on a clustered corpus while reading only
+    the probed cells' partitions (PartitionFilters in the plan)."""
+    from apache___solr_spark.pipeline.similarity import (
+        build_graph_ann_index,
+        cosine_topk_bruteforce,
+        query_graph_ann_index,
+    )
+
+    rng = np.random.default_rng(3)
+    n_clusters, per, dim = 20, 30, 32
+    centers = rng.standard_normal((n_clusters, dim))
+    rows = []
+    for c in range(n_clusters):
+        for j in range(per):
+            v = centers[c] + 0.15 * rng.standard_normal(dim)
+            rows.append((len(rows), [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = str(tmp_path / "graph_ann")
+    build_graph_ann_index(df, out, n_centroids=20, m=8, seed=5)
+
+    recalls = []
+    for qid in (0, 31, 333):
+        q = rows[qid][1]
+        got = query_graph_ann_index(spark, out, q, k=20, n_probes=2)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "ivf_cell" in plan and "PartitionFilters" in plan
+        ids = {r["vec_id"] for r in got.collect()}
+        exact = {
+            r["vec_id"] for r in cosine_topk_bruteforce(df, q, k=20).collect()
+        }
+        recalls.append(len(ids & exact) / 20)
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
