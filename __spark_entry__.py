@@ -460,6 +460,35 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+_GRAPH_ANN_CACHE: dict[str, str] = {}
+
+
+def q_ann_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph ANN (the HNSW-equivalent — schema/DenseVectorField.java:69,
+    search/vector/KnnQParserPlugin.java): IVF cells for the distributed
+    routing level, a navigable-small-world graph INSIDE each cell for
+    sublinear intra-cell beam search.  Approximate by design, rows-only
+    check; recall + sublinearity + partition pruning asserted in
+    tests/test_pipeline.py."""
+    from apache___solr_spark.pipeline.similarity import (
+        build_graph_ann_index,
+        query_graph_ann_index,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    key = os.path.abspath(sf_dir)
+    if key not in _GRAPH_ANN_CACHE:
+        out = os.path.join(
+            tempfile.gettempdir(),
+            "solr_spark_gann_" + key.strip("/").replace("/", "_"),
+        )
+        build_graph_ann_index(e.filter(F.col("vec_id") != 0), out, n_centroids=16)
+        _GRAPH_ANN_CACHE[key] = out
+    hits = query_graph_ann_index(spark, _GRAPH_ANN_CACHE[key], qvec, k=20, n_probes=3)
+    return hits.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact all-pairs baseline on a capped
     subset with PLANTED near-duplicates: vec_id+100000 = embedding shifted
@@ -1260,11 +1289,12 @@ def q_near_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Persisted approximate-nearest-neighbor top-k through BOTH index
-    shapes — random-hyperplane LSH buckets and the IVF spherical-k-means
-    coarse quantizer — as tagged cases of one entry (merged from the
-    round-2 rows-only entries cosine_topk_lsh / ann_ivf_topk; approximate
-    by design, recall + partition pruning asserted in
+    """Persisted approximate-nearest-neighbor top-k through ALL THREE index
+    shapes — random-hyperplane LSH buckets, the IVF spherical-k-means
+    coarse quantizer, and the graph index (NSW beam search inside IVF
+    cells, the HNSW-equivalent) — as tagged cases of one entry (merged
+    from the round-2 rows-only entries cosine_topk_lsh / ann_ivf_topk;
+    approximate by design, recall + partition pruning asserted in
     tests/test_pipeline.py)."""
     lsh = q_cosine_topk_lsh(spark, sf_dir).select(
         F.lit("lsh").alias("method"), "vec_id", "cosine"
@@ -1272,7 +1302,10 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = q_ann_ivf_topk(spark, sf_dir).select(
         F.lit("ivf").alias("method"), "vec_id", "cosine"
     )
-    return lsh.unionByName(ivf).orderBy(
+    graph = q_ann_graph_topk(spark, sf_dir).select(
+        F.lit("graph").alias("method"), "vec_id", "cosine"
+    )
+    return lsh.unionByName(ivf).unionByName(graph).orderBy(
         "method", F.col("cosine").desc(), "vec_id"
     )
 
