@@ -56,6 +56,7 @@ HEADLINE = [
     "expr_stream",
     "json_facet_nested",
     "ann_ivf_topk",
+    "ann_graph_topk",
     "features_igain",
     "classify_logit",
     "span_near_unordered",
@@ -104,6 +105,7 @@ def main() -> None:
         "minhash_lsh_candidates": entrymod.q_minhash_lsh,
         "quality_score": entrymod.q_quality_score,
         "ann_ivf_topk": entrymod.q_ann_ivf_topk,
+        "ann_graph_topk": entrymod.q_ann_graph_topk,
     }
     qs = {**fallbacks, **entrymod.queries()}
     # best-of-2 per query: this host is shared and noisy (the scaling bench
