@@ -512,7 +512,7 @@ def _build_nsw_adj(
 def build_graph_ann_index(
     df: DataFrame,
     out_dir: str,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     m: int = 8,
     ef_construction: int = 32,
     iters: int = 10,
@@ -520,6 +520,7 @@ def build_graph_ann_index(
     sample_limit: int = 20_000,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    target_cell_size: int = 8192,
 ) -> str:
     """Persist the HNSW-equivalent index: IVF spherical-k-means cells for
     the DISTRIBUTED routing level (the role HNSW's upper layers play —
@@ -540,13 +541,22 @@ def build_graph_ann_index(
     Scale shape: centroid training reads a bounded deterministic sample;
     cell assignment is one mapInPandas matmul pass; graph construction is
     one groupBy(ivf_cell).applyInPandas — per-cell O(n_cell · ef · m)
-    independent work, no shuffle after the single cell-key exchange."""
+    independent work, no shuffle after the single cell-key exchange.
+    Per-cell construction is the superlinear piece, so cell SIZE (not
+    cell count) is the scale knob: pass ``n_centroids=None`` to derive
+    the cell count from the corpus (``ceil(n / target_cell_size)``) —
+    at 10^9 vectors that is ~122k cells of ≤8k vectors, each an
+    independent bounded task, instead of 16 million-vector cells."""
     import json
+    import math
     import os
     from typing import Iterator
 
     import pandas as pd
 
+    if n_centroids is None:
+        n_total = df.count()
+        n_centroids = max(4, math.ceil(n_total / max(target_cell_size, 1)))
     pdf = (
         df.select(id_col, vec_col)
         .orderBy(F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(999983)))
@@ -555,6 +565,9 @@ def build_graph_ann_index(
     )
     sample = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     dim = sample.shape[1]
+    # k-means needs at least as many sample points as centroids; a corpus
+    # larger than sample_limit caps cell-count resolution, not correctness
+    n_centroids = max(1, min(int(n_centroids), len(sample)))
     cent = _spherical_kmeans(sample, n_centroids, iters=iters, seed=seed)
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
