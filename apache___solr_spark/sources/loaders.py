@@ -267,3 +267,43 @@ def read_xml_docs(
     jsonl = raw.mapInPandas(parse, schema="value string")
     df = spark.read.json(jsonl.rdd.map(lambda r: r["value"]))
     return _last_wins(df, unique_key)
+
+
+def read_pdf_docs(spark: SparkSession, path: str) -> DataFrame:
+    """ExtractingRequestHandler equivalent for text-based PDFs
+    (solr/modules/extraction/.../ExtractingDocumentLoader.java:51 — Tika
+    extract -> one doc per rich file, uniqueKey = resource name): a
+    distributed binaryFile scan with per-file extraction in an
+    Arrow-batched UDF.  Returns (id=file path, text, n_pages); files the
+    pure-Python extractor cannot handle surface their reason in ``err``
+    instead of failing the scan (ExtractingDocumentLoader's
+    ignoreTikaException behavior)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from apache___solr_spark.sources.pdf_extract import extract_pdf_pages
+
+    raw = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, texts, npages, errs = [], [], [], []
+            for p, payload in zip(pdf["path"], pdf["content"]):
+                ids.append(p)
+                try:
+                    pages = extract_pdf_pages(bytes(payload))
+                    texts.append("\f".join(pages))
+                    npages.append(len(pages))
+                    errs.append(None)
+                except (ValueError, NotImplementedError) as e:
+                    texts.append(None)
+                    npages.append(0)
+                    errs.append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(
+                {"id": ids, "text": texts, "n_pages": npages, "err": errs}
+            )
+
+    return raw.mapInPandas(
+        parse, schema="id string, text string, n_pages int, err string"
+    )
