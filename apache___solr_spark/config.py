@@ -86,5 +86,15 @@ class IndexConfig:
         payload = json.dumps(asdict(self), sort_keys=True).encode()
         return hashlib.sha256(payload).hexdigest()[:16]
 
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "IndexConfig":
+        """Rehydrate from a stats-file ``config`` record; unknown keys from
+        a newer writer are ignored so older readers keep working."""
+        known = {f for f in cls.__dataclass_fields__}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
 
 DEFAULT_CONFIG = IndexConfig()

@@ -661,6 +661,10 @@ def build_index(
             "avgdl": (total / n_docs) if n_docs else 0.0,
             "config_digest": cfg_digest,
             "input_digest": in_digest,
+            # full config rides the stats file so readers (SearchEngine,
+            # add_docs) can self-configure instead of trusting the caller
+            # to re-supply the exact build cfg
+            "config": cfg.to_dict(),
         }
         tmp = paths.stats + ".tmp"
         with open(tmp, "w") as f:

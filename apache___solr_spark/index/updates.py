@@ -347,3 +347,142 @@ def optimize(
         json.dump(stats, f)
     os.replace(tmp, paths.stats)
     return stats
+
+
+# ---------------------------------------------------------------------------
+# atomic (partial-document) updates
+# ---------------------------------------------------------------------------
+
+ATOMIC_OPS = frozenset(
+    {"set", "inc", "add", "add-distinct", "remove", "removeregex",
+     "removefield"}
+)
+
+
+def atomic_merge(
+    existing: DataFrame,
+    updates: DataFrame,
+    key: str,
+    ops: dict[str, str],
+) -> DataFrame:
+    """AtomicUpdateDocumentMerger equivalent (update/processor/
+    AtomicUpdateDocumentMerger.java:67, op dispatch :163-178): merge
+    partial updates into stored documents as ONE left join — no per-row
+    Python, every op is a column expression.
+
+    ``updates`` carries ``key`` plus one column per updated field;
+    ``ops[field]`` names the op.  A NULL in an update column means "this
+    field untouched for this doc" (the reference expresses field removal
+    as ``set: null``; here that spelling is the explicit ``removefield``
+    op, which nulls the field for every updated doc).  Ops:
+
+    - ``set``      replace the value
+    - ``inc``      numeric increment (NULL old counts as 0)
+    - ``add``      append to a multivalued (array) field; scalar update
+                   values append one element, array values concatenate
+    - ``add-distinct``  append only values not already present
+    - ``remove``   drop ALL occurrences of the value(s) — duplicates of
+                   other values survive (:742 — order/dup preserving)
+    - ``removeregex``  drop elements matching the regex
+    - ``removefield``  null the field on every updated doc
+
+    Docs absent from ``updates`` pass through unchanged (same rows out as
+    in — the caller decides what to re-index).
+    """
+    for f, op in ops.items():
+        if op not in ATOMIC_OPS:
+            raise ValueError(f"unknown atomic op {op!r} for field {f!r}")
+        if f not in updates.columns and op != "removefield":
+            raise ValueError(f"updates is missing column {f!r}")
+    upd = updates.select(
+        F.col(key).alias("__k"),
+        F.lit(True).alias("__updated"),
+        *[
+            F.col(f).alias(f"__u_{f}")
+            for f in ops
+            if f in updates.columns and ops[f] != "removefield"
+        ],
+    )
+    joined = existing.join(upd, existing[key] == upd["__k"], "left")
+
+    def merged_col(f: str, op: str):
+        old = existing[f]
+        if op == "removefield":
+            return F.when(F.col("__updated").isNotNull(), F.lit(None)).otherwise(old)
+        new = F.col(f"__u_{f}")
+        if op == "set":
+            return F.coalesce(new, old)
+        if op == "inc":
+            return F.when(
+                new.isNull(), old
+            ).otherwise(F.coalesce(old, F.lit(0)) + new)
+        # array ops: a scalar update value acts as a one-element array
+        upd_field = dict(zip(updates.columns, updates.schema.fields))[f]
+        is_arr = upd_field.dataType.typeName() == "array"
+        new_arr = new if is_arr else F.array(new)
+        old_arr = F.coalesce(old, F.array().cast(existing.schema[f].dataType))
+        if op == "add":
+            return F.when(new.isNull(), old).otherwise(
+                F.concat(old_arr, new_arr)
+            )
+        if op == "add-distinct":
+            return F.when(new.isNull(), old).otherwise(
+                F.concat(old_arr, F.array_except(new_arr, old_arr))
+            )
+        if op == "remove":
+            return F.when(new.isNull(), old).otherwise(
+                F.filter(
+                    old_arr,
+                    (lambda x: ~F.array_contains(new_arr, x))
+                    if is_arr
+                    else (lambda x: x != new),
+                )
+            )
+        if op == "removeregex":
+            return F.when(new.isNull(), old).otherwise(
+                F.filter(old_arr, lambda x: ~F.regexp_like(x, new))
+            )
+        raise AssertionError(op)
+
+    out_cols = [
+        (merged_col(c, ops[c]).alias(c) if c in ops else existing[c])
+        for c in existing.columns
+    ]
+    return joined.select(*out_cols)
+
+
+def atomic_update(
+    spark: SparkSession,
+    index_dir: str,
+    pages: DataFrame,
+    updates: DataFrame,
+    ops: dict[str, str],
+    key: str = "url",
+    cfg: IndexConfig = DEFAULT_CONFIG,
+) -> int:
+    """Partial-document update against a live index: merge ``updates``
+    into the stored-field source ``pages`` (atomic_merge), tombstone the
+    old versions of the touched docs, and append the merged docs as a
+    fresh segment (add_docs) — last-wins by uniqueKey, exactly the
+    reference's read-merge-reindex path (AtomicUpdateDocumentMerger is
+    invoked from DistributedUpdateProcessor before a normal add).
+    Returns the number of docs updated.
+
+    Scale shape: the merge is one left join against the update batch;
+    only touched docs re-analyze (one narrow add_docs job over the batch);
+    tombstones write through a distributed semi-join (no driver key list);
+    untouched postings never rewrite."""
+    keys_df = updates.select(key).distinct()
+    merged = atomic_merge(pages, updates, key, ops).join(
+        keys_df, key, "left_semi"
+    )
+    # tombstone old versions: docs ⋉ keys, written straight to the
+    # tombstone parquet — never a driver-side key list
+    paths = IndexPaths(index_dir)
+    old_ids = (
+        spark.read.parquet(paths.docs)
+        .join(keys_df.withColumnRenamed(key, "url"), "url", "left_semi")
+        .select("doc_id")
+    )
+    old_ids.write.mode("append").parquet(_deletes_path(index_dir))
+    return add_docs(spark, index_dir, merged, cfg=cfg)

@@ -343,7 +343,7 @@ class SearchEngine:
         self,
         spark: SparkSession,
         index_dir: str,
-        cfg: IndexConfig = DEFAULT_CONFIG,
+        cfg: IndexConfig | None = None,
         synonyms: dict[str, list[str]] | None = None,
         similarity: str | object = "bm25",
     ) -> None:
@@ -362,10 +362,29 @@ class SearchEngine:
         from apache___solr_spark.query.similarities import get_similarity
 
         self.spark = spark
-        self.cfg = cfg
         self.paths = IndexPaths(index_dir)
         with open(self.paths.stats) as f:
             self.stats = json.load(f)
+        # the index's own config is authoritative: cfg=None loads it from
+        # the stats file; an explicit cfg must MATCH the build (a mismatch
+        # silently mis-prunes buckets/salts — fail loudly instead)
+        stored = self.stats.get("config")
+        if cfg is None:
+            cfg = (
+                IndexConfig.from_dict(stored) if stored else DEFAULT_CONFIG
+            )
+            if self.stats.get("config_digest") not in (None, cfg.digest()):
+                raise ValueError(
+                    "index predates stored configs and was not built with "
+                    "DEFAULT_CONFIG — pass the build cfg explicitly"
+                )
+        elif self.stats.get("config_digest") not in (None, cfg.digest()):
+            raise ValueError(
+                "SearchEngine cfg does not match the index's build config "
+                f"(digest {cfg.digest()} != {self.stats['config_digest']}); "
+                "omit cfg to load the index's own config"
+            )
+        self.cfg = cfg
         self.postings = spark.read.parquet(self.paths.postings)
         self.dictionary = spark.read.parquet(self.paths.dictionary)
         self.docs = spark.read.parquet(self.paths.docs)
