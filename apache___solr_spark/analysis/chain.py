@@ -89,6 +89,22 @@ def analyze_en_splitting(text: str | None, max_token_len: int = 255) -> list[str
     ]
 
 
+def analyze_cjk(text: str | None, max_token_len: int = 255) -> list[str]:
+    """The ``text_cjk`` chain (managed-schema.xml:608-616): standard
+    tokenize -> CJKWidthFilter (fullwidth ASCII -> halfwidth, halfwidth
+    katakana + dakuten -> fullwidth) -> lowercase (affects non-CJK only)
+    -> CJKBigramFilter (overlapping char bigrams over Han/Hiragana/
+    Katakana/Hangul runs, lone char -> unigram).  No stopwords, matching
+    the reference chain."""
+    from apache___solr_spark.analysis.filters import (
+        cjk_bigram_tokens,
+        cjk_width,
+    )
+
+    toks = standard_tokenize(text, max_token_len=max_token_len)
+    return cjk_bigram_tokens([cjk_width(t).lower() for t in toks])
+
+
 def analyzer_fn(analyzer: str):
     """Resolve an IndexConfig.analyzer name to its chain function."""
     if analyzer == "simple":
@@ -99,4 +115,6 @@ def analyzer_fn(analyzer: str):
         return analyze_folding
     if analyzer == "en_splitting":
         return analyze_en_splitting
+    if analyzer == "cjk":
+        return analyze_cjk
     return analyze

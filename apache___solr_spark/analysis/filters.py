@@ -554,3 +554,104 @@ def nysiis(token: str, strict: bool = True) -> str:
         key.pop()
     code = "".join(key).upper()
     return code[:6] if strict else code
+
+
+# ---------------------------------------------------------------------------
+# CJKWidthFilter + CJKBigramFilter (the text_cjk chain,
+# managed-schema.xml:608-616: standard -> CJKWidth -> lowercase -> CJKBigram)
+# ---------------------------------------------------------------------------
+
+# CJKWidthFilter.java folds exactly two ranges: fullwidth ASCII variants
+# (FF01-FF5E) -> halfwidth, and halfwidth katakana (FF61-FF9F) ->
+# fullwidth (combining half-width dakuten first, which NFKC performs).
+_FW_ASCII = {chr(c): chr(c - 0xFEE0) for c in range(0xFF01, 0xFF5F)}
+_FW_ASCII[chr(0x3000)] = " "  # ideographic space
+
+
+def cjk_width(token: str) -> str:
+    """CJKWidthFilter: fullwidth ASCII -> halfwidth; halfwidth katakana
+    (incl. dakuten combining) -> fullwidth via NFKC on that range only —
+    NFKC over the whole token would also fold unrelated compatibility
+    forms the reference filter leaves alone."""
+    out = []
+    for ch in token:
+        if ch in _FW_ASCII:
+            out.append(_FW_ASCII[ch])
+        elif 0xFF61 <= ord(ch) <= 0xFF9F:
+            out.append(ch)  # normalized below with its neighbors
+        else:
+            out.append(ch)
+    s = "".join(out)
+    if any(0xFF61 <= ord(c) <= 0xFF9F for c in s):
+        # normalize ONLY halfwidth-katakana spans (dakuten combine there)
+        s = re.sub(
+            "[｡-ﾟ]+",
+            lambda m: unicodedata.normalize("NFKC", m.group(0)),
+            s,
+        )
+    return s
+
+
+def _is_cjk(ch: str) -> bool:
+    """HAN + HIRAGANA + KATAKANA + HANGUL — the four scripts
+    CJKBigramFilter bigrams by default (CJKBigramFilter.java flags)."""
+    o = ord(ch)
+    return (
+        0x4E00 <= o <= 0x9FFF      # CJK Unified Ideographs
+        or 0x3400 <= o <= 0x4DBF   # CJK Ext A
+        or 0xF900 <= o <= 0xFAFF   # CJK Compat Ideographs
+        or 0x3040 <= o <= 0x309F   # Hiragana
+        or 0x30A0 <= o <= 0x30FF   # Katakana
+        or 0x31F0 <= o <= 0x31FF   # Katakana Phonetic Ext
+        or 0xAC00 <= o <= 0xD7AF   # Hangul Syllables
+        or 0x1100 <= o <= 0x11FF   # Hangul Jamo
+    )
+
+
+def cjk_bigram_tokens(
+    tokens: list[str], output_unigrams: bool = False
+) -> list[str]:
+    """CJKBigramFilter: overlapping character bigrams over runs of CJK
+    text; a lone CJK character (run of length 1) emits its unigram;
+    non-CJK text passes through untouched.
+
+    Lucene's StandardTokenizer emits Han one char per token and this
+    filter re-joins ADJACENT single-char tokens into bigram runs; our
+    tokenizer keeps a CJK run as one token, so segmenting each token into
+    CJK spans reproduces the same end-to-end output for running text
+    (runs interrupted by punctuation/space are separate tokens in both).
+    ``output_unigrams=True`` additionally emits every unigram alongside
+    the bigrams (the filter's outputUnigrams flag — higher recall,
+    fatter index)."""
+    out: list[str] = []
+    for tok in tokens:
+        i = 0
+        n = len(tok)
+        while i < n:
+            if _is_cjk(tok[i]):
+                j = i
+                while j < n and _is_cjk(tok[j]):
+                    j += 1
+                run = tok[i:j]
+                if len(run) == 1:
+                    out.append(run)
+                else:
+                    if output_unigrams:
+                        bis = [run[k : k + 2] for k in range(len(run) - 1)]
+                        # interleave: uni, bigram, uni, bigram, ... uni
+                        for k, b in enumerate(bis):
+                            out.append(run[k])
+                            out.append(b)
+                        out.append(run[-1])
+                    else:
+                        out.extend(
+                            run[k : k + 2] for k in range(len(run) - 1)
+                        )
+                i = j
+            else:
+                j = i
+                while j < n and not _is_cjk(tok[j]):
+                    j += 1
+                out.append(tok[i:j])
+                i = j
+    return out

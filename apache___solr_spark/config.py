@@ -76,6 +76,7 @@ class IndexConfig:
             "standard_porter",
             "standard_folding",
             "en_splitting",
+            "cjk",
         ):
             raise ValueError(f"unknown analyzer {self.analyzer!r}")
         if self.score_dtype not in ("float32", "float64"):

@@ -319,3 +319,88 @@ def test_nysiis_vectors():
     for word, code in vectors.items():
         assert nysiis(word) == code, word
     assert nysiis("42") == "42"
+
+
+def test_cjk_width_vectors():
+    from apache___solr_spark.analysis.filters import cjk_width
+
+    assert cjk_width("Ｔｅｓｔ１２３") == "Test123"
+    assert cjk_width("ｶﾞｷﾞｳﾞ") == "ガギヴ"  # half-width dakuten combine
+    assert cjk_width("ｱｲｳ") == "アイウ"
+    assert cjk_width("plain") == "plain"
+    # ideographic space folds; surrounding CJK untouched
+    assert cjk_width("中　文") == "中 文"
+
+
+def test_cjk_bigram_vectors():
+    from apache___solr_spark.analysis.filters import cjk_bigram_tokens
+
+    # running Han text -> overlapping bigrams (CJKBigramFilter default)
+    assert cjk_bigram_tokens(["中文文本"]) == ["中文", "文文", "文本"]
+    # mixed-script token: only CJK spans bigram
+    assert cjk_bigram_tokens(["abc中文def"]) == ["abc", "中文", "def"]
+    # lone CJK char -> unigram
+    assert cjk_bigram_tokens(["中"]) == ["中"]
+    # hiragana/katakana join the same run as Han
+    assert cjk_bigram_tokens(["日本語のテキスト"]) == [
+        "日本", "本語", "語の", "のテ", "テキ", "キス", "スト",
+    ]
+    # hangul bigrams
+    assert cjk_bigram_tokens(["한국어"]) == ["한국", "국어"]
+    # outputUnigrams=True interleaves unigrams with bigrams
+    assert cjk_bigram_tokens(["中文本"], output_unigrams=True) == [
+        "中", "中文", "文", "文本", "本",
+    ]
+
+
+def test_analyze_cjk_chain():
+    from apache___solr_spark.analysis.chain import analyze_cjk
+
+    assert analyze_cjk("日本語のテキスト Ｔｅｓｔ 中文, ｶﾞｲﾄﾞ") == [
+        "日本", "本語", "語の", "のテ", "テキ", "キス", "スト",
+        "test", "中文", "ガイ", "イド",
+    ]
+    assert analyze_cjk(None) == []
+
+
+def test_cjk_index_and_search(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from apache___solr_spark.config import IndexConfig
+    from apache___solr_spark.index.builder import build_index
+    from apache___solr_spark.query.engine import SearchEngine
+
+    docs = [
+        ("cjk-0", "東京は日本の首都です"),
+        ("cjk-1", "大阪は日本の都市です"),
+        ("cjk-2", "completely english text here"),
+        ("cjk-3", "서울은 한국의 수도입니다"),
+    ]
+    table = pa.table(
+        {
+            "url": [u for u, _ in docs],
+            "warc_ts": pa.array([None] * len(docs), pa.timestamp("ms")),
+            "html": pa.array([None] * len(docs), pa.binary()),
+            "text": [t for _, t in docs],
+            "lang": ["ja", "ja", "en", "ko"],
+        }
+    )
+    path = str(tmp_path / "pages.parquet")
+    pq.write_table(table, path)
+    cfg = IndexConfig(
+        block_range=32, salt_range=128, n_buckets=4, analyzer="cjk"
+    )
+    idx = str(tmp_path / "idx")
+    build_index(spark, path, idx, cfg=cfg)
+    eng = SearchEngine(spark, idx)  # cfg self-loaded, incl. analyzer
+    # query text is analyzed with the SAME cjk chain: 東京 -> bigram 東京
+    hits = [r["url"] for r in eng.search("東京", k=4).collect()]
+    assert hits == ["cjk-0"]
+    # 日本 appears in both ja docs
+    both = {r["url"] for r in eng.search("日本", k=4).collect()}
+    assert both == {"cjk-0", "cjk-1"}
+    # hangul
+    assert [r["url"] for r in eng.search("한국", k=4).collect()] == ["cjk-3"]
+    # english still works through the same chain
+    assert [r["url"] for r in eng.search("english", k=4).collect()] == ["cjk-2"]
