@@ -321,3 +321,98 @@ def ngram_jaccard_pairs(
         "jaccard"
     )
     return inter.select("id_a", "id_b", jac).filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# duplicate clusters: candidate pairs -> connected components -> canonical
+# ---------------------------------------------------------------------------
+
+
+def duplicate_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a candidate-pair edge list — the step
+    that turns pairwise near-dup CANDIDATES (minhash/simhash/jaccard/
+    embedding pairs) into duplicate GROUPS.  Distributed min-label
+    propagation: every node repeatedly adopts the smallest id reachable
+    through one more hop, converging in O(cluster diameter) rounds —
+    near-dup clusters are shallow (dup rings around a source document),
+    so a handful of rounds closes them.  Returns (doc_id, component)
+    where component = min doc_id of the connected component; singletons
+    (docs in no pair) are simply absent.
+
+    Scale shape: each round is one groupBy(doc) min-agg + one join —
+    both shuffle on the SAME key so AQE reuses the exchange; lineage is
+    cut with localCheckpoint every 5 rounds (same pattern as graph BFS);
+    convergence is detected with a count of changed labels (a scalar per
+    round, no driver data)."""
+    edges = (
+        pairs.select(
+            F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+        )
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    # label(v) starts as min(v, min neighbor) — one round for free
+    labels = (
+        edges.groupBy("src")
+        .agg(F.least(F.min("dst"), F.first("src")).alias("comp"))
+        .select(F.col("src").alias("id"), "comp")
+        .persist()
+    )
+    for it in range(max_iter):
+        # candidate labels through one hop: neighbor's current label
+        prop = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("comp").alias("n_comp"))
+            .select(F.col("src").alias("id"), "n_comp")
+        )
+        nxt = (
+            labels.join(prop, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    "comp", F.coalesce("n_comp", F.col("comp"))
+                ).alias("comp"),
+                (F.coalesce("n_comp", F.col("comp")) < F.col("comp")).alias(
+                    "_chg"
+                ),
+            )
+            .persist()
+        )
+        changed = nxt.agg(F.sum(F.col("_chg").cast("long")).alias("c")).collect()[
+            0
+        ]["c"]
+        labels.unpersist()
+        labels = nxt.select("id", "comp")
+        if (it + 1) % 5 == 0:
+            labels = labels.localCheckpoint(eager=True)
+        if not changed:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
+
+
+def dedup_keep_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Drop near-duplicates, keeping ONE canonical doc per duplicate
+    component (the smallest id — deterministic).  Docs that appear in no
+    candidate pair pass through untouched.  This is the corpus-side
+    finish of the dedup pipeline: pairs from any detector
+    (minhash_lsh_candidates / simhash / ngram_jaccard_pairs /
+    embedding_near_dup_pairs) plug in unchanged."""
+    comps = duplicate_components(pairs, id_a=id_a, id_b=id_b)
+    victims = comps.filter(F.col("doc_id") != F.col("component")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.join(victims, id_col, "left_anti")

@@ -381,3 +381,65 @@ def test_graph_ann_recall_and_pruning(spark, tmp_path):
         }
         recalls.append(len(ids & exact) / 20)
     assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_duplicate_components_vs_union_find(spark):
+    """Connected components over candidate pairs vs a scalar union-find
+    oracle: chains, a star, a triangle merged with a chain, and isolated
+    pairs — the shapes near-dup clusters actually take."""
+    from apache___solr_spark.pipeline.dedup import duplicate_components
+
+    edges = [
+        (1, 2), (2, 3), (3, 4),          # chain 1-2-3-4
+        (10, 11), (10, 12), (10, 13),    # star at 10
+        (20, 21), (21, 22), (20, 22),    # triangle
+        (22, 23),                        # chain off the triangle
+        (30, 31),                        # isolated pair
+        (40, 41), (42, 41),              # V shape
+    ]
+    # scalar union-find oracle
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {v: find(v) for v in parent}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["doc_id"]: r["component"]
+        for r in duplicate_components(df).collect()
+    }
+    assert got == expect
+
+
+def test_dedup_keep_canonical_end_to_end(spark):
+    """pairs from the minhash detector -> one survivor per duplicate
+    component, untouched docs pass through."""
+    from apache___solr_spark.pipeline.dedup import (
+        dedup_keep_canonical,
+        minhash_lsh_candidates,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the quiet green field toward the river bank"
+    )
+    rows = [(1, base), (2, base + " extra"), (3, base + " extra words")]
+    rows += [(50, "completely different content about spark query engines"),
+             (51, "another unrelated document mentioning inverted indexes")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_candidates(docs, "text", "doc_id")
+    assert pairs.count() >= 2  # the three planted dups must pair up
+    kept = dedup_keep_canonical(docs, pairs)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert 1 in ids and 50 in ids and 51 in ids
+    assert 2 not in ids and 3 not in ids
