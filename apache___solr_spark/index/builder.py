@@ -118,6 +118,12 @@ class IndexPaths:
     def stats(self) -> str:
         return os.path.join(self.root, "stats.json")
 
+    @property
+    def stored(self) -> str:
+        # optional stored-fields store (Lucene .fdt analog) — written by
+        # store_fields() / add_docs(store_fields=True), read by realtime_get
+        return os.path.join(self.root, "stored")
+
 
 def _input_digest(pages: DataFrame, source: str | None) -> str:
     # cheap fingerprint: source path + schema; row count comes via manifests

@@ -117,13 +117,20 @@ def add_docs(
     index_dir: str,
     pages: DataFrame,
     cfg: IndexConfig = DEFAULT_CONFIG,
+    store_fields: bool = False,
 ) -> int:
     """Append new documents as a fresh segment.  Returns docs added.
 
     New doc_ids are assigned monotonically after the current N in url
     order (deterministic given the batch).  At 100 TB scale each add batch
     is one narrow job over the new docs only — existing postings are never
-    rewritten (segment immutability, exactly the reference's model)."""
+    rewritten (segment immutability, exactly the reference's model).
+
+    ``store_fields=True`` additionally appends the batch's source columns
+    keyed by the new doc_ids into the index's stored-fields store
+    (<index>/stored, the Lucene .fdt analog), which makes the batch — and
+    any atomic-update merge result — retrievable via :func:`realtime_get`
+    without consulting the external source table."""
     paths = IndexPaths(index_dir)
     with open(paths.stats) as f:
         stats = json.load(f)
@@ -141,6 +148,17 @@ def add_docs(
         "norm_byte", _norm_byte_udf(F.col("doclen"))
     )
     docs.write.mode("append").parquet(paths.docs)
+
+    if store_fields:
+        # one narrow broadcast-able join: batch source columns x the batch's
+        # freshly-assigned doc_ids (read back from the just-written docs
+        # rows so the analysis UDF does not recompute)
+        new_ids = (
+            spark.read.parquet(paths.docs)
+            .filter(F.col("doc_id") >= base_n)
+            .select("url", "doc_id")
+        )
+        pages.join(new_ids, "url").write.mode("append").parquet(paths.stored)
 
     # new segment rows (same map-side encoder as the full build), appended
     # into the bucket-partitioned postings layout
@@ -338,6 +356,16 @@ def optimize(
     if os.path.isdir(dp):
         shutil.rmtree(dp)
 
+    # expunge dead versions from the stored-fields store (if present):
+    # keep only rows whose doc_id survived in the rewritten docs table
+    if os.path.isdir(paths.stored):
+        live_ids = spark.read.parquet(paths.docs).select("doc_id")
+        tmp_stored = paths.stored + ".opt"
+        spark.read.parquet(paths.stored).join(
+            live_ids, "doc_id", "left_semi"
+        ).write.mode("overwrite").parquet(tmp_stored)
+        _swap_dir(tmp_stored, paths.stored)
+
     with open(paths.stats) as f:
         stats = json.load(f)
     stats.update({"N": n_docs, "total_len": total, "avgdl": avgdl})
@@ -459,6 +487,7 @@ def atomic_update(
     ops: dict[str, str],
     key: str = "url",
     cfg: IndexConfig = DEFAULT_CONFIG,
+    store_fields: bool = False,
 ) -> int:
     """Partial-document update against a live index: merge ``updates``
     into the stored-field source ``pages`` (atomic_merge), tombstone the
@@ -485,4 +514,83 @@ def atomic_update(
         .select("doc_id")
     )
     old_ids.write.mode("append").parquet(_deletes_path(index_dir))
-    return add_docs(spark, index_dir, merged, cfg=cfg)
+    return add_docs(
+        spark, index_dir, merged, cfg=cfg, store_fields=store_fields
+    )
+
+
+def store_fields(
+    spark: SparkSession, index_dir: str, pages: DataFrame
+) -> int:
+    """Back-fill the stored-fields store (<index>/stored) for an index
+    built WITHOUT it: attaches each page row to its current live doc_id
+    via the docs table and appends.  Call once right after
+    :func:`~apache___solr_spark.index.builder.build_index`; subsequent
+    ``add_docs(..., store_fields=True)`` / ``atomic_update(...,
+    store_fields=True)`` batches maintain the store themselves.  Returns
+    rows stored.
+
+    One url-keyed equi-join of the source against the docs table — the
+    same shuffle shape as the build's numbering exchange, no driver state.
+    """
+    paths = IndexPaths(index_dir)
+    ids = spark.read.parquet(paths.docs).select("url", "doc_id")
+    dels = load_deletes(spark, index_dir)
+    if dels is not None:
+        ids = ids.join(dels, "doc_id", "left_anti")
+    out = pages.join(ids, "url")
+    out.write.mode("append").parquet(paths.stored)
+    return out.count()
+
+
+def realtime_get(
+    spark: SparkSession,
+    index_dir: str,
+    keys,
+    pages: DataFrame | None = None,
+) -> DataFrame:
+    """/get — RealTimeGetComponent equivalent (handler/component/
+    RealTimeGetComponent.java:117 process(), :691
+    getInputDocumentFromTlog): fetch the LATEST LIVE version of each
+    requested document by uniqueKey, seeing every durable update
+    immediately — add_docs / atomic_update batches are visible the moment
+    they return, with no searcher refresh and no optimize(), and
+    deleteById tombstones hide a doc from /get exactly as they hide it
+    from search.  (The reference consults the uncommitted tlog before the
+    open searcher; in this engine every update call IS durable on return,
+    so the docs table + tombstones play the tlog's role.)
+
+    ``keys`` is a Python list of urls (lowered to a parquet-pushed IN
+    predicate) or a DataFrame with a ``url`` column (broadcast semi-join —
+    the shape for large key sets).  Version resolution is max(doc_id) per
+    url over live rows: doc_ids are assigned monotonically across
+    segments, so the highest live id IS the newest version (last-wins by
+    uniqueKey, the reference's overwrite semantics).
+
+    Stored fields come from <index>/stored when present (doc_id-exact, so
+    atomic-update merge results are returned as merged); else from the
+    ``pages`` source joined by url (source-as-store mode: correct until
+    the first atomic update, which only the stored store can reflect);
+    else the docs-table row (url, doc_id, doclen) alone is returned.
+    """
+    paths = IndexPaths(index_dir)
+    docs = spark.read.parquet(paths.docs)
+    if isinstance(keys, DataFrame):
+        docs = docs.join(
+            F.broadcast(keys.select("url").distinct()), "url", "left_semi"
+        )
+    else:
+        docs = docs.filter(F.col("url").isin([str(k) for k in keys]))
+    dels = load_deletes(spark, index_dir)
+    if dels is not None:
+        docs = docs.join(dels, "doc_id", "left_anti")
+    latest = docs.groupBy("url").agg(F.max("doc_id").alias("doc_id"))
+    out = latest.join(
+        docs.select("url", "doc_id", "doclen"), ["url", "doc_id"]
+    )
+    if os.path.isdir(paths.stored):
+        stored = spark.read.parquet(paths.stored).drop("url")
+        return out.join(stored, "doc_id", "left")
+    if pages is not None:
+        return out.join(pages, "url", "left")
+    return out

@@ -124,3 +124,77 @@ def test_atomic_update_reindexes_merged_doc(spark, tmp_path):
     assert eng.search("zzzoldmark", k=5).count() == 0
     # untouched docs still searchable
     assert eng.search("web", k=5).count() > 0
+
+
+def test_realtime_get_latest_live_version(spark, tmp_path):
+    """/get parity (RealTimeGetComponent.java:117 process, :691 tlog
+    lookup): latest live version by uniqueKey, every durable update
+    visible immediately (no searcher refresh, no optimize), tombstones
+    hide docs from /get exactly as from search, and atomic-update merges
+    come back MERGED via the stored-fields store."""
+    from apache___solr_spark.index.updates import (
+        delete_docs,
+        realtime_get,
+        store_fields,
+    )
+
+    pages_path = str(tmp_path / "pages.parquet")
+    pq.write_table(generate_pages(80, seed=7), pages_path)
+    idx = str(tmp_path / "idx")
+    build_index(spark, pages_path, idx, cfg=CFG)
+    pages = spark.read.parquet(pages_path)
+    urls = [
+        r["url"]
+        for r in pages.select("url").orderBy("url").limit(3).collect()
+    ]
+    u_upd, u_del, u_keep = urls
+    src = {r["url"]: r for r in pages.filter(F.col("url").isin(urls)).collect()}
+
+    # source-as-store mode (no stored dir yet): stored columns join by url,
+    # absent keys return no row
+    got = realtime_get(spark, idx, [u_keep, "zz-missing"], pages=pages)
+    assert {"url", "doc_id", "doclen", "text", "lang"} <= set(got.columns)
+    rows = {r["url"]: r for r in got.collect()}
+    assert set(rows) == {u_keep}
+    assert rows[u_keep]["lang"] == src[u_keep]["lang"]
+
+    # index-only mode: no stored dir, no source -> docs-table row alone
+    bare = realtime_get(spark, idx, [u_keep]).collect()
+    assert len(bare) == 1 and bare[0]["doclen"] == rows[u_keep]["doclen"]
+
+    # back-fill the stored store, then atomically update one doc
+    n_stored = store_fields(spark, idx, pages)
+    assert n_stored == 80
+    upd = spark.createDataFrame(
+        [(u_upd, "zzrtg merged body")], "url string, text string"
+    )
+    atomic_update(
+        spark, idx, pages, upd, {"text": "set"}, key="url", cfg=CFG,
+        store_fields=True,
+    )
+    got = {r["url"]: r for r in realtime_get(spark, idx, urls).collect()}
+    assert set(got) == set(urls)
+    assert got[u_upd]["text"] == "zzrtg merged body"  # merged, last wins
+    assert got[u_keep]["text"] == src[u_keep]["text"]  # untouched
+    assert got[u_upd]["doc_id"] >= 80  # the NEW version's id
+
+    # deleteById hides from /get
+    assert delete_docs(spark, idx, doc_ids=[got[u_del]["doc_id"]]) == 1
+    left = {r["url"] for r in realtime_get(spark, idx, urls).collect()}
+    assert left == {u_upd, u_keep}
+
+    # DataFrame key-set path (broadcast semi-join, the large-batch shape)
+    keys_df = spark.createDataFrame([(u_upd,), (u_del,)], "url string")
+    via_df = realtime_get(spark, idx, keys_df).collect()
+    assert [r["url"] for r in via_df] == [u_upd]
+
+    # optimize() expunges dead stored versions; /get is unchanged after
+    from apache___solr_spark.index.updates import optimize
+    from apache___solr_spark.index.builder import IndexPaths
+
+    stats = optimize(spark, idx, cfg=CFG)
+    stored_ct = spark.read.parquet(IndexPaths(idx).stored).count()
+    assert stored_ct == stats["N"] == 79  # 80 - deleted + upd old/new folded
+    got = {r["url"]: r for r in realtime_get(spark, idx, urls).collect()}
+    assert set(got) == {u_upd, u_keep}
+    assert got[u_upd]["text"] == "zzrtg merged body"
