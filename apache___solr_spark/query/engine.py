@@ -1149,8 +1149,12 @@ class SearchEngine:
 
         where sum(contribution) over a doc's rows equals its score (float
         tolerance).  Dictionary-expanded clauses (prefix/wildcard/fuzzy/
-        range) are explained per matched term.  Phrase and nested-tree
-        queries raise — their contributions are not per-term-separable in
+        range) are explained per matched term.  A phrase clause is one row
+        — term = the phrase label, contribution = its PhraseQuery-style
+        score, weight = the summed constituent-term weights (the idf sum
+        Lucene reports in its phrase Explanation); MUST_NOT phrases only
+        exclude and so contribute no rows.  Nested-tree queries raise —
+        a nested disjunction's contribution is not clause-separable in
         this flattened shape (honest subset; the reference emits a nested
         Explanation tree there)."""
         if isinstance(query, str):
@@ -1160,20 +1164,11 @@ class SearchEngine:
                 )
             except NotFlatQuery as exc:
                 raise NotImplementedError(
-                    "explain_scores covers flat term/boolean queries; "
-                    f"nested boolean structure: {exc}"
+                    "explain_scores covers flat term/boolean/phrase "
+                    f"queries; nested boolean structure: {exc}"
                 ) from exc
         else:
             pq = query
-        if (
-            pq.scoring_phrases
-            or pq.must_phrases
-            or pq.must_not_phrases
-        ):
-            raise NotImplementedError(
-                "explain_scores covers flat term/boolean queries; phrase "
-                "clauses have no flat per-term decomposition"
-            )
         hits = self.search(pq, k=k).select("rank", "doc_id", "score")
         doc_ids = [int(r["doc_id"]) for r in hits.collect()]
         empty = (
@@ -1198,7 +1193,10 @@ class SearchEngine:
             matched = self._expand_clause(cl)
             if matched:
                 clauses.append((cl.label, matched, float(cl.boost)))
-        all_terms = sorted({t for _, ts, _ in clauses for t in ts})
+        phrase_terms = {t for ph in pq.scoring_phrases for t in ph}
+        all_terms = sorted(
+            {t for _, ts, _ in clauses for t in ts} | phrase_terms
+        )
         if not all_terms:
             return self.spark.createDataFrame([], empty)
         meta = self._term_meta(all_terms)
@@ -1233,6 +1231,39 @@ class SearchEngine:
                 )
                 for t in ts
             )
+
+        def _primary(w) -> float:
+            return float(w[0] if isinstance(w, tuple) else w)
+
+        # phrase clauses: one row each — exactly the per-phrase frame
+        # search() sums (term = phrase label), scoped to the hit docs
+        for ph in pq.scoring_phrases:
+            if any(t not in found for t in ph):
+                continue
+            label = phrase_label(ph)
+            pboost = float(pq.boosts.get(label, 1.0))
+            pf = self._phrase_frame(
+                ph,
+                weights,
+                boost=pboost,
+                slop=int(pq.slops.get(label, 0)),
+                salts=salts,
+            ).filter(F.col("doc_id").isin(doc_ids))
+            parts.append(
+                pf.select(
+                    F.lit(label).alias("term"), "doc_id", "score"
+                ).withColumn("clause", F.lit(label))
+            )
+            winfo_rows.append(
+                (
+                    label,
+                    label,
+                    sum(_primary(weights[t]) for t in set(ph)),
+                    pboost,
+                )
+            )
+        if not parts:
+            return self.spark.createDataFrame([], empty)
         scored_all = parts[0]
         for p in parts[1:]:
             scored_all = scored_all.unionByName(p)

@@ -702,8 +702,9 @@ def test_simple_facets_match_python_oracle(spark, built):
 
 def test_explain_scores_decomposition(spark, built):
     """debugQuery explain analog: per-term contributions sum to the score,
-    single-term explains equal the score, boosts are surfaced, phrases and
-    nested trees raise."""
+    single-term explains equal the score, boosts are surfaced, a phrase is
+    one clause row whose contribution is its PhraseQuery score, nested
+    trees raise."""
     import math
 
     out, _ = built if isinstance(built, tuple) else (built, None)
@@ -729,9 +730,35 @@ def test_explain_scores_decomposition(spark, built):
     plain = {r["doc_id"]: r["score"] for r in eng.search("web data^2.5 da*", k=8).collect()}
     assert {r["doc_id"]: r["score"] for r in rows} == plain
 
+    # pure phrase query: one row per hit, term = the phrase label,
+    # contribution == score, weight == summed constituent weights
+    ph_hits = eng.search('"web data"', k=5).collect()
+    assert ph_hits, "fixture corpus must contain the phrase"
+    rows = eng.explain_scores('"web data"', k=5).collect()
+    assert rows and all(r["term"] == '"web data"' for r in rows)
+    assert {r["doc_id"]: r["score"] for r in rows} == {
+        r["doc_id"]: r["score"] for r in ph_hits
+    }
+    for r in rows:
+        assert math.isclose(r["contribution"], r["score"], rel_tol=1e-6)
+        assert r["weight"] > 0
+
+    # mixed term + phrase: per-clause contributions still sum to the score
+    q = 'web "web data"^2'
+    rows = eng.explain_scores(q, k=6).collect()
+    labels = {r["clause"] for r in rows}
+    assert labels == {"web", '"web data"'}
+    assert any(r["clause"] == '"web data"' and r["boost"] == 2.0 for r in rows)
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], [0.0, r["score"]])
+        by_doc[r["doc_id"]][0] += r["contribution"]
+    for doc_id, (ssum, score) in by_doc.items():
+        assert math.isclose(ssum, score, rel_tol=1e-5), (doc_id, ssum, score)
+    plain = {r["doc_id"]: r["score"] for r in eng.search(q, k=6).collect()}
+    assert {r["doc_id"]: r["score"] for r in rows} == plain
+
     import pytest as _pytest
-    with _pytest.raises(NotImplementedError, match="phrase"):
-        eng.explain_scores('"web data"')
     with _pytest.raises(NotImplementedError):
         eng.explain_scores("(web AND data) OR (query AND merge)")
 
