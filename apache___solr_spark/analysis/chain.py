@@ -105,6 +105,37 @@ def analyze_cjk(text: str | None, max_token_len: int = 255) -> list[str]:
     return cjk_bigram_tokens([cjk_width(t).lower() for t in toks])
 
 
+def analyze_icu_folding(text: str | None, max_token_len: int = 255) -> list[str]:
+    """The analysis-extras ``text_icufolding`` chain
+    (schema-folding-extra.xml: StandardTokenizer + ICUFoldingFilter):
+    standard tokenize -> UTR#30 fold (NFKC + case fold + diacritic strip).
+    'ΜΆΪΟΣ', 'Μάϊος', and a decomposed 're\\u0301sume\\u0301' all index to
+    the same folded terms, as TestFoldingMultitermExtrasQuery requires.
+    No stopwords, matching the reference field type."""
+    from apache___solr_spark.analysis.filters import icu_fold
+
+    toks = standard_tokenize(text, max_token_len=max_token_len)
+    return [icu_fold(t) for t in toks]
+
+
+def multiterm_normalize_fn(analyzer: str):
+    """Lucene MultiTermAware normalization for an analyzer: the filter
+    subset applied to the CONSTANT parts of wildcard/prefix/fuzzy/range
+    patterns (Analyzer#normalize; TestFoldingMultitermExtrasQuery asserts
+    content_icufolding:RÉSu* matches the folded index terms).  Chains whose
+    filters are all multiterm-aware normalize with them; the default chains
+    lowercase only (their tokenizer/stop stages don't apply to patterns)."""
+    if analyzer == "icu_folding":
+        from apache___solr_spark.analysis.filters import icu_fold
+
+        return icu_fold
+    if analyzer == "standard_folding":
+        from apache___solr_spark.analysis.filters import ascii_fold
+
+        return lambda s: ascii_fold(s.lower())
+    return str.lower
+
+
 def analyzer_fn(analyzer: str):
     """Resolve an IndexConfig.analyzer name to its chain function."""
     if analyzer == "simple":
@@ -117,4 +148,6 @@ def analyzer_fn(analyzer: str):
         return analyze_en_splitting
     if analyzer == "cjk":
         return analyze_cjk
+    if analyzer == "icu_folding":
+        return analyze_icu_folding
     return analyze

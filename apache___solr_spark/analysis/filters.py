@@ -655,3 +655,133 @@ def cjk_bigram_tokens(
                 out.append(tok[i:j])
                 i = j
     return out
+
+
+# ---------------------------------------------------------------------------
+# ICU filters (analysis-extras module)
+# ---------------------------------------------------------------------------
+
+# characters NFKC_Casefold removes (Default_Ignorable_Code_Point): the
+# common format controls + variation selectors + Hangul fillers — the
+# stdlib has no DICP property, so this enumerates the ranges that occur in
+# real text (a documented subset of the full property)
+_IGNORABLE_RANGES = (
+    (0x00AD, 0x00AD),  # soft hyphen
+    (0x034F, 0x034F),  # combining grapheme joiner
+    (0x115F, 0x1160),  # Hangul fillers
+    (0x17B4, 0x17B5),  # Khmer inherent vowels
+    (0x180B, 0x180E),  # Mongolian FVS + vowel separator
+    (0x200B, 0x200F),  # ZWSP/ZWNJ/ZWJ/LRM/RLM
+    (0x202A, 0x202E),  # bidi embeddings
+    (0x2060, 0x206F),  # word joiner + invisible operators
+    (0x3164, 0x3164),  # Hangul filler
+    (0xFE00, 0xFE0F),  # variation selectors
+    (0xFEFF, 0xFEFF),  # ZWNBSP
+    (0xFFA0, 0xFFA0),  # halfwidth Hangul filler
+)
+
+
+def _strip_ignorables(s: str) -> str:
+    return "".join(
+        ch
+        for ch in s
+        if not any(lo <= ord(ch) <= hi for lo, hi in _IGNORABLE_RANGES)
+    )
+
+
+def icu_normalize2(token: str) -> str:
+    """ICUNormalizer2FilterFactory default mode (nfkc_cf): NFKC
+    compatibility normalization + full Unicode case folding + removal of
+    default-ignorable code points.
+
+    Reference: schema-folding-extra.xml text_icunormalizer2 field type;
+    goldens from TestFoldingMultitermExtrasQuery ('Ruß'->'russ',
+    'ΜΆΪΟΣ' and 'Μάϊος' meet at 'μάϊοσ', 'résumé' composed == decomposed).
+    Stdlib approximation: unicodedata NFKC + str.casefold + the enumerated
+    ignorable ranges (full ICU consults the DICP property)."""
+    s = unicodedata.normalize("NFKC", token)
+    s = _strip_ignorables(s).casefold()
+    # casefold can reintroduce decomposed sequences (İ -> i + U+0307)
+    return unicodedata.normalize("NFKC", s)
+
+
+def icu_fold(token: str) -> str:
+    """ICUFoldingFilterFactory (UTR #30 folding): nfkc_cf PLUS diacritic
+    removal — 'résumé'/'re\\u0301sume\\u0301' -> 'resume', 'ΜΆΪΟΣ'/'Μάϊος'
+    -> 'μαιοσ', 'Ruß' -> 'russ', 'ELİF'/'eli\\u0307f' -> 'elif'
+    (the TestFoldingMultitermExtrasQuery equivalence classes).
+
+    Chain: NFKC -> case fold -> NFKD -> drop combining marks -> NFKC."""
+    s = icu_normalize2(token)
+    s = unicodedata.normalize("NFKD", s)
+    s = "".join(ch for ch in s if not unicodedata.combining(ch))
+    return unicodedata.normalize("NFKC", s)
+
+
+# ICU Cyrillic-Latin transliteration (ISO 9:1995 system, the table ICU's
+# Cyrillic-Latin transform implements): one char -> one Latin char with
+# diacritics, invertible.  Lowercase table; case is restored per char.
+_CYR_LAT = {
+    "а": "a", "б": "b", "в": "v", "г": "g", "д": "d", "е": "e", "ё": "ë",
+    "ж": "ž", "з": "z", "и": "i", "й": "j", "к": "k", "л": "l", "м": "m",
+    "н": "n", "о": "o", "п": "p", "р": "r", "с": "s", "т": "t", "у": "u",
+    "ф": "f", "х": "h", "ц": "c", "ч": "č", "ш": "š", "щ": "ŝ", "ъ": "ʺ",
+    "ы": "y", "ь": "ʹ", "э": "è", "ю": "û", "я": "â",
+    # Ukrainian / Belarusian extensions in the same ISO 9 table
+    "є": "ê", "і": "ì", "ї": "ï", "ґ": "g̀", "ў": "ŭ",
+}
+
+# Greek-Latin (ISO 843 / ELOT 743 type 2 transcription subset — the plain
+# letter table without the digraph context rules)
+_GRK_LAT = {
+    "α": "a", "β": "v", "γ": "g", "δ": "d", "ε": "e", "ζ": "z", "η": "ī",
+    "θ": "th", "ι": "i", "κ": "k", "λ": "l", "μ": "m", "ν": "n", "ξ": "x",
+    "ο": "o", "π": "p", "ρ": "r", "σ": "s", "ς": "s", "τ": "t", "υ": "y",
+    "φ": "f", "χ": "ch", "ψ": "ps", "ω": "ō",
+}
+
+
+def _translit(token: str, table: dict[str, str]) -> str:
+    out = []
+    for ch in token:
+        low = ch.lower()
+        rep = table.get(low)
+        if rep is None:
+            out.append(ch)
+        elif ch == low:
+            out.append(rep)
+        else:
+            # uppercase source: capitalize the first output char
+            out.append(rep[0].upper() + rep[1:])
+    return "".join(out)
+
+
+_TRANSFORMS = {
+    "Cyrillic-Latin": lambda t: _translit(t, _CYR_LAT),
+    "Greek-Latin": lambda t: _translit(
+        "".join(
+            c
+            for c in unicodedata.normalize("NFD", t)
+            if not unicodedata.combining(c)
+        ),
+        _GRK_LAT,
+    ),
+    "Any-Lower": str.lower,
+    "Any-Upper": str.upper,
+}
+
+
+def icu_transform(token: str, transform_id: str = "Cyrillic-Latin") -> str:
+    """ICUTransformFilterFactory analog (schema-folding-extra.xml:39 uses
+    id="Cyrillic-Latin"): apply a named transliteration.  Supported ids:
+    Cyrillic-Latin (ISO 9 table — 'Российская' -> 'Rossijskaâ'),
+    Greek-Latin (ISO 843 letter table, accents stripped first),
+    Any-Lower / Any-Upper.  Unknown ids raise (ICU's rule engine with its
+    hundreds of system transforms is out of scope — inventoried)."""
+    fn = _TRANSFORMS.get(transform_id)
+    if fn is None:
+        raise NotImplementedError(
+            f"ICU transform {transform_id!r} not in the supported table "
+            f"{sorted(_TRANSFORMS)}"
+        )
+    return fn(token)

@@ -8,6 +8,9 @@ Implemented as a single compiled regex approximating the UAX#29 word rules
 that matter for web text:
 
 - a word is a run of letters/digits (any Unicode alphanumeric except ``_``),
+- combining marks (categories Mn/Mc/Me) never break a word — UAX#29 rule
+  WB4 (Extend × don't break), so decomposed ``résumé`` is ONE
+  token exactly as Lucene's StandardTokenizer emits it,
 - MidLetter/MidNumLet characters (``'``, U+2019, ``.``) glue two
   alphanumeric runs into one token (``don't``, ``3.14``, ``node.js``),
 - everything else (punctuation, symbols, whitespace, ``_``) is a boundary,
@@ -23,9 +26,32 @@ oracle, mirroring Solr's control-vs-distributed equivalence testing pattern
 from __future__ import annotations
 
 import re
+import unicodedata
 
-# [^\W_] == unicode alphanumeric minus underscore
-_WORD = re.compile(r"[^\W_]+(?:['’.][^\W_]+)*", re.UNICODE)
+
+def _mark_class() -> str:
+    """Regex character class of BMP combining marks (Mn/Mc/Me) — Python's
+    ``\\w`` excludes them, but UAX#29 WB4 says they extend the preceding
+    word character.  BMP-only: supplementary-plane marks (musical symbols,
+    ...) are vanishingly rare in web text and documented out of scope."""
+    ranges: list[tuple[int, int]] = []
+    for cp in range(0x10000):
+        if unicodedata.category(chr(cp)).startswith("M"):
+            if ranges and ranges[-1][1] == cp - 1:
+                ranges[-1] = (ranges[-1][0], cp)
+            else:
+                ranges.append((cp, cp))
+    return "".join(
+        f"\\u{lo:04x}-\\u{hi:04x}" if hi > lo else f"\\u{lo:04x}"
+        for lo, hi in ranges
+    )
+
+
+_MARKS = _mark_class()
+# [^\W_] == unicode alphanumeric minus underscore; each word char may be
+# followed by combining marks (WB4); a token never starts with a mark
+_RUN = rf"[^\W_](?:[^\W_]|[{_MARKS}])*"
+_WORD = re.compile(rf"{_RUN}(?:['’.]{_RUN})*", re.UNICODE)
 
 
 def standard_tokenize(text: str | None, max_token_len: int = 255) -> list[str]:

@@ -76,6 +76,7 @@ class IndexConfig:
             "standard_porter",
             "standard_folding",
             "en_splitting",
+            "icu_folding",
             "cjk",
         ):
             raise ValueError(f"unknown analyzer {self.analyzer!r}")

@@ -9,14 +9,16 @@ Decode support is honest about the container:
 - REAL decoders (pure numpy/stdlib, no PIL/ffmpeg needed): uncompressed
   24-bit BMP, binary PPM (P6) / PGM (P5), PNG (stdlib zlib inflate +
   numpy scanline unfiltering — 8-bit gray/RGB/RGBA/palette,
-  non-interlaced), PCM WAV (8/16-bit), and a length-prefixed frame
-  container for video-style frame sampling.  Encoders for the same
-  formats make every decoder roundtrip-testable.
-- Codec formats with no stdlib entropy coder (JPEG/MP4/...) raise
+  non-interlaced), baseline-sequential JPEG (own Huffman + IDCT,
+  pipeline/jpeg.py — gray + YCbCr, any sampling factors, restart
+  markers), PCM WAV (8/16-bit), and a length-prefixed frame container
+  for video-style frame sampling.  Encoders for the same formats make
+  every decoder roundtrip-testable.
+- Remaining codec formats (MP4/MP3 audio/progressive JPEG/...) raise
   NotImplementedError unless ``fake=True`` substitutes the deterministic
   digest-seeded decoder, so the Spark-side plumbing — schema, batch
   iteration, partition sizing — is identical either way and a real
-  PIL/ffmpeg kernel drops in without touching the plan.
+  ffmpeg kernel drops in without touching the plan.
 """
 
 from __future__ import annotations
@@ -288,9 +290,10 @@ def _fake_decode(content: bytes, width: int, height: int) -> np.ndarray:
 def decode_image(
     content: bytes, mime: str = "", fake: bool = False, width: int = 0, height: int = 0
 ) -> np.ndarray:
-    """binary -> grayscale float32 (h, w) in [0, 1].  BMP, PPM/PGM, and
-    PNG decode for real; entropy-coded formats (JPEG/...) need
-    ``fake=True`` (or a PIL kernel swapped in)."""
+    """binary -> grayscale float32 (h, w) in [0, 1].  BMP, PPM/PGM, PNG,
+    and baseline JPEG decode for real (pure numpy — see pipeline/jpeg.py);
+    remaining codec formats (MP4/...) need ``fake=True`` (or a native
+    kernel swapped in)."""
     head = bytes(content[:2]) if content else b""
     try:
         if head == b"BM" or "bmp" in mime:
@@ -299,15 +302,18 @@ def decode_image(
             rgb = decode_ppm(bytes(content))
         elif head == _PNG_SIG[:2] or "png" in mime:
             rgb = decode_png(bytes(content))
+        elif head == b"\xff\xd8" or "jpeg" in mime or "jpg" in mime:
+            from apache___solr_spark.pipeline.jpeg import decode_jpeg
+
+            rgb = decode_jpeg(bytes(content))
         elif fake:
             return _fake_decode(
                 bytes(content) if content is not None else b"", width, height
             )
         else:
             raise NotImplementedError(
-                f"no numpy decoder for mime={mime!r} (header {head!r}); JPEG "
-                "needs PIL/libvips — not in this container; pass fake=True "
-                "for the deterministic stub"
+                f"no numpy decoder for mime={mime!r} (header {head!r}); "
+                "pass fake=True for the deterministic stub"
             )
     except (ValueError, NotImplementedError, struct.error, zlib.error):
         # fake mode tolerates mislabeled/corrupt payloads: anything the

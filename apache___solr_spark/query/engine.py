@@ -391,6 +391,9 @@ class SearchEngine:
         self._dtype = np.float64 if cfg.score_dtype == "float64" else np.float32
         self._sql_t = "double" if cfg.score_dtype == "float64" else "float"
         self._analyze = analyzer_fn(cfg.analyzer)
+        from apache___solr_spark.analysis.chain import multiterm_normalize_fn
+
+        self._mt_normalize = multiterm_normalize_fn(cfg.analyzer)
         self.synonyms = synonyms or {}
         self.sim = get_similarity(similarity, cfg)
         self._kernel = self.sim.kernel(self.stats["avgdl"], dtype=self._dtype)
@@ -549,29 +552,37 @@ class SearchEngine:
             )
             meta = self._term_meta(list(dict.fromkeys(cands)))
             return [t for t in cands if t in set(meta["term"])]
+        # MultiTermAware normalization (Analyzer#normalize): fold the
+        # CONSTANT parts of the pattern with the analyzer's multiterm
+        # filters, so e.g. icu_folding's RÉSu* reaches the dictionary as
+        # resu* (the parser already lowercased; this is idempotent there)
+        norm = self._mt_normalize
         if cl.kind == "prefix":
-            cond = F.col("term").startswith(cl.value[:-1])
+            cond = F.col("term").startswith(norm(cl.value[:-1]))
         elif cl.kind == "wildcard":
             regex = "^" + "".join(
-                ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+                ".*" if c == "*" else "." if c == "?" else _re.escape(norm(c))
                 for c in cl.value
             ) + "$"
             cond = F.col("term").rlike(regex)
         elif cl.kind == "fuzzy":
+            fval = norm(cl.value)
             if cl.fuzz <= 0:
-                return [cl.value] if not self._term_meta([cl.value]).empty else []
+                return [fval] if not self._term_meta([fval]).empty else []
             cond = (
-                F.abs(F.length("term") - F.lit(len(cl.value))) <= cl.fuzz
-            ) & (F.levenshtein(F.col("term"), F.lit(cl.value)) <= cl.fuzz)
+                F.abs(F.length("term") - F.lit(len(fval))) <= cl.fuzz
+            ) & (F.levenshtein(F.col("term"), F.lit(fval)) <= cl.fuzz)
         elif cl.kind == "range":
             cond = F.lit(True)
             if cl.lo is not None:
+                lo = norm(cl.lo)
                 cond = cond & (
-                    F.col("term") >= cl.lo if cl.inclusive else F.col("term") > cl.lo
+                    F.col("term") >= lo if cl.inclusive else F.col("term") > lo
                 )
             if cl.hi is not None:
+                hi = norm(cl.hi)
                 cond = cond & (
-                    F.col("term") <= cl.hi if cl.inclusive else F.col("term") < cl.hi
+                    F.col("term") <= hi if cl.inclusive else F.col("term") < hi
                 )
         else:
             raise ValueError(f"unknown expansion kind {cl.kind!r}")
@@ -1165,7 +1176,8 @@ class SearchEngine:
             except NotFlatQuery as exc:
                 raise NotImplementedError(
                     "explain_scores covers flat term/boolean/phrase "
-                    f"queries; nested boolean structure: {exc}"
+                    "queries; use explain_scores_tree for nested boolean "
+                    f"structure: {exc}"
                 ) from exc
         else:
             pq = query
@@ -1281,6 +1293,292 @@ class SearchEngine:
                 "contribution", "score",
             )
             .orderBy("rank", "clause", "term")
+        )
+
+    def explain_scores_tree(
+        self, query: str | BoolQuery, k: int = 10
+    ) -> DataFrame:
+        """debugQuery explain for ARBITRARY nested boolean queries — the
+        tabular encoding of Lucene's nested Explanation tree (the shape the
+        reference emits for `(a AND b) OR (c AND d)^2`; response debug
+        component, Explanation#toString indentation == our ``path``).
+
+        One row per (hit doc, matching node instance):
+
+            (rank, doc_id, path, occur, kind, clause, weight, boost,
+             contribution, score)
+
+        ``path`` is the dotted child-index position of the node in the tree
+        ("" = root, "0.2" = third child of the first child); ``kind`` is
+        bool|term|phrase|prefix|wildcard|fuzzy|range|group|synonym.  A bool
+        row's contribution is its subtree score (after its own boost) times
+        every ancestor boost; a leaf row's contribution is the leaf score
+        times every ancestor boost.  Invariants (tested): per doc, the root
+        row's contribution equals the reported score, and the sum of LEAF
+        contributions equals it too (float tolerance).  Nodes that did not
+        match a doc (a failed AND group inside an OR) emit no rows for it —
+        exactly Lucene's "no match on required clause" pruning of the
+        Explanation tree.
+
+        Scale shape: one _search_tree top-k, then every leaf frame is salt-
+        pruned to the k hit docs before decode and all leaves union into a
+        single collect of at most k rows per leaf; the recursive boolean
+        gating runs driver-side over those <= k·|leaves| rows (explain is a
+        k-docs debug tool in the reference too — DebugComponent explains
+        each returned doc individually)."""
+        if isinstance(query, str):
+            tree = parse_query_tree(query, analyze_fn=self._analyze)
+        else:
+            tree = query
+        empty = (
+            "rank int, doc_id long, path string, occur string, kind string,"
+            " clause string, weight double, boost double,"
+            f" contribution double, score {self._sql_t}"
+        )
+        hits = self._search_tree(tree, k=k, with_url=False).select(
+            "rank", "doc_id", "score"
+        ).collect()
+        if not hits:
+            return self.spark.createDataFrame([], empty)
+        doc_ids = [int(r["doc_id"]) for r in hits]
+        rank_by_doc = {int(r["doc_id"]): int(r["rank"]) for r in hits}
+        score_by_doc = {int(r["doc_id"]): float(r["score"]) for r in hits}
+        if self.synonyms:
+            tree = self._apply_synonyms_tree(tree)
+
+        # resolve expansions + one dictionary lookup for every leaf term
+        # (mirrors _search_tree's walk, including the MUST_NOT no-cap rule)
+        resolved: dict[int, list[str]] = {}
+        leaf_terms: set[str] = set()
+
+        def walk(node, occur: str) -> None:
+            if isinstance(node, TermNode):
+                leaf_terms.add(node.term)
+            elif isinstance(node, PhraseNode):
+                leaf_terms.update(node.toks)
+            elif isinstance(node, Clause):
+                cap = None if occur == "MUST_NOT" else 128
+                resolved[id(node)] = self._expand_clause(
+                    node, max_expansions=cap
+                )
+                leaf_terms.update(resolved[id(node)])
+            else:
+                for c in node.children:
+                    walk(c.node, c.occur)
+
+        walk(tree, "SHOULD")
+        meta = self._term_meta(sorted(leaf_terms))
+        found = set(meta["term"])
+        weights = self._weights(meta)
+        salts = sorted({d // self.cfg.salt_range for d in doc_ids})
+
+        def _primary(w) -> float:
+            return float(w[0] if isinstance(w, tuple) else w)
+
+        # build one (path, doc_id, score) frame per matchable leaf, union,
+        # single collect — every frame is salt- and hit-doc-pruned
+        leaf_frames: list[DataFrame] = []
+        # path -> (occur, kind, clause_label, weight, boost, matchable)
+        node_info: dict[str, tuple] = {}
+
+        def blocks_of(terms: list[str]) -> DataFrame:
+            return self._blocks_for(terms).filter(F.col("salt").isin(salts))
+
+        def _tag(fr: DataFrame, path: str) -> DataFrame:
+            return fr.filter(F.col("doc_id").isin(doc_ids)).select(
+                F.lit(path).alias("path"),
+                "doc_id",
+                F.col("score").cast("double").alias("score"),
+            )
+
+        def render(node) -> str:
+            if isinstance(node, TermNode):
+                return node.term + (
+                    f"^{node.boost:g}" if node.boost != 1.0 else ""
+                )
+            if isinstance(node, PhraseNode):
+                return node.label
+            if isinstance(node, Clause):
+                return node.label
+            inner = []
+            for c in node.children:
+                pre = {"MUST": "+", "MUST_NOT": "-", "SHOULD": ""}[c.occur]
+                inner.append(pre + render(c.node))
+            s = "(" + " ".join(inner) + ")"
+            return s + (f"^{node.boost:g}" if node.boost != 1.0 else "")
+
+        def prepare(node, path: str, occur: str) -> None:
+            if isinstance(node, TermNode):
+                ok = node.term in found
+                node_info[path] = (
+                    occur, "term", render(node),
+                    _primary(weights[node.term]) if ok else 0.0,
+                    float(node.boost), ok,
+                )
+                if ok:
+                    boosts = (
+                        {node.term: float(node.boost)}
+                        if node.boost != 1.0
+                        else None
+                    )
+                    leaf_frames.append(
+                        _tag(
+                            self._scored(
+                                blocks_of([node.term]), weights, boosts
+                            ),
+                            path,
+                        )
+                    )
+            elif isinstance(node, PhraseNode):
+                ok = all(t in found for t in node.toks)
+                node_info[path] = (
+                    occur, "phrase", node.label,
+                    sum(_primary(weights[t]) for t in set(node.toks))
+                    if ok
+                    else 0.0,
+                    float(node.boost), ok,
+                )
+                if ok:
+                    leaf_frames.append(
+                        _tag(
+                            self._phrase_frame(
+                                node.toks,
+                                weights,
+                                boost=float(node.boost),
+                                slop=int(node.slop),
+                                salts=salts,
+                            ),
+                            path,
+                        )
+                    )
+            elif isinstance(node, Clause):
+                matched = [t for t in resolved[id(node)] if t in found]
+                node_info[path] = (
+                    occur, node.kind, node.label,
+                    sum(_primary(weights[t]) for t in matched),
+                    float(node.boost), bool(matched),
+                )
+                if matched:
+                    g = self._scored(
+                        blocks_of(matched),
+                        weights,
+                        {t: float(node.boost) for t in matched},
+                    )
+                    leaf_frames.append(
+                        _tag(
+                            g.groupBy("doc_id").agg(
+                                F.sum("score").alias("score")
+                            ),
+                            path,
+                        )
+                    )
+            else:
+                node_info[path] = (
+                    occur, "bool", render(node), None, float(node.boost),
+                    True,
+                )
+                for i, c in enumerate(node.children):
+                    prepare(c.node, f"{path}.{i}" if path else str(i), c.occur)
+
+        prepare(tree, "", "SHOULD")
+        leaf_scores: dict[str, dict[int, float]] = {}
+        if leaf_frames:
+            u = leaf_frames[0]
+            for fr in leaf_frames[1:]:
+                u = u.unionByName(fr)
+            for row in u.collect():
+                leaf_scores.setdefault(row["path"], {})[
+                    int(row["doc_id"])
+                ] = float(row["score"])
+
+        # driver-side boolean gating over the k hit docs — same semantics
+        # as _search_tree.ev (MUST all present, >=1 positive, mm, MUST_NOT)
+        ev_cache: dict[str, dict[int, float] | None] = {}
+
+        def ev(node, path: str) -> dict[int, float] | None:
+            if path in ev_cache:
+                return ev_cache[path]
+            if not isinstance(node, BoolQuery):
+                ok = node_info[path][5]
+                res = leaf_scores.get(path, {}) if ok else None
+            else:
+                pos: list[tuple[dict[int, float], bool]] = []
+                nots: list[dict[int, float]] = []
+                n_must = 0
+                res = {}
+                dead = False
+                for i, c in enumerate(node.children):
+                    cpath = f"{path}.{i}" if path else str(i)
+                    fr = ev(c.node, cpath)
+                    if c.occur == "MUST_NOT":
+                        if fr is not None:
+                            nots.append(fr)
+                        continue
+                    if c.occur == "MUST":
+                        if fr is None:
+                            dead = True
+                            break
+                        n_must += 1
+                        pos.append((fr, True))
+                    elif fr is not None:
+                        pos.append((fr, False))
+                if dead or not pos:
+                    res = None
+                else:
+                    mm = getattr(node, "mm", 0)
+                    cand: set[int] = set()
+                    for fr, _ in pos:
+                        cand |= set(fr)
+                    res = {}
+                    for d in cand:
+                        nm = sum(1 for fr, is_m in pos if is_m and d in fr)
+                        np_ = sum(1 for fr, _ in pos if d in fr)
+                        if nm < n_must:
+                            continue
+                        if mm and (np_ - nm) < mm:
+                            continue
+                        if any(d in nf for nf in nots):
+                            continue
+                        res[d] = (
+                            sum(fr[d] for fr, _ in pos if d in fr)
+                            * node.boost
+                        )
+                    if not res:
+                        res = {} if cand else None
+            ev_cache[path] = res
+            return res
+
+        ev(tree, "")
+        rows_out: list[tuple] = []
+
+        def emit(node, path: str, gate: set[int], cum_boost: float) -> None:
+            sc = ev_cache.get(path)
+            if not sc:
+                return
+            occur, kind, label, weight, boost, _ok = node_info[path]
+            matched = [d for d in gate if d in sc]
+            for d in matched:
+                rows_out.append(
+                    (
+                        rank_by_doc[d], d, path, occur, kind, label,
+                        weight, boost, sc[d] * cum_boost, score_by_doc[d],
+                    )
+                )
+            if isinstance(node, BoolQuery) and matched:
+                mset = set(matched)
+                for i, c in enumerate(node.children):
+                    if c.occur == "MUST_NOT":
+                        continue
+                    emit(
+                        c.node,
+                        f"{path}.{i}" if path else str(i),
+                        mset,
+                        cum_boost * node.boost,
+                    )
+
+        emit(tree, "", set(doc_ids), 1.0)
+        return self.spark.createDataFrame(rows_out, empty).orderBy(
+            "rank", "path"
         )
 
     def _apply_funcs(

@@ -404,3 +404,88 @@ def test_cjk_index_and_search(spark, tmp_path):
     assert [r["url"] for r in eng.search("한국", k=4).collect()] == ["cjk-3"]
     # english still works through the same chain
     assert [r["url"] for r in eng.search("english", k=4).collect()] == ["cjk-2"]
+
+
+def test_icu_folding_vectors():
+    """ICUFoldingFilter / ICUNormalizer2Filter goldens — the equivalence
+    classes TestFoldingMultitermExtrasQuery indexes (analysis-extras):
+    composed == decomposed, case-folded, diacritic-stripped (folding only).
+    """
+    from apache___solr_spark.analysis.filters import (
+        icu_fold,
+        icu_normalize2,
+        icu_transform,
+    )
+
+    # folding: all four equivalence classes collapse
+    assert icu_fold("Ruß") == "russ"
+    assert icu_fold("ΜΆΪΟΣ") == icu_fold("Μάϊος") == "μαιοσ"
+    assert icu_fold("résumé") == icu_fold("résumé") == "resume"
+    assert icu_fold("ELİF") == icu_fold("eli̇f") == "elif"
+    # nfkc_cf: case-folds and normalizes but KEEPS diacritics
+    assert icu_normalize2("Ruß") == "russ"
+    assert icu_normalize2("ΜΆΪΟΣ") == icu_normalize2("Μάϊος") == "μάϊοσ"
+    assert (
+        icu_normalize2("résumé")
+        == icu_normalize2("résumé")
+        == "résumé"
+    )
+    # default ignorables are removed (soft hyphen, ZWJ)
+    assert icu_normalize2("co­op‍erate") == "cooperate"
+    # fullwidth forms fold via NFKC
+    assert icu_fold("ＡＢＣ１２３") == "abc123"
+
+    # ICU transforms: the schema-folding-extra.xml Cyrillic-Latin id
+    assert icu_transform("Российская") == "Rossijskaâ"
+    assert icu_transform("щука") == "ŝuka"
+    assert icu_transform("Ελληνικά", "Greek-Latin") == "Ellīnika"
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        icu_transform("x", "Han-Latin")
+
+
+def test_icu_folding_index_and_search(spark, tmp_path):
+    """analyzer="icu_folding" end to end: accented, decomposed, and
+    case-variant forms of the same word all match one another — the
+    multiterm behavior the reference asserts via content_icufolding:RÉSu*.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from apache___solr_spark.config import IndexConfig
+    from apache___solr_spark.index.builder import build_index
+    from apache___solr_spark.query.engine import SearchEngine
+
+    docs = [
+        ("icu-0", "my résumé draft"),
+        ("icu-1", "her résumé final"),
+        ("icu-2", "plain resume text"),
+        ("icu-3", "nothing relevant Ruß"),
+    ]
+    table = pa.table(
+        {
+            "url": [u for u, _ in docs],
+            "warc_ts": pa.array([None] * len(docs), pa.timestamp("ms")),
+            "html": pa.array([None] * len(docs), pa.binary()),
+            "text": [t for _, t in docs],
+            "lang": ["en"] * len(docs),
+        }
+    )
+    path = str(tmp_path / "pages.parquet")
+    pq.write_table(table, path)
+    cfg = IndexConfig(
+        block_range=32, salt_range=128, n_buckets=4, analyzer="icu_folding"
+    )
+    idx = str(tmp_path / "idx")
+    build_index(spark, path, idx, cfg=cfg)
+    eng = SearchEngine(spark, idx)
+    # any surface form of résumé finds all three docs
+    for q in ("résumé", "résumé", "RESUME", "resume"):
+        got = {r["url"] for r in eng.search(q, k=5).collect()}
+        assert got == {"icu-0", "icu-1", "icu-2"}, q
+    # ß case-folds to ss
+    assert [r["url"] for r in eng.search("russ", k=5).collect()] == ["icu-3"]
+    # prefix (multiterm) queries analyze through the same folding
+    got = {r["url"] for r in eng.search("résu*", k=5).collect()}
+    assert got == {"icu-0", "icu-1", "icu-2"}

@@ -763,6 +763,81 @@ def test_explain_scores_decomposition(spark, built):
         eng.explain_scores("(web AND data) OR (query AND merge)")
 
 
+def test_explain_scores_tree_nested(spark, built):
+    """Nested-tree explain: leaf contributions sum to the score, the root
+    row equals the score, non-matching subtrees emit no rows, boosts on
+    groups propagate to descendants, and flat queries agree with the flat
+    explain's totals."""
+    import math
+
+    out, _ = built if isinstance(built, tuple) else (built, None)
+    eng = SearchEngine(spark, out, cfg=CFG)
+
+    q = "(web AND data) OR (query AND merge)^2"
+    hits = {r["doc_id"]: r["score"] for r in eng.search(q, k=8).collect()}
+    assert hits, "fixture corpus must match the nested query"
+    rows = eng.explain_scores_tree(q, k=8).collect()
+    assert {r["doc_id"] for r in rows} == set(hits)
+
+    by_doc_leaf: dict = {}
+    root_by_doc: dict = {}
+    for r in rows:
+        if r["kind"] != "bool":
+            by_doc_leaf[r["doc_id"]] = (
+                by_doc_leaf.get(r["doc_id"], 0.0) + r["contribution"]
+            )
+        if r["path"] == "":
+            root_by_doc[r["doc_id"]] = r["contribution"]
+    for d, s in hits.items():
+        assert math.isclose(by_doc_leaf[d], s, rel_tol=1e-5), (d, by_doc_leaf[d], s)
+        assert math.isclose(root_by_doc[d], s, rel_tol=1e-5)
+
+    # gating: a doc matching only the first group has no rows under path
+    # "1" (the second group), and vice versa
+    and1 = {r["doc_id"] for r in eng.search("web AND data", k=300).collect()}
+    and2 = {r["doc_id"] for r in eng.search("query AND merge", k=300).collect()}
+    for r in rows:
+        if r["path"].startswith("1"):
+            assert r["doc_id"] in and2
+        elif r["path"].startswith("0") and r["path"] != "":
+            assert r["doc_id"] in and1
+
+    # the ^2 group boost scales its descendants' contributions: a doc in
+    # both groups has its "query"/"merge" leaf contributions doubled vs
+    # the unboosted plain scores
+    leaf_q = [r for r in rows if r["path"] == "1.0"]
+    if leaf_q:
+        plain = {
+            r["doc_id"]: r["score"] for r in eng.search("query", k=300).collect()
+        }
+        for r in leaf_q:
+            assert math.isclose(
+                r["contribution"], 2.0 * plain[r["doc_id"]], rel_tol=1e-5
+            )
+
+    # MUST_NOT subtree excludes but emits no rows
+    qn = "web -(query AND merge)"
+    rows_n = eng.explain_scores_tree(qn, k=10).collect()
+    assert rows_n and all(not r["path"].startswith("1") for r in rows_n)
+    assert all(r["doc_id"] not in and2 for r in rows_n)
+    hits_n = {r["doc_id"]: r["score"] for r in eng.search(qn, k=10).collect()}
+    assert {r["doc_id"] for r in rows_n} == set(hits_n)
+
+    # flat query through the tree path agrees with the flat explain totals
+    rows_flat = eng.explain_scores_tree("web data^2.5 da*", k=8).collect()
+    tot_tree: dict = {}
+    for r in rows_flat:
+        if r["kind"] != "bool":
+            tot_tree[r["doc_id"]] = tot_tree.get(r["doc_id"], 0.0) + r["contribution"]
+    plain = {
+        r["doc_id"]: r["score"]
+        for r in eng.search("web data^2.5 da*", k=8).collect()
+    }
+    assert set(tot_tree) == set(plain)
+    for d, s in plain.items():
+        assert math.isclose(tot_tree[d], s, rel_tol=1e-5)
+
+
 def test_stream_evaluators_vector_tail(spark):
     """Round-3 batch 2: L1/Linf norms, cosine/canberra/earth-movers
     distances, pair sort, diffs, repeat/indexOf/primes/binomial —

@@ -59,9 +59,16 @@ def test_decode_image_luma_and_dispatch():
     # ppm and png dispatch by magic bytes, no mime needed
     assert decode_image(encode_ppm(px)).shape == (2, 2)
     assert decode_image(encode_png(px)).shape == (2, 2)
-    # entropy-coded formats still refuse honestly (JPEG SOI marker)
-    with pytest.raises(NotImplementedError, match="PIL"):
+    # baseline JPEG now decodes for real (pipeline/jpeg.py); a corrupt
+    # stream raises, and unknown formats still refuse honestly
+    from apache___solr_spark.pipeline.jpeg import encode_jpeg
+
+    jg = decode_image(encode_jpeg(px, quality=95), "image/jpeg")
+    assert jg.shape == (2, 2) and jg.dtype == np.float32
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0junk", "image/jpeg")
+    with pytest.raises(NotImplementedError, match="decoder"):
+        decode_image(b"\x00\x00unknown", "application/octet-stream")
 
 
 def test_png_roundtrip_exact():
