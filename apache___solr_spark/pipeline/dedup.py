@@ -416,3 +416,78 @@ def dedup_keep_canonical(
         F.col("doc_id").alias(id_col)
     )
     return docs.join(victims, id_col, "left_anti")
+
+
+def remove_repeated_lines(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_repeats: int = 3,
+    min_line_chars: int = 10,
+) -> DataFrame:
+    """Corpus-level repeated-line removal — the C4/Gopher boilerplate pass:
+    any line occurring in >= ``min_repeats`` distinct documents (cookie
+    banners, nav bars, license footers) is deleted from every document.
+
+    Returns (id, text, n_lines, n_removed) with ``text`` rebuilt from the
+    surviving lines in original order.  Lines shorter than
+    ``min_line_chars`` are exempt (blank lines / headings would otherwise
+    always trip the threshold).
+
+    Scale shape (100 TB): explode to (line_hash, id) — all JVM exprs,
+    xxhash64 so the shuffle key is 8 bytes, never the line text; one
+    groupBy(line_hash) with agg(count_distinct) for the boilerplate set;
+    the boilerplate hashes (small relative to the corpus: only lines
+    repeated >= k survive) join back against the exploded lines — AQE
+    picks broadcast when the set fits, shuffle-hash otherwise (no explicit
+    hint: at 10^12 docs the boilerplate set can exceed broadcast limits).
+    Rebuild is a groupBy(id) over (pos, line) pairs — one shuffle keyed by
+    doc id, no Python in any hot path.
+    """
+    lines = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        )
+        .withColumn(
+            "line_hash",
+            F.when(
+                F.length(F.trim(F.col("line"))) >= min_line_chars,
+                F.xxhash64(F.trim(F.col("line"))),
+            ),
+        )
+    )
+    boiler = (
+        lines.filter(F.col("line_hash").isNotNull())
+        .groupBy("line_hash")
+        .agg(F.count_distinct("id").alias("_ndocs"))
+        .filter(F.col("_ndocs") >= min_repeats)
+        .select("line_hash")
+    )
+    kept = lines.join(
+        boiler.withColumn("_boiler", F.lit(True)), "line_hash", "left"
+    )
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_boiler").isNull(),
+                                F.struct("pos", "line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+            ).alias("text"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                F.when(F.col("_boiler").isNotNull(), 1).otherwise(0)
+            ).alias("n_removed"),
+        )
+        .select("id", "text", "n_lines", "n_removed")
+    )

@@ -489,3 +489,51 @@ def test_icu_folding_index_and_search(spark, tmp_path):
     # prefix (multiterm) queries analyze through the same folding
     got = {r["url"] for r in eng.search("résu*", k=5).collect()}
     assert got == {"icu-0", "icu-1", "icu-2"}
+
+
+def test_collation_key_levels():
+    """ICUCollationField-shaped sort keys: strength=primary ignores case +
+    accents, secondary orders accent variants after their base (root
+    order: cote < coté < côte), tertiary breaks case ties with lowercase
+    first, identical is a total order on distinct strings."""
+    from apache___solr_spark.analysis.collation import collation_key as K
+
+    # primary: case + accents fold away
+    assert K("résumé", "primary") == K("Resume", "primary") == K("RESUME", "primary")
+    assert K("apple", "primary") < K("banana", "primary")
+    # a primary prefix sorts first at every strength
+    for st in ("primary", "secondary", "tertiary", "identical"):
+        assert K("abc", st) < K("abcd", st)
+    # secondary: root (forward) accent order
+    assert K("cote", "secondary") < K("coté", "secondary") < K("côte", "secondary")
+    # ...but still primary-equal
+    assert K("cote", "primary") == K("côte", "primary")
+    # tertiary: lowercase before uppercase only when 1-2 tie
+    assert K("peche", "tertiary") < K("Peche", "tertiary")
+    assert K("peche", "secondary") == K("Peche", "secondary")
+    # identical: distinct strings get distinct keys
+    assert K("straße", "identical") != K("strasse", "identical")
+    assert K("straße", "primary") == K("strasse", "primary")
+    assert K(None) == b""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        K("x", "bogus")
+
+
+def test_collation_sort_col(spark):
+    """collation_key_col drives a collated Spark sort: accent/case
+    variants interleave by base letter instead of clustering by byte
+    value (the raw-UTF-8 failure mode ICUCollationField exists to fix)."""
+    from apache___solr_spark.analysis.collation import collation_key_col
+
+    words = ["zebra", "Apple", "côte", "banana", "cote", "résumé", "apple"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = [
+        r["w"]
+        for r in df.orderBy(collation_key_col("w", "tertiary"), "w").collect()
+    ]
+    assert got == ["apple", "Apple", "banana", "cote", "côte", "résumé", "zebra"]
+    # raw string ordering would exile the accented forms past 'zebra'
+    raw = [r["w"] for r in df.orderBy("w").collect()]
+    assert raw != got

@@ -443,3 +443,63 @@ def test_dedup_keep_canonical_end_to_end(spark):
     ids = sorted(r["doc_id"] for r in kept.collect())
     assert 1 in ids and 50 in ids and 51 in ids
     assert 2 not in ids and 3 not in ids
+
+
+def test_remove_repeated_lines_matches_duckdb(spark):
+    """C4/Gopher boilerplate-line removal vs an independent DuckDB oracle:
+    lines >= min_line_chars appearing in >= 3 distinct docs vanish from
+    every doc; order and short/unique lines survive."""
+    import duckdb
+
+    from apache___solr_spark.pipeline.dedup import remove_repeated_lines
+
+    banner = "accept our cookies to continue browsing"
+    footer = "copyright 2024 example corp all rights reserved"
+    docs = []
+    for i in range(12):
+        lines = [f"unique opening line for document {i}"]
+        if i % 2 == 0:
+            lines.append(banner)
+        lines.append(f"body text {i} with enough characters to count")
+        if i % 3 == 0:
+            lines.append(footer)
+        lines.append("ok")  # short line: exempt even though repeated
+        docs.append((i, "\n".join(lines)))
+    df = spark.createDataFrame(docs, "id long, text string")
+    got = {
+        r["id"]: (r["text"], r["n_lines"], r["n_removed"])
+        for r in remove_repeated_lines(
+            df, "text", "id", min_repeats=3, min_line_chars=10
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("create table docs(id bigint, text varchar)")
+    con.executemany("insert into docs values (?, ?)", docs)
+    oracle = con.execute("""
+        with lines as (
+          select id, u.line, u.pos
+          from docs,
+               lateral (select unnest(string_split(text, chr(10))) as line,
+                               generate_subscripts(string_split(text, chr(10)), 1) as pos) u
+        ), boiler as (
+          select trim(line) tl from lines
+          where length(trim(line)) >= 10
+          group by trim(line) having count(distinct id) >= 3
+        )
+        select id,
+               string_agg(line, chr(10) order by pos)
+                 filter (where length(trim(line)) < 10
+                         or trim(line) not in (select tl from boiler)) as text,
+               count(*) as n_lines,
+               count(*) filter (where length(trim(line)) >= 10
+                         and trim(line) in (select tl from boiler)) as n_removed
+        from lines group by id
+    """).fetchall()
+    want = {r[0]: (r[1] or "", r[2], r[3]) for r in oracle}
+    assert got == want
+    # the planted banner/footer are gone everywhere, uniques survive
+    assert all(banner not in t for t, _, _ in got.values())
+    assert all(footer not in t for t, _, _ in got.values())
+    assert all("unique opening line" in t for t, _, _ in got.values())
+    assert all(t.count("\nok") >= 0 and "ok" in t for t, _, _ in got.values())
