@@ -208,3 +208,60 @@ def document_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame
         F.col(id_col),
         F.xxhash64(normalized).alias("fingerprint"),
     )
+
+
+# PII patterns chosen to parse identically under Java regex (Spark) and
+# RE2 (the DuckDB oracle): no lookaround, no backreferences, greedy
+# leftmost-first in both engines.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)+"
+PII_IPV4_RE = (
+    r"\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+    r"(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b"
+)
+# phone, two shapes tried leftmost-first (identical semantics in Java
+# regex and RE2): (a) +CC then 2-4 loose chunks — the explicit '+' licenses
+# looseness; (b) no +: area chunk of 3-4 digits plus 2-3 chunks of 2-4,
+# minimum 7 digits total, so years / 6-digit ids never match (8-digit
+# dates CAN — documented: a scrub pass errs aggressive).
+PII_PHONE_RE = (
+    r"\+\d{1,3}([-. ]?\(?\d{1,4}\)?){2,4}"
+    r"|\(?\d{3,4}\)?([-. ]?\d{2,4}){2,3}\b"
+)
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    email_token: str = "<EMAIL>",
+    ip_token: str = "<IP>",
+    phone_token: str = "<PHONE>",
+) -> DataFrame:
+    """PII redaction — the standard pre-training scrub pass (the shape of
+    BigScience/BigCode `pii` pipelines): replace emails, IPv4 addresses,
+    and phone-like digit runs with typed placeholder tokens, and report
+    per-document hit counts.
+
+    Returns (id, text, n_emails, n_ips, n_phones).  Scrub order matters
+    and is fixed: emails first (their local part can contain digits that
+    phone would eat), then IPs (dotted quads would otherwise match the
+    phone pattern), then phones over the already-redacted text.
+
+    Scale shape: three `regexp_replace` + three `regexp_count` column
+    expressions — one projection, JVM-side, no shuffle, no Python; at
+    100 TB this is a map-only pass that pipelines with any downstream op.
+    """
+    text = F.col(text_col)
+    n_emails = F.regexp_count(text, F.lit(PII_EMAIL_RE))
+    t1 = F.regexp_replace(text, PII_EMAIL_RE, email_token)
+    n_ips = F.regexp_count(t1, F.lit(PII_IPV4_RE))
+    t2 = F.regexp_replace(t1, PII_IPV4_RE, ip_token)
+    n_phones = F.regexp_count(t2, F.lit(PII_PHONE_RE))
+    t3 = F.regexp_replace(t2, PII_PHONE_RE, phone_token)
+    return df.select(
+        F.col(id_col),
+        t3.alias("text"),
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        n_phones.alias("n_phones"),
+    )

@@ -60,7 +60,44 @@ HEADLINE = [
     "features_igain",
     "classify_logit",
     "span_near_unordered",
+    "scrub_pii",
+    "remove_repeated_lines",
+    "canonicalize_urls",
 ]
+
+
+def _q_scrub_pii(spark, sf_dir):
+    from apache___solr_spark.pipeline.textqual import scrub_pii
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return scrub_pii(d, "text", "doc_id")
+
+
+def _q_remove_repeated_lines(spark, sf_dir):
+    from apache___solr_spark.pipeline.dedup import remove_repeated_lines
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return remove_repeated_lines(d, "text", "doc_id")
+
+
+def _q_canonicalize_urls(spark, sf_dir):
+    # documents carries no URL column; synthesize a deterministic messy URL
+    # per doc_id — the bench measures the canonicalization expressions.
+    from pyspark.sql import functions as F
+
+    from apache___solr_spark.pipeline.weburl import canonicalize_urls
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://Host"),
+            (F.col("doc_id") % 97).cast("string"),
+            F.lit(".Example.COM:80//a//b/index.html?utm_source=x&q="),
+            F.col("doc_id").cast("string"),
+            F.lit("&z=1#frag"),
+        ).alias("url"),
+    )
+    return canonicalize_urls(d, "url", "doc_id")
 
 
 def main() -> None:
@@ -106,6 +143,9 @@ def main() -> None:
         "quality_score": entrymod.q_quality_score,
         "ann_ivf_topk": entrymod.q_ann_ivf_topk,
         "ann_graph_topk": entrymod.q_ann_graph_topk,
+        "scrub_pii": _q_scrub_pii,
+        "remove_repeated_lines": _q_remove_repeated_lines,
+        "canonicalize_urls": _q_canonicalize_urls,
     }
     qs = {**fallbacks, **entrymod.queries()}
     # best-of-2 per query: this host is shared and noisy (the scaling bench

@@ -503,3 +503,137 @@ def test_remove_repeated_lines_matches_duckdb(spark):
     assert all(footer not in t for t, _, _ in got.values())
     assert all("unique opening line" in t for t, _, _ in got.values())
     assert all(t.count("\nok") >= 0 and "ok" in t for t, _, _ in got.values())
+
+
+def test_scrub_pii_matches_duckdb(spark):
+    """PII scrub vs a DuckDB/RE2 oracle applying the same three patterns in
+    the same fixed order (emails -> IPs -> phones); counts and redacted
+    text must agree exactly."""
+    import duckdb
+
+    from apache___solr_spark.pipeline.textqual import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+        scrub_pii,
+    )
+
+    docs = [
+        (1, "contact alice.smith+spam@sub.example.co.uk or call 555-123-4567"),
+        (2, "server at 192.168.1.254 and 8.8.8.8; port 999.999.999.999 is not an ip"),
+        (3, "ring +44 20 7946 0958 or (020) 1234 5678 today"),
+        (4, "no pii here, just the year 2024 and id 123456"),
+        (5, "bob@localhost is not an email but bob@x.io is; ip 10.0.0.1."),
+        (6, "date 20240101 is aggressive-matched as a phone; v1.2.3 is not"),
+        (7, ""),
+        (8, "mixed: a@b.org, 1.2.3.4, +1 (800) 555-0199, done"),
+    ]
+    df = spark.createDataFrame(docs, "id long, text string")
+    got = {
+        r["id"]: (r["text"], r["n_emails"], r["n_ips"], r["n_phones"])
+        for r in scrub_pii(df, "text", "id").collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("create table docs(id bigint, text varchar)")
+    con.executemany("insert into docs values (?, ?)", docs)
+    oracle = con.execute(
+        """
+        with t1 as (
+          select id,
+                 len(regexp_extract_all(text, ?)) as n_emails,
+                 regexp_replace(text, ?, '<EMAIL>', 'g') as txt
+          from docs
+        ), t2 as (
+          select id, n_emails,
+                 len(regexp_extract_all(txt, ?)) as n_ips,
+                 regexp_replace(txt, ?, '<IP>', 'g') as txt
+          from t1
+        )
+        select id,
+               regexp_replace(txt, ?, '<PHONE>', 'g') as txt,
+               n_emails, n_ips,
+               len(regexp_extract_all(txt, ?)) as n_phones
+        from t2
+        """,
+        [PII_EMAIL_RE, PII_EMAIL_RE, PII_IPV4_RE, PII_IPV4_RE,
+         PII_PHONE_RE, PII_PHONE_RE],
+    ).fetchall()
+    want = {r[0]: (r[1], r[2], r[3], r[4]) for r in oracle}
+    assert got == want
+    # spot semantics: emails/ips/phones gone, innocents survive
+    assert "<EMAIL>" in got[1][0] and "<PHONE>" in got[1][0]
+    # the two real IPs are typed <IP>; the out-of-range quad is NOT an IP
+    # (it falls through to the aggressive phone pass instead)
+    assert got[2][0].count("<IP>") == 2 and got[2][1:] == (0, 2, 1)
+    assert got[3][3] == 2
+    assert got[4] == ("no pii here, just the year 2024 and id 123456", 0, 0, 0)
+    assert "bob@localhost" in got[5][0] and "<EMAIL>" in got[5][0]
+    assert got[7] == ("", 0, 0, 0)
+
+
+def test_canonicalize_urls_matches_urllib_oracle(spark):
+    """URL canonicalization vs an independent urllib-based oracle that
+    implements the same documented contract (scheme/host case, ports,
+    userinfo, index pages, tracking params, param sort, fragments)."""
+    import re
+    from urllib.parse import urlsplit
+
+    from apache___solr_spark.pipeline.weburl import (
+        canonicalize_urls,
+        url_dedup_key,
+    )
+
+    urls = [
+        "HTTP://Example.COM/a/b/c?x=2&utm_source=tw&a=1#frag",
+        "https://example.com:443//a//b/index.html?b=1&a=2",
+        "http://user:pw@Sub.Example.com.:8080/path/?fbclid=zzz",
+        "https://example.com",
+        "http://example.com:80/?ref=hn",
+        "https://news.example.co.uk/2024/01/story.html?gclid=1&z=9&y=8",
+        "ftp://files.example.com/pub/x.tar.gz",
+        "  https://pad.example.org/index.php?utm_medium=mail  ",
+        "http://one.test/a?empty=&=bare&utm_x=1",
+        "https://dot.test./",
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "id long, url string")
+    got = {
+        r["id"]: (r["url_canon"], r["host"], r["domain"], r["url_levels"], r["is_top_page"])
+        for r in canonicalize_urls(df, "url", "id").collect()
+    }
+
+    track = re.compile(r"^(utm_[a-z0-9]+|gclid|fbclid|msclkid|mc_eid|igshid|ref|ref_src)=")
+
+    def oracle(u):
+        u = u.strip()
+        sp = urlsplit(u)
+        if sp.scheme.lower() not in ("http", "https"):
+            return (u, None, None, None, None)
+        scheme = sp.scheme.lower()
+        host = (sp.hostname or "").rstrip(".")
+        port = ""
+        if sp.port is not None and sp.port != (80 if scheme == "http" else 443):
+            port = f":{sp.port}"
+        path = re.sub(r"/{2,}", "/", sp.path) or "/"
+        path = re.sub(r"/index\.(html?|php)$", "/", path)
+        params = sorted(p for p in sp.query.split("&") if p and not track.match(p))
+        query = "&".join(params)
+        canon = f"{scheme}://{host}{port}{path}" + (f"?{query}" if query else "")
+        labels = host.split(".")
+        domain = ".".join(labels[-2:]) if len(labels) >= 2 else host
+        levels = len([s for s in path.split("/") if s])
+        return (canon, host, domain, levels, path == "/" and query == "")
+
+    want = {i: oracle(u) for i, u in enumerate(urls)}
+    assert got == want
+    # dedup key: scheme-case / default-port / tracking-param variants of
+    # the same page collapse to one key, distinct pages do not
+    variants = [
+        (1, "http://example.com/a?x=1"),
+        (2, "HTTP://EXAMPLE.COM:80/a?x=1&utm_source=z"),
+        (3, "http://example.com/a?x=1#part2"),
+        (4, "http://example.com/b?x=1"),
+    ]
+    vdf = spark.createDataFrame(variants, "id long, url string")
+    keys = {r["id"]: r["k"] for r in vdf.select("id", url_dedup_key("url").alias("k")).collect()}
+    assert keys[1] == keys[2] == keys[3] != keys[4]
