@@ -63,7 +63,22 @@ HEADLINE = [
     "scrub_pii",
     "remove_repeated_lines",
     "canonicalize_urls",
+    "perplexity_score",
 ]
+
+
+def _q_perplexity_score(spark, sf_dir):
+    # train on a deterministic 2k-doc slice, score the full corpus — the
+    # CCNet shape (small trusted LM, scoring dominated by the explode).
+    from pyspark.sql import functions as F
+
+    from apache___solr_spark.pipeline.lm import score_perplexity, train_char_lm
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    lm = train_char_lm(
+        d.orderBy("doc_id").limit(2000), "text", "doc_id", n=3
+    )
+    return score_perplexity(d, "text", "doc_id", lm)
 
 
 def _q_scrub_pii(spark, sf_dir):
@@ -146,6 +161,7 @@ def main() -> None:
         "scrub_pii": _q_scrub_pii,
         "remove_repeated_lines": _q_remove_repeated_lines,
         "canonicalize_urls": _q_canonicalize_urls,
+        "perplexity_score": _q_perplexity_score,
     }
     qs = {**fallbacks, **entrymod.queries()}
     # best-of-2 per query: this host is shared and noisy (the scaling bench

@@ -637,3 +637,95 @@ def test_canonicalize_urls_matches_urllib_oracle(spark):
     vdf = spark.createDataFrame(variants, "id long, url string")
     keys = {r["id"]: r["k"] for r in vdf.select("id", url_dedup_key("url").alias("k")).collect()}
     assert keys[1] == keys[2] == keys[3] != keys[4]
+
+
+def test_char_lm_perplexity_matches_duckdb(spark):
+    """CCNet-style char-trigram perplexity vs a DuckDB oracle implementing
+    the identical normalization, padding, add-k smoothing, and fallback
+    chain; plus the semantic property the filter exists for: text like the
+    training corpus scores lower perplexity than gibberish."""
+    import duckdb
+    import pytest as _pytest
+
+    from apache___solr_spark.pipeline.lm import (
+        perplexity_filter,
+        score_perplexity,
+        train_char_lm,
+    )
+
+    train_rows = [
+        (i, t) for i, t in enumerate([
+            "the quick brown fox jumps over the lazy dog",
+            "a distributed index maps terms to posting lists",
+            "language models assign probabilities to character sequences",
+            "the cat sat on the mat and the dog slept on the rug",
+            "spark shuffles data between executors during wide operations",
+        ])
+    ]
+    score_rows = [
+        (100, "the dog jumps over the brown fox near the mat"),
+        (101, "xqzv jkwp zzyx qqqq vvkk wxyz zkqv pzzx"),
+        (102, "Spark, MAPS terms!!  to posting lists."),
+        (103, ""),
+    ]
+    tdf = spark.createDataFrame(train_rows, "id long, text string")
+    sdf = spark.createDataFrame(score_rows, "id long, text string")
+    lm = train_char_lm(tdf, "text", "id", n=3, add_k=0.1, vocab_cap=None)
+    got = {
+        r["id"]: (r["ppl"], r["n_grams"])
+        for r in score_perplexity(sdf, "text", "id", lm).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("create table train(id bigint, text varchar)")
+    con.executemany("insert into train values (?, ?)", train_rows)
+    con.execute("create table score(id bigint, text varchar)")
+    con.executemany("insert into score values (?, ?)", score_rows)
+    con.execute("""
+        create macro pad(t) as '^^' ||
+          trim(regexp_replace(regexp_replace(lower(t), '[^a-z0-9 ]', ' ', 'g'),
+                              ' {2,}', ' ', 'g')) || '$';
+        create table grams as
+          select g.id, substr(g.p, u.i, 3) gram
+          from (select id, pad(text) p from train) g,
+               lateral (select unnest(generate_series(1, length(g.p) - 2)) as i) u;
+        create table counts as
+          select gram, count(*) c from grams group by gram;
+        create table ctx as
+          select substr(gram,1,2) ctx, sum(c) cc,
+                 ln(0.1 / (sum(c) + 0.1*38)) log_unseen
+          from counts group by substr(gram,1,2);
+        create table model as
+          select gram, ln((c + 0.1) / (cc + 0.1*38)) logp
+          from counts join ctx on substr(counts.gram,1,2) = ctx.ctx;
+    """)
+    oracle = con.execute("""
+        with sg as (
+          select g.id, substr(g.p, u.i, 3) gram
+          from (select id, pad(text) p from score) g,
+               lateral (select unnest(generate_series(1, length(g.p) - 2)) as i) u
+        )
+        select sg.id,
+               exp(-avg(coalesce(model.logp, ctx.log_unseen, ln(1.0/38)))) ppl,
+               count(*) n
+        from sg
+        left join model on sg.gram = model.gram
+        left join ctx on substr(sg.gram,1,2) = ctx.ctx
+        group by sg.id
+    """).fetchall()
+    want = {r[0]: (r[1], r[2]) for r in oracle}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][1] == want[k][1]
+        assert got[k][0] == _pytest.approx(want[k][0], rel=1e-9)
+    # semantics: in-domain < rewrite-of-train < gibberish
+    assert got[100][0] < got[101][0]
+    assert got[102][0] < got[101][0]
+    # empty text still scores (pure boundary gram), and the filter keeps
+    # exactly the low-perplexity docs
+    assert got[103][1] == 1
+    cut = (got[100][0] + got[101][0]) / 2
+    kept = sorted(
+        r["id"] for r in perplexity_filter(sdf, "text", "id", lm, cut).collect()
+    )
+    assert 100 in kept and 101 not in kept
