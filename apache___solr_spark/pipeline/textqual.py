@@ -265,3 +265,79 @@ def scrub_pii(
         n_ips.alias("n_ips"),
         n_phones.alias("n_phones"),
     )
+
+
+# Function-word profiles for the multi-language classifier: the most
+# frequent closed-class words of each language, restricted to forms that
+# survive `_simple_tokens` (ascii-ish after its [^a-z0-9]+ split — accented
+# characters split words, so profiles list the unaccented fragments too
+# where they are distinctive, e.g. French "tre" from "être" is NOT listed,
+# but "c" from "c'est" is).  Public linguistic knowledge, hand-curated for
+# mutual distinctiveness (shared Romance words like "la"/"en" appear in
+# several profiles and simply contribute to each).
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "was",
+           "for", "with", "are", "this", "have", "not", "you", "his",
+           "they", "from", "she", "which", "were", "been", "their"),
+    "es": ("el", "la", "de", "que", "y", "los", "del", "las", "por",
+           "con", "una", "para", "es", "su", "al", "lo", "como", "mas",
+           "pero", "sus", "le", "ha", "este", "cuando"),
+    "fr": ("le", "la", "les", "de", "des", "du", "et", "est", "en",
+           "que", "une", "dans", "qui", "pour", "pas", "sur", "plus",
+           "par", "avec", "ce", "il", "au", "se", "ne", "c", "d", "l"),
+    "de": ("der", "die", "und", "den", "von", "zu", "das", "mit", "sich",
+           "des", "auf", "ist", "im", "dem", "nicht", "ein", "eine",
+           "als", "auch", "es", "an", "werden", "aus", "er", "hat"),
+    "it": ("il", "di", "che", "la", "per", "un", "del", "una", "non",
+           "sono", "le", "si", "con", "della", "nel", "da", "come",
+           "anche", "ma", "gli", "pi", "questo", "alla", "lo"),
+    "pt": ("de", "que", "em", "um", "para", "com", "uma", "os", "no",
+           "se", "na", "por", "mais", "dos", "como", "mas", "foi",
+           "ele", "das", "tem", "seu", "sua", "ao", "nao", "e", "o", "a"),
+    "nl": ("de", "het", "een", "van", "en", "in", "is", "dat", "op",
+           "te", "zijn", "met", "voor", "niet", "aan", "er", "om",
+           "ook", "als", "maar", "bij", "naar", "dan", "uit", "ze"),
+}
+
+
+def detect_language_multi(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_ratio: float = 0.08,
+) -> DataFrame:
+    """Multi-language stopword-profile classifier (langid-module capability
+    over the 7 highest-volume Latin-script web languages).  Per language:
+    hits = count of token POSITIONS matching its profile (repeats count —
+    function words repeat, that is the signal); the argmax language wins if
+    its hit ratio clears ``min_ratio``, else ``und``.  Ties break to the
+    lexicographically later code (deterministic, documented).
+
+    Returns (id, lang_pred, lang_ratio).
+
+    Scale shape: one map-only projection — per-language hit counts are
+    `size(filter(tokens, array_contains(profile, t)))` over literal arrays,
+    argmax is `array_max` over (hits, code) structs; everything stays in
+    whole-stage codegen, no join, no shuffle, no Python."""
+    toks = _simple_tokens(F.col(text_col))
+    n_toks = F.size(toks)
+
+    def _hits(words: tuple[str, ...]) -> Column:
+        profile = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(profile, t)))
+
+    scored = F.array(
+        *[
+            F.struct(_hits(words).alias("h"), F.lit(code).alias("l"))
+            for code, words in sorted(LANG_PROFILES.items())
+        ]
+    )
+    best = F.array_max(scored)
+    ratio = F.when(n_toks > 0, best["h"] / n_toks).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        F.when(ratio >= min_ratio, best["l"]).otherwise(F.lit("und")).alias(
+            "lang_pred"
+        ),
+        F.round(ratio, 6).alias("lang_ratio"),
+    )

@@ -729,3 +729,64 @@ def test_char_lm_perplexity_matches_duckdb(spark):
         r["id"] for r in perplexity_filter(sdf, "text", "id", lm, cut).collect()
     )
     assert 100 in kept and 101 not in kept
+
+
+def test_detect_language_multi(spark):
+    """Multi-language stopword-profile classifier: real sentences in each
+    of the 7 profiled languages classify correctly; gibberish and empty
+    fall to 'und'; values match an independent Python re-implementation of
+    the documented arithmetic (position hits / n_tokens, argmax with
+    lexicographically-later tiebreak)."""
+    import re
+
+    from apache___solr_spark.pipeline.textqual import (
+        LANG_PROFILES,
+        detect_language_multi,
+    )
+
+    rows = [
+        (1, "en", "The cat was in the house and it was clear that they "
+                  "were happy with the food from the garden."),
+        (2, "es", "El perro estaba en la casa y los gatos del barrio "
+                  "jugaban con una pelota para pasar el rato, pero sus "
+                  "amigos no estaban."),
+        (3, "fr", "Le chien est dans la maison et les chats du quartier "
+                  "jouent avec une balle pour passer le temps, mais pas "
+                  "avec plus de bruit."),
+        (4, "de", "Der Hund war in dem Haus und die Katzen aus der "
+                  "Nachbarschaft spielten mit einem Ball, aber es ist "
+                  "nicht immer so gewesen."),
+        (5, "it", "Il cane era nella casa e i gatti del quartiere "
+                  "giocavano con una palla per passare il tempo, ma non "
+                  "sono anche questo."),
+        (6, "pt", "O cachorro estava em casa e os gatos do bairro "
+                  "brincavam com uma bola para passar o tempo, mas seu "
+                  "amigo nao foi com ele."),
+        (7, "nl", "De hond was in het huis en de katten uit de buurt "
+                  "speelden met een bal om de tijd te doden, maar het is "
+                  "niet altijd zo."),
+        (8, "und", "zzkw qplx mvrt aaod kkjw pzlm wwox"),
+        (9, "und", ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, _, t in rows], "id long, text string"
+    )
+    got = {
+        r["id"]: (r["lang_pred"], r["lang_ratio"])
+        for r in detect_language_multi(df, "text", "id").collect()
+    }
+
+    def oracle(text):
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        if not toks:
+            return ("und", 0.0)
+        best = max(
+            ((sum(t in set(ws) for t in toks), code)
+             for code, ws in LANG_PROFILES.items()),
+        )
+        ratio = best[0] / len(toks)
+        return (best[1] if ratio >= 0.08 else "und", round(ratio, 6))
+
+    for i, want_lang, text in rows:
+        assert got[i] == oracle(text), (i, got[i], oracle(text))
+        assert got[i][0] == want_lang, (i, got[i], want_lang)
