@@ -21,9 +21,15 @@ Levels are concatenated with 0x01 separators (0x00 is reserved below every
 weight), exactly the layered-key construction real UCA implementations
 use, which is what makes prefix truncation == strength reduction.
 
-Tailored per-locale rules (the 'da' aa -> å tailoring etc.) are out of
-scope — inventoried; the root approximation covers sort + range semantics
-for Latin/Greek/Cyrillic web text.
+Per-locale tailorings are supported for the common Nordic/German cases
+(ICUCollationField's locale= attribute): 'da' (æ ø å after z, aa == å,
+ä==æ / ö==ø), 'sv' (å ä ö after z), 'no' (as da, without the ä/ö
+equivalences), 'de_phonebook' (ä=ae, ö=oe, ü=ue, ß=ss at the primary
+level).  Tailoring rewrites a casefolded copy of the text BEFORE the
+primary fold, mapping tailored letters to post-'z' ASCII pseudo-letters
+({ | }) so the byte order implements the tailored alphabet; other locales
+fall back to root.  The full CLDR tailoring-rule engine stays out of
+scope — inventoried.
 
 Scale shape: `collation_key_col` is an Arrow-batched pandas UDF producing
 a binary column; sorting on it is a plain Spark sort (range-partitioned
@@ -44,6 +50,28 @@ from apache___solr_spark.analysis.filters import icu_fold
 
 _SEP = b"\x01"
 _STRENGTHS = ("primary", "secondary", "tertiary", "identical")
+
+# tailored letters -> post-'z' pseudo-letters; byte order of { | } gives
+# the locale's alphabet order after z.  Applied to a casefolded copy.
+_TAILORINGS: dict[str, tuple[tuple[str, str], ...]] = {
+    # Danish/Norwegian order: ... z æ ø å; 'aa' == å; da also folds ä->æ, ö->ø
+    "da": (("aa", "}"), ("æ", "{"), ("ä", "{"), ("ø", "|"), ("ö", "|"), ("å", "}")),
+    "no": (("aa", "}"), ("æ", "{"), ("ø", "|"), ("å", "}")),
+    # Swedish order: ... z å ä ö
+    "sv": (("å", "{"), ("ä", "|"), ("ö", "}")),
+    # German phonebook: umlauts expand, sorting with their base+e digraph
+    "de_phonebook": (("ä", "ae"), ("ö", "oe"), ("ü", "ue"), ("ß", "ss")),
+}
+
+
+def _tailor(text: str, locale: str) -> str:
+    rules = _TAILORINGS.get(locale)
+    if rules is None:
+        return text
+    s = text.casefold()
+    for src, dst in rules:
+        s = s.replace(src, dst)
+    return s
 
 
 def _level2(s: str) -> bytes:
@@ -80,11 +108,15 @@ def _level3(s: str) -> bytes:
     return bytes(out)
 
 
-def collation_key(text: str | None, strength: str = "tertiary") -> bytes:
-    """Root-locale collation sort key; unsigned-lexicographic byte order
-    == collation order at the given strength (ICUCollationField.java:172
-    strength mapping; 'quaternary' collapses to 'identical' here — no
-    variable-weighting / shifted handling in the root approximation)."""
+def collation_key(
+    text: str | None, strength: str = "tertiary", locale: str = "root"
+) -> bytes:
+    """Collation sort key; unsigned-lexicographic byte order == collation
+    order at the given strength (ICUCollationField.java:172 strength
+    mapping; 'quaternary' collapses to 'identical' here — no
+    variable-weighting / shifted handling).  ``locale`` selects a
+    tailoring (da/no/sv/de_phonebook, see module doc); unknown locales
+    use root order."""
     if strength == "quaternary":
         strength = "identical"
     if strength not in _STRENGTHS:
@@ -94,7 +126,7 @@ def collation_key(text: str | None, strength: str = "tertiary") -> bytes:
         )
     if text is None:
         return b""
-    key = icu_fold(text).encode("utf-8")
+    key = icu_fold(_tailor(text, locale)).encode("utf-8")
     if strength == "primary":
         return key
     key += _SEP + _level2(text)
@@ -106,7 +138,9 @@ def collation_key(text: str | None, strength: str = "tertiary") -> bytes:
     return key + _SEP + unicodedata.normalize("NFC", text).encode("utf-8")
 
 
-def collation_key_col(col: Column | str, strength: str = "tertiary") -> Column:
+def collation_key_col(
+    col: Column | str, strength: str = "tertiary", locale: str = "root"
+) -> Column:
     """Binary sort-key column (Arrow-batched).  Use in orderBy for collated
     sort, or materialize + compare for collated range queries — the same
     two uses ICUCollationField serves (sort fields + TermRangeQuery)."""
@@ -115,6 +149,6 @@ def collation_key_col(col: Column | str, strength: str = "tertiary") -> Column:
 
     @pandas_udf("binary")
     def _key(s: pd.Series) -> pd.Series:
-        return s.map(lambda t: collation_key(t, strength))
+        return s.map(lambda t: collation_key(t, strength, locale))
 
     return _key(F.col(col) if isinstance(col, str) else col)

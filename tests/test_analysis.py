@@ -537,3 +537,31 @@ def test_collation_sort_col(spark):
     # raw string ordering would exile the accented forms past 'zebra'
     raw = [r["w"] for r in df.orderBy("w").collect()]
     assert raw != got
+
+
+def test_collation_locale_tailorings():
+    """Nordic/German tailorings (ICUCollationField locale=): Danish æ ø å
+    after z with aa == å at primary; Swedish å ä ö after z; German
+    phonebook umlaut expansion; unknown locales fall back to root."""
+    from apache___solr_spark.analysis.collation import collation_key as K
+
+    da = sorted(
+        ["zebra", "æble", "ørn", "åben", "aaben", "banan"],
+        key=lambda w: K(w, "tertiary", "da"),
+    )
+    assert da == ["banan", "zebra", "æble", "ørn", "aaben", "åben"]
+    assert K("aaben", "primary", "da") == K("åben", "primary", "da")
+    # danish ä==æ / ö==ø equivalences
+    assert K("äble", "primary", "da") == K("æble", "primary", "da")
+    assert K("örn", "primary", "da") == K("ørn", "primary", "da")
+
+    sv = sorted(["zon", "ål", "är", "ö"], key=lambda w: K(w, "tertiary", "sv"))
+    assert sv == ["zon", "ål", "är", "ö"]
+
+    assert K("Müller", "primary", "de_phonebook") == K("Mueller", "primary", "de_phonebook")
+    assert K("Müller", "primary", "de_phonebook") < K("Muller", "primary", "de_phonebook")
+    assert K("straße", "primary", "de_phonebook") == K("strasse", "primary", "de_phonebook")
+
+    # root order is unaffected by the tailoring machinery
+    assert K("åben", "primary") == K("aben", "primary")
+    assert K("x", "primary", "xx_unknown") == K("x", "primary")
