@@ -1,0 +1,292 @@
+"""Custom collation tailoring rules: the ICUCollationField custom= path.
+
+The reference accepts hand-written tailoring rules
+(solr/modules/analysis-extras/.../ICUCollationField.java:118-131:
+``custom="rules.txt"`` → ``new RuleBasedCollator(rules)``) using the ICU
+collation-rule syntax.  This module implements the core of that syntax as
+a small, deterministic mini-UCA:
+
+    & anchor  <  x      x sorts primary-after anchor
+              << y      y sorts secondary-after (primary-equal)
+              <<< z     z sorts tertiary-after (primary+secondary-equal)
+              =  w      w is equal to the last element at all levels
+    'quoted'            literal text (e.g. '&' or spaces inside elements)
+    # comment           to end of line
+
+Multi-character left sides are contractions (``&c < ch``: 'ch' is ONE
+collation element sorting after 'c'); a relation whose target's weights
+come from a multi-char anchor is an expansion (``&ae = ä``).  Cased
+single-char tailorings auto-cover their case partner at the tertiary
+level (tailoring 'å' places 'Å' too), matching how shared primaries
+behave in ICU.  Out of scope (raise, never mis-sort): ``[before n]``,
+script reordering ``[reorder]``, variable-top ``[alternate]``, and the
+``/`` expansion operator.
+
+Key construction mirrors analysis/collation.py's layered scheme — per
+element: a primary byte string (root = icu_fold'ed UTF-8; tailored =
+anchor primary + one 0x80+k step byte, so k primary steps stay below the
+next root letter), a secondary byte (root = combining-mark slot; tailored
+steps 0x40+j, above any real accent), a tertiary byte (case bits; tailored
+steps 0x04+m) — levels joined with 0x01 separators, identical-level NFC
+bytes last.  Unsigned byte order of the key == tailored collation order,
+so Spark sorts and range filters on the key column need no custom
+comparator — identical scale shape to collation_key_col.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from functools import lru_cache
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from apache___solr_spark.analysis.collation import _SEP, _STRENGTHS
+from apache___solr_spark.analysis.filters import icu_fold
+
+_UNSUPPORTED = re.compile(r"\[(?:before|reorder|alternate|import)[^\]]*\]|/")
+
+# Relation operators, longest first so '<<<' wins over '<'.
+_RELATIONS = (("<<<", 3), ("<<", 2), ("<", 1), ("=", 0))
+
+
+def _tokenize(rules: str) -> list[tuple[str, str]]:
+    """Lex rules into ('&'|'<'|'<<'|'<<<'|'='|'TEXT', value) tokens."""
+    out: list[tuple[str, str]] = []
+    i, n = 0, len(rules)
+    while i < n:
+        ch = rules[i]
+        if ch == "#":  # comment to end of line
+            nl = rules.find("\n", i)
+            i = n if nl < 0 else nl + 1
+            continue
+        if ch.isspace():
+            i += 1
+            continue
+        if ch == "&":
+            out.append(("&", "&"))
+            i += 1
+            continue
+        matched = False
+        for op, _ in _RELATIONS:
+            if rules.startswith(op, i):
+                out.append((op, op))
+                i += len(op)
+                matched = True
+                break
+        if matched:
+            continue
+        if ch == "'":
+            end = rules.find("'", i + 1)
+            if end < 0:
+                raise ValueError(f"unterminated quote at offset {i}")
+            text = rules[i + 1 : end] or "'"  # '' is a literal apostrophe
+            out.append(("TEXT", text))
+            i = end + 1
+            continue
+        # Bare element text: run of chars that are not syntax.
+        j = i
+        while j < n and rules[j] not in "&<='#" and not rules[j].isspace():
+            j += 1
+        out.append(("TEXT", rules[i:j]))
+        i = j
+    # Merge adjacent TEXT tokens (quoted + bare pieces form one element).
+    merged: list[tuple[str, str]] = []
+    for kind, val in out:
+        if kind == "TEXT" and merged and merged[-1][0] == "TEXT":
+            merged[-1] = ("TEXT", merged[-1][1] + val)
+        else:
+            merged.append((kind, val))
+    return merged
+
+
+def parse_collation_rules(
+    rules: str,
+) -> list[tuple[str, list[tuple[int, str]]]]:
+    """Parse rules into chains ``[(anchor, [(level, element), ...]), ...]``.
+
+    level: 1=primary-after, 2=secondary-after, 3=tertiary-after, 0=equal.
+    Raises ValueError on syntax errors and NotImplementedError on the
+    documented out-of-scope constructs — never silently mis-sorts.
+    """
+    bad = _UNSUPPORTED.search(rules)
+    if bad:
+        raise NotImplementedError(
+            f"unsupported collation-rule construct {bad.group(0)!r} "
+            "([before]/[reorder]/[alternate]/[import]/expansion '/' — "
+            "inventoried out of scope)"
+        )
+    tokens = _tokenize(rules)
+    chains: list[tuple[str, list[tuple[int, str]]]] = []
+    i = 0
+    while i < len(tokens):
+        if tokens[i][0] != "&":
+            raise ValueError(f"expected '&' reset, got {tokens[i][1]!r}")
+        if i + 1 >= len(tokens) or tokens[i + 1][0] != "TEXT":
+            raise ValueError("'&' must be followed by an anchor element")
+        anchor = unicodedata.normalize("NFC", tokens[i + 1][1])
+        i += 2
+        steps: list[tuple[int, str]] = []
+        while i < len(tokens) and tokens[i][0] != "&":
+            op = tokens[i][0]
+            level = dict(_RELATIONS).get(op)
+            if level is None:
+                raise ValueError(f"expected relation, got {tokens[i][1]!r}")
+            if i + 1 >= len(tokens) or tokens[i + 1][0] != "TEXT":
+                raise ValueError(f"relation {op!r} missing target element")
+            steps.append(
+                (level, unicodedata.normalize("NFC", tokens[i + 1][1]))
+            )
+            i += 2
+        if not steps:
+            raise ValueError(f"reset &{anchor} has no relations")
+        chains.append((anchor, steps))
+    if not chains:
+        raise ValueError("empty rule set")
+    return chains
+
+
+def _root_weights(ch: str) -> tuple[bytes, int, int]:
+    """Root (untailored) per-char weights: (primary, secondary, tertiary)."""
+    primary = icu_fold(ch).encode("utf-8")
+    nfd = unicodedata.normalize("NFD", ch)
+    secondary = 0x02
+    for c in nfd:
+        if unicodedata.combining(c):
+            secondary = 0x03 + (ord(c) & 0x7F)
+            break
+    tertiary = 0x03 if ch.isupper() else 0x02
+    return primary, secondary, tertiary
+
+
+class RuleCollator:
+    """Weights table + greedy segmenter compiled from tailoring rules."""
+
+    def __init__(self, rules: str):
+        self.rules = rules
+        # element text -> (primary bytes, secondary int, tertiary int)
+        self.table: dict[str, tuple[bytes, int, int]] = {}
+        for anchor, steps in parse_collation_rules(rules):
+            # Anchor weights: tailored if a previous chain tailored it,
+            # else root weights of the (possibly multi-char) anchor string.
+            if anchor in self.table:
+                p, s, t = self.table[anchor]
+            else:
+                p = b"".join(_root_weights(c)[0] for c in anchor)
+                s, t = _root_weights(anchor[0])[1:] if len(anchor) == 1 else (
+                    0x02,
+                    0x02,
+                )
+            n_primary = n_secondary = n_tertiary = 0
+            for level, elem in steps:
+                if level == 1:
+                    n_primary += 1
+                    n_secondary = n_tertiary = 0
+                    ep, es, et = p + bytes([0x80 + n_primary]), 0x02, 0x02
+                elif level == 2:
+                    n_secondary += 1
+                    n_tertiary = 0
+                    ep, es, et = (
+                        p + (bytes([0x80 + n_primary]) if n_primary else b""),
+                        0x40 + n_secondary,
+                        0x02,
+                    )
+                elif level == 3:
+                    n_tertiary += 1
+                    ep = p + (bytes([0x80 + n_primary]) if n_primary else b"")
+                    es = 0x40 + n_secondary if n_secondary else s
+                    et = 0x04 + n_tertiary
+                else:  # '=' equal at every level
+                    ep = p + (bytes([0x80 + n_primary]) if n_primary else b"")
+                    es = 0x40 + n_secondary if n_secondary else s
+                    et = 0x04 + n_tertiary if n_tertiary else t
+                self.table[elem] = (ep, es, et)
+                # Auto-cover the case partner of cased single-char elements
+                # at the tertiary level (shared primary, like ICU).
+                if len(elem) == 1 and elem.swapcase() != elem:
+                    partner = elem.swapcase()
+                    if partner not in self.table:
+                        self.table[partner] = (
+                            ep,
+                            es,
+                            0x03 if partner.isupper() else 0x02,
+                        )
+        self._max_elem = max(len(e) for e in self.table)
+
+    def _segment(self, text: str) -> list[str]:
+        """Greedy longest-match split into collation elements."""
+        out: list[str] = []
+        i, n = 0, len(text)
+        while i < n:
+            for length in range(min(self._max_elem, n - i), 1, -1):
+                if text[i : i + length] in self.table:
+                    out.append(text[i : i + length])
+                    i += length
+                    break
+            else:
+                out.append(text[i])
+                i += 1
+        return out
+
+    def key(self, text: str | None, strength: str = "tertiary") -> bytes:
+        """Layered sort key under the tailoring (same contract as
+        collation_key: unsigned byte order == collation order)."""
+        if strength == "quaternary":
+            strength = "identical"
+        if strength not in _STRENGTHS:
+            raise ValueError(f"invalid strength {strength!r}")
+        if text is None:
+            return b""
+        nfc = unicodedata.normalize("NFC", text)
+        prim = bytearray()
+        sec = bytearray()
+        ter = bytearray()
+        for elem in self._segment(nfc):
+            if elem in self.table:
+                p, s, t = self.table[elem]
+            else:
+                p, s, t = _root_weights(elem)
+            prim += p
+            sec.append(s)
+            ter.append(t)
+        key = bytes(prim)
+        if strength == "primary":
+            return key
+        key += _SEP + bytes(sec)
+        if strength == "secondary":
+            return key
+        key += _SEP + bytes(ter)
+        if strength == "tertiary":
+            return key
+        return key + _SEP + nfc.encode("utf-8")
+
+
+@lru_cache(maxsize=64)
+def _collator(rules: str) -> RuleCollator:
+    return RuleCollator(rules)
+
+
+def custom_collation_key(
+    text: str | None, rules: str, strength: str = "tertiary"
+) -> bytes:
+    """One-shot custom-rules key (compiled collator cached per rule set)."""
+    return _collator(rules).key(text, strength)
+
+
+def custom_collation_key_col(
+    col: Column | str, rules: str, strength: str = "tertiary"
+) -> Column:
+    """Binary key column under custom tailoring rules — the Spark face of
+    ICUCollationField custom= (Arrow-batched; the compiled collator is
+    built once per executor via the lru_cache, not per batch)."""
+    _collator(rules)  # validate rules on the driver, fail fast
+
+    @pandas_udf("binary")
+    def _key(s: pd.Series) -> pd.Series:
+        c = _collator(rules)
+        return s.map(lambda t: c.key(t, strength))
+
+    return _key(F.col(col) if isinstance(col, str) else col)

@@ -5,3 +5,8 @@ from apache___solr_spark.sources.loaders import (  # noqa: F401
     read_json_docs,
     write_response,
 )
+from apache___solr_spark.sources.warc import (  # noqa: F401
+    build_warc,
+    parse_warc_records,
+    read_warc_pages,
+)

@@ -1,0 +1,146 @@
+"""Custom collation tailoring rules (ICUCollationField custom= analog)."""
+
+from __future__ import annotations
+
+import pytest
+
+from apache___solr_spark.analysis.collation_rules import (
+    RuleCollator,
+    custom_collation_key,
+    parse_collation_rules,
+)
+
+
+def _order(rules: str, words: list[str], strength: str = "identical"):
+    return sorted(words, key=lambda w: custom_collation_key(w, rules, strength))
+
+
+def test_parse_chains():
+    chains = parse_collation_rules("&z < å < ä < ö  &v << w")
+    assert chains == [
+        ("z", [(1, "å"), (1, "ä"), (1, "ö")]),
+        ("v", [(2, "w")]),
+    ]
+
+
+def test_parse_comments_and_quotes():
+    chains = parse_collation_rules("# Swedish-ish\n&z < 'å'  # post-z\n")
+    assert chains == [("z", [(1, "å")])]
+    # '' inside rules is a literal apostrophe element.
+    chains2 = parse_collation_rules("&z < ''")
+    assert chains2 == [("z", [(1, "'")])]
+
+
+def test_parse_errors():
+    with pytest.raises(ValueError):
+        parse_collation_rules("< a")  # relation before any reset
+    with pytest.raises(ValueError):
+        parse_collation_rules("&a")  # reset with no relations
+    with pytest.raises(NotImplementedError):
+        parse_collation_rules("&[before 1] a < b")
+    with pytest.raises(NotImplementedError):
+        parse_collation_rules("&a < b / c")  # expansion operator
+
+
+def test_swedish_primary_tailoring():
+    rules = "&z < å < ä < ö"
+    got = _order(rules, ["äpple", "öga", "zebra", "arm", "ång"])
+    assert got == ["arm", "zebra", "ång", "äpple", "öga"]
+    # Root (untailored) order for comparison: ång folds to 'ang' and
+    # sorts inside the a's ('ang' < 'arm'), not after z.
+    assert _order("&y < q", ["ång", "arm", "zebra"]) == ["ång", "arm", "zebra"]
+
+
+def test_contraction_slovak_ch():
+    rules = "&h < ch"
+    # 'ch' is one element after h: cz < ch? No — ch sorts after h, so any
+    # c-initial word without the contraction precedes, and ch-words sit
+    # between h and i.
+    got = _order(rules, ["ha", "ia", "cha", "ca"])
+    assert got == ["ca", "ha", "cha", "ia"]
+
+
+def test_expansion_equality():
+    rules = "&ae = ä"
+    assert custom_collation_key("ä", rules, "primary") == custom_collation_key(
+        "ae", rules, "primary"
+    )
+    got = _order(rules, ["ad", "ä", "af"], strength="primary")
+    assert got == ["ad", "ä", "af"]
+
+
+def test_tertiary_relation():
+    rules = "&b < q <<< Q"
+    assert custom_collation_key("q", rules, "primary") == custom_collation_key(
+        "Q", rules, "primary"
+    )
+    got = _order(rules, ["c", "Q", "b", "q"])
+    assert got == ["b", "q", "Q", "c"]
+
+
+def test_secondary_relation():
+    rules = "&v << w"
+    assert custom_collation_key("v", rules, "primary") == custom_collation_key(
+        "w", rules, "primary"
+    )
+    got = _order(rules, ["va", "wa", "vx"])
+    # Primary level compares first: wa == va at primary, then vx.
+    assert got == ["va", "wa", "vx"]
+    # Full-strength tiebreak: w after v.
+    assert _order(rules, ["w", "v"]) == ["v", "w"]
+
+
+def test_case_partner_auto_cover():
+    rules = "&z < å"
+    assert custom_collation_key("Å", rules, "primary") == custom_collation_key(
+        "å", rules, "primary"
+    )
+    # Lowercase sorts before uppercase on the tertiary tiebreak.
+    assert _order(rules, ["Åbo", "åbo"]) == ["åbo", "Åbo"]
+    # And both sort post-z, not with root 'a'.
+    assert _order(rules, ["Åbo", "zebra", "arm"]) == ["arm", "zebra", "Åbo"]
+
+
+def test_chained_reset_reuses_tailored_anchor():
+    # Second chain anchors on an element tailored by the first.
+    rules = "&z < å  &å < ω"
+    got = _order(rules, ["ω", "å", "zebra"])
+    assert got == ["zebra", "å", "ω"]
+
+
+def test_strength_truncation_prefix():
+    rules = "&z < å"
+    c = RuleCollator(rules)
+    k_id = c.key("Åå", "identical")
+    for strength in ("primary", "secondary", "tertiary"):
+        assert k_id.startswith(c.key("Åå", strength))
+
+
+def test_none_and_empty():
+    rules = "&z < å"
+    assert custom_collation_key(None, rules) == b""
+    assert custom_collation_key("", rules, "primary") == b""
+
+
+def test_column_udf(spark):
+    from apache___solr_spark.analysis.collation_rules import (
+        custom_collation_key_col,
+    )
+
+    df = spark.createDataFrame(
+        [("äpple",), ("öga",), ("zebra",), ("arm",)], ["w"]
+    )
+    got = [
+        r["w"]
+        for r in df.orderBy(
+            custom_collation_key_col("w", "&z < å < ä < ö")
+        ).collect()
+    ]
+    assert got == ["arm", "zebra", "äpple", "öga"]
+    # Invalid rules fail fast on the driver.
+    with pytest.raises(NotImplementedError):
+        custom_collation_key_col("w", "&[reorder] a")
+
+
+if __name__ == "__main__":
+    raise SystemExit(pytest.main([__file__, "-q"]))
