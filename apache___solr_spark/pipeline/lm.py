@@ -56,16 +56,24 @@ def _normalize(col: Column) -> Column:
 
 def _gram_explode(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """(id, gram) — one row per character n-gram of the padded normalized
-    text.  All JVM: substr over a sequence of positions."""
-    padded = F.concat(
-        F.lit("^" * (n - 1)), _normalize(F.col(text_col)), F.lit("$")
-    )
-    return df.select(
+    text.  All JVM: substr over a sequence of positions.
+
+    The padded text is materialized behind its own projection FIRST, so the
+    transform lambda references an attribute, not the normalize expression —
+    inlined, codegen re-evaluates the regexp chain at every gram position
+    (O(len^2) per doc; measured 22x slower at sf0.1)."""
+    padded = df.select(
         F.col(id_col).alias("id"),
+        F.concat(
+            F.lit("^" * (n - 1)), _normalize(F.col(text_col)), F.lit("$")
+        ).alias("_padded"),
+    )
+    return padded.select(
+        "id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.length(padded) - (n - 1)),
-                lambda i: F.substr(padded, i, F.lit(n)),
+                F.sequence(F.lit(1), F.length("_padded") - (n - 1)),
+                lambda i: F.substr(F.col("_padded"), i, F.lit(n)),
             )
         ).alias("gram"),
     )
@@ -81,7 +89,10 @@ def train_char_lm(
 ) -> CharLM:
     """Train the smoothed char n-gram LM on a (trusted) corpus.  One
     shuffle on the gram; context counts derive from the gram counts (no
-    second pass over the text)."""
+    second pass over the text).  Both model tables are persisted — they
+    are vocab_cap-bounded (a few MB) and every scoring call broadcasts
+    them, so without the persist each broadcast build would re-run the
+    whole training lineage."""
     counts = (
         _gram_explode(df, text_col, id_col, n)
         .groupBy("gram")
@@ -89,6 +100,7 @@ def train_char_lm(
     )
     if vocab_cap is not None:
         counts = counts.orderBy(F.desc("c"), "gram").limit(vocab_cap)
+    counts = counts.persist()
     ctx = (
         counts.groupBy(F.substring("gram", 1, n - 1).alias("ctx"))
         .agg(F.sum("c").alias("cc"))
@@ -117,7 +129,10 @@ def score_perplexity(
 ) -> DataFrame:
     """(id, ppl, n_grams) — document perplexity under the model.  Both
     model joins are broadcast (the model is alphabet-bounded); documents
-    too short to form one gram never occur (padding guarantees >= 1)."""
+    too short to form one gram never occur (padding guarantees >= 1), but
+    NULL-text documents yield no grams and are absent from the output —
+    so perplexity_filter drops them, the right quality-gate default for
+    undecoded pages."""
     uniform = math.log(1.0 / ALPHABET_V)
     grams = _gram_explode(df, text_col, id_col, lm.n)
     scored = (
