@@ -24,6 +24,27 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def let_bind(bindings: dict[str, Column], body) -> Column:
+    """Evaluate derived sub-expressions ONCE per row, then build ``body``
+    over them as lambda variables.
+
+    Spark column expressions have no let-binding: inlining a derived
+    expression (an aggregate, array_min, a split chain) into a
+    ``transform``/``aggregate`` lambda re-evaluates it at EVERY element —
+    an O(n) expression inside an O(n) loop is O(n²) per row (measured 22×
+    on the char-LM gram explode, BENCH/BASELINE.md).  This helper boxes
+    the bound values in a one-element array of struct and transforms over
+    it, so each binding is computed once and the body sees plain lambda
+    variables.  Works for scalars and arrays alike; nest it when one
+    binding must reference another.
+    """
+    names = list(bindings)
+    boxed = F.array(F.struct(*[bindings[k].alias(k) for k in names]))
+    return F.element_at(
+        F.transform(boxed, lambda s: body(**{k: s[k] for k in names})), 1
+    )
+
+
 # ---- array evaluators (ArrayEvaluator, AscEvaluator, ReverseEvaluator, ...)
 
 def array_of(*cols: Column) -> Column:
@@ -122,8 +143,10 @@ def scale_arr(factor: Column | float, arr: Column) -> Column:
 
 def normalize_sum(arr: Column) -> Column:
     """NormalizeSumEvaluator: scale so elements sum to 1."""
-    total = F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v)
-    return F.transform(arr, lambda x: x / total)
+    return let_bind(
+        {"total": F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v)},
+        lambda total: F.transform(arr, lambda x: x / total),
+    )
 
 
 def moving_avg(arr: Column, window: int) -> Column:
@@ -270,34 +293,50 @@ def zscores(arr: Column) -> Column:
     mean = F.aggregate(
         arr, F.lit(0.0), lambda acc, x: acc + x, lambda acc: acc / n
     )
-    var = F.aggregate(
-        arr,
-        F.lit(0.0),
-        lambda acc, x: acc + (x - mean) * (x - mean),
-        lambda acc: acc / (n - F.lit(1)),
+    # Two nested let_binds keep both passes O(n): mean must be a bound
+    # lambda variable inside the variance fold, and (mean, sd) inside the
+    # final transform — inlined they re-evaluate per element (O(n²)).
+    return let_bind(
+        {"m": mean},
+        lambda m: let_bind(
+            {
+                "sd": F.sqrt(
+                    F.aggregate(
+                        arr,
+                        F.lit(0.0),
+                        lambda acc, x: acc + (x - m) * (x - m),
+                        lambda acc: acc / (n - F.lit(1)),
+                    )
+                )
+            },
+            lambda sd: F.transform(arr, lambda x: (x - m) / sd),
+        ),
     )
-    sd = F.sqrt(var)
-    return F.transform(arr, lambda x: (x - mean) / sd)
 
 
 def min_max_scale(arr: Column, lo: float = 0.0, hi: float = 1.0) -> Column:
     """MinMaxScaleEvaluator: rescale array values into [lo, hi]."""
-    mn, mx = F.array_min(arr), F.array_max(arr)
-    span = mx - mn
-    return F.transform(
-        arr,
-        lambda x: F.when(span == 0, F.lit(lo)).otherwise(
-            (x - mn) / span * (F.lit(hi) - F.lit(lo)) + F.lit(lo)
+    return let_bind(
+        {"mn": F.array_min(arr), "mx": F.array_max(arr)},
+        lambda mn, mx: F.transform(
+            arr,
+            lambda x: F.when(mx - mn == 0, F.lit(lo)).otherwise(
+                (x - mn) / (mx - mn) * (F.lit(hi) - F.lit(lo)) + F.lit(lo)
+            ),
         ),
     )
 
 
 def unitize(arr: Column) -> Column:
     """UnitEvaluator: scale an array to unit L2 norm."""
-    norm = F.sqrt(
-        F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x * x)
+    return let_bind(
+        {
+            "norm": F.sqrt(
+                F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x * x)
+            )
+        },
+        lambda norm: F.transform(arr, lambda x: x / norm),
     )
-    return F.transform(arr, lambda x: x / norm)
 
 
 def log10_arr(arr: Column) -> Column:

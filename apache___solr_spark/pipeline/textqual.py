@@ -147,15 +147,23 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     n_tokens = F.size(toks)
 
     def ngrams(n: int) -> Column:
-        return F.when(
-            n_tokens >= n,
-            F.transform(
-                F.sequence(F.lit(0), n_tokens - n),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+        # Bind the token array once: element_at(toks, ...) inside the
+        # per-position lambda would re-run the split chain at every gram
+        # position (O(len²) per doc — see functions.evaluators.let_bind).
+        from apache___solr_spark.functions.evaluators import let_bind
+
+        return let_bind(
+            {"t": toks},
+            lambda t: F.when(
+                F.size(t) >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(t) - n),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(t, i + j + 1) for j in range(n)]
+                    ),
                 ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+            ).otherwise(F.array().cast("array<string>")),
+        )
 
     def dup_frac(grams: Column) -> Column:
         total = F.size(grams)
