@@ -39,7 +39,11 @@ def let_bind(bindings: dict[str, Column], body) -> Column:
     binding must reference another.
     """
     names = list(bindings)
-    boxed = F.array(F.struct(*[bindings[k].alias(k) for k in names]))
+    cols = {
+        k: (F.col(v) if isinstance(v, str) else v)
+        for k, v in bindings.items()
+    }
+    boxed = F.array(F.struct(*[cols[k].alias(k) for k in names]))
     return F.element_at(
         F.transform(boxed, lambda s: body(**{k: s[k] for k in names})), 1
     )
@@ -153,14 +157,17 @@ def moving_avg(arr: Column, window: int) -> Column:
     """MovingAverageEvaluator: trailing mean over a window, emitted for
     every full window (length = len(arr) - window + 1); empty when the
     array is shorter than the window (_seq1 guard)."""
-    n = F.size(arr)
-    idx = _seq1(n - F.lit(window - 1))
-    return F.transform(
-        idx,
-        lambda i: F.aggregate(
-            F.slice(arr, i, window), F.lit(0.0), lambda acc, v: acc + v
-        )
-        / F.lit(float(window)),
+    # Bind arr: composed inputs (e.g. moving_avg(zscores(x), w)) would
+    # otherwise re-evaluate the whole inner expression per window position.
+    return let_bind(
+        {"a": arr},
+        lambda a: F.transform(
+            _seq1(F.size(a) - F.lit(window - 1)),
+            lambda i: F.aggregate(
+                F.slice(a, i, window), F.lit(0.0), lambda acc, v: acc + v
+            )
+            / F.lit(float(window)),
+        ),
     )
 
 
@@ -424,17 +431,21 @@ def lerp(xs: Column, ys: Column, points: Column) -> Column:
     """LerpEvaluator: piecewise-linear interpolation of each point against
     the (xs, ys) curve (xs ascending).  All JVM higher-order functions —
     for each query point, locate the bracketing segment and interpolate."""
-    n = F.size(xs)
-
-    def one(p: Column) -> Column:
+    def one(bxs: Column, bys: Column, p: Column) -> Column:
         # rightmost index i with xs[i] <= p (1-based via filter+size)
-        idx = F.size(F.filter(xs, lambda x: x <= p))
+        n = F.size(bxs)
+        idx = F.size(F.filter(bxs, lambda x: x <= p))
         i = F.greatest(F.least(idx, n - F.lit(1)), F.lit(1))
-        x0, x1 = F.element_at(xs, i), F.element_at(xs, i + 1)
-        y0, y1 = F.element_at(ys, i), F.element_at(ys, i + 1)
+        x0, x1 = F.element_at(bxs, i), F.element_at(bxs, i + 1)
+        y0, y1 = F.element_at(bys, i), F.element_at(bys, i + 1)
         return y0 + (p - x0) * (y1 - y0) / (x1 - x0)
 
-    return F.transform(points, one)
+    # Bind the curve arrays once per row (per-point lambdas re-evaluate
+    # captured expressions otherwise — see let_bind).
+    return let_bind(
+        {"xs": xs, "ys": ys},
+        lambda xs, ys: F.transform(points, lambda p: one(xs, ys, p)),
+    )
 
 
 def harmonic_mean(arr: Column) -> Column:
@@ -480,8 +491,11 @@ def exp_moving_avg(arr: Column, window: int) -> Column:
 def rank_transform(arr: Column) -> Column:
     """RankEvaluator: 1-based ranks of array values (average-free, ties
     broken by first occurrence like Commons-Math NaturalRanking MINIMAL)."""
-    return F.transform(
-        arr, lambda x: F.size(F.filter(arr, lambda y: y < x)) + F.lit(1)
+    return let_bind(
+        {"a": arr},
+        lambda a: F.transform(
+            a, lambda x: F.size(F.filter(a, lambda y: y < x)) + F.lit(1)
+        ),
     )
 
 

@@ -78,20 +78,24 @@ def convex_hull(points: Column) -> Column:
 
 def polygon_area(vertices: Column) -> Column:
     """GetAreaEvaluator (region size): shoelace |sum cross(v_i, v_{i+1})|/2
-    as one JVM fold over the vertex matrix."""
-    n = F.size(vertices)
-    cross_terms = F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: _cross_at(vertices, i, n),
-    )
-    return (
-        F.abs(
-            F.aggregate(
-                cross_terms, F.lit(0.0), lambda acc, v: acc + v
-            )
+    as one JVM fold over the vertex matrix.  The vertex matrix is bound
+    once per row (let_bind) so a composed vertices expression is not
+    re-evaluated at every term."""
+    from apache___solr_spark.functions.evaluators import let_bind
+
+    def body(v: Column) -> Column:
+        n = F.size(v)
+        cross_terms = F.transform(
+            F.sequence(F.lit(1), n), lambda i: _cross_at(v, i, n)
         )
-        / 2.0
-    )
+        return (
+            F.abs(
+                F.aggregate(cross_terms, F.lit(0.0), lambda acc, x: acc + x)
+            )
+            / 2.0
+        )
+
+    return let_bind({"v": vertices}, body)
 
 
 def _cross_at(vertices: Column, i: Column, n: Column) -> Column:
@@ -104,12 +108,16 @@ def _cross_at(vertices: Column, i: Column, n: Column) -> Column:
 
 def polygon_boundary_size(vertices: Column) -> Column:
     """GetBoundarySizeEvaluator: perimeter of the hull polygon."""
-    n = F.size(vertices)
-    edges = F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: _edge_len(vertices, i, n),
-    )
-    return F.aggregate(edges, F.lit(0.0), lambda acc, v: acc + v)
+    from apache___solr_spark.functions.evaluators import let_bind
+
+    def body(v: Column) -> Column:
+        n = F.size(v)
+        edges = F.transform(
+            F.sequence(F.lit(1), n), lambda i: _edge_len(v, i, n)
+        )
+        return F.aggregate(edges, F.lit(0.0), lambda acc, x: acc + x)
+
+    return let_bind({"v": vertices}, body)
 
 
 def _edge_len(vertices: Column, i: Column, n: Column) -> Column:
@@ -123,33 +131,39 @@ def _edge_len(vertices: Column, i: Column, n: Column) -> Column:
 def polygon_barycenter(vertices: Column) -> Column:
     """GetBaryCenterEvaluator (Region.getBarycenter): area centroid
     C = (1/6A) * sum (v_i + v_{i+1}) * cross(v_i, v_{i+1}), signed A."""
-    n = F.size(vertices)
-    idx = F.sequence(F.lit(1), n)
-    signed_2a = F.aggregate(
-        F.transform(idx, lambda i: _cross_at(vertices, i, n)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    from apache___solr_spark.functions.evaluators import let_bind
 
-    def moment(axis: int) -> Column:
-        terms = F.transform(
-            idx,
-            lambda i: (
-                F.element_at(F.element_at(vertices, i), axis)
-                + F.element_at(
-                    F.element_at(
-                        vertices, F.when(i == n, 1).otherwise(i + 1)
-                    ),
-                    axis,
-                )
-            )
-            * _cross_at(vertices, i, n),
+    def body(v: Column) -> Column:
+        n = F.size(v)
+        idx = F.sequence(F.lit(1), n)
+        signed_2a = F.aggregate(
+            F.transform(idx, lambda i: _cross_at(v, i, n)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
-        return F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v)
 
-    return F.array(
-        moment(1) / (signed_2a * 3.0), moment(2) / (signed_2a * 3.0)
-    )
+        def moment(axis: int) -> Column:
+            terms = F.transform(
+                idx,
+                lambda i: (
+                    F.element_at(F.element_at(v, i), axis)
+                    + F.element_at(
+                        F.element_at(v, F.when(i == n, 1).otherwise(i + 1)),
+                        axis,
+                    )
+                )
+                * _cross_at(v, i, n),
+            )
+            return F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+
+        # signed_2a appears in both centroid components; bind it too so
+        # the cross fold is not run twice per row.
+        return let_bind(
+            {"m1": moment(1), "m2": moment(2), "a2": signed_2a},
+            lambda m1, m2, a2: F.array(m1 / (a2 * 3.0), m2 / (a2 * 3.0)),
+        )
+
+    return let_bind({"v": vertices}, body)
 
 
 def _project_series(points: pd.Series, vertices: pd.Series) -> pd.Series:
