@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from apache___solr_spark.functions.evaluators import let_bind
+
 __all__ = [
     "matrix_of",
     "transpose",
@@ -72,24 +74,33 @@ def column_at(m: Column, j: int) -> Column:
 def transpose(m: Column) -> Column:
     """TransposeEvaluator: (r, c) -> (c, r) via index sequences — stays a
     single codegen'd projection, no shuffle."""
-    cols = F.sequence(F.lit(1), column_count(m))
-    return F.transform(
-        cols, lambda j: F.transform(m, lambda row: F.element_at(row, j))
+    # Bind m: the inner transform captures it per output column, so a
+    # composed matrix expression would re-evaluate once per column.
+    return let_bind(
+        {"mm": m},
+        lambda mm: F.transform(
+            F.sequence(F.lit(1), column_count(mm)),
+            lambda j: F.transform(mm, lambda row: F.element_at(row, j)),
+        ),
     )
 
 
 def matmul(a: Column, b: Column) -> Column:
     """MatrixMultiplyEvaluator: (n,k) x (k,m) -> (n,m).  out[i][j] =
     dot(a_row_i, b_col_j); the inner dot is one JVM fold."""
-    bt = transpose(b)
-    return F.transform(
-        a,
-        lambda row: F.transform(
-            bt,
-            lambda bcol: F.aggregate(
-                F.zip_with(row, bcol, lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
+    # Bind the transposed b: captured inline it would be re-materialized
+    # for every row of a (O(n·k·m) extra even for attribute inputs).
+    return let_bind(
+        {"bt": transpose(b)},
+        lambda bt: F.transform(
+            a,
+            lambda row: F.transform(
+                bt,
+                lambda bcol: F.aggregate(
+                    F.zip_with(row, bcol, lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
             ),
         ),
     )

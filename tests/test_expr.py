@@ -331,3 +331,58 @@ def test_features_train_classify(factory, spark, sf_dir):
     srows = scored.limit(20).collect()
     assert all(0.0 <= r["probability_d"] <= 1.0 for r in srows)
     assert all(r["prediction_i"] in (0, 1) for r in srows)
+
+
+def test_let_bind_values_and_coercion(spark):
+    """let_bind: bound expressions evaluate once per row and feed the body
+    as lambda variables; string bindings coerce to columns; nesting works."""
+    from apache___solr_spark.functions.evaluators import let_bind
+
+    df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], ["id", "arr"])
+    row = df.select(
+        # scalar binding
+        let_bind(
+            {"s": F.aggregate("arr", F.lit(0.0), lambda a, x: a + x)},
+            lambda s: s * 2,
+        ).alias("twice_sum"),
+        # array binding + string coercion
+        let_bind(
+            {"a": "arr"},
+            lambda a: F.transform(a, lambda x: x / F.size(a)),
+        ).alias("scaled"),
+        # nested: inner binding references the outer lambda variable
+        let_bind(
+            {"m": F.array_max("arr")},
+            lambda m: let_bind(
+                {"mn": F.array_min("arr")},
+                lambda mn: m - mn,
+            ),
+        ).alias("range_"),
+    ).first()
+    assert row["twice_sum"] == 12.0
+    assert row["scaled"] == [1.0 / 3, 2.0 / 3, 1.0]
+    assert row["range_"] == 2.0
+
+
+def test_matrix_ops_after_binding(spark):
+    """transpose/matmul still correct after the let_bind rewrite, including
+    composed inputs (matmul over a transpose expression)."""
+    from apache___solr_spark.functions import matrix as M
+
+    def mat(rows):
+        return F.array(
+            *[F.array(*[F.lit(float(v)) for v in r]) for r in rows]
+        )
+
+    df = spark.range(1).select(
+        mat([[1, 2], [3, 4], [5, 6]]).alias("a"),
+        mat([[7, 8], [9, 10]]).alias("b"),
+    )
+    row = df.select(
+        M.transpose("a").alias("at"),
+        M.matmul("a", "b").alias("ab"),
+        M.matmul(M.transpose("a"), "a").alias("ata"),
+    ).first()
+    assert row["at"] == [[1, 3, 5], [2, 4, 6]]
+    assert row["ab"] == [[25, 28], [57, 64], [89, 100]]
+    assert row["ata"] == [[35, 44], [44, 56]]
