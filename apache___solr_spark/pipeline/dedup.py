@@ -491,3 +491,145 @@ def remove_repeated_lines(
         )
         .select("id", "text", "n_lines", "n_removed")
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 10,
+    min_df: int = 2,
+) -> DataFrame:
+    """Cross-document exact substring dedup: maximal duplicated token spans.
+
+    Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    Better") remove exact substrings of >= ~50 tokens shared across
+    documents, found with a monolithic suffix array.  A suffix array does
+    not distribute; the same spans fall out of a k-gram inverted index —
+    a token window of length L >= k is shared between documents iff ALL of
+    its k-grams are shared, so: hash every k-token window, keep the hashes
+    occurring in >= ``min_df`` distinct documents (one shuffle on the
+    hash), and merge per document the consecutive window positions into
+    maximal runs (a run of m consecutive duplicated windows covers
+    m + k - 1 tokens).
+
+    Returns ``(id, span_start, span_len, max_share)``: 0-based token offset,
+    span length in tokens, and the largest per-window document count inside
+    the span.  Shuffle shape at 100 TB: explode is map-side; one
+    aggregation keyed by the 64-bit gram hash (AQE handles head-gram skew);
+    one join back on the hash; the run merge shuffles only the duplicated
+    positions, keyed by doc.  Windows are compared by xxhash64 — at 10^12
+    grams the 64-bit collision rate makes a false shared-window ~1e-7 per
+    pair, acceptable for a dedup gate (Lee et al. use the same argument
+    for their Rabin-Karp variant).
+    """
+    toks = F.array_remove(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), "")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("_t")).filter(
+        F.size("_t") >= k
+    )
+    grams = base.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_t") - F.lit(k - 1)),
+                lambda i: F.xxhash64(F.array_join(F.slice("_t", i, k), " ")),
+            )
+        ).alias("pos", "gh"),
+    )
+    shared = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_df)
+    )
+    dup_pos = grams.join(shared, "gh").select("id", "pos", "n_docs")
+    # Maximal runs of consecutive positions: pos - row_number() is constant
+    # within a run (the classic gaps-and-islands grouping key).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy("pos")
+    runs = dup_pos.withColumn(
+        "_grp", F.col("pos") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy("id", "_grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).alias("span_len"),
+            F.max("n_docs").alias("max_share"),
+        )
+        .select("id", "span_start", "span_len", "max_share")
+    )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 10,
+    min_df: int = 2,
+    min_span: int | None = None,
+) -> DataFrame:
+    """Remove duplicated spans from each document's token stream.
+
+    ``min_span`` (tokens, default k) keeps short incidental repeats;
+    only maximal spans of at least that many tokens are cut — the Lee et
+    al. policy of deleting the duplicated substring rather than the whole
+    document.  Output ``(id, text, n_removed_tokens)`` with ``text``
+    rebuilt space-joined from the surviving tokens (the tokenizer is
+    lossy about punctuation/case by design — this is a training-corpus
+    cleaner, not a reversible transform).
+
+    The span table from :func:`duplicate_spans` is tiny relative to the
+    corpus (only duplicated regions), so it joins back keyed by doc and
+    the cut happens in ONE projection: a token survives if no covering
+    span exists (``exists`` over the doc's span array, bound once).
+    """
+    from apache___solr_spark.functions.evaluators import let_bind
+
+    min_span = k if min_span is None else min_span
+    spans = (
+        duplicate_spans(df, text_col, id_col, k=k, min_df=min_df)
+        .filter(F.col("span_len") >= min_span)
+        .groupBy("id")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").cast("long").alias("s"),
+                    (F.col("span_start") + F.col("span_len"))
+                    .cast("long")
+                    .alias("e"),
+                )
+            ).alias("_spans")
+        )
+    )
+    toks = F.array_remove(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), "")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("_t"))
+    joined = base.join(spans, "id", "left")
+
+    def rebuild(spans_arr):
+        def kept(t_arr):
+            idx = F.sequence(F.lit(0), F.size(t_arr) - 1)
+            surviving = F.filter(
+                idx,
+                lambda i: ~F.exists(
+                    spans_arr, lambda sp: (i >= sp["s"]) & (i < sp["e"])
+                ),
+            )
+            return F.transform(surviving, lambda i: F.element_at(t_arr, i + 1))
+        return kept
+
+    cleaned = let_bind(
+        {
+            "t": F.col("_t"),
+            "sp": F.coalesce(
+                F.col("_spans"),
+                F.array().cast("array<struct<s:long,e:long>>"),
+            ),
+        },
+        lambda t, sp: rebuild(sp)(t),
+    )
+    return joined.select(
+        "id",
+        F.array_join(cleaned, " ").alias("text"),
+        (F.size("_t") - F.size(cleaned)).alias("n_removed_tokens"),
+    )
