@@ -47,7 +47,10 @@ from pyspark.sql.functions import pandas_udf
 from apache___solr_spark.analysis.collation import _SEP, _STRENGTHS
 from apache___solr_spark.analysis.filters import icu_fold
 
-_UNSUPPORTED = re.compile(r"\[(?:before|reorder|alternate|import)[^\]]*\]|/")
+_UNSUPPORTED = re.compile(
+    r"\[(?:before\s*[23]|reorder|alternate|import)[^\]]*\]|/"
+)
+_BEFORE1 = re.compile(r"\[\s*before\s*1\s*\]")
 
 # Relation operators, longest first so '<<<' wins over '<'.
 _RELATIONS = (("<<<", 3), ("<<", 2), ("<", 1), ("=", 0))
@@ -70,6 +73,12 @@ def _tokenize(rules: str) -> list[tuple[str, str]]:
             out.append(("&", "&"))
             i += 1
             continue
+        if ch == "[":
+            m = _BEFORE1.match(rules, i)
+            if m:
+                out.append(("BEFORE1", m.group(0)))
+                i = m.end()
+                continue
         matched = False
         for op, _ in _RELATIONS:
             if rules.startswith(op, i):
@@ -106,11 +115,15 @@ def _tokenize(rules: str) -> list[tuple[str, str]]:
 def parse_collation_rules(
     rules: str,
 ) -> list[tuple[str, list[tuple[int, str]]]]:
-    """Parse rules into chains ``[(anchor, [(level, element), ...]), ...]``.
+    """Parse rules into chains
+    ``[(anchor, [(level, element), ...], before), ...]``.
 
     level: 1=primary-after, 2=secondary-after, 3=tertiary-after, 0=equal.
-    Raises ValueError on syntax errors and NotImplementedError on the
-    documented out-of-scope constructs — never silently mis-sorts.
+    ``before`` is 1 when the reset was ``&[before 1] anchor`` (relations
+    place elements primary-BEFORE the anchor), else 0.  Raises ValueError
+    on syntax errors and NotImplementedError on the documented
+    out-of-scope constructs ([before 2/3], [reorder], [alternate],
+    [import], '/') — never silently mis-sorts.
     """
     bad = _UNSUPPORTED.search(rules)
     if bad:
@@ -125,10 +138,15 @@ def parse_collation_rules(
     while i < len(tokens):
         if tokens[i][0] != "&":
             raise ValueError(f"expected '&' reset, got {tokens[i][1]!r}")
-        if i + 1 >= len(tokens) or tokens[i + 1][0] != "TEXT":
+        i += 1
+        before = 0
+        if i < len(tokens) and tokens[i][0] == "BEFORE1":
+            before = 1
+            i += 1
+        if i >= len(tokens) or tokens[i][0] != "TEXT":
             raise ValueError("'&' must be followed by an anchor element")
-        anchor = unicodedata.normalize("NFC", tokens[i + 1][1])
-        i += 2
+        anchor = unicodedata.normalize("NFC", tokens[i][1])
+        i += 1
         steps: list[tuple[int, str]] = []
         while i < len(tokens) and tokens[i][0] != "&":
             op = tokens[i][0]
@@ -143,7 +161,7 @@ def parse_collation_rules(
             i += 2
         if not steps:
             raise ValueError(f"reset &{anchor} has no relations")
-        chains.append((anchor, steps))
+        chains.append((anchor, steps, before))
     if not chains:
         raise ValueError("empty rule set")
     return chains
@@ -169,7 +187,7 @@ class RuleCollator:
         self.rules = rules
         # element text -> (primary bytes, secondary int, tertiary int)
         self.table: dict[str, tuple[bytes, int, int]] = {}
-        for anchor, steps in parse_collation_rules(rules):
+        for anchor, steps, before in parse_collation_rules(rules):
             # Anchor weights: tailored if a previous chain tailored it,
             # else root weights of the (possibly multi-char) anchor string.
             if anchor in self.table:
@@ -180,6 +198,24 @@ class RuleCollator:
                     0x02,
                     0x02,
                 )
+            if before:
+                # &[before 1] anchor: relations insert primary-BEFORE the
+                # anchor — rebase onto a synthetic weight just below it:
+                # decrement the last primary byte and append 0xFF, which
+                # sorts above every continuation of the decremented prefix
+                # (no UTF-8 byte is 0xFF) yet below the anchor itself.
+                if not p or p[-1] == 0:
+                    raise ValueError(
+                        f"[before 1] unsupported for anchor {anchor!r} "
+                        "(primary weight has no predecessor)"
+                    )
+                if any(level in (2, 3) for level, _ in steps):
+                    raise NotImplementedError(
+                        "secondary/tertiary relations after [before 1] "
+                        "are out of scope (use a primary '<' chain)"
+                    )
+                p = p[:-1] + bytes([p[-1] - 1, 0xFF])
+                s, t = 0x02, 0x02
             n_primary = n_secondary = n_tertiary = 0
             for level, elem in steps:
                 if level == 1:

@@ -18,17 +18,17 @@ def _order(rules: str, words: list[str], strength: str = "identical"):
 def test_parse_chains():
     chains = parse_collation_rules("&z < å < ä < ö  &v << w")
     assert chains == [
-        ("z", [(1, "å"), (1, "ä"), (1, "ö")]),
-        ("v", [(2, "w")]),
+        ("z", [(1, "å"), (1, "ä"), (1, "ö")], 0),
+        ("v", [(2, "w")], 0),
     ]
 
 
 def test_parse_comments_and_quotes():
     chains = parse_collation_rules("# Swedish-ish\n&z < 'å'  # post-z\n")
-    assert chains == [("z", [(1, "å")])]
+    assert chains == [("z", [(1, "å")], 0)]
     # '' inside rules is a literal apostrophe element.
     chains2 = parse_collation_rules("&z < ''")
-    assert chains2 == [("z", [(1, "'")])]
+    assert chains2 == [("z", [(1, "'")], 0)]
 
 
 def test_parse_errors():
@@ -37,9 +37,22 @@ def test_parse_errors():
     with pytest.raises(ValueError):
         parse_collation_rules("&a")  # reset with no relations
     with pytest.raises(NotImplementedError):
-        parse_collation_rules("&[before 1] a < b")
+        parse_collation_rules("&[before 2] a < b")  # secondary-before
     with pytest.raises(NotImplementedError):
         parse_collation_rules("&a < b / c")  # expansion operator
+
+
+def test_before1_places_primary_before_anchor():
+    assert parse_collation_rules("&[before 1] b < ω") == [
+        ("b", [(1, "ω")], 1)
+    ]
+    rules = "&[before 1] b < ω"
+    # ω lands between every a-continuation and b.
+    got = _order(rules, ["az", "ωz", "bz", "a"])
+    assert got == ["a", "az", "ωz", "bz"]
+    # Secondary relations after [before 1] are out of scope, loudly.
+    with pytest.raises(NotImplementedError):
+        RuleCollator("&[before 1] b << ω")
 
 
 def test_swedish_primary_tailoring():
