@@ -608,7 +608,12 @@ def strip_duplicate_spans(
 
     def rebuild(spans_arr):
         def kept(t_arr):
-            idx = F.sequence(F.lit(0), F.size(t_arr) - 1)
+            # Guard empty/NULL token arrays: sequence(0, size-1) would
+            # otherwise produce a DESCENDING [0, -1] (Spark infers step -1)
+            # and element_at would fault on the out-of-range index.
+            idx = F.when(
+                F.size(t_arr) > 0, F.sequence(F.lit(0), F.size(t_arr) - 1)
+            ).otherwise(F.array().cast("array<int>"))
             surviving = F.filter(
                 idx,
                 lambda i: ~F.exists(
@@ -631,5 +636,8 @@ def strip_duplicate_spans(
     return joined.select(
         "id",
         F.array_join(cleaned, " ").alias("text"),
-        (F.size("_t") - F.size(cleaned)).alias("n_removed_tokens"),
+        # greatest(.., 0): size(NULL) is -1 for null-text docs
+        (
+            F.greatest(F.size("_t"), F.lit(0)) - F.size(cleaned)
+        ).alias("n_removed_tokens"),
     )

@@ -154,15 +154,17 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
         return let_bind(
             {"t": toks},
-            lambda t: F.when(
-                F.size(t) >= n,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(t) - n),
-                    lambda i: F.concat_ws(
-                        " ", *[F.element_at(t, i + j + 1) for j in range(n)]
-                    ),
+            # guard lives IN the positions array (empty when too short):
+            # an outer CASE does not reliably shield the transform body
+            # from evaluating on a descending sequence (see _seq1).
+            lambda t: F.transform(
+                F.when(
+                    F.size(t) >= n, F.sequence(F.lit(0), F.size(t) - n)
+                ).otherwise(F.array().cast("array<int>")),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(t, i + j + 1) for j in range(n)]
                 ),
-            ).otherwise(F.array().cast("array<string>")),
+            ),
         )
 
     def dup_frac(grams: Column) -> Column:

@@ -103,5 +103,22 @@ def test_strip_min_span_keeps_short_repeats(docs_df):
     assert all(r["n_removed_tokens"] == 0 for r in out)
 
 
+def test_strip_handles_empty_and_null_text(spark):
+    df = spark.createDataFrame(
+        [("e", ""), ("n", None), ("s", "too short"),
+         ("x", "one two three four five six seven eight nine ten"),
+         ("y", "one two three four five six seven eight nine ten")],
+        ["doc_id", "text"],
+    )
+    out = {r["id"]: r for r in
+           strip_duplicate_spans(df, "text", "doc_id", k=8).collect()}
+    assert out["e"]["text"] == "" and out["e"]["n_removed_tokens"] == 0
+    assert out["n"]["text"] == "" and out["n"]["n_removed_tokens"] == 0
+    assert out["s"]["text"] == "too short"
+    # x and y are full duplicates of each other: everything removed.
+    assert out["x"]["text"] == "" and out["x"]["n_removed_tokens"] == 10
+    assert out["y"]["n_removed_tokens"] == 10
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-q"]))

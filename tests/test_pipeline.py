@@ -790,3 +790,20 @@ def test_detect_language_multi(spark):
     for i, want_lang, text in rows:
         assert got[i] == oracle(text), (i, got[i], oracle(text))
         assert got[i][0] == want_lang, (i, got[i], want_lang)
+
+
+def test_repetition_stats_short_and_empty_docs(spark):
+    """Docs shorter than the n-gram width (and empty/null text) must not
+    fault the in-array-guarded gram builder."""
+    from apache___solr_spark.pipeline.textqual import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "one"), (2, "two words"), (3, ""), (4, None)],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in
+            repetition_stats(df, "text", "doc_id").collect()}
+    assert len(rows) == 4
+    for r in rows.values():
+        assert r["dup_2gram_frac"] == 0.0
+        assert r["dup_3gram_frac"] == 0.0
