@@ -346,11 +346,37 @@ def _fn_timeseries(f: StreamFactory, e: StreamExpression) -> DataFrame:
         raise ValueError(f"bad gap {e.named('gap')!r} (use +NDAY/+NHOUR/...)")
     n, unit = int(m.group(1)), m.group(2).lower()
     if unit in ("month", "year"):
-        # calendar units: window() can't express them; truncate instead
-        if n != 1:
-            raise NotImplementedError("only +1MONTH/+1YEAR calendar gaps")
-        src = src.withColumn("_w", F.date_trunc(unit, c))
+        # Calendar units: window() can't express them.  +1MONTH/+1YEAR with
+        # no anchor truncates to the calendar boundary; +nMONTH/+nYEAR
+        # buckets step from start= by whole months (Solr's DateMathParser
+        # gap arithmetic: month addition clamps the day-of-month, which is
+        # exactly add_months/year-month-interval semantics).
+        months = n * (12 if unit == "year" else 1)
         aggs = f._metrics_of(e)
+        if months in (1, 12) and not start:
+            src = src.withColumn("_w", F.date_trunc(unit, c))
+        else:
+            if not start:
+                raise ValueError(
+                    f"gap +{n}{unit.upper()}S needs start= to anchor buckets"
+                )
+            s = F.to_timestamp(F.lit(start))
+
+            def bnd(i):  # boundary timestamp of bucket index i
+                return s + F.make_interval(F.lit(0), i * F.lit(months))
+
+            # months_between mis-estimates by <1 month near clamped
+            # month-ends (start Jan 30 -> boundary Feb 29), so correct the
+            # floor guess by +-1 against the real interval boundaries.
+            guess = F.floor(
+                F.months_between(c, s, roundOff=False) / months
+            ).cast("int")
+            idx = (
+                F.when(c < bnd(guess), guess - 1)
+                .when(c >= bnd(guess + 1), guess + 1)
+                .otherwise(guess)
+            )
+            src = src.withColumn("_w", bnd(idx))
         return (
             src.groupBy(F.col("_w").alias("window_start"))
             .agg(*[col.alias(nme) for nme, col in aggs.items()])

@@ -386,3 +386,60 @@ def test_matrix_ops_after_binding(spark):
     assert row["at"] == [[1, 3, 5], [2, 4, 6]]
     assert row["ab"] == [[25, 28], [57, 64], [89, 100]]
     assert row["ata"] == [[35, 44], [44, 56]]
+
+
+def test_timeseries_calendar_gap_months(spark):
+    """+nMONTH gaps anchor at start= and step by DateMathParser month
+    arithmetic (day-of-month clamps: Jan 30 + 1MONTH = Feb 29)."""
+    import calendar
+    import datetime as dt
+    from collections import Counter
+
+    raws = [
+        "2020-01-30 00:00:00",  # bucket boundary itself
+        "2020-02-28 23:59:59",  # just before the clamped Feb 29 boundary
+        "2020-02-29 00:00:00",  # exactly on the clamped boundary
+        "2020-03-29 23:59:59",
+        "2020-03-30 12:00:00",
+        "2020-07-30 00:00:00",
+        "2021-01-29 23:59:59",
+        "2021-06-15 00:00:00",
+    ]
+    df = spark.createDataFrame([(r,) for r in raws], ["raw"]).select(
+        F.to_timestamp("raw").alias("ts")
+    )
+    fac = StreamFactory(spark, tables={"ev": df})
+    start = "2020-01-30 00:00:00"
+
+    def add_months(d, m):
+        y = d.year + (d.month - 1 + m) // 12
+        mo = (d.month - 1 + m) % 12 + 1
+        return d.replace(
+            year=y, month=mo, day=min(d.day, calendar.monthrange(y, mo)[1])
+        )
+
+    s = dt.datetime(2020, 1, 30)
+    for gap, months in (("+1MONTH", 1), ("+3MONTHS", 3), ("+1YEAR", 12)):
+        got = fac.df(
+            f'timeseries(ev, q="*:*", field="ts", start="{start}", '
+            f'gap="{gap}", count(*))'
+        ).collect()
+        want = Counter()
+        for raw in raws:
+            t = dt.datetime.strptime(raw, "%Y-%m-%d %H:%M:%S")
+            i = 0
+            while add_months(s, (i + 1) * months) <= t:
+                i += 1
+            want[add_months(s, i * months)] += 1
+        assert {(r["window_start"], r["count(*)"]) for r in got} == set(
+            want.items()
+        ), gap
+
+
+def test_timeseries_calendar_gap_needs_start(spark):
+    df = spark.createDataFrame([("2020-01-01 00:00:00",)], ["raw"]).select(
+        F.to_timestamp("raw").alias("ts")
+    )
+    fac = StreamFactory(spark, tables={"ev": df})
+    with pytest.raises(ValueError, match="start="):
+        fac.df('timeseries(ev, q="*:*", field="ts", gap="+3MONTHS", count(*))')
