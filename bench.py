@@ -178,6 +178,42 @@ def main() -> None:
             best = el if best is None or el < best else best
         timings[name] = round(best, 3)
 
+    # Query p50/p99 latency on the reference query set (the BASELINE metric
+    # names "query p50/p99 latency with rank-identical BM25 top-k on the
+    # reference query set"): every grammar shape the golden suite pins —
+    # bag-of-words, +/-, phrases, slop, prefix/boost, fuzzy, nested groups —
+    # each run REPS times against the warm engine (the server shape: the
+    # term-meta cache is per-engine, queries arrive against a live index).
+    from apache___solr_spark.query.engine import SearchEngine
+
+    query_set = [
+        "table query merge",
+        "table AND query",
+        "spark AND window -error",
+        "table AND query -merge",
+        '"part filter" merge',
+        '"part filter"~2',
+        "s* merge^2",
+        "merge~1",
+        "(table AND query) OR (part AND filter)",
+        "window",
+        "table OR query OR merge OR filter",
+        "query -table",
+    ]
+    eng = SearchEngine(spark, os.path.join(idx_dir, "idx"))
+    eng.search("table", k=10).write.format("noop").mode("overwrite").save()
+    reps, lat = 3, []
+    for _ in range(reps):
+        for q in query_set:
+            t0 = time.time()
+            eng.search(q, k=10, with_url=False).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            lat.append(time.time() - t0)
+    lat.sort()
+    q_p50 = lat[len(lat) // 2]
+    q_p99 = lat[min(len(lat) - 1, int(len(lat) * 0.99))]
+
     shutil.rmtree(idx_dir, ignore_errors=True)
     total = round(sum(timings.values()), 3)
     print(
@@ -190,6 +226,10 @@ def main() -> None:
                 "sf": SF_DIR,
                 "cpus": CPUS,
                 "index_docs_per_sec": round(n_docs / build_sec, 1),
+                "query_p50_sec": round(q_p50, 3),
+                "query_p99_sec": round(q_p99, 3),
+                "query_set_size": len(query_set),
+                "query_reps": reps,
             }
         )
     )
