@@ -15,12 +15,15 @@ a small, deterministic mini-UCA:
 
 Multi-character left sides are contractions (``&c < ch``: 'ch' is ONE
 collation element sorting after 'c'); a relation whose target's weights
-come from a multi-char anchor is an expansion (``&ae = ä``).  Cased
-single-char tailorings auto-cover their case partner at the tertiary
-level (tailoring 'å' places 'Å' too), matching how shared primaries
-behave in ICU.  Out of scope (raise, never mis-sort): ``[before n]``,
-script reordering ``[reorder]``, variable-top ``[alternate]``, and the
-``/`` expansion operator.
+come from a multi-char anchor is an expansion (``&ae = ä``), and the
+explicit expansion operator ``&a << ä / e`` gives the target the
+tailored step's weights FOLLOWED by the extension string's weights
+(ICU: "x / y — x sorts as the tailored position followed by y").
+Cased single-char tailorings auto-cover their case partner at the
+tertiary level (tailoring 'å' places 'Å' too), matching how shared
+primaries behave in ICU.  Out of scope (raise, never mis-sort):
+``[before 2/3]``, script reordering ``[reorder]``, and variable-top
+``[alternate]``.
 
 Key construction mirrors analysis/collation.py's layered scheme — per
 element: a primary byte string (root = icu_fold'ed UTF-8; tailored =
@@ -48,7 +51,7 @@ from apache___solr_spark.analysis.collation import _SEP, _STRENGTHS
 from apache___solr_spark.analysis.filters import icu_fold
 
 _UNSUPPORTED = re.compile(
-    r"\[(?:before\s*[23]|reorder|alternate|import)[^\]]*\]|/"
+    r"\[(?:before\s*[23]|reorder|alternate|import)[^\]]*\]"
 )
 _BEFORE1 = re.compile(r"\[\s*before\s*1\s*\]")
 
@@ -88,6 +91,10 @@ def _tokenize(rules: str) -> list[tuple[str, str]]:
                 break
         if matched:
             continue
+        if ch == "/":
+            out.append(("/", "/"))
+            i += 1
+            continue
         if ch == "'":
             end = rules.find("'", i + 1)
             if end < 0:
@@ -98,7 +105,7 @@ def _tokenize(rules: str) -> list[tuple[str, str]]:
             continue
         # Bare element text: run of chars that are not syntax.
         j = i
-        while j < n and rules[j] not in "&<='#" and not rules[j].isspace():
+        while j < n and rules[j] not in "&<='#/" and not rules[j].isspace():
             j += 1
         out.append(("TEXT", rules[i:j]))
         i = j
@@ -114,22 +121,23 @@ def _tokenize(rules: str) -> list[tuple[str, str]]:
 
 def parse_collation_rules(
     rules: str,
-) -> list[tuple[str, list[tuple[int, str]]]]:
+) -> list[tuple[str, list[tuple[int, str, str]]]]:
     """Parse rules into chains
-    ``[(anchor, [(level, element), ...], before), ...]``.
+    ``[(anchor, [(level, element, extension), ...], before), ...]``.
 
     level: 1=primary-after, 2=secondary-after, 3=tertiary-after, 0=equal.
-    ``before`` is 1 when the reset was ``&[before 1] anchor`` (relations
-    place elements primary-BEFORE the anchor), else 0.  Raises ValueError
-    on syntax errors and NotImplementedError on the documented
+    ``extension`` is the string after a ``/`` expansion operator (usually
+    empty).  ``before`` is 1 when the reset was ``&[before 1] anchor``
+    (relations place elements primary-BEFORE the anchor), else 0.  Raises
+    ValueError on syntax errors and NotImplementedError on the documented
     out-of-scope constructs ([before 2/3], [reorder], [alternate],
-    [import], '/') — never silently mis-sorts.
+    [import]) — never silently mis-sorts.
     """
     bad = _UNSUPPORTED.search(rules)
     if bad:
         raise NotImplementedError(
             f"unsupported collation-rule construct {bad.group(0)!r} "
-            "([before]/[reorder]/[alternate]/[import]/expansion '/' — "
+            "([before 2/3]/[reorder]/[alternate]/[import] — "
             "inventoried out of scope)"
         )
     tokens = _tokenize(rules)
@@ -147,7 +155,7 @@ def parse_collation_rules(
             raise ValueError("'&' must be followed by an anchor element")
         anchor = unicodedata.normalize("NFC", tokens[i][1])
         i += 1
-        steps: list[tuple[int, str]] = []
+        steps: list[tuple[int, str, str]] = []
         while i < len(tokens) and tokens[i][0] != "&":
             op = tokens[i][0]
             level = dict(_RELATIONS).get(op)
@@ -155,10 +163,15 @@ def parse_collation_rules(
                 raise ValueError(f"expected relation, got {tokens[i][1]!r}")
             if i + 1 >= len(tokens) or tokens[i + 1][0] != "TEXT":
                 raise ValueError(f"relation {op!r} missing target element")
-            steps.append(
-                (level, unicodedata.normalize("NFC", tokens[i + 1][1]))
-            )
+            elem = unicodedata.normalize("NFC", tokens[i + 1][1])
             i += 2
+            ext = ""
+            if i < len(tokens) and tokens[i][0] == "/":
+                if i + 1 >= len(tokens) or tokens[i + 1][0] != "TEXT":
+                    raise ValueError("'/' expansion missing its extension")
+                ext = unicodedata.normalize("NFC", tokens[i + 1][1])
+                i += 2
+            steps.append((level, elem, ext))
         if not steps:
             raise ValueError(f"reset &{anchor} has no relations")
         chains.append((anchor, steps, before))
@@ -185,13 +198,16 @@ class RuleCollator:
 
     def __init__(self, rules: str):
         self.rules = rules
-        # element text -> (primary bytes, secondary int, tertiary int)
-        self.table: dict[str, tuple[bytes, int, int]] = {}
+        # element text -> [(primary bytes, secondary int, tertiary int), …]
+        # — one triple normally, several for '/'-expanded elements.
+        self.table: dict[str, list[tuple[bytes, int, int]]] = {}
         for anchor, steps, before in parse_collation_rules(rules):
             # Anchor weights: tailored if a previous chain tailored it,
             # else root weights of the (possibly multi-char) anchor string.
             if anchor in self.table:
-                p, s, t = self.table[anchor]
+                triples = self.table[anchor]
+                p = b"".join(tp for tp, _, _ in triples)
+                s, t = triples[-1][1], triples[-1][2]
             else:
                 p = b"".join(_root_weights(c)[0] for c in anchor)
                 s, t = _root_weights(anchor[0])[1:] if len(anchor) == 1 else (
@@ -209,7 +225,7 @@ class RuleCollator:
                         f"[before 1] unsupported for anchor {anchor!r} "
                         "(primary weight has no predecessor)"
                     )
-                if any(level in (2, 3) for level, _ in steps):
+                if any(level in (2, 3) for level, _, _ in steps):
                     raise NotImplementedError(
                         "secondary/tertiary relations after [before 1] "
                         "are out of scope (use a primary '<' chain)"
@@ -217,7 +233,7 @@ class RuleCollator:
                 p = p[:-1] + bytes([p[-1] - 1, 0xFF])
                 s, t = 0x02, 0x02
             n_primary = n_secondary = n_tertiary = 0
-            for level, elem in steps:
+            for level, elem, ext in steps:
                 if level == 1:
                     n_primary += 1
                     n_secondary = n_tertiary = 0
@@ -239,17 +255,21 @@ class RuleCollator:
                     ep = p + (bytes([0x80 + n_primary]) if n_primary else b"")
                     es = 0x40 + n_secondary if n_secondary else s
                     et = 0x04 + n_tertiary if n_tertiary else t
-                self.table[elem] = (ep, es, et)
+                # '/' expansion: the element's weights are the tailored
+                # step's weights followed by each extension char's weights
+                # (tailored if the extension char is itself in the table).
+                ext_triples: list[tuple[bytes, int, int]] = []
+                for c in ext:
+                    ext_triples += self.table.get(c, [_root_weights(c)])
+                self.table[elem] = [(ep, es, et)] + ext_triples
                 # Auto-cover the case partner of cased single-char elements
                 # at the tertiary level (shared primary, like ICU).
                 if len(elem) == 1 and elem.swapcase() != elem:
                     partner = elem.swapcase()
                     if partner not in self.table:
-                        self.table[partner] = (
-                            ep,
-                            es,
-                            0x03 if partner.isupper() else 0x02,
-                        )
+                        self.table[partner] = [
+                            (ep, es, 0x03 if partner.isupper() else 0x02)
+                        ] + ext_triples
         self._max_elem = max(len(e) for e in self.table)
 
     def _segment(self, text: str) -> list[str]:
@@ -281,13 +301,10 @@ class RuleCollator:
         sec = bytearray()
         ter = bytearray()
         for elem in self._segment(nfc):
-            if elem in self.table:
-                p, s, t = self.table[elem]
-            else:
-                p, s, t = _root_weights(elem)
-            prim += p
-            sec.append(s)
-            ter.append(t)
+            for p, s, t in self.table.get(elem) or [_root_weights(elem)]:
+                prim += p
+                sec.append(s)
+                ter.append(t)
         key = bytes(prim)
         if strength == "primary":
             return key

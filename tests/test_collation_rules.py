@@ -18,17 +18,17 @@ def _order(rules: str, words: list[str], strength: str = "identical"):
 def test_parse_chains():
     chains = parse_collation_rules("&z < å < ä < ö  &v << w")
     assert chains == [
-        ("z", [(1, "å"), (1, "ä"), (1, "ö")], 0),
-        ("v", [(2, "w")], 0),
+        ("z", [(1, "å", ""), (1, "ä", ""), (1, "ö", "")], 0),
+        ("v", [(2, "w", "")], 0),
     ]
 
 
 def test_parse_comments_and_quotes():
     chains = parse_collation_rules("# Swedish-ish\n&z < 'å'  # post-z\n")
-    assert chains == [("z", [(1, "å")], 0)]
+    assert chains == [("z", [(1, "å", "")], 0)]
     # '' inside rules is a literal apostrophe element.
     chains2 = parse_collation_rules("&z < ''")
-    assert chains2 == [("z", [(1, "'")], 0)]
+    assert chains2 == [("z", [(1, "'", "")], 0)]
 
 
 def test_parse_errors():
@@ -38,13 +38,20 @@ def test_parse_errors():
         parse_collation_rules("&a")  # reset with no relations
     with pytest.raises(NotImplementedError):
         parse_collation_rules("&[before 2] a < b")  # secondary-before
-    with pytest.raises(NotImplementedError):
-        parse_collation_rules("&a < b / c")  # expansion operator
+    with pytest.raises(ValueError):
+        parse_collation_rules("&a < b /")  # expansion missing extension
+
+
+def test_parse_expansion_operator():
+    assert parse_collation_rules("&c < k / h  &a << ä/e") == [
+        ("c", [(1, "k", "h")], 0),
+        ("a", [(2, "ä", "e")], 0),
+    ]
 
 
 def test_before1_places_primary_before_anchor():
     assert parse_collation_rules("&[before 1] b < ω") == [
-        ("b", [(1, "ω")], 1)
+        ("b", [(1, "ω", "")], 1)
     ]
     rules = "&[before 1] b < ω"
     # ω lands between every a-continuation and b.
@@ -80,6 +87,38 @@ def test_expansion_equality():
     )
     got = _order(rules, ["ad", "ä", "af"], strength="primary")
     assert got == ["ad", "ä", "af"]
+
+
+def test_expansion_operator_primary():
+    # &c < k / h: k sorts as (position after c) followed by 'h'.  In this
+    # mini-UCA the tailored step byte sorts above every root continuation,
+    # so k lands after all c-words and before d; the extension's weights
+    # tie-break among k-words.
+    rules = "&c < k / h"
+    got = _order(rules, ["ca", "cha", "k", "da"])
+    assert got == ["ca", "cha", "k", "da"]
+    # The extension's weights are real: 'ka' (k + a) vs 'kb'.
+    assert _order(rules, ["kb", "ka"]) == ["ka", "kb"]
+
+
+def test_expansion_operator_secondary_german_dict():
+    # &a << ä / e: ä sorts as a secondary step after 'a' followed by 'e' —
+    # primary-equal to "ae" (German dictionary order via the expansion
+    # operator instead of expansion-by-equality).
+    rules = "&a << ä / e"
+    assert custom_collation_key("ä", rules, "primary") == custom_collation_key(
+        "ae", rules, "primary"
+    )
+    got = _order(rules, ["ad", "ä", "af", "ae"])
+    assert got == ["ad", "ae", "ä", "af"]
+
+
+def test_expansion_extension_uses_tailored_char():
+    # Extension chars that are themselves tailored expand with their
+    # TAILORED weights: å is post-z, so b/å sorts after "aå"-style runs.
+    rules = "&z < å  &a < b / å"
+    got = _order(rules, ["ad", "aå", "b", "c"])
+    assert got == ["ad", "aå", "b", "c"]
 
 
 def test_tertiary_relation():
