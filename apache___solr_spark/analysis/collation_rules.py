@@ -21,16 +21,21 @@ tailored step's weights FOLLOWED by the extension string's weights
 (ICU: "x / y — x sorts as the tailored position followed by y").
 Cased single-char tailorings auto-cover their case partner at the
 tertiary level (tailoring 'å' places 'Å' too), matching how shared
-primaries behave in ICU.  Out of scope (raise, never mis-sort):
-``[before 2/3]``, script reordering ``[reorder]``, and variable-top
-``[alternate]``.
+primaries behave in ICU.  ``&[before n] anchor`` resets insert before
+the anchor at level n: ``[before 1]`` rebases the primary just below
+the anchor, ``[before 2]``/``[before 3]`` place elements in a reserved
+weight band below the root secondary/tertiary base (so they sort after
+every primary-smaller string but before the anchor and all its root
+accent/case forms).  Out of scope (raise, never mis-sort): script
+reordering ``[reorder]`` and variable-top ``[alternate]``.
 
 Key construction mirrors analysis/collation.py's layered scheme — per
 element: a primary byte string (root = icu_fold'ed UTF-8; tailored =
 anchor primary + one 0x80+k step byte, so k primary steps stay below the
-next root letter), a secondary byte (root = combining-mark slot; tailored
-steps 0x40+j, above any real accent), a tertiary byte (case bits; tailored
-steps 0x04+m) — levels joined with 0x01 separators, identical-level NFC
+next root letter), a secondary byte (before-band 0x02+, root base 0x20,
+accents 0x21+mark, tailored-after steps 0xA8+j — above every accent), a
+tertiary byte (before-band 0x02+, lower 0x20 / upper 0x21, tailored-after
+steps 0x28+m) — levels joined with 0x01 separators, identical-level NFC
 bytes last.  Unsigned byte order of the key == tailored collation order,
 so Spark sorts and range filters on the key column need no custom
 comparator — identical scale shape to collation_key_col.
@@ -50,13 +55,18 @@ from pyspark.sql.functions import pandas_udf
 from apache___solr_spark.analysis.collation import _SEP, _STRENGTHS
 from apache___solr_spark.analysis.filters import icu_fold
 
-_UNSUPPORTED = re.compile(
-    r"\[(?:before\s*[23]|reorder|alternate|import)[^\]]*\]"
-)
-_BEFORE1 = re.compile(r"\[\s*before\s*1\s*\]")
+_UNSUPPORTED = re.compile(r"\[(?:reorder|alternate|import)[^\]]*\]")
+_BEFORE = re.compile(r"\[\s*before\s*([123])\s*\]")
 
 # Relation operators, longest first so '<<<' wins over '<'.
 _RELATIONS = (("<<<", 3), ("<<", 2), ("<", 1), ("=", 0))
+
+# Weight bands (per level, one byte): SEP is 0x01; the [before n] band
+# sits between SEP and the root base so before-tailored elements sort
+# after every shorter/smaller string but before the anchor's root forms.
+_SEC_BEFORE, _SEC_BASE, _SEC_ACCENT, _SEC_STEP = 0x02, 0x20, 0x21, 0xA8
+_TER_BEFORE, _TER_LOWER, _TER_UPPER, _TER_STEP = 0x02, 0x20, 0x21, 0x28
+_BEFORE_SLOTS = _SEC_BASE - _SEC_BEFORE  # 30 insertions per band
 
 
 def _tokenize(rules: str) -> list[tuple[str, str]]:
@@ -77,9 +87,9 @@ def _tokenize(rules: str) -> list[tuple[str, str]]:
             i += 1
             continue
         if ch == "[":
-            m = _BEFORE1.match(rules, i)
+            m = _BEFORE.match(rules, i)
             if m:
-                out.append(("BEFORE1", m.group(0)))
+                out.append(("BEFORE", m.group(1)))
                 i = m.end()
                 continue
         matched = False
@@ -127,18 +137,19 @@ def parse_collation_rules(
 
     level: 1=primary-after, 2=secondary-after, 3=tertiary-after, 0=equal.
     ``extension`` is the string after a ``/`` expansion operator (usually
-    empty).  ``before`` is 1 when the reset was ``&[before 1] anchor``
-    (relations place elements primary-BEFORE the anchor), else 0.  Raises
-    ValueError on syntax errors and NotImplementedError on the documented
-    out-of-scope constructs ([before 2/3], [reorder], [alternate],
-    [import]) — never silently mis-sorts.
+    empty).  ``before`` is n when the reset was ``&[before n] anchor``
+    (relations place elements level-n-BEFORE the anchor), else 0; a
+    [before n] chain only accepts level-n relations and '=' (ICU's other
+    combinations raise NotImplementedError here).  Raises ValueError on
+    syntax errors and NotImplementedError on the documented out-of-scope
+    constructs ([reorder], [alternate], [import]) — never silently
+    mis-sorts.
     """
     bad = _UNSUPPORTED.search(rules)
     if bad:
         raise NotImplementedError(
             f"unsupported collation-rule construct {bad.group(0)!r} "
-            "([before 2/3]/[reorder]/[alternate]/[import] — "
-            "inventoried out of scope)"
+            "([reorder]/[alternate]/[import] — inventoried out of scope)"
         )
     tokens = _tokenize(rules)
     chains: list[tuple[str, list[tuple[int, str]]]] = []
@@ -148,8 +159,8 @@ def parse_collation_rules(
             raise ValueError(f"expected '&' reset, got {tokens[i][1]!r}")
         i += 1
         before = 0
-        if i < len(tokens) and tokens[i][0] == "BEFORE1":
-            before = 1
+        if i < len(tokens) and tokens[i][0] == "BEFORE":
+            before = int(tokens[i][1])
             i += 1
         if i >= len(tokens) or tokens[i][0] != "TEXT":
             raise ValueError("'&' must be followed by an anchor element")
@@ -174,6 +185,12 @@ def parse_collation_rules(
             steps.append((level, elem, ext))
         if not steps:
             raise ValueError(f"reset &{anchor} has no relations")
+        if before and any(lv not in (before, 0) for lv, _, _ in steps):
+            raise NotImplementedError(
+                f"[before {before}] chains accept only the "
+                f"level-{before} relation and '=' (mixed-level "
+                "before-chains are out of scope)"
+            )
         chains.append((anchor, steps, before))
     if not chains:
         raise ValueError("empty rule set")
@@ -184,12 +201,12 @@ def _root_weights(ch: str) -> tuple[bytes, int, int]:
     """Root (untailored) per-char weights: (primary, secondary, tertiary)."""
     primary = icu_fold(ch).encode("utf-8")
     nfd = unicodedata.normalize("NFD", ch)
-    secondary = 0x02
+    secondary = _SEC_BASE
     for c in nfd:
         if unicodedata.combining(c):
-            secondary = 0x03 + (ord(c) & 0x7F)
+            secondary = _SEC_ACCENT + (ord(c) & 0x7F)
             break
-    tertiary = 0x03 if ch.isupper() else 0x02
+    tertiary = _TER_UPPER if ch.isupper() else _TER_LOWER
     return primary, secondary, tertiary
 
 
@@ -214,7 +231,7 @@ class RuleCollator:
                     0x02,
                     0x02,
                 )
-            if before:
+            if before == 1:
                 # &[before 1] anchor: relations insert primary-BEFORE the
                 # anchor — rebase onto a synthetic weight just below it:
                 # decrement the last primary byte and append 0xFF, which
@@ -225,36 +242,49 @@ class RuleCollator:
                         f"[before 1] unsupported for anchor {anchor!r} "
                         "(primary weight has no predecessor)"
                     )
-                if any(level in (2, 3) for level, _, _ in steps):
-                    raise NotImplementedError(
-                        "secondary/tertiary relations after [before 1] "
-                        "are out of scope (use a primary '<' chain)"
-                    )
                 p = p[:-1] + bytes([p[-1] - 1, 0xFF])
-                s, t = 0x02, 0x02
+                s, t = _SEC_BASE, _TER_LOWER
             n_primary = n_secondary = n_tertiary = 0
+            cur: tuple[bytes, int, int] | None = None
             for level, elem, ext in steps:
-                if level == 1:
+                if level == 0:  # '=' equal to the last element at all levels
+                    ep, es, et = cur if cur is not None else (p, s, t)
+                elif before == 2:
+                    # secondary-BEFORE the anchor: anchor primary, a weight
+                    # from the reserved band below the root secondary base
+                    # (after every accentless root form's prefix, before
+                    # the anchor's own and all its accented root forms).
+                    n_secondary += 1
+                    if n_secondary > _BEFORE_SLOTS:
+                        raise ValueError("too many [before 2] insertions")
+                    ep = p
+                    es = _SEC_BEFORE + n_secondary - 1
+                    et = _TER_LOWER
+                elif before == 3:
+                    # tertiary-BEFORE: anchor primary+secondary, tertiary
+                    # from the band below the root lowercase weight.
+                    n_tertiary += 1
+                    if n_tertiary > _BEFORE_SLOTS:
+                        raise ValueError("too many [before 3] insertions")
+                    ep, es = p, s
+                    et = _TER_BEFORE + n_tertiary - 1
+                elif level == 1:
                     n_primary += 1
                     n_secondary = n_tertiary = 0
-                    ep, es, et = p + bytes([0x80 + n_primary]), 0x02, 0x02
+                    ep = p + bytes([0x80 + n_primary])
+                    es, et = _SEC_BASE, _TER_LOWER
                 elif level == 2:
                     n_secondary += 1
                     n_tertiary = 0
-                    ep, es, et = (
-                        p + (bytes([0x80 + n_primary]) if n_primary else b""),
-                        0x40 + n_secondary,
-                        0x02,
-                    )
-                elif level == 3:
+                    ep = p + (bytes([0x80 + n_primary]) if n_primary else b"")
+                    es = _SEC_STEP + n_secondary
+                    et = _TER_LOWER
+                else:  # level == 3
                     n_tertiary += 1
                     ep = p + (bytes([0x80 + n_primary]) if n_primary else b"")
-                    es = 0x40 + n_secondary if n_secondary else s
-                    et = 0x04 + n_tertiary
-                else:  # '=' equal at every level
-                    ep = p + (bytes([0x80 + n_primary]) if n_primary else b"")
-                    es = 0x40 + n_secondary if n_secondary else s
-                    et = 0x04 + n_tertiary if n_tertiary else t
+                    es = _SEC_STEP + n_secondary if n_secondary else s
+                    et = _TER_STEP + n_tertiary
+                cur = (ep, es, et)
                 # '/' expansion: the element's weights are the tailored
                 # step's weights followed by each extension char's weights
                 # (tailored if the extension char is itself in the table).
@@ -263,12 +293,18 @@ class RuleCollator:
                     ext_triples += self.table.get(c, [_root_weights(c)])
                 self.table[elem] = [(ep, es, et)] + ext_triples
                 # Auto-cover the case partner of cased single-char elements
-                # at the tertiary level (shared primary, like ICU).
-                if len(elem) == 1 and elem.swapcase() != elem:
+                # at the tertiary level (shared primary, like ICU) — except
+                # in [before 3] chains, where the tertiary weight IS the
+                # tailoring and a root-style partner would escape the band.
+                if before != 3 and len(elem) == 1 and elem.swapcase() != elem:
                     partner = elem.swapcase()
                     if partner not in self.table:
                         self.table[partner] = [
-                            (ep, es, 0x03 if partner.isupper() else 0x02)
+                            (
+                                ep,
+                                es,
+                                _TER_UPPER if partner.isupper() else _TER_LOWER,
+                            )
                         ] + ext_triples
         self._max_elem = max(len(e) for e in self.table)
 

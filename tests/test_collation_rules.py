@@ -37,9 +37,44 @@ def test_parse_errors():
     with pytest.raises(ValueError):
         parse_collation_rules("&a")  # reset with no relations
     with pytest.raises(NotImplementedError):
-        parse_collation_rules("&[before 2] a < b")  # secondary-before
+        # a [before n] chain only accepts the level-n relation and '='
+        parse_collation_rules("&[before 2] a < b")
     with pytest.raises(ValueError):
         parse_collation_rules("&a < b /")  # expansion missing extension
+    with pytest.raises(NotImplementedError):
+        parse_collation_rules("&[reorder] Grek")  # script reordering
+
+
+def test_before2_places_secondary_before_anchor():
+    rules = "&[before 2] a << à"
+    # Primary-equal to 'a'; secondary below the root base AND below every
+    # root accented a-form: à < a < á (root acute) at full strength.
+    assert custom_collation_key("à", rules, "primary") == custom_collation_key(
+        "a", rules, "primary"
+    )
+    assert _order(rules, ["á", "a", "à"]) == ["à", "a", "á"]
+    # Still after every primary-smaller string.
+    assert _order(rules, ["àb", "ab", "_b"]) == ["_b", "àb", "ab"]
+    # Chained insertions stay in order, all before the anchor.
+    got = _order("&[before 2] e << x << y", ["x", "y", "e", "d"])
+    assert got == ["d", "x", "y", "e"]
+
+
+def test_before3_places_tertiary_before_anchor():
+    rules = "&[before 3] b <<< β"
+    for strength in ("primary", "secondary"):
+        assert custom_collation_key(
+            "β", rules, strength
+        ) == custom_collation_key("b", rules, strength)
+    assert _order(rules, ["B", "b", "β"]) == ["β", "b", "B"]
+
+
+def test_before2_equal_shares_weights():
+    rules = "&[before 2] a << x = w"
+    assert custom_collation_key("w", rules) == custom_collation_key(
+        "x", rules
+    )
+    assert _order(rules, ["a", "w"]) == ["w", "a"]
 
 
 def test_parse_expansion_operator():
