@@ -9,12 +9,13 @@ Decode support is honest about the container:
 - REAL decoders (pure numpy/stdlib, no PIL/ffmpeg needed): uncompressed
   24-bit BMP, binary PPM (P6) / PGM (P5), PNG (stdlib zlib inflate +
   numpy scanline unfiltering — 8-bit gray/RGB/RGBA/palette,
-  non-interlaced), baseline-sequential JPEG (own Huffman + IDCT,
-  pipeline/jpeg.py — gray + YCbCr, any sampling factors, restart
-  markers), PCM WAV (8/16-bit), and a length-prefixed frame container
-  for video-style frame sampling.  Encoders for the same formats make
-  every decoder roundtrip-testable.
-- Remaining codec formats (MP4/MP3 audio/progressive JPEG/...) raise
+  non-interlaced), baseline-sequential AND progressive JPEG (own Huffman
+  + IDCT, pipeline/jpeg.py — gray + YCbCr, any sampling factors, restart
+  markers, SOF2 spectral-selection/successive-approximation scans), PCM
+  WAV (8/16-bit), and a length-prefixed frame container for video-style
+  frame sampling.  Encoders for the same formats make every decoder
+  roundtrip-testable.
+- Remaining codec formats (MP4/MP3 audio/...) raise
   NotImplementedError unless ``fake=True`` substitutes the deterministic
   digest-seeded decoder, so the Spark-side plumbing — schema, batch
   iteration, partition sizing — is identical either way and a real

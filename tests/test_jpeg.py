@@ -14,7 +14,12 @@ import struct
 import numpy as np
 import pytest
 
-from apache___solr_spark.pipeline.jpeg import ZIGZAG, decode_jpeg, encode_jpeg
+from apache___solr_spark.pipeline.jpeg import (
+    ZIGZAG,
+    decode_jpeg,
+    encode_jpeg,
+    encode_jpeg_progressive,
+)
 from apache___solr_spark.pipeline.multimodal import decode_image
 
 
@@ -116,15 +121,68 @@ def test_negative_dc_extend():
     assert (out == 122).all(), out
 
 
-def test_progressive_and_corrupt_raise():
+def test_unsupported_sof_and_corrupt_raise():
     img = _gradient_rgb(16, 16)
     data = bytearray(encode_jpeg(img))
     sof = data.find(b"\xff\xc0")
-    data[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    data[sof + 1] = 0xC3  # rewrite SOF0 -> SOF3 (lossless)
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(data))
     with pytest.raises(ValueError):
         decode_jpeg(b"\x00\x01not a jpeg")
+
+
+def _textured(h: int, w: int) -> np.ndarray:
+    """Gradient + high-frequency checker + a few flat patches, so AC bands
+    carry real coefficients at every successive-approximation level and
+    EOB runs span multiple all-zero blocks."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = _gradient_rgb(h, w).astype(np.float64)
+    base[..., 0] += 40 * ((xx + yy) % 2)
+    base[..., 1] += 25 * ((xx // 3 + yy // 5) % 2)
+    base[8:16, 8:16] = 128.0  # flat patch -> all-zero AC blocks
+    return np.clip(base, 0, 255).astype(np.uint8)
+
+
+def test_progressive_matches_baseline_rgb():
+    """The progressive scan script transmits the quantized coefficients
+    losslessly, so SOF2 decode must match SOF0 decode of the same frame
+    (up to IDCT float rounding)."""
+    img = _textured(40, 56)
+    base = decode_jpeg(encode_jpeg(img, quality=90)).astype(int)
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=90)).astype(int)
+    assert prog.shape == base.shape
+    assert np.abs(prog - base).max() <= 1
+
+
+def test_progressive_roundtrip_grayscale():
+    yy, xx = np.mgrid[0:40, 0:56]
+    g = np.clip(
+        (xx * 255 / 56 + yy * 255 / 40) / 2 + 30 * ((xx + yy) % 2), 0, 255
+    ).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg_progressive(g, quality=95))
+    assert dec.shape == g.shape and dec.ndim == 2
+    base = decode_jpeg(encode_jpeg(g, quality=95))
+    assert np.abs(dec.astype(int) - base.astype(int)).max() <= 1
+
+
+def test_progressive_420_odd_dims():
+    img = _textured(37, 53)
+    base = decode_jpeg(encode_jpeg(img, quality=90, subsample=True))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(img, quality=90, subsample=True)
+    )
+    assert prog.shape == img.shape
+    assert np.abs(prog.astype(int) - base.astype(int)).max() <= 1
+
+
+def test_progressive_restart_markers():
+    img = _textured(40, 56)
+    data = encode_jpeg_progressive(img, quality=90, restart_interval=3)
+    assert b"\xff\xdd" in data and b"\xff\xd0" in data
+    base = decode_jpeg(encode_jpeg(img, quality=90))
+    prog = decode_jpeg(data)
+    assert np.abs(prog.astype(int) - base.astype(int)).max() <= 1
 
 
 def test_decode_image_dispatches_jpeg():
