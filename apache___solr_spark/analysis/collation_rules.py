@@ -26,8 +26,16 @@ the anchor at level n: ``[before 1]`` rebases the primary just below
 the anchor, ``[before 2]``/``[before 3]`` place elements in a reserved
 weight band below the root secondary/tertiary base (so they sort after
 every primary-smaller string but before the anchor and all its root
-accent/case forms).  Out of scope (raise, never mis-sort): script
-reordering ``[reorder]`` and variable-top ``[alternate]``.
+accent/case forms).  ``[reorder Grek Cyrl ...]`` script reordering is
+supported: when present, every element's primary weight is prefixed
+with a one-byte reorder-group weight — listed groups (ISO 15924 script
+codes plus the special groups space/punct/symbol/currency/digit and
+``others``) come first in the listed order, unlisted groups follow in
+CLDR-root default order (at the position of ``others`` if listed);
+``[reorder none]`` restores the default.  Scripts are identified by
+compact codepoint-range tables (the common 17 scripts; everything else
+is Zzzz).  Out of scope (raise, never mis-sort): variable-top
+``[alternate]`` and ``[import]``.
 
 Key construction mirrors analysis/collation.py's layered scheme — per
 element: a primary byte string (root = icu_fold'ed UTF-8; tailored =
@@ -55,8 +63,100 @@ from pyspark.sql.functions import pandas_udf
 from apache___solr_spark.analysis.collation import _SEP, _STRENGTHS
 from apache___solr_spark.analysis.filters import icu_fold
 
-_UNSUPPORTED = re.compile(r"\[(?:reorder|alternate|import)[^\]]*\]")
+_UNSUPPORTED = re.compile(r"\[(?:alternate|import)[^\]]*\]")
 _BEFORE = re.compile(r"\[\s*before\s*([123])\s*\]")
+_REORDER = re.compile(r"\[\s*reorder((?:\s+[A-Za-z]+)*)\s*\]")
+
+# Codepoint ranges of the common scripts (ISO 15924 codes), checked in
+# order.  Everything not matched (and not a special category group) is
+# Zzzz.  Default group order = CLDR root: the five special groups, then
+# scripts in their root-collation relative order.
+_SCRIPT_RANGES: dict[str, tuple[tuple[int, int], ...]] = {
+    "Latn": ((0x41, 0x5A), (0x61, 0x7A), (0xAA, 0xAA), (0xBA, 0xBA),
+             (0xC0, 0x24F), (0x1E00, 0x1EFF), (0x2C60, 0x2C7F),
+             (0xA720, 0xA7FF)),
+    "Grek": ((0x370, 0x3FF), (0x1F00, 0x1FFF)),
+    "Cyrl": ((0x400, 0x52F), (0x2DE0, 0x2DFF), (0xA640, 0xA69F)),
+    "Geor": ((0x10A0, 0x10FF), (0x1C90, 0x1CBF)),
+    "Armn": ((0x530, 0x58F),),
+    "Hebr": ((0x590, 0x5FF),),
+    "Arab": ((0x600, 0x6FF), (0x750, 0x77F), (0x8A0, 0x8FF)),
+    "Deva": ((0x900, 0x97F),),
+    "Beng": ((0x980, 0x9FF),),
+    "Thai": ((0xE00, 0xE7F),),
+    "Laoo": ((0xE80, 0xEFF),),
+    "Mymr": ((0x1000, 0x109F),),
+    "Khmr": ((0x1780, 0x17FF),),
+    "Hang": ((0x1100, 0x11FF), (0x3130, 0x318F), (0xAC00, 0xD7AF)),
+    "Hira": ((0x3040, 0x309F),),
+    "Kana": ((0x30A0, 0x30FF), (0x31F0, 0x31FF)),
+    "Hani": ((0x2E80, 0x2FDF), (0x3400, 0x4DBF), (0x4E00, 0x9FFF),
+             (0xF900, 0xFAFF)),
+}
+_SPECIAL_GROUPS = ("space", "punct", "symbol", "currency", "digit")
+_DEFAULT_GROUPS = list(_SPECIAL_GROUPS) + list(_SCRIPT_RANGES) + ["Zzzz"]
+_GROUP_BYTE_BASE = 0x04  # group weight bytes stay above the 0x01 separator
+
+
+def _group_of(ch: str) -> str:
+    """Reorder group of a character: special category group, script by
+    codepoint range, else Zzzz."""
+    cat = unicodedata.category(ch)
+    if cat == "Zs" or (cat == "Cc" and ch.isspace()):
+        return "space"
+    if cat.startswith("P"):
+        return "punct"
+    if cat == "Sc":
+        return "currency"
+    if cat.startswith("S"):
+        return "symbol"
+    if cat == "Nd":
+        return "digit"
+    cp = ord(ch)
+    for script, ranges in _SCRIPT_RANGES.items():
+        for lo, hi in ranges:
+            if lo <= cp <= hi:
+                return script
+    return "Zzzz"
+
+
+def _resolve_reorder(codes: list[str]) -> dict[str, int] | None:
+    """Turn a [reorder ...] code list into group -> weight byte, or None
+    for the default order ([reorder none] / empty)."""
+    if not codes or codes == ["none"]:
+        return None
+    listed: list[str] = []
+    for c in codes:
+        name = c if c in _DEFAULT_GROUPS else (
+            "Zzzz" if c in ("others", "Zzzz") else c.lower()
+            if c.lower() in _SPECIAL_GROUPS else c.capitalize()
+        )
+        if name not in _DEFAULT_GROUPS:
+            raise NotImplementedError(
+                f"[reorder] code {c!r} not in the supported group set "
+                f"{_DEFAULT_GROUPS}"
+            )
+        if name in listed:
+            raise ValueError(f"[reorder] lists {c!r} twice")
+        listed.append(name)
+    unlisted = [g for g in _DEFAULT_GROUPS if g not in listed]
+    if "Zzzz" in listed:  # 'others' marks where every unlisted group goes
+        at = listed.index("Zzzz")
+        order = listed[:at] + unlisted + listed[at + 1 :]
+    else:
+        order = listed + unlisted
+    return {g: _GROUP_BYTE_BASE + i for i, g in enumerate(order)}
+
+
+def _extract_reorder(rules: str) -> tuple[list[str] | None, str]:
+    """Pull [reorder ...] settings out of the rule text (last one wins,
+    like ICU).  Returns (codes or None, rules with the settings removed)."""
+    codes: list[str] | None = None
+    for m in _REORDER.finditer(rules):
+        codes = m.group(1).split()
+        if not codes:
+            raise ValueError("[reorder] needs at least one group code")
+    return codes, _REORDER.sub(" ", rules)
 
 # Relation operators, longest first so '<<<' wins over '<'.
 _RELATIONS = (("<<<", 3), ("<<", 2), ("<", 1), ("=", 0))
@@ -140,16 +240,18 @@ def parse_collation_rules(
     empty).  ``before`` is n when the reset was ``&[before n] anchor``
     (relations place elements level-n-BEFORE the anchor), else 0; a
     [before n] chain only accepts level-n relations and '=' (ICU's other
-    combinations raise NotImplementedError here).  Raises ValueError on
+    combinations raise NotImplementedError here).  ``[reorder ...]``
+    settings are stripped here (RuleCollator reads them separately); a
+    settings-only rule set parses to zero chains.  Raises ValueError on
     syntax errors and NotImplementedError on the documented out-of-scope
-    constructs ([reorder], [alternate], [import]) — never silently
-    mis-sorts.
+    constructs ([alternate], [import]) — never silently mis-sorts.
     """
+    reorder, rules = _extract_reorder(rules)
     bad = _UNSUPPORTED.search(rules)
     if bad:
         raise NotImplementedError(
             f"unsupported collation-rule construct {bad.group(0)!r} "
-            "([reorder]/[alternate]/[import] — inventoried out of scope)"
+            "([alternate]/[import] — inventoried out of scope)"
         )
     tokens = _tokenize(rules)
     chains: list[tuple[str, list[tuple[int, str]]]] = []
@@ -192,7 +294,7 @@ def parse_collation_rules(
                 "before-chains are out of scope)"
             )
         chains.append((anchor, steps, before))
-    if not chains:
+    if not chains and reorder is None:
         raise ValueError("empty rule set")
     return chains
 
@@ -215,6 +317,9 @@ class RuleCollator:
 
     def __init__(self, rules: str):
         self.rules = rules
+        codes, _ = _extract_reorder(rules)
+        # group name -> primary prefix byte when [reorder] is active
+        self._groups = _resolve_reorder(codes) if codes else None
         # element text -> [(primary bytes, secondary int, tertiary int), …]
         # — one triple normally, several for '/'-expanded elements.
         self.table: dict[str, list[tuple[bytes, int, int]]] = {}
@@ -226,8 +331,8 @@ class RuleCollator:
                 p = b"".join(tp for tp, _, _ in triples)
                 s, t = triples[-1][1], triples[-1][2]
             else:
-                p = b"".join(_root_weights(c)[0] for c in anchor)
-                s, t = _root_weights(anchor[0])[1:] if len(anchor) == 1 else (
+                p = b"".join(self._rw(c)[0] for c in anchor)
+                s, t = self._rw(anchor[0])[1:] if len(anchor) == 1 else (
                     0x02,
                     0x02,
                 )
@@ -290,7 +395,7 @@ class RuleCollator:
                 # (tailored if the extension char is itself in the table).
                 ext_triples: list[tuple[bytes, int, int]] = []
                 for c in ext:
-                    ext_triples += self.table.get(c, [_root_weights(c)])
+                    ext_triples += self.table.get(c, [self._rw(c)])
                 self.table[elem] = [(ep, es, et)] + ext_triples
                 # Auto-cover the case partner of cased single-char elements
                 # at the tertiary level (shared primary, like ICU) — except
@@ -306,7 +411,16 @@ class RuleCollator:
                                 _TER_UPPER if partner.isupper() else _TER_LOWER,
                             )
                         ] + ext_triples
-        self._max_elem = max(len(e) for e in self.table)
+        self._max_elem = max((len(e) for e in self.table), default=1)
+
+    def _rw(self, ch: str) -> tuple[bytes, int, int]:
+        """Root weights, with the [reorder] group prefix byte when script
+        reordering is active (tailored primaries derive from anchor
+        primaries, so they inherit the prefix automatically)."""
+        p, s, t = _root_weights(ch)
+        if self._groups is not None:
+            p = bytes([self._groups[_group_of(ch)]]) + p
+        return p, s, t
 
     def _segment(self, text: str) -> list[str]:
         """Greedy longest-match split into collation elements."""
@@ -337,7 +451,7 @@ class RuleCollator:
         sec = bytearray()
         ter = bytearray()
         for elem in self._segment(nfc):
-            for p, s, t in self.table.get(elem) or [_root_weights(elem)]:
+            for p, s, t in self.table.get(elem) or [self._rw(elem)]:
                 prim += p
                 sec.append(s)
                 ter.append(t)

@@ -42,7 +42,7 @@ def test_parse_errors():
     with pytest.raises(ValueError):
         parse_collation_rules("&a < b /")  # expansion missing extension
     with pytest.raises(NotImplementedError):
-        parse_collation_rules("&[reorder] Grek")  # script reordering
+        parse_collation_rules("[alternate shifted] &a < b")  # variable top
 
 
 def test_before2_places_secondary_before_anchor():
@@ -209,6 +209,52 @@ def test_none_and_empty():
     assert custom_collation_key("", rules, "primary") == b""
 
 
+def test_reorder_scripts():
+    # Default (no reorder): UTF-8 primary order — Latin < Greek < Cyrillic.
+    words = ["алма", "apple", "μήλο"]
+    assert _order("&z < å", words) == ["apple", "μήλο", "алма"]
+    # [reorder Cyrl Grek]: Cyrillic first, then Greek, then everything else.
+    assert _order("[reorder Cyrl Grek] &z < å", words) == [
+        "алма", "μήλο", "apple",
+    ]
+
+
+def test_reorder_settings_only_and_none():
+    words = ["beta", "альфа"]
+    assert _order("[reorder Cyrl]", words) == ["альфа", "beta"]
+    assert _order("[reorder none]", words) == ["beta", "альфа"]
+
+
+def test_reorder_others_marker():
+    # 'others' marks where every unlisted group goes: Latin sorts last.
+    words = ["zzz", "яяя", "ωωω"]
+    assert _order("[reorder others Latn]", words) == ["ωωω", "яяя", "zzz"]
+
+
+def test_reorder_special_groups():
+    words = ["42", "zeta", "alpha"]
+    assert _order("[reorder Latn digit]", words) == ["alpha", "zeta", "42"]
+    assert _order("[reorder none]", words) == ["42", "alpha", "zeta"]
+
+
+def test_reorder_composes_with_tailoring():
+    # Script reordering + a tailored chain: å still sorts after z inside
+    # the (now second) Latin group.
+    words = ["ålesund", "zebra", "арбуз"]
+    assert _order("[reorder Cyrl] &z < å", words) == [
+        "арбуз", "zebra", "ålesund",
+    ]
+
+
+def test_reorder_errors():
+    with pytest.raises(NotImplementedError):
+        custom_collation_key("x", "[reorder Klingon] &a < b")
+    with pytest.raises(ValueError):
+        custom_collation_key("x", "[reorder]")
+    with pytest.raises(ValueError):
+        custom_collation_key("x", "[reorder Latn Latn]")
+
+
 def test_column_udf(spark):
     from apache___solr_spark.analysis.collation_rules import (
         custom_collation_key_col,
@@ -226,7 +272,7 @@ def test_column_udf(spark):
     assert got == ["arm", "zebra", "äpple", "öga"]
     # Invalid rules fail fast on the driver.
     with pytest.raises(NotImplementedError):
-        custom_collation_key_col("w", "&[reorder] a")
+        custom_collation_key_col("w", "&[alternate shifted] a")
 
 
 if __name__ == "__main__":
