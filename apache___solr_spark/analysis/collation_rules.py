@@ -34,8 +34,13 @@ codes plus the special groups space/punct/symbol/currency/digit and
 CLDR-root default order (at the position of ``others`` if listed);
 ``[reorder none]`` restores the default.  Scripts are identified by
 compact codepoint-range tables (the common 17 scripts; everything else
-is Zzzz).  Out of scope (raise, never mis-sort): variable-top
-``[alternate]`` and ``[import]``.
+is Zzzz).  ``[alternate shifted]`` makes variable elements (untailored
+space/punctuation characters, ICU's default maxVariable=punct set)
+ignorable at the primary-tertiary levels; they reappear as a
+quaternary level (their primary weight, below the 0xFF non-variable
+filler), so ``de luge < de-luge < deluge`` at quaternary strength while
+all three tie at tertiary.  ``[alternate non-ignorable]`` names the
+default.  Out of scope (raise, never mis-sort): ``[import]``.
 
 Key construction mirrors analysis/collation.py's layered scheme — per
 element: a primary byte string (root = icu_fold'ed UTF-8; tailored =
@@ -63,9 +68,10 @@ from pyspark.sql.functions import pandas_udf
 from apache___solr_spark.analysis.collation import _SEP, _STRENGTHS
 from apache___solr_spark.analysis.filters import icu_fold
 
-_UNSUPPORTED = re.compile(r"\[(?:alternate|import)[^\]]*\]")
+_UNSUPPORTED = re.compile(r"\[import[^\]]*\]")
 _BEFORE = re.compile(r"\[\s*before\s*([123])\s*\]")
 _REORDER = re.compile(r"\[\s*reorder((?:\s+[A-Za-z]+)*)\s*\]")
+_ALTERNATE = re.compile(r"\[\s*alternate\s+([A-Za-z-]+)\s*\]")
 
 # Codepoint ranges of the common scripts (ISO 15924 codes), checked in
 # order.  Everything not matched (and not a special category group) is
@@ -158,6 +164,18 @@ def _extract_reorder(rules: str) -> tuple[list[str] | None, str]:
             raise ValueError("[reorder] needs at least one group code")
     return codes, _REORDER.sub(" ", rules)
 
+
+def _extract_alternate(rules: str) -> tuple[bool, str]:
+    """Pull [alternate shifted|non-ignorable] out of the rule text (last
+    one wins).  Returns (shifted?, rules with the settings removed)."""
+    shifted = False
+    for m in _ALTERNATE.finditer(rules):
+        mode = m.group(1).lower()
+        if mode not in ("shifted", "non-ignorable"):
+            raise ValueError(f"[alternate] mode {m.group(1)!r} unknown")
+        shifted = mode == "shifted"
+    return shifted, _ALTERNATE.sub(" ", rules)
+
 # Relation operators, longest first so '<<<' wins over '<'.
 _RELATIONS = (("<<<", 3), ("<<", 2), ("<", 1), ("=", 0))
 
@@ -247,11 +265,12 @@ def parse_collation_rules(
     constructs ([alternate], [import]) — never silently mis-sorts.
     """
     reorder, rules = _extract_reorder(rules)
+    shifted, rules = _extract_alternate(rules)
     bad = _UNSUPPORTED.search(rules)
     if bad:
         raise NotImplementedError(
             f"unsupported collation-rule construct {bad.group(0)!r} "
-            "([alternate]/[import] — inventoried out of scope)"
+            "([import] — inventoried out of scope)"
         )
     tokens = _tokenize(rules)
     chains: list[tuple[str, list[tuple[int, str]]]] = []
@@ -294,7 +313,7 @@ def parse_collation_rules(
                 "before-chains are out of scope)"
             )
         chains.append((anchor, steps, before))
-    if not chains and reorder is None:
+    if not chains and reorder is None and not shifted:
         raise ValueError("empty rule set")
     return chains
 
@@ -320,6 +339,7 @@ class RuleCollator:
         codes, _ = _extract_reorder(rules)
         # group name -> primary prefix byte when [reorder] is active
         self._groups = _resolve_reorder(codes) if codes else None
+        self._shifted, _ = _extract_alternate(rules)
         # element text -> [(primary bytes, secondary int, tertiary int), …]
         # — one triple normally, several for '/'-expanded elements.
         self.table: dict[str, list[tuple[bytes, int, int]]] = {}
@@ -439,10 +459,14 @@ class RuleCollator:
 
     def key(self, text: str | None, strength: str = "tertiary") -> bytes:
         """Layered sort key under the tailoring (same contract as
-        collation_key: unsigned byte order == collation order)."""
-        if strength == "quaternary":
+        collation_key: unsigned byte order == collation order).  With
+        [alternate shifted], variable elements (untailored single
+        space/punctuation characters) drop out of the primary-tertiary
+        levels and carry their primary weight on a quaternary level
+        instead (non-variable elements fill with 0xFF there)."""
+        if strength == "quaternary" and not self._shifted:
             strength = "identical"
-        if strength not in _STRENGTHS:
+        if strength not in _STRENGTHS and strength != "quaternary":
             raise ValueError(f"invalid strength {strength!r}")
         if text is None:
             return b""
@@ -450,11 +474,21 @@ class RuleCollator:
         prim = bytearray()
         sec = bytearray()
         ter = bytearray()
+        quat = bytearray()
         for elem in self._segment(nfc):
+            if (
+                self._shifted
+                and len(elem) == 1
+                and elem not in self.table
+                and _group_of(elem) in ("space", "punct")
+            ):
+                quat += b"\x02" + self._rw(elem)[0]
+                continue
             for p, s, t in self.table.get(elem) or [self._rw(elem)]:
                 prim += p
                 sec.append(s)
                 ter.append(t)
+            quat.append(0xFF)
         key = bytes(prim)
         if strength == "primary":
             return key
@@ -464,6 +498,10 @@ class RuleCollator:
         key += _SEP + bytes(ter)
         if strength == "tertiary":
             return key
+        if self._shifted:
+            key += _SEP + bytes(quat)
+            if strength == "quaternary":
+                return key
         return key + _SEP + nfc.encode("utf-8")
 
 

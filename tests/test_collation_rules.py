@@ -42,7 +42,7 @@ def test_parse_errors():
     with pytest.raises(ValueError):
         parse_collation_rules("&a < b /")  # expansion missing extension
     with pytest.raises(NotImplementedError):
-        parse_collation_rules("[alternate shifted] &a < b")  # variable top
+        parse_collation_rules("[import da] &a < b")  # rule imports
 
 
 def test_before2_places_secondary_before_anchor():
@@ -246,6 +246,37 @@ def test_reorder_composes_with_tailoring():
     ]
 
 
+def test_alternate_shifted_ignores_variables_through_tertiary():
+    rules = "[alternate shifted] &z < å"
+    # Space/punct drop out of levels 1-3: the three forms tie exactly.
+    for strength in ("primary", "secondary", "tertiary"):
+        k = lambda w: custom_collation_key(w, rules, strength)
+        assert k("de luge") == k("de-luge") == k("deluge")
+    # ...and reappear at quaternary: space < hyphen < no-separator.
+    assert _order(rules, ["deluge", "de-luge", "de luge"], "quaternary") == [
+        "de luge", "de-luge", "deluge",
+    ]
+    # Tailoring still applies to the non-variable letters.
+    assert _order(rules, ["ål", "zz", "a-l"], "quaternary") == [
+        "a-l", "zz", "ål",
+    ]
+
+
+def test_alternate_non_ignorable_is_default():
+    words = ["de luge", "de-luge", "deluge"]
+    assert _order("[alternate non-ignorable] &z < å", words) == _order(
+        "&z < å", words
+    )
+    # Without shifted, punctuation differences surface at primary.
+    k = lambda w: custom_collation_key(w, "&z < å", "primary")
+    assert k("de luge") != k("deluge")
+
+
+def test_alternate_errors():
+    with pytest.raises(ValueError):
+        custom_collation_key("x", "[alternate sideways] &a < b")
+
+
 def test_reorder_errors():
     with pytest.raises(NotImplementedError):
         custom_collation_key("x", "[reorder Klingon] &a < b")
@@ -272,7 +303,7 @@ def test_column_udf(spark):
     assert got == ["arm", "zebra", "äpple", "öga"]
     # Invalid rules fail fast on the driver.
     with pytest.raises(NotImplementedError):
-        custom_collation_key_col("w", "&[alternate shifted] a")
+        custom_collation_key_col("w", "[import da] &z < a")
 
 
 if __name__ == "__main__":
