@@ -776,8 +776,9 @@ def icu_transform(token: str, transform_id: str = "Cyrillic-Latin") -> str:
     id="Cyrillic-Latin"): apply a named transliteration.  Supported ids:
     Cyrillic-Latin (ISO 9 table — 'Российская' -> 'Rossijskaâ'),
     Greek-Latin (ISO 843 letter table, accents stripped first),
-    Any-Lower / Any-Upper.  Unknown ids raise (ICU's rule engine with its
-    hundreds of system transforms is out of scope — inventoried)."""
+    Any-Lower / Any-Upper.  Unknown ids raise; arbitrary rule-language
+    transforms (the engine behind ICU's system ids) run via
+    analysis/transform_rules.py's Transliterator instead."""
     fn = _TRANSFORMS.get(transform_id)
     if fn is None:
         raise NotImplementedError(

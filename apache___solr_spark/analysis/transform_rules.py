@@ -1,0 +1,535 @@
+"""ICU rule-based transliterator: the ``Transliterator.createFromRules``
+engine behind ICUTransformFilter.
+
+The reference's ICUTransformFilterFactory
+(lucene/analysis/icu/src/java/org/apache/lucene/analysis/icu/
+ICUTransformFilterFactory.java:55 — ``Transliterator.getInstance(id)``)
+runs transforms that are themselves written in the ICU transform rule
+language (UTS #35 part 2); this module implements that language's core
+so custom rule sets (and compact definitions of additional system
+transforms) run without ICU:
+
+    $vowel = [aeiou] ;          variable definition (items: literals,
+                                UnicodeSets, other variables)
+    γ } [γκξχ] > n ;            conversion rule with post-context
+    [aeiou] { s > z ;           pre-context (matches the buffer, so it
+                                can see already-converted text)
+    ab > x | y ;                '|' cursor: re-scan resumes before 'y'
+    ^ { a > X ;   a } $ > Y ;   start / end anchors in contexts
+    ::NFD ;  ::Any-Lower ;      chain steps — each '::' line is one
+                                sequential pass over the whole text
+    'lit''eral'                 quoting ('' = one apostrophe), \\uXXXX
+    [^a-z \\u0300-\\u036F :Nd:]   sets: ranges, negation, general
+                                categories ([:Lu:] or inline :Lu:)
+    # comment                   to end of line
+
+Matching is ICU's: at each buffer position try rules in definition
+order, first match replaces and the cursor moves past the replacement
+(or to '|'); unmatched positions advance by one.  Chain-step ids map to
+the built-in transforms (Any-Lower/Upper, NFC/NFD/NFKC/NFKD, Null, and
+every id `analysis.filters.icu_transform` knows).  Out of scope
+(raise, never mis-transform): segments/back-references ``(a) > $1``,
+``&Function()`` calls, reverse-direction application (``<`` rules are
+accepted in the source but skipped forward, like ICU's forward
+compile), and global ``::[filter]`` sets.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from functools import lru_cache
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+# Long ICU category aliases -> general-category codes (short codes like
+# Lu/Nd/P are matched by prefix against unicodedata.category directly).
+_CAT_ALIASES = {
+    "letter": "L",
+    "uppercase letter": "Lu",
+    "lowercase letter": "Ll",
+    "nonspacing mark": "Mn",
+    "mark": "M",
+    "decimal number": "Nd",
+    "number": "N",
+    "punctuation": "P",
+    "symbol": "S",
+    "separator": "Z",
+    "white_space": "Z",  # approximation: separator categories
+}
+
+
+class _USet:
+    """UnicodeSet matcher: explicit chars, ranges, category prefixes."""
+
+    __slots__ = ("chars", "ranges", "cats", "negated")
+
+    def __init__(self, chars, ranges, cats, negated):
+        self.chars = chars
+        self.ranges = ranges
+        self.cats = cats
+        self.negated = negated
+
+    def match(self, ch: str) -> bool:
+        hit = (
+            ch in self.chars
+            or any(lo <= ch <= hi for lo, hi in self.ranges)
+            or any(unicodedata.category(ch).startswith(c) for c in self.cats)
+        )
+        return hit != self.negated
+
+
+_ANCHOR_START = object()  # '^' in a pre-context
+_ANCHOR_END = object()  # '$' at the end of a post-context
+
+
+def _parse_uset(src: str, i: int) -> tuple[_USet, int]:
+    """Parse a ``[...]`` set starting at ``src[i] == '['``; returns the
+    matcher and the index one past the closing ']'."""
+    i += 1
+    negated = False
+    if i < len(src) and src[i] == "^":
+        negated = True
+        i += 1
+    chars: set[str] = set()
+    ranges: list[tuple[str, str]] = []
+    cats: list[str] = []
+    pending: str | None = None  # candidate left end of an a-b range
+
+    def flush():
+        nonlocal pending
+        if pending is not None:
+            chars.add(pending)
+            pending = None
+
+    while i < len(src):
+        ch = src[i]
+        if ch == "]":
+            flush()
+            return _USet(frozenset(chars), tuple(ranges), tuple(cats),
+                         negated), i + 1
+        if ch == ":":  # [:Lu:] or inline :Lu: category item
+            end = src.find(":", i + 1)
+            if end < 0:
+                raise ValueError(f"unterminated category in set at {i}")
+            flush()
+            name = src[i + 1 : end].strip()
+            code = _CAT_ALIASES.get(name.lower(), name)
+            if not (1 <= len(code) <= 2 and code[0].isalpha()):
+                raise NotImplementedError(
+                    f"unsupported set property [:{name}:] (general "
+                    "categories only)"
+                )
+            cats.append(code)
+            i = end + 1
+            continue
+        if ch.isspace():
+            flush()
+            i += 1
+            continue
+        if ch == "-" and pending is not None and i + 1 < len(src) \
+                and src[i + 1] != "]":
+            lo = pending
+            pending = None
+            hi, i = _parse_one_char(src, i + 1)
+            if hi < lo:
+                raise ValueError(f"reversed range {lo!r}-{hi!r} in set")
+            ranges.append((lo, hi))
+            continue
+        flush()
+        pending, i = _parse_one_char(src, i)
+    raise ValueError("unterminated '[' set")
+
+
+def _parse_one_char(src: str, i: int) -> tuple[str, int]:
+    """One (possibly escaped/quoted) character at ``src[i]``."""
+    ch = src[i]
+    if ch == "\\":
+        if src[i + 1] == "u":
+            return chr(int(src[i + 2 : i + 6], 16)), i + 6
+        return src[i + 1], i + 2
+    if ch == "'":
+        if src[i + 1 : i + 2] == "'":
+            return "'", i + 2
+        end = src.find("'", i + 1)
+        if end == i + 2:
+            return src[i + 1], end + 1
+        raise ValueError("multi-char quote inside a set item")
+    return ch, i + 1
+
+
+def _tokenize_side(src: str, variables: dict, *, output: bool):
+    """Parse one side of a rule (or a variable body) into a list of
+    matcher atoms — literal chars, _USet, anchors — or, for ``output``,
+    plain characters plus the cursor marker."""
+    atoms: list = []
+    i, n = 0, len(src)
+    while i < n:
+        ch = src[i]
+        if ch.isspace():
+            i += 1
+            continue
+        if ch == "'":
+            end = src.find("'", i + 1)
+            if end < 0:
+                raise ValueError("unterminated quote")
+            if end == i + 1:  # '' = literal apostrophe
+                atoms.append("'")
+                i += 2
+                continue
+            atoms.extend(src[i + 1 : end])
+            i = end + 1
+            continue
+        if ch == "\\":
+            c, i = _parse_one_char(src, i)
+            atoms.append(c)
+            continue
+        if ch == "$":
+            m = re.match(r"\$([A-Za-z_][A-Za-z0-9_]*)", src[i:])
+            if m:
+                name = m.group(1)
+                if name not in variables:
+                    raise ValueError(f"undefined variable ${name}")
+                atoms.extend(variables[name])
+                i += m.end()
+                continue
+            if output:
+                raise ValueError("bare '$' in replacement")
+            atoms.append(_ANCHOR_END)
+            i += 1
+            continue
+        if ch == "^" and not output:
+            atoms.append(_ANCHOR_START)
+            i += 1
+            continue
+        if ch == "[":
+            if output:
+                raise ValueError("UnicodeSet in a replacement")
+            uset, i = _parse_uset(src, i)
+            atoms.append(uset)
+            continue
+        if ch == "|" and output:
+            atoms.append(_CURSOR)
+            i += 1
+            continue
+        if ch in "()&":
+            raise NotImplementedError(
+                f"transform-rule construct {ch!r} (segments/function "
+                "calls) is out of scope"
+            )
+        atoms.append(ch)
+        i += 1
+    return atoms
+
+
+_CURSOR = object()
+
+
+class _Rule:
+    __slots__ = ("pre", "key", "post", "repl", "cursor")
+
+    def __init__(self, pre, key, post, repl, cursor):
+        self.pre = pre
+        self.key = key
+        self.post = post
+        self.repl = repl
+        self.cursor = cursor
+
+
+def _match_forward(buf: str, i: int, atoms) -> int | None:
+    """Match atoms starting at buf[i]; return the end index or None."""
+    for a in atoms:
+        if a is _ANCHOR_END:
+            if i != len(buf):
+                return None
+            continue
+        if a is _ANCHOR_START:
+            if i != 0:
+                return None
+            continue
+        if i >= len(buf):
+            return None
+        if isinstance(a, _USet):
+            if not a.match(buf[i]):
+                return None
+        elif buf[i] != a:
+            return None
+        i += 1
+    return i
+
+
+def _match_backward(buf: str, i: int, atoms) -> bool:
+    """Match atoms ending exactly at buf[i] (pre-context)."""
+    j = i
+    for a in reversed(atoms):
+        if a is _ANCHOR_START:
+            if j != 0:
+                return False
+            continue
+        if a is _ANCHOR_END:
+            return False  # '$' only makes sense in a post-context
+        if j <= 0:
+            return False
+        j -= 1
+        if isinstance(a, _USet):
+            if not a.match(buf[j]):
+                return False
+        elif buf[j] != a:
+            return False
+    return True
+
+
+class _RulePass:
+    def __init__(self, rules: list[_Rule]):
+        self.rules = rules
+
+    def __call__(self, text: str) -> str:
+        buf = text
+        i = 0
+        ops = 0
+        limit = 64 * (len(text) + 16)  # runaway-rule guard
+        while i < len(buf):
+            for r in self.rules:
+                end = _match_forward(buf, i, r.key)
+                if end is None:
+                    continue
+                if r.post and _match_forward(buf, end, r.post) is None:
+                    continue
+                if r.pre and not _match_backward(buf, i, r.pre):
+                    continue
+                buf = buf[:i] + r.repl + buf[end:]
+                i += r.cursor if r.cursor is not None else len(r.repl)
+                i = max(i, 0)
+                ops += 1
+                if ops > limit:
+                    raise ValueError(
+                        "transform rules do not terminate on this input"
+                    )
+                break
+            else:
+                i += 1
+        return buf
+
+
+def _builtin_pass(tid: str):
+    from apache___solr_spark.analysis.filters import _TRANSFORMS
+
+    norm = {
+        "nfc": lambda t: unicodedata.normalize("NFC", t),
+        "nfd": lambda t: unicodedata.normalize("NFD", t),
+        "nfkc": lambda t: unicodedata.normalize("NFKC", t),
+        "nfkd": lambda t: unicodedata.normalize("NFKD", t),
+        "any-nfc": lambda t: unicodedata.normalize("NFC", t),
+        "any-nfd": lambda t: unicodedata.normalize("NFD", t),
+        "any-nfkc": lambda t: unicodedata.normalize("NFKC", t),
+        "any-nfkd": lambda t: unicodedata.normalize("NFKD", t),
+        "lower": str.lower,
+        "upper": str.upper,
+        "null": lambda t: t,
+    }
+    fn = norm.get(tid.lower()) or _TRANSFORMS.get(tid)
+    if fn is None:
+        raise NotImplementedError(
+            f"'::{tid};' chain step: unknown transform id"
+        )
+    return fn
+
+
+def _split_statements(rules: str) -> list[str]:
+    """Split on top-level ';' (quotes respected), dropping # comments."""
+    out: list[str] = []
+    cur: list[str] = []
+    i, n = 0, len(rules)
+    while i < n:
+        ch = rules[i]
+        if ch == "#":
+            nl = rules.find("\n", i)
+            i = n if nl < 0 else nl + 1
+            continue
+        if ch == "'":
+            end = rules.find("'", i + 1)
+            if end < 0:
+                raise ValueError("unterminated quote")
+            cur.append(rules[i : end + 1])
+            i = end + 1
+            continue
+        if ch == "\\" and i + 1 < n:
+            cur.append(rules[i : i + 2])
+            i += 2
+            continue
+        if ch == ";":
+            stmt = "".join(cur).strip()
+            if stmt:
+                out.append(stmt)
+            cur = []
+            i += 1
+            continue
+        cur.append(ch)
+        i += 1
+    if "".join(cur).strip():
+        raise ValueError("rule text must end with ';'")
+    return out
+
+
+def _split_rule(stmt: str) -> tuple[str, str, str]:
+    """Split a statement at its top-level operator (quotes respected).
+    Returns (lhs, op, rhs)."""
+    i, n = 0, len(stmt)
+    depth = 0
+    while i < n:
+        ch = stmt[i]
+        if ch == "'":
+            end = stmt.find("'", i + 1)
+            i = (end if end > i else n) + 1
+            continue
+        if ch == "\\":
+            i += 2
+            continue
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+        elif depth == 0 and ch in "<>=":
+            op = ch
+            j = i + 1
+            if ch == "<" and stmt[j : j + 1] == ">":
+                op = "<>"
+                j += 1
+            return stmt[:i], op, stmt[j:]
+        i += 1
+    raise ValueError(f"statement without '>', '<' or '=': {stmt!r}")
+
+
+def _parse_contexted(side: str, variables: dict):
+    """Parse ``pre { key } post`` (both braces optional) into atom lists."""
+    pre_src = key_src = post_src = ""
+    b1 = _find_top(side, "{")
+    b2 = _find_top(side, "}")
+    if b1 is not None and b2 is not None:
+        pre_src, key_src, post_src = side[:b1], side[b1 + 1 : b2], side[b2 + 1 :]
+    elif b1 is not None:
+        pre_src, key_src = side[:b1], side[b1 + 1 :]
+    elif b2 is not None:
+        key_src, post_src = side[:b2], side[b2 + 1 :]
+    else:
+        key_src = side
+    pre = _tokenize_side(pre_src, variables, output=False)
+    key = _tokenize_side(key_src, variables, output=False)
+    post = _tokenize_side(post_src, variables, output=False)
+    if not key or all(a in (_ANCHOR_START, _ANCHOR_END) for a in key):
+        raise ValueError(f"rule key matches nothing: {side!r}")
+    return pre, key, post
+
+
+def _find_top(src: str, target: str) -> int | None:
+    i, n = 0, len(src)
+    depth = 0
+    while i < n:
+        ch = src[i]
+        if ch == "'":
+            end = src.find("'", i + 1)
+            i = (end if end > i else n) + 1
+            continue
+        if ch == "\\":
+            i += 2
+            continue
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+        elif ch == target and depth == 0:
+            return i
+        i += 1
+    return None
+
+
+class Transliterator:
+    """Compiled transform: a sequence of passes applied left to right."""
+
+    def __init__(self, rules: str):
+        self.rules = rules
+        variables: dict[str, list] = {}
+        self.passes: list = []
+        pending: list[_Rule] = []
+
+        def close_rule_pass():
+            nonlocal pending
+            if pending:
+                self.passes.append(_RulePass(pending))
+                pending = []
+
+        for stmt in _split_statements(rules):
+            if stmt.startswith("::"):
+                close_rule_pass()
+                tid = stmt[2:].strip()
+                if tid.startswith("["):
+                    raise NotImplementedError(
+                        "global '::[filter]' sets are out of scope"
+                    )
+                self.passes.append(_builtin_pass(tid))
+                continue
+            lhs, op, rhs = _split_rule(stmt)
+            if op == "=":
+                name = lhs.strip()
+                if not re.fullmatch(r"\$[A-Za-z_][A-Za-z0-9_]*", name):
+                    raise ValueError(f"bad variable name {name!r}")
+                variables[name[1:]] = _tokenize_side(
+                    rhs, variables, output=False
+                )
+                continue
+            if op == "<":  # reverse-only rule: skipped when running forward
+                continue
+            # '<>' runs its forward half here, same as '>'
+            pre, key, post = _parse_contexted(lhs, variables)
+            out_atoms = _tokenize_side(rhs, variables, output=True)
+            cursor = None
+            repl_chars: list[str] = []
+            for a in out_atoms:
+                if a is _CURSOR:
+                    if cursor is not None:
+                        raise ValueError("two '|' cursors in one rule")
+                    cursor = len(repl_chars)
+                    continue
+                if not isinstance(a, str):
+                    raise ValueError("replacement must be literal text")
+                repl_chars.append(a)
+            pending.append(
+                _Rule(pre, key, post, "".join(repl_chars), cursor)
+            )
+        close_rule_pass()
+        if not self.passes:
+            raise ValueError("empty transform rule set")
+
+    def transliterate(self, text: str) -> str:
+        for p in self.passes:
+            text = p(text)
+        return text
+
+    __call__ = transliterate
+
+
+@lru_cache(maxsize=64)
+def compile_transform(rules: str) -> Transliterator:
+    return Transliterator(rules)
+
+
+def icu_transform_rules(token: str, rules: str) -> str:
+    """One-shot rule transform (compiled transliterator cached)."""
+    return compile_transform(rules)(token)
+
+
+def transform_rules_col(col: Column | str, rules: str) -> Column:
+    """Rule-transformed string column — the Spark face of a custom-rules
+    ICUTransformFilter (Arrow-batched; compiled once per executor via the
+    lru_cache, not per batch)."""
+    compile_transform(rules)  # validate on the driver, fail fast
+
+    @pandas_udf("string")
+    def _tr(s: pd.Series) -> pd.Series:
+        t = compile_transform(rules)
+        return s.map(lambda x: None if x is None else t(x))
+
+    return _tr(F.col(col) if isinstance(col, str) else col)

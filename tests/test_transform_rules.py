@@ -1,0 +1,142 @@
+"""ICU rule-based transliterator engine (Transliterator.createFromRules
+analog) — pure-Python tests plus one Spark column test."""
+
+from __future__ import annotations
+
+import pytest
+
+from apache___solr_spark.analysis.transform_rules import (
+    Transliterator,
+    compile_transform,
+    icu_transform_rules,
+)
+
+
+def t(rules: str, text: str) -> str:
+    return icu_transform_rules(text, rules)
+
+
+def test_simple_replacement_and_order():
+    # First-match-wins in definition order.
+    assert t("ab > X ; a > y ;", "aab") == "yX"
+    assert t("a > y ; ab > X ;", "aab") == "yyb"
+
+
+def test_variables_and_sets():
+    rules = "$v = [aeiou] ; $v > V ;"
+    assert t(rules, "hello world") == "hVllV wVrld"
+    # Variables compose (a variable used inside another).
+    rules2 = "$c = [bcd] ; $cv = $c ; $cv > '#' ;"
+    assert t(rules2, "abcde") == "a###e"
+
+
+def test_set_ranges_negation_escapes():
+    assert t(r"[a-c] > x ;", "abcd") == "xxxd"
+    assert t(r"[^a-c ] > x ;", "abcd") == "abcx"
+    assert t("\\u0041 > z ;", "ABA") == "zBz"
+
+
+def test_category_sets():
+    assert t("[:Nd:] > '#' ;", "a1b22") == "a#b##"
+    assert t("[:Lu:] > _ ;", "aXbY") == "a_b_"
+    # Long alias form.
+    assert t("[:Decimal Number:] > '#' ;", "x9") == "x#"
+
+
+def test_contexts():
+    # Post-context: s before a vowel becomes z.
+    assert t("s } [aeiou] > z ;", "sa se st s") == "za ze st s"
+    # Pre-context: s after a vowel becomes z.
+    assert t("[aeiou] { s > z ;", "as is ks") == "az iz ks"
+    # Pre-context sees already-converted text: first rule rewrites 'a' to
+    # 'e', then 's' after that 'e' still z-ifies.
+    assert t("a > e ; [e] { s > z ;", "as") == "ez"
+
+
+def test_anchors():
+    assert t("^ { a > X ;", "aba") == "Xba"
+    assert t("a } $ > Y ;", "aba") == "abY"
+
+
+def test_cursor_rescan():
+    # '|' puts the cursor before 'y', so the 'yz' rule still fires.
+    assert t("ab > x | y ; yz > w ;", "abz") == "xw"
+    # Without the cursor the second rule is never reached.
+    assert t("ab > xy ; yz > w ;", "abz") == "xyz"
+
+
+def test_chain_steps():
+    assert t("::Any-Lower ;", "MiXeD") == "mixed"
+    # NFD + mark stripping as two passes.
+    rules = "::NFD ; [:Mn:] > ;"
+    assert t(rules, "café résumé") == "cafe resume"
+    # Built-in table transforms are callable as chain steps too.
+    assert t("::Cyrillic-Latin ;", "щука") == "ŝuka"
+
+
+def test_greek_latin_gamma_nasal():
+    """The ISO 843 digraph rule the table-based Greek-Latin transform
+    lacks: gamma before a velar transcribes as n."""
+    rules = (
+        "::Any-Lower ; ::NFD ; [:Mn:] > ;"
+        "γ } [γκξχ] > n ; γ > g ; α > a ; ε > e ; λ > l ; ο > o ; σ > s ;"
+        "ς > s ;"
+    )
+    assert t(rules, "άγγελος") == "angelos"
+    assert t(rules, "γάλα") == "gala"
+
+
+def test_quoting():
+    assert t("'>' > gt ;", "a>b") == "agtb"
+    assert t("'' > q ;", "a'b") == "aqb"
+
+
+def test_bidirectional_and_reverse_rules():
+    # '<>' applies forward; '<' is reverse-only and skipped.
+    assert t("a <> b ; x < y ;", "ax") == "bx"
+
+
+def test_empty_replacement_deletes():
+    assert t("[aeiou] > ;", "hello") == "hll"
+
+
+def test_errors():
+    with pytest.raises(ValueError):
+        compile_transform("a > b")  # missing ';'
+    with pytest.raises(ValueError):
+        compile_transform("$undefined > x ;")
+    with pytest.raises(NotImplementedError):
+        compile_transform("(a) > b ;")  # segments
+    with pytest.raises(NotImplementedError):
+        compile_transform(":: [a-z] Remove ;")  # global filter set
+    with pytest.raises(NotImplementedError):
+        compile_transform("::NoSuchTransform ;")
+    with pytest.raises(ValueError):
+        compile_transform("> x ;")  # empty key
+    # Non-terminating rule set is cut off with a clear error.
+    with pytest.raises(ValueError):
+        Transliterator("a > | a ;").transliterate("a")
+
+
+def test_column_udf(spark):
+    from apache___solr_spark.analysis.transform_rules import (
+        transform_rules_col,
+    )
+
+    df = spark.createDataFrame(
+        [("Российская",), ("щука",), (None,)], "w string"
+    )
+    rules = "::Cyrillic-Latin ;"
+    got = [
+        r["t"]
+        for r in df.select(
+            transform_rules_col("w", rules).alias("t")
+        ).collect()
+    ]
+    assert got == ["Rossijskaâ", "ŝuka", None]
+    with pytest.raises(NotImplementedError):
+        transform_rules_col("w", "(a) > $1 ;")
+
+
+if __name__ == "__main__":
+    raise SystemExit(pytest.main([__file__, "-q"]))
