@@ -40,7 +40,10 @@ ignorable at the primary-tertiary levels; they reappear as a
 quaternary level (their primary weight, below the 0xFF non-variable
 filler), so ``de luge < de-luge < deluge`` at quaternary strength while
 all three tie at tertiary.  ``[alternate non-ignorable]`` names the
-default.  Out of scope (raise, never mis-sort): ``[import]``.
+default.  ``[import <locale>]`` splices the bundled tailoring for
+da/no/sv/de-u-co-phonebk (the same locales collation.py ships as remap
+tables) into the rule text.  Any other bracket setting raises — never
+silently mis-sorts.
 
 Key construction mirrors analysis/collation.py's layered scheme — per
 element: a primary byte string (root = icu_fold'ed UTF-8; tailored =
@@ -68,8 +71,38 @@ from pyspark.sql.functions import pandas_udf
 from apache___solr_spark.analysis.collation import _SEP, _STRENGTHS
 from apache___solr_spark.analysis.filters import icu_fold
 
-_UNSUPPORTED = re.compile(r"\[import[^\]]*\]")
+_UNSUPPORTED = re.compile(r"\[\s*(?!before\s*[123])[A-Za-z][^\]]*\]")
 _BEFORE = re.compile(r"\[\s*before\s*([123])\s*\]")
+_IMPORT = re.compile(r"\[\s*import\s+([A-Za-z0-9_-]+)\s*\]")
+
+# [import <locale>]: canned tailoring rule text for the same locales
+# analysis/collation.py ships as remap tables (ICU resolves imports from
+# its bundled CLDR data; these are the in-tree equivalents).
+_LOCALE_RULES = {
+    "da": "&z < æ < ø < å  &å = aa  &æ = ä  &ø = ö",
+    "no": "&z < æ < ø < å  &å = aa",
+    "sv": "&z < å < ä < ö",
+    "de-u-co-phonebk": "&ae = ä  &oe = ö  &ue = ü  &ss = ß",
+}
+_LOCALE_RULES["de_phonebook"] = _LOCALE_RULES["de-u-co-phonebk"]
+
+
+def _splice_imports(rules: str) -> str:
+    """Replace every [import <locale>] with that locale's tailoring rules
+    (a textual splice — the imported chains participate exactly like
+    hand-written ones).  Unknown locales raise."""
+
+    def repl(m: re.Match) -> str:
+        loc = m.group(1)
+        body = _LOCALE_RULES.get(loc)
+        if body is None:
+            raise NotImplementedError(
+                f"[import {loc}]: no bundled tailoring (available: "
+                f"{sorted(set(_LOCALE_RULES))})"
+            )
+        return f" {body} "
+
+    return _IMPORT.sub(repl, rules)
 _REORDER = re.compile(r"\[\s*reorder((?:\s+[A-Za-z]+)*)\s*\]")
 _ALTERNATE = re.compile(r"\[\s*alternate\s+([A-Za-z-]+)\s*\]")
 
@@ -264,13 +297,15 @@ def parse_collation_rules(
     syntax errors and NotImplementedError on the documented out-of-scope
     constructs ([alternate], [import]) — never silently mis-sorts.
     """
+    rules = _splice_imports(rules)
     reorder, rules = _extract_reorder(rules)
     shifted, rules = _extract_alternate(rules)
     bad = _UNSUPPORTED.search(rules)
     if bad:
         raise NotImplementedError(
-            f"unsupported collation-rule construct {bad.group(0)!r} "
-            "([import] — inventoried out of scope)"
+            f"unsupported collation-rule setting {bad.group(0)!r} "
+            "(only [before n]/[reorder]/[alternate]/[import] are "
+            "implemented)"
         )
     tokens = _tokenize(rules)
     chains: list[tuple[str, list[tuple[int, str]]]] = []
@@ -347,15 +382,16 @@ class RuleCollator:
             # Anchor weights: tailored if a previous chain tailored it,
             # else root weights of the (possibly multi-char) anchor string.
             if anchor in self.table:
-                triples = self.table[anchor]
-                p = b"".join(tp for tp, _, _ in triples)
-                s, t = triples[-1][1], triples[-1][2]
+                anchor_triples = self.table[anchor]
             else:
-                p = b"".join(self._rw(c)[0] for c in anchor)
-                s, t = self._rw(anchor[0])[1:] if len(anchor) == 1 else (
-                    0x02,
-                    0x02,
-                )
+                anchor_triples = [self._rw(c) for c in anchor]
+            p = b"".join(tp for tp, _, _ in anchor_triples)
+            if len(anchor_triples) == 1:
+                s, t = anchor_triples[0][1], anchor_triples[0][2]
+            elif anchor in self.table:
+                s, t = anchor_triples[-1][1], anchor_triples[-1][2]
+            else:
+                s, t = 0x02, 0x02
             if before == 1:
                 # &[before 1] anchor: relations insert primary-BEFORE the
                 # anchor — rebase onto a synthetic weight just below it:
@@ -373,6 +409,31 @@ class RuleCollator:
             cur: tuple[bytes, int, int] | None = None
             for level, elem, ext in steps:
                 if level == 0:  # '=' equal to the last element at all levels
+                    if cur is None and before == 0:
+                        # '=' directly on the anchor: inherit its FULL
+                        # triple list, so '&ae = ä' makes ä byte-identical
+                        # to the two-element 'ae' at every level.
+                        ext_triples = []
+                        for c in ext:
+                            ext_triples += self.table.get(c, [self._rw(c)])
+                        self.table[elem] = list(anchor_triples) + ext_triples
+                        partner = elem.swapcase()
+                        if (
+                            len(elem) == 1
+                            and partner != elem
+                            and partner not in self.table
+                        ):
+                            first = anchor_triples[0]
+                            self.table[partner] = [
+                                (
+                                    first[0],
+                                    first[1],
+                                    _TER_UPPER
+                                    if partner.isupper()
+                                    else _TER_LOWER,
+                                )
+                            ] + list(anchor_triples[1:]) + ext_triples
+                        continue
                     ep, es, et = cur if cur is not None else (p, s, t)
                 elif before == 2:
                     # secondary-BEFORE the anchor: anchor primary, a weight

@@ -27,8 +27,10 @@ Matching is ICU's: at each buffer position try rules in definition
 order, first match replaces and the cursor moves past the replacement
 (or to '|'); unmatched positions advance by one.  Chain-step ids map to
 the built-in transforms (Any-Lower/Upper, NFC/NFD/NFKC/NFKD, Null, and
-every id `analysis.filters.icu_transform` knows).  Out of scope
-(raise, never mis-transform): segments/back-references ``(a) > $1``,
+every id `analysis.filters.icu_transform` knows).  Segments capture in
+the key — ``([bc]) a > $1 ;`` — numbered by '(' order (nesting allowed)
+and substituted by ``$1``-``$9`` in the replacement.  Out of scope
+(raise, never mis-transform): segments inside contexts,
 ``&Function()`` calls, reverse-direction application (``<`` rules are
 accepted in the source but skipped forward, like ICU's forward
 compile), and global ``::[filter]`` sets.
@@ -84,6 +86,17 @@ class _USet:
 
 _ANCHOR_START = object()  # '^' in a pre-context
 _ANCHOR_END = object()  # '$' at the end of a post-context
+_SEG_OPEN = object()  # '(' in a key: start a capture segment
+_SEG_CLOSE = object()  # ')' in a key: close the innermost segment
+
+
+class _BackRef:
+    """``$n`` in a replacement: substitute capture segment n."""
+
+    __slots__ = ("n",)
+
+    def __init__(self, n: int):
+        self.n = n
 
 
 def _parse_uset(src: str, i: int) -> tuple[_USet, int]:
@@ -188,6 +201,13 @@ def _tokenize_side(src: str, variables: dict, *, output: bool):
             atoms.append(c)
             continue
         if ch == "$":
+            if output and i + 1 < n and src[i + 1].isdigit():
+                num = int(src[i + 1])
+                if num == 0:
+                    raise ValueError("back-references are numbered from $1")
+                atoms.append(_BackRef(num))
+                i += 2
+                continue
             m = re.match(r"\$([A-Za-z_][A-Za-z0-9_]*)", src[i:])
             if m:
                 name = m.group(1)
@@ -215,10 +235,21 @@ def _tokenize_side(src: str, variables: dict, *, output: bool):
             atoms.append(_CURSOR)
             i += 1
             continue
-        if ch in "()&":
+        if ch == "(":
+            if output:
+                raise ValueError("'(' in a replacement (quote literals)")
+            atoms.append(_SEG_OPEN)
+            i += 1
+            continue
+        if ch == ")":
+            if output:
+                raise ValueError("')' in a replacement (quote literals)")
+            atoms.append(_SEG_CLOSE)
+            i += 1
+            continue
+        if ch == "&":
             raise NotImplementedError(
-                f"transform-rule construct {ch!r} (segments/function "
-                "calls) is out of scope"
+                "transform-rule '&Function()' calls are out of scope"
             )
         atoms.append(ch)
         i += 1
@@ -229,13 +260,17 @@ _CURSOR = object()
 
 
 class _Rule:
-    __slots__ = ("pre", "key", "post", "repl", "cursor")
+    """``parts`` is the replacement as literal strings and int capture
+    indexes; ``cursor`` is a part index ('|' position), or None for the
+    default move-past-replacement."""
 
-    def __init__(self, pre, key, post, repl, cursor):
+    __slots__ = ("pre", "key", "post", "parts", "cursor")
+
+    def __init__(self, pre, key, post, parts, cursor):
         self.pre = pre
         self.key = key
         self.post = post
-        self.repl = repl
+        self.parts = parts
         self.cursor = cursor
 
 
@@ -259,6 +294,39 @@ def _match_forward(buf: str, i: int, atoms) -> int | None:
             return None
         i += 1
     return i
+
+
+def _match_key(buf: str, i: int, atoms) -> tuple[int, list[str]] | None:
+    """Match a rule key at buf[i], recording segment captures.  Returns
+    (end index, captures) or None."""
+    caps: list[str] = []
+    stack: list[tuple[int, int]] = []
+    for a in atoms:
+        if a is _SEG_OPEN:
+            stack.append((len(caps), i))
+            caps.append("")
+            continue
+        if a is _SEG_CLOSE:
+            idx, start = stack.pop()
+            caps[idx] = buf[start:i]
+            continue
+        if a is _ANCHOR_END:
+            if i != len(buf):
+                return None
+            continue
+        if a is _ANCHOR_START:
+            if i != 0:
+                return None
+            continue
+        if i >= len(buf):
+            return None
+        if isinstance(a, _USet):
+            if not a.match(buf[i]):
+                return None
+        elif buf[i] != a:
+            return None
+        i += 1
+    return i, caps
 
 
 def _match_backward(buf: str, i: int, atoms) -> bool:
@@ -293,15 +361,24 @@ class _RulePass:
         limit = 64 * (len(text) + 16)  # runaway-rule guard
         while i < len(buf):
             for r in self.rules:
-                end = _match_forward(buf, i, r.key)
-                if end is None:
+                m = _match_key(buf, i, r.key)
+                if m is None:
                     continue
+                end, caps = m
                 if r.post and _match_forward(buf, end, r.post) is None:
                     continue
                 if r.pre and not _match_backward(buf, i, r.pre):
                     continue
-                buf = buf[:i] + r.repl + buf[end:]
-                i += r.cursor if r.cursor is not None else len(r.repl)
+                pieces = [
+                    p if isinstance(p, str) else caps[p] for p in r.parts
+                ]
+                repl = "".join(pieces)
+                buf = buf[:i] + repl + buf[end:]
+                i += (
+                    sum(len(x) for x in pieces[: r.cursor])
+                    if r.cursor is not None
+                    else len(repl)
+                )
                 i = max(i, 0)
                 ops += 1
                 if ops > limit:
@@ -419,9 +496,27 @@ def _parse_contexted(side: str, variables: dict):
     pre = _tokenize_side(pre_src, variables, output=False)
     key = _tokenize_side(key_src, variables, output=False)
     post = _tokenize_side(post_src, variables, output=False)
-    if not key or all(a in (_ANCHOR_START, _ANCHOR_END) for a in key):
+    for ctx in (pre, post):
+        if any(a is _SEG_OPEN or a is _SEG_CLOSE for a in ctx):
+            raise NotImplementedError(
+                "segments inside contexts are out of scope"
+            )
+    depth = 0
+    nsegs = 0
+    for a in key:
+        if a is _SEG_OPEN:
+            depth += 1
+            nsegs += 1
+        elif a is _SEG_CLOSE:
+            depth -= 1
+            if depth < 0:
+                raise ValueError(f"unbalanced ')' in {side!r}")
+    if depth != 0:
+        raise ValueError(f"unbalanced '(' in {side!r}")
+    skip = (_ANCHOR_START, _ANCHOR_END, _SEG_OPEN, _SEG_CLOSE)
+    if not key or all(any(a is s for s in skip) for a in key):
         raise ValueError(f"rule key matches nothing: {side!r}")
-    return pre, key, post
+    return pre, key, post, nsegs
 
 
 def _find_top(src: str, target: str) -> int | None:
@@ -483,22 +578,29 @@ class Transliterator:
             if op == "<":  # reverse-only rule: skipped when running forward
                 continue
             # '<>' runs its forward half here, same as '>'
-            pre, key, post = _parse_contexted(lhs, variables)
+            pre, key, post, nsegs = _parse_contexted(lhs, variables)
             out_atoms = _tokenize_side(rhs, variables, output=True)
             cursor = None
-            repl_chars: list[str] = []
+            parts: list[str | int] = []
             for a in out_atoms:
                 if a is _CURSOR:
                     if cursor is not None:
                         raise ValueError("two '|' cursors in one rule")
-                    cursor = len(repl_chars)
+                    cursor = len(parts)
+                    continue
+                if isinstance(a, _BackRef):
+                    if a.n > nsegs:
+                        raise ValueError(
+                            f"${a.n} but the key has only {nsegs} segment(s)"
+                        )
+                    parts.append(a.n - 1)
                     continue
                 if not isinstance(a, str):
-                    raise ValueError("replacement must be literal text")
-                repl_chars.append(a)
-            pending.append(
-                _Rule(pre, key, post, "".join(repl_chars), cursor)
-            )
+                    raise ValueError(
+                        "replacement must be literal text / back-references"
+                    )
+                parts.append(a)
+            pending.append(_Rule(pre, key, post, tuple(parts), cursor))
         close_rule_pass()
         if not self.passes:
             raise ValueError("empty transform rule set")

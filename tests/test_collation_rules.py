@@ -42,7 +42,7 @@ def test_parse_errors():
     with pytest.raises(ValueError):
         parse_collation_rules("&a < b /")  # expansion missing extension
     with pytest.raises(NotImplementedError):
-        parse_collation_rules("[import da] &a < b")  # rule imports
+        parse_collation_rules("[caseFirst upper] &a < b")  # other settings
 
 
 def test_before2_places_secondary_before_anchor():
@@ -272,6 +272,33 @@ def test_alternate_non_ignorable_is_default():
     assert k("de luge") != k("deluge")
 
 
+def test_import_locale_tailorings():
+    # Danish: z < æ < ø < å with aa == å ('ålen' < 'aargang' on the
+    # letters after the equal å/aa prefix).
+    words = ["zebra", "æble", "øje", "ålen", "aargang", "arm"]
+    assert _order("[import da]", words) == [
+        "arm", "zebra", "æble", "øje", "ålen", "aargang",
+    ]
+    # German phonebook: umlauts expand to base+e at all levels.
+    k = lambda w: custom_collation_key(w, "[import de_phonebook]")
+    assert k("ä") == k("ae") and k("ö") == k("oe")
+    assert _order("[import de_phonebook]", ["öl", "of", "oz"]) == [
+        "öl", "of", "oz",
+    ]
+
+
+def test_import_composes_with_rules_and_settings():
+    got = _order("[import sv] &v << w", ["wåg", "våg", "zebra", "äpple"])
+    assert got == ["våg", "wåg", "zebra", "äpple"]
+
+
+def test_import_unknown_and_other_settings_raise():
+    with pytest.raises(NotImplementedError):
+        custom_collation_key("x", "[import fr] &a < b")
+    with pytest.raises(NotImplementedError):
+        custom_collation_key("x", "[caseFirst upper] &a < b")
+
+
 def test_alternate_errors():
     with pytest.raises(ValueError):
         custom_collation_key("x", "[alternate sideways] &a < b")
@@ -303,7 +330,7 @@ def test_column_udf(spark):
     assert got == ["arm", "zebra", "äpple", "öga"]
     # Invalid rules fail fast on the driver.
     with pytest.raises(NotImplementedError):
-        custom_collation_key_col("w", "[import da] &z < a")
+        custom_collation_key_col("w", "[backwards 2] &z < a")
 
 
 if __name__ == "__main__":

@@ -100,13 +100,40 @@ def test_empty_replacement_deletes():
     assert t("[aeiou] > ;", "hello") == "hll"
 
 
+def test_segments_and_backrefs():
+    # Double a captured set match.
+    assert t("([bc]) > $1$1 ;", "abc") == "abbcc"
+    # Swap two captures.
+    assert t("(a)([xy]) > $2$1 ;", "ax ay ab") == "xa ya ab"
+    # Nested segments number by '(' order.
+    assert t("((a)b) > $2'-'$1 ;", "ab") == "a-ab"
+    # Literal text mixes with back-references.
+    assert t("([0-9]) > 'n('$1')' ;", "a7") == "an(7)"
+
+
+def test_segment_backref_with_cursor():
+    # Cursor at 0 re-scans the substituted text, so the second rule fires
+    # on the 'w' the first rule wrote; without it the cursor skips past.
+    assert t("(ab)z > |$1w ; w > V ;", "abz") == "abV"
+    assert t("(ab)z > $1w ; w > V ;", "abz") == "abw"
+
+
+def test_segment_errors():
+    with pytest.raises(ValueError):
+        compile_transform("(a) > $2 ;")  # only one segment
+    with pytest.raises(ValueError):
+        compile_transform("(a > x ;")  # unbalanced
+    with pytest.raises(ValueError):
+        compile_transform("(a) > $0 ;")  # numbered from 1
+    with pytest.raises(NotImplementedError):
+        compile_transform("(a) { b > c ;")  # segment in a context
+
+
 def test_errors():
     with pytest.raises(ValueError):
         compile_transform("a > b")  # missing ';'
     with pytest.raises(ValueError):
         compile_transform("$undefined > x ;")
-    with pytest.raises(NotImplementedError):
-        compile_transform("(a) > b ;")  # segments
     with pytest.raises(NotImplementedError):
         compile_transform(":: [a-z] Remove ;")  # global filter set
     with pytest.raises(NotImplementedError):
@@ -135,7 +162,7 @@ def test_column_udf(spark):
     ]
     assert got == ["Rossijskaâ", "ŝuka", None]
     with pytest.raises(NotImplementedError):
-        transform_rules_col("w", "(a) > $1 ;")
+        transform_rules_col("w", "&remove(a) > x ;")
 
 
 if __name__ == "__main__":
