@@ -29,11 +29,13 @@ order, first match replaces and the cursor moves past the replacement
 the built-in transforms (Any-Lower/Upper, NFC/NFD/NFKC/NFKD, Null, and
 every id `analysis.filters.icu_transform` knows).  Segments capture in
 the key — ``([bc]) a > $1 ;`` — numbered by '(' order (nesting allowed)
-and substituted by ``$1``-``$9`` in the replacement.  Out of scope
-(raise, never mis-transform): segments inside contexts,
-``&Function()`` calls, reverse-direction application (``<`` rules are
-accepted in the source but skipped forward, like ICU's forward
-compile), and global ``::[filter]`` sets.
+and substituted by ``$1``-``$9`` in the replacement.
+``&Id($1 lit)`` in a replacement applies a chain-step transform (same
+id namespace as '::id;') to the materialized argument — ICU's function
+calls, e.g. ``(a[bc]) > &Any-Upper($1) ;``.  Out of scope (raise,
+never mis-transform): segments inside contexts, reverse-direction
+application (``<`` rules are accepted in the source but skipped
+forward, like ICU's forward compile), and global ``::[filter]`` sets.
 """
 
 from __future__ import annotations
@@ -97,6 +99,17 @@ class _BackRef:
 
     def __init__(self, n: int):
         self.n = n
+
+
+class _FnCall:
+    """``&Id(args)`` in a replacement: apply a chain-step transform to
+    the materialized argument atoms (strs and capture indexes)."""
+
+    __slots__ = ("fn", "parts")
+
+    def __init__(self, fn, parts):
+        self.fn = fn
+        self.parts = parts
 
 
 def _parse_uset(src: str, i: int) -> tuple[_USet, int]:
@@ -248,9 +261,43 @@ def _tokenize_side(src: str, variables: dict, *, output: bool):
             i += 1
             continue
         if ch == "&":
-            raise NotImplementedError(
-                "transform-rule '&Function()' calls are out of scope"
-            )
+            if not output:
+                raise ValueError("'&Id()' calls belong in replacements")
+            m = re.match(r"&\s*([A-Za-z][A-Za-z0-9_-]*)\s*\(", src[i:])
+            if not m:
+                raise ValueError(f"malformed '&' function call at {i}")
+            fn = _builtin_pass(m.group(1))  # unknown ids raise here
+            j = i + m.end()
+            # find the matching ')' (quotes respected; no nested calls)
+            k = j
+            while k < n:
+                if src[k] == "'":
+                    end = src.find("'", k + 1)
+                    if end < 0:
+                        raise ValueError("unterminated quote in '&' args")
+                    k = end + 1
+                    continue
+                if src[k] == "\\":
+                    k += 2
+                    continue
+                if src[k] == ")":
+                    break
+                if src[k] in "(&":
+                    raise NotImplementedError(
+                        "nested '&' calls / '(' inside call args"
+                    )
+                k += 1
+            if k >= n:
+                raise ValueError("unterminated '&Id(' call")
+            inner = _tokenize_side(src[j:k], variables, output=True)
+            for a in inner:
+                if not isinstance(a, (str, _BackRef)):
+                    raise ValueError(
+                        "'&' call args must be literals/back-references"
+                    )
+            atoms.append(_FnCall(fn, inner))
+            i = k + 1
+            continue
         atoms.append(ch)
         i += 1
     return atoms
@@ -369,9 +416,17 @@ class _RulePass:
                     continue
                 if r.pre and not _match_backward(buf, i, r.pre):
                     continue
-                pieces = [
-                    p if isinstance(p, str) else caps[p] for p in r.parts
-                ]
+                pieces = []
+                for p in r.parts:
+                    if isinstance(p, str):
+                        pieces.append(p)
+                    elif isinstance(p, int):
+                        pieces.append(caps[p])
+                    else:  # _FnCall: transform the materialized argument
+                        pieces.append(p.fn("".join(
+                            x if isinstance(x, str) else caps[x]
+                            for x in p.parts
+                        )))
                 repl = "".join(pieces)
                 buf = buf[:i] + repl + buf[end:]
                 i += (
@@ -594,6 +649,20 @@ class Transliterator:
                             f"${a.n} but the key has only {nsegs} segment(s)"
                         )
                     parts.append(a.n - 1)
+                    continue
+                if isinstance(a, _FnCall):
+                    inner: list[str | int] = []
+                    for x in a.parts:
+                        if isinstance(x, _BackRef):
+                            if x.n > nsegs:
+                                raise ValueError(
+                                    f"${x.n} but the key has only "
+                                    f"{nsegs} segment(s)"
+                                )
+                            inner.append(x.n - 1)
+                        else:
+                            inner.append(x)
+                    parts.append(_FnCall(a.fn, tuple(inner)))
                     continue
                 if not isinstance(a, str):
                     raise ValueError(

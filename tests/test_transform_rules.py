@@ -118,6 +118,27 @@ def test_segment_backref_with_cursor():
     assert t("(ab)z > $1w ; w > V ;", "abz") == "abw"
 
 
+def test_function_calls():
+    # Apply a chain-step transform to a captured segment.
+    assert t("(a[bc]) > &Any-Upper($1) ;", "ab xy") == "AB xy"
+    # Literals mix with back-references inside the call.
+    assert t("([bc]) > &Upper('<'$1'>') ;", "b") == "<B>"
+    # NFD inside a call decomposes just the argument.
+    out = t("(é) > &NFD($1) ;", "é")
+    assert out == "é"
+
+
+def test_function_call_errors():
+    with pytest.raises(NotImplementedError):
+        compile_transform("(a) > &NoSuch($1) ;")
+    with pytest.raises(ValueError):
+        compile_transform("(a) > &Upper($1 ;")  # unterminated
+    with pytest.raises(NotImplementedError):
+        compile_transform("(a) > &Upper(&Lower($1)) ;")  # nested
+    with pytest.raises(ValueError):
+        compile_transform("&Upper(a) > x ;")  # call on the match side
+
+
 def test_segment_errors():
     with pytest.raises(ValueError):
         compile_transform("(a) > $2 ;")  # only one segment
@@ -162,7 +183,7 @@ def test_column_udf(spark):
     ]
     assert got == ["Rossijskaâ", "ŝuka", None]
     with pytest.raises(NotImplementedError):
-        transform_rules_col("w", "&remove(a) > x ;")
+        transform_rules_col("w", "::[a-z] Remove ;")
 
 
 if __name__ == "__main__":
