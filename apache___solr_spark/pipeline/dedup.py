@@ -641,3 +641,92 @@ def strip_duplicate_spans(
             F.greatest(F.size("_t"), F.lit(0)) - F.size(cleaned)
         ).alias("n_removed_tokens"),
     )
+
+
+def _word_tokens(col) -> "F.Column":
+    """Decontamination token stream: lowercase, alnum runs only — the
+    GPT-3 appendix-C normalization (case and punctuation removed before
+    gram matching)."""
+    return F.array_remove(F.split(F.lower(col), r"[^a-z0-9]+"), "")
+
+
+def _gram_hashes(tcol, n: int) -> "F.Column":
+    """xxhash64 of every ``n``-token window; a sequence shorter than
+    ``n`` (but non-empty) contributes its whole token run as one gram."""
+    full = F.transform(
+        F.sequence(F.lit(1), F.size(tcol) - F.lit(n - 1)),
+        lambda i: F.xxhash64(F.array_join(F.slice(tcol, i, n), " ")),
+    )
+    whole = F.array(F.xxhash64(F.array_join(tcol, " ")))
+    return (
+        F.when(F.size(tcol) >= n, full)
+        .when(F.size(tcol) > 0, whole)
+        .otherwise(F.array().cast("array<bigint>"))
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    eval_text_col: str = "text",
+    n: int = 13,
+    mode: str = "flag",
+) -> DataFrame:
+    """Benchmark decontamination: remove/flag training documents that share
+    any ``n``-token gram with an evaluation set.
+
+    The GPT-3 appendix-C / PaLM procedure: lowercase, strip punctuation,
+    and treat a training document as contaminated if any of its ``n``-word
+    windows (n=13 by convention) also occurs in a benchmark item.  Eval
+    items shorter than ``n`` tokens contribute their whole token run as a
+    single gram, so they still catch verbatim copies; catching a *short*
+    eval item embedded inside a longer training doc needs a smaller per-
+    dataset ``n`` — pass it explicitly per benchmark, as GPT-3 did.
+
+    ``mode="flag"`` returns every training row as ``(id, n_hits,
+    contaminated)`` — ``n_hits`` counts the doc's gram *positions* that
+    match the eval set; ``mode="drop"`` returns the original ``df`` rows
+    with contaminated documents removed.
+
+    Scale shape (100 TB corpus, benchmark of 10^3..10^6 items): the eval
+    side reduces to a distinct 8-byte hash set — tiny — and is explicitly
+    ``broadcast()``; the training side's gram explode is map-side, the
+    containment check is a broadcast hash join (no corpus shuffle), and
+    the only shuffle is the per-doc hit count keyed by id (``drop`` mode
+    anti-joins just the contaminated id set back — AQE broadcasts it when
+    it fits, which it essentially always does for a benchmark overlap).
+    """
+    if mode not in ("flag", "drop"):
+        raise ValueError(f"mode must be 'flag' or 'drop', got {mode!r}")
+    eval_grams = (
+        eval_df.select(
+            F.explode(_gram_hashes(_word_tokens(F.col(eval_text_col)), n)).alias(
+                "gh"
+            )
+        )
+        .distinct()
+    )
+    doc_grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_gram_hashes(_word_tokens(F.col(text_col)), n)).alias("gh"),
+    )
+    hits = (
+        doc_grams.join(F.broadcast(eval_grams), "gh")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    if mode == "drop":
+        return df.join(
+            hits.select(F.col("id").alias(id_col)), id_col, "left_anti"
+        )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

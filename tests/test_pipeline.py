@@ -807,3 +807,87 @@ def test_repetition_stats_short_and_empty_docs(spark):
     for r in rows.values():
         assert r["dup_2gram_frac"] == 0.0
         assert r["dup_3gram_frac"] == 0.0
+
+
+def test_decontaminate_matches_duckdb(spark):
+    """GPT-3-style 13-gram benchmark decontamination vs an independent
+    DuckDB oracle that matches gram STRINGS (the engine matches xxhash64
+    of the same grams): exact eval passages inside training docs flag the
+    doc, paraphrases and clean docs don't, short eval items catch
+    verbatim short docs, and drop mode removes exactly the flagged ids."""
+    import duckdb
+
+    from apache___solr_spark.pipeline.dedup import decontaminate
+
+    passage = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "astronomers chart retrograde orbits from a windswept ridge"
+    )  # 19 tokens
+    short_eval = "tiny holdout answer"  # 3 tokens < n
+    evals = [(0, f"Q: something? A: {passage}"), (1, short_eval)]
+    docs = [
+        (0, f"intro text here. {passage}. closing remarks follow."),  # hit
+        (1, passage.replace("seventeen", "nineteen")),  # paraphrase: clean
+        (2, "Tiny holdout ANSWER"),  # short doc == short eval item (normed)
+        (3, "tiny holdout answer embedded in a much longer document "
+            "that keeps going for quite a few more tokens than thirteen "
+            "so only 13-grams are generated"),  # short eval NOT caught: documented
+        (4, "completely unrelated clean document about gardening and soil "
+            "acidity with more than thirteen tokens of ordinary text in it"),
+        (5, ""),  # empty
+    ]
+    df = spark.createDataFrame(docs, "id long, text string")
+    edf = spark.createDataFrame(evals, "eid long, text string")
+
+    flagged = decontaminate(df, edf, "text", "id", n=13, mode="flag")
+    got = {
+        r["id"]: (r["n_hits"], r["contaminated"]) for r in flagged.collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("create table docs(id bigint, text varchar)")
+    con.executemany("insert into docs values (?, ?)", docs)
+    con.execute("create table evals(eid bigint, text varchar)")
+    con.executemany("insert into evals values (?, ?)", evals)
+    n = 13
+    oracle = con.execute(f"""
+        with tr as (
+          select id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') t from docs
+        ), trg as (
+          select id, array_to_string(t[i:i+{n - 1}], ' ') g
+          from tr, lateral (select unnest(generate_series(1, len(t) - {n - 1})) as i)
+          where len(t) >= {n}
+          union all
+          select id, array_to_string(t, ' ') from tr
+          where len(t) > 0 and len(t) < {n}
+        ), ev as (
+          select list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') t from evals
+        ), evg as (
+          select distinct g from (
+            select array_to_string(t[i:i+{n - 1}], ' ') g
+            from ev, lateral (select unnest(generate_series(1, len(t) - {n - 1})) as i)
+            where len(t) >= {n}
+            union all
+            select array_to_string(t, ' ') from ev
+            where len(t) > 0 and len(t) < {n}
+          )
+        ), hits as (
+          select id, count(*) h from trg join evg using (g) group by id
+        )
+        select d.id, coalesce(h, 0), coalesce(h, 0) > 0
+        from docs d left join hits using (id)
+    """).fetchall()
+    want = {r[0]: (r[1], r[2]) for r in oracle}
+    assert got == want
+    # semantics spot checks (the oracle agrees, but make intent explicit)
+    assert got[0][1] and got[2][1]
+    assert not got[1][1] and not got[3][1] and not got[4][1] and not got[5][1]
+
+    # the eval gram set must ride a broadcast join (no corpus shuffle)
+    plan = flagged._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+    dropped = decontaminate(df, edf, "text", "id", n=13, mode="drop")
+    assert sorted(r["id"] for r in dropped.collect()) == [1, 3, 4, 5]
