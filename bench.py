@@ -64,6 +64,7 @@ HEADLINE = [
     "remove_repeated_lines",
     "canonicalize_urls",
     "perplexity_score",
+    "decontaminate",
 ]
 
 
@@ -115,6 +116,16 @@ def _q_canonicalize_urls(spark, sf_dir):
     return canonicalize_urls(d, "url", "doc_id")
 
 
+def _q_decontaminate(spark, sf_dir):
+    # eval set = a deterministic 500-doc slice standing in for a benchmark;
+    # the bench measures the corpus-side gram explode + broadcast probe.
+    from apache___solr_spark.pipeline.dedup import decontaminate
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    evals = d.orderBy("doc_id").limit(500).select("text")
+    return decontaminate(d, evals, "text", "doc_id", n=13, mode="flag")
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from apache___solr_spark.index.builder import build_index
@@ -162,6 +173,7 @@ def main() -> None:
         "remove_repeated_lines": _q_remove_repeated_lines,
         "canonicalize_urls": _q_canonicalize_urls,
         "perplexity_score": _q_perplexity_score,
+        "decontaminate": _q_decontaminate,
     }
     qs = {**fallbacks, **entrymod.queries()}
     # best-of-2 per query: this host is shared and noisy (the scaling bench
