@@ -65,6 +65,7 @@ HEADLINE = [
     "canonicalize_urls",
     "perplexity_score",
     "decontaminate",
+    "pack_sequences",
 ]
 
 
@@ -126,6 +127,17 @@ def _q_decontaminate(spark, sf_dir):
     return decontaminate(d, evals, "text", "doc_id", n=13, mode="flag")
 
 
+def _q_pack_sequences(spark, sf_dir):
+    # token_count -> pack into 2048-token training sequences; measures the
+    # distributed prefix sum + chunk explode on the full corpus.
+    from apache___solr_spark.pipeline.packing import pack_sequences
+    from apache___solr_spark.pipeline.textqual import token_count
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    counted = token_count(d, "text", "doc_id")
+    return pack_sequences(counted, "doc_id", "n_tokens", 2048, num_buckets=64)
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from apache___solr_spark.index.builder import build_index
@@ -174,6 +186,7 @@ def main() -> None:
         "canonicalize_urls": _q_canonicalize_urls,
         "perplexity_score": _q_perplexity_score,
         "decontaminate": _q_decontaminate,
+        "pack_sequences": _q_pack_sequences,
     }
     qs = {**fallbacks, **entrymod.queries()}
     # best-of-2 per query: this host is shared and noisy (the scaling bench

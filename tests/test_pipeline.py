@@ -891,3 +891,130 @@ def test_decontaminate_matches_duckdb(spark):
 
     dropped = decontaminate(df, edf, "text", "id", n=13, mode="drop")
     assert sorted(r["id"] for r in dropped.collect()) == [1, 3, 4, 5]
+
+
+def test_pack_sequences_matches_duckdb(spark):
+    """Concat-and-chunk packing vs a DuckDB oracle computing the SAME tape
+    (explicit order_col = id so both engines agree on document order): one
+    global window cumsum + generate_series chunk spans.  Covers docs much
+    longer than seq_len, exact-boundary docs, and 1-token docs."""
+    import duckdb
+
+    from apache___solr_spark.pipeline.dedup import decontaminate  # noqa: F401
+    from apache___solr_spark.pipeline.packing import pack_sequences
+
+    L = 10
+    docs = [(1, 3), (2, 10), (3, 27), (4, 1), (5, 0), (6, 9), (7, 20)]
+    df = spark.createDataFrame(docs, "id long, n long")
+    got = pack_sequences(
+        df, "id", "n", L, order_col=F.col("id"), num_buckets=4
+    )
+    got_rows = sorted(
+        (r["seq_id"], r["id"], r["seq_offset"], r["doc_offset"], r["n_toks"])
+        for r in got.collect()
+    )
+
+    con = duckdb.connect()
+    con.execute("create table docs(id bigint, n bigint)")
+    con.executemany("insert into docs values (?, ?)", docs)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(f"""
+        with d as (select id, n from docs where n > 0),
+        c as (select id, n,
+              sum(n) over (order by id rows between unbounded preceding
+                           and current row) - n as s from d),
+        x as (select id, n, s,
+              unnest(generate_series((s // {L})::bigint,
+                                     ((s + n - 1) // {L})::bigint)) q from c)
+        select q, id,
+               greatest(s, q*{L}) - q*{L},
+               greatest(s, q*{L}) - s,
+               least(s + n, (q+1)*{L}) - greatest(s, q*{L})
+        from x
+    """).fetchall()
+    )
+    assert got_rows == want
+
+    # packing invariants: every full sequence holds exactly L tokens, the
+    # tape has no holes, and each doc's slices tile [0, n) exactly
+    per_seq = {}
+    per_doc: dict[int, list[tuple[int, int]]] = {}
+    for q, i, so, do, nt in got_rows:
+        assert nt > 0 and 0 <= so < L and so + nt <= L
+        per_seq[q] = per_seq.get(q, 0) + nt
+        per_doc.setdefault(i, []).append((do, nt))
+    total = sum(n for _, n in docs)
+    assert sum(per_seq.values()) == total
+    last_seq = max(per_seq)
+    for q, filled in per_seq.items():
+        assert filled == L or (q == last_seq and filled == total - last_seq * L)
+    for i, n in docs:
+        if n == 0:
+            assert i not in per_doc
+            continue
+        spans = sorted(per_doc[i])
+        pos = 0
+        for do, nt in spans:
+            assert do == pos
+            pos += nt
+        assert pos == n
+
+
+def test_pack_sequences_bucket_invariance_and_default_order(spark):
+    """The distributed-prefix-sum decomposition is invisible: any
+    num_buckets gives byte-identical output; the default (seeded xxhash64)
+    order is deterministic across runs and seeds change it."""
+    from apache___solr_spark.pipeline.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, 1 + (i * 7) % 23) for i in range(200)], "id long, n long"
+    )
+
+    def rows(**kw):
+        return sorted(map(tuple, pack_sequences(df, "id", "n", 16, **kw).collect()))
+
+    base = rows(order_col=F.col("id"), num_buckets=1)
+    assert rows(order_col=F.col("id"), num_buckets=7) == base
+    assert rows(order_col=F.col("id"), num_buckets=1024) == base
+
+    d0 = rows(seed=0)
+    assert rows(seed=0) == d0  # reproducible
+    d1 = rows(seed=1)
+    assert d1 != d0  # the seed really shuffles the tape
+    # same token mass either way
+    assert sum(r[4] for r in d0) == sum(r[4] for r in d1)
+
+
+def test_stratified_sample_deterministic_and_monotone(spark):
+    """Hash-threshold sampling: exactly reproducible, monotone in the
+    rate (raising a rate only ADDS docs), exact at rates 0 and 1,
+    empirically near the requested fraction, and map-only (no shuffle)."""
+    from apache___solr_spark.pipeline.packing import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, ["web", "books", "code"][i % 3]) for i in range(3000)],
+        "id long, domain string",
+    )
+
+    def ids(rates, **kw):
+        return {
+            r["id"]
+            for r in stratified_sample(df, "domain", rates, "id", **kw).collect()
+        }
+
+    a = ids({"web": 0.3, "books": 1.0})
+    assert ids({"web": 0.3, "books": 1.0}) == a  # deterministic
+    b = ids({"web": 0.6, "books": 1.0})
+    assert a <= b  # monotone: the 0.3 sample is a subset of the 0.6 sample
+    assert {i for i in a if i % 3 == 1} == {i for i in range(3000) if i % 3 == 1}
+    assert all(i % 3 != 2 for i in a)  # unlisted stratum -> default_rate=0
+    n_web = sum(1 for i in a if i % 3 == 0)
+    assert 0.22 <= n_web / 1000 <= 0.38  # ~30% of the 1000 web docs
+    assert ids({"web": 0.3}, seed=7) != ids({"web": 0.3}, seed=8)
+
+    plan = (
+        stratified_sample(df, "domain", {"web": 0.5}, "id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # map-only
