@@ -74,6 +74,7 @@ def pack_sequences(
     order_col: Column | None = None,
     seed: int = 0,
     num_buckets: int = 1024,
+    persist: bool = True,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing: lay every document's tokens out
     on one global tape in a deterministic (seeded-shuffle) order, cut the
@@ -98,6 +99,13 @@ def pack_sequences(
     — monotone in the order key — so (bucket, order) sorts identically to
     plain order and the bucket-offset + local-cumsum decomposition returns
     the exact global prefix sum.
+
+    A prefix sum needs two passes (size, then emit); ``persist`` (default)
+    caches the projected ``(id, n, order, bucket)`` frame between them —
+    ~32 bytes/doc, MEMORY_AND_DISK — so when ``n_tokens_col`` is computed
+    (e.g. ``token_count``'s regex over the full text) the corpus is
+    scanned and tokenized ONCE, not once per pass. Pass ``persist=False``
+    if the caller manages caching itself.
     """
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
@@ -120,6 +128,10 @@ def pack_sequences(
         .filter(F.col("_n") > 0)
         .withColumn("_b", (F.col("_ord") / F.lit(step)).cast("long"))
     )
+    if persist:
+        from pyspark import StorageLevel
+
+        d = d.persist(StorageLevel.MEMORY_AND_DISK)
 
     # distributed prefix sum: per-bucket totals (<= num_buckets rows) ->
     # driver-side running offsets -> broadcast join back
