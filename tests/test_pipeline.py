@@ -1018,3 +1018,52 @@ def test_stratified_sample_deterministic_and_monotone(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan  # map-only
+
+
+def test_pack_sequences_property_fuzz(spark):
+    """Property fuzz vs a shared-nothing Python oracle: random doc sets
+    (token counts 1..3L, including all-shorter-than-L and one-huge-doc
+    shapes), random seq_len and bucket counts — packing must equal the
+    oracle's concat-and-chunk exactly."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from apache___solr_spark.pipeline.packing import pack_sequences
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        ns=st.lists(st.integers(min_value=0, max_value=45), min_size=1, max_size=25),
+        L=st.integers(min_value=1, max_value=17),
+        buckets=st.sampled_from([1, 3, 64]),
+    )
+    def check(ns, L, buckets):
+        docs = [(i, n) for i, n in enumerate(ns)]
+        got = sorted(
+            map(
+                tuple,
+                pack_sequences(
+                    spark.createDataFrame(docs, "id long, n long"),
+                    "id",
+                    "n",
+                    L,
+                    order_col=F.col("id"),
+                    num_buckets=buckets,
+                    persist=False,
+                ).collect(),
+            )
+        )
+        want, start = [], 0
+        for i, n in docs:
+            if n == 0:
+                continue
+            for q in range(start // L, (start + n - 1) // L + 1):
+                lo, hi = max(start, q * L), min(start + n, (q + 1) * L)
+                want.append((q, i, lo - q * L, lo - start, hi - lo))
+            start += n
+        assert got == sorted(want)
+
+    check()
