@@ -584,13 +584,24 @@ def strip_duplicate_spans(
     the cut happens in ONE projection: a token survives if no covering
     span exists (``exists`` over the doc's span array, bound once).
     """
+    spans = duplicate_spans(df, text_col, id_col, k=k, min_df=min_df).filter(
+        F.col("span_len") >= (k if min_span is None else min_span)
+    )
+    return _strip_spans(df, text_col, id_col, spans)
+
+
+def _strip_spans(
+    df: DataFrame, text_col: str, id_col: str, spans_df: DataFrame
+) -> DataFrame:
+    """Cut token spans ``(id, span_start, span_len)`` out of each doc's
+    token stream; shared by :func:`strip_duplicate_spans` and
+    :func:`decontaminate_spans`.  Returns ``(id, text,
+    n_removed_tokens)`` for EVERY input doc (span-free docs pass through
+    re-joined)."""
     from apache___solr_spark.functions.evaluators import let_bind
 
-    min_span = k if min_span is None else min_span
     spans = (
-        duplicate_spans(df, text_col, id_col, k=k, min_df=min_df)
-        .filter(F.col("span_len") >= min_span)
-        .groupBy("id")
+        spans_df.groupBy("id")
         .agg(
             F.collect_list(
                 F.struct(
@@ -730,3 +741,87 @@ def decontaminate(
             (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def decontaminate_spans(
+    df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    eval_text_col: str = "text",
+    n: int = 13,
+    pad: int = 0,
+) -> DataFrame:
+    """Surgical decontamination: instead of dropping a contaminated
+    document wholesale (:func:`decontaminate` ``mode="drop"``), cut only
+    the token spans whose ``n``-gram windows hit the eval set — the GPT-3
+    appendix-C policy of removing a window AROUND each collision and
+    keeping the rest of the document.  ``pad`` widens every cut by that
+    many context tokens on each side.
+
+    Returns ``(id, text, n_removed_tokens)`` for every input doc, text
+    rebuilt space-joined from surviving tokens (same lossy-normalization
+    contract as :func:`strip_duplicate_spans`).  A doc shorter than ``n``
+    tokens whose whole token run matches an eval item is cut entirely.
+
+    Scale shape: like :func:`decontaminate` — broadcast eval-hash probe,
+    no corpus shuffle to find hits; consecutive hit windows merge into
+    maximal runs (gaps-and-islands keyed by doc, shuffling only the hit
+    positions); the cut joins the tiny span table back and rewrites text
+    in one projection.
+    """
+    eval_grams = (
+        eval_df.select(
+            F.explode(
+                _gram_hashes(_word_tokens(F.col(eval_text_col)), n)
+            ).alias("gh")
+        )
+        .distinct()
+    )
+    toks = _word_tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("_t"))
+    win_hits = (
+        base.filter(F.size("_t") >= n)
+        .select(
+            "id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_t") - F.lit(n - 1)),
+                    lambda i: F.xxhash64(F.array_join(F.slice("_t", i, n), " ")),
+                )
+            ).alias("pos", "gh"),
+        )
+        .join(F.broadcast(eval_grams), "gh")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy("pos")
+    runs = (
+        win_hits.withColumn("_grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("id", "_grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.count(F.lit(1)) + F.lit(n - 1)).alias("span_len"),
+        )
+        .select("id", "span_start", "span_len")
+    )
+    short_hits = (
+        base.filter((F.size("_t") > 0) & (F.size("_t") < n))
+        .select(
+            "id",
+            F.xxhash64(F.array_join("_t", " ")).alias("gh"),
+            F.size("_t").alias("span_len"),
+        )
+        .join(F.broadcast(eval_grams), "gh")
+        .select("id", F.lit(0).alias("span_start"), "span_len")
+    )
+    spans = runs.unionByName(short_hits)
+    if pad:
+        # negative starts / past-end extents are harmless: the cut tests
+        # token indexes that exist, so the pad self-clamps at doc edges
+        spans = spans.select(
+            "id",
+            (F.col("span_start") - F.lit(pad)).alias("span_start"),
+            (F.col("span_len") + F.lit(2 * pad)).alias("span_len"),
+        )
+    return _strip_spans(df, text_col, id_col, spans)

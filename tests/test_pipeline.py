@@ -1067,3 +1067,78 @@ def test_pack_sequences_property_fuzz(spark):
         assert got == sorted(want)
 
     check()
+
+
+def test_decontaminate_spans_python_oracle(spark):
+    """Surgical decontamination vs an independent Python oracle that
+    re-implements the semantics over gram STRINGS: only the overlapping
+    token runs (plus pad) are cut, two separated collisions give two
+    cuts, a short fully-matching doc empties, clean docs pass through
+    (modulo the lossy token normalization)."""
+    import re
+
+    from apache___solr_spark.pipeline.dedup import decontaminate_spans
+
+    n = 5
+    passage = "alpha bravo charlie delta echo foxtrot golf"  # 7 tokens
+    evals = [(0, passage), (1, "tiny holdout")]
+    docs = [
+        (0, f"intro words here {passage} closing words follow"),
+        (1, f"{passage} mid filler tokens one two three four {passage}"),
+        (2, "Tiny HOLDOUT"),  # short doc fully == short eval (normalized)
+        (3, "a completely clean document with no overlap at all present"),
+        (4, ""),
+    ]
+
+    def toks(s):
+        return [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+
+    def oracle(text, pad):
+        t = toks(text)
+        egrams = set()
+        for _, e in evals:
+            et = toks(e)
+            if len(et) >= n:
+                for i in range(len(et) - n + 1):
+                    egrams.add(" ".join(et[i : i + n]))
+            elif et:
+                egrams.add(" ".join(et))
+        cut = [False] * len(t)
+        if len(t) >= n:
+            hits = [
+                i
+                for i in range(len(t) - n + 1)
+                if " ".join(t[i : i + n]) in egrams
+            ]
+            for i in hits:
+                for j in range(max(0, i - pad), min(len(t), i + n + pad)):
+                    cut[j] = True
+        elif t and " ".join(t) in egrams:
+            cut = [True] * len(t)
+            if pad:
+                cut = [True] * len(t)
+        kept = [x for x, c in zip(t, cut) if not c]
+        return " ".join(kept), len(t) - len(kept)
+
+    df = spark.createDataFrame(docs, "id long, text string")
+    edf = spark.createDataFrame(evals, "eid long, text string")
+    for pad in (0, 2):
+        got = {
+            r["id"]: (r["text"], r["n_removed_tokens"])
+            for r in decontaminate_spans(
+                df, edf, "text", "id", n=n, pad=pad
+            ).collect()
+        }
+        want = {i: oracle(txt, pad) for i, txt in docs}
+        assert got == want, f"pad={pad}"
+    # semantics spot checks on the pad=0 result
+    got0 = {
+        r["id"]: r
+        for r in decontaminate_spans(df, edf, "text", "id", n=n).collect()
+    }
+    assert got0[0]["text"] == "intro words here closing words follow"
+    assert got0[0]["n_removed_tokens"] == 7
+    assert got0[1]["n_removed_tokens"] == 14  # both occurrences cut
+    assert "mid filler tokens" in got0[1]["text"]
+    assert got0[2]["text"] == "" and got0[2]["n_removed_tokens"] == 2
+    assert got0[3]["n_removed_tokens"] == 0
