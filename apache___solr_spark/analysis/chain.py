@@ -35,7 +35,7 @@ def analyze(text: str | None, max_token_len: int = 255) -> list[str]:
     (query-time synonyms are applied engine-side on the parsed clause,
     SearchEngine(synonyms=...), not in this chain)."""
     toks = standard_tokenize(text, max_token_len=max_token_len)
-    return [t.lower() for t in toks if t.lower() not in ENGLISH_STOP_WORDS]
+    return [lt for t in toks if (lt := t.lower()) not in ENGLISH_STOP_WORDS]
 
 
 def analyze_porter(text: str | None, max_token_len: int = 255) -> list[str]:
