@@ -165,3 +165,152 @@ def test_chain_is_one_projection(spark):
     )
     plan = chain(spark.read.parquet(p))._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_parse_field_processors(spark):
+    from apache___solr_spark.ingest import (
+        parse_boolean_field,
+        parse_date_field,
+        parse_numeric_field,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("2024-03-05T10:00:00", "42", "True"),
+            ("05/03/2024", "x7", "no"),
+            (None, None, "FALSE"),
+        ],
+        "when string, n string, flag string",
+    )
+    chain = processor_chain(
+        parse_date_field("when", ["yyyy-MM-dd'T'HH:mm:ss", "dd/MM/yyyy"]),
+        parse_numeric_field("n", "long"),
+        parse_boolean_field("flag"),
+    )
+    out = chain(df)
+    assert dict(out.dtypes) == {
+        "when": "timestamp",
+        "n": "bigint",
+        "flag": "boolean",
+    }
+    rows = out.collect()
+    assert rows[0]["when"].month == 3 and rows[0]["when"].day == 5
+    assert rows[1]["when"].month == 3 and rows[1]["when"].day == 5
+    assert rows[0]["n"] == 42 and rows[1]["n"] is None
+    # caseSensitive=false: "True" -> true; "no" is neither -> null
+    assert rows[0]["flag"] is True
+    assert rows[1]["flag"] is None
+    assert rows[2]["flag"] is False
+
+
+def test_multivalue_subset_processors(spark):
+    from apache___solr_spark.ingest import (
+        first_field_value,
+        last_field_value,
+        max_field_value,
+        min_field_value,
+        uniq_field_values,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [3, 1, 2, 1])], "id long, vals array<int>"
+    )
+    assert first_field_value("vals")(df).collect()[0]["vals"] == 3
+    assert last_field_value("vals")(df).collect()[0]["vals"] == 1
+    assert min_field_value("vals")(df).collect()[0]["vals"] == 1
+    assert max_field_value("vals")(df).collect()[0]["vals"] == 3
+    assert uniq_field_values("vals")(df).collect()[0]["vals"] == [3, 1, 2]
+
+
+def test_field_name_mutating(spark):
+    from apache___solr_spark.ingest import field_name_mutating
+
+    df = spark.createDataFrame([(1, "a", "b")], "id long, f_x string, f_y string")
+    out = field_name_mutating(r"^f_", "feat_")(df)
+    assert out.columns == ["id", "feat_x", "feat_y"]
+    # collisions raise like the reference's duplicate-field error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        field_name_mutating(r"^f_.$", "f")(df)
+
+
+def test_ignore_large_documents(spark):
+    from apache___solr_spark.ingest import ignore_large_documents
+
+    df = spark.createDataFrame(
+        [(1, "short"), (2, "x" * 100)], "id long, body string"
+    )
+    kept = ignore_large_documents(50)(df).collect()
+    assert [r["id"] for r in kept] == [1]
+
+
+def test_regexp_boost(spark):
+    from apache___solr_spark.ingest import regexp_boost
+
+    df = spark.createDataFrame(
+        [(1, "https://example.com/a"), (2, "http://spam.biz/x"), (3, None)],
+        "id long, url string",
+    )
+    out = regexp_boost(
+        "url", [(r"^https://", 2.0), (r"\.biz/", 0.1)]
+    )(df)
+    rows = {r["id"]: r["document_boost"] for r in out.collect()}
+    assert rows[1] == 2.0 and abs(rows[2] - 0.1) < 1e-12 and rows[3] == 1.0
+
+
+def test_doc_expiration_and_reaper(spark):
+    from apache___solr_spark.ingest import doc_expiration, expired_docs_filter
+
+    df = spark.createDataFrame(
+        [(1, "+1DAYS"), (2, "+30DAYS"), (3, None)],
+        "id long, ttl string",
+    )
+    now = "2024-06-01 00:00:00"
+    stamped = doc_expiration(ttl_field="ttl", now=now)(df)
+    rows = {r["id"]: r["_expire_at_"] for r in stamped.collect()}
+    assert rows[1].day == 2 and rows[2].month == 7 and rows[3] is None
+    # a week later doc 1 is gone, doc 2 and the never-expiring doc 3 stay
+    alive = expired_docs_filter(now="2024-06-08 00:00:00")(stamped)
+    assert sorted(r["id"] for r in alive.collect()) == [2, 3]
+    # fixed-ttl form stamps every doc
+    fixed = doc_expiration(ttl="+2HOURS", now=now)(df)
+    assert all(r["_expire_at_"].hour == 2 for r in fixed.collect())
+
+
+def test_version_constraints_and_content_hash(spark):
+    from apache___solr_spark.ingest import (
+        content_hash_version,
+        version_constraints,
+    )
+
+    existing = spark.createDataFrame(
+        [(1, 5, "old-1"), (2, 7, "old-2")], "id long, v long, body string"
+    )
+    new = spark.createDataFrame(
+        [
+            (1, 6, "newer-1"),   # newer -> accepted
+            (1, 4, "stale-1"),   # older version of same key in batch
+            (2, 7, "equal-2"),   # equal -> rejected
+            (3, 1, "fresh-3"),   # brand new key -> accepted
+        ],
+        "id long, v long, body string",
+    )
+    out = version_constraints(new, existing, key="id", version_field="v")
+    rows = {r["id"]: r["body"] for r in out.collect()}
+    assert rows == {1: "newer-1", 3: "fresh-3"}
+
+    hashed = content_hash_version(["body"], "chash")(existing)
+    h = {r["id"]: r["chash"] for r in hashed.collect()}
+    assert h[1] != h[2] and all(v is not None for v in h.values())
+
+
+def test_tolerant_split(spark):
+    from apache___solr_spark.ingest import tolerant_split
+
+    df = spark.createDataFrame(
+        [(1, "ok"), (None, "no id"), (3, None)], "id long, body string"
+    )
+    good, bad = tolerant_split(df, required=["id", "body"])
+    assert [r["id"] for r in good.collect()] == [1]
+    assert bad.count() == 2
