@@ -852,18 +852,31 @@ class SearchEngine:
         self,
         query: str | ParsedQuery,
         k: int = 10,
+        start: int = 0,
         prune: bool = True,
         with_url: bool = True,
         doc_filter: list[int] | None = None,
         bf: list | None = None,
         boost: list | None = None,
         default_op: str = "OR",
-        _docset: bool = False,
+        fq: list | None = None,
+        _docset: bool | str = False,
+        _filter_docset: DataFrame | None = None,
     ) -> DataFrame:
         """Top-k docs for a query. Returns (rank, doc_id[, url], score).
 
         ``default_op``: Solr's q.op — with "AND", bare clauses bind as
         MUST (Lucene AND_OPERATOR promote/demote semantics).
+
+        ``fq``: filter queries (SolrIndexSearcher.getProcessedFilter — the
+        reference's most-used request param): each entry is a query whose
+        full DocSet intersects the main query's matches BEFORE top-k
+        without contributing score (ConstantScore filter semantics — a
+        MUST clause would add its BM25 score; fq must not).  Theta
+        pruning is disabled when a filter is present: theta bounds the
+        global k-th best score, but top-k among the filtered subset can
+        legitimately include docs below that bound.  Salt-level MUST
+        pruning stays on (it only drops ranges that cannot match at all).
 
         ``doc_filter`` restricts scoring to an explicit (small) doc_id set —
         the rescoring path (ReRankQParserPlugin semantics): the postings scan
@@ -877,6 +890,15 @@ class SearchEngine:
         BEFORE top-k, so the functions influence ranking like the
         reference's FunctionQuery clauses.
         """
+        filter_docset = _filter_docset
+        if fq:
+            for f in fq:
+                ds = self.docset(f)
+                filter_docset = (
+                    ds
+                    if filter_docset is None
+                    else filter_docset.join(ds, "doc_id", "left_semi")
+                )
         if isinstance(query, str):
             tree = parse_query_tree(
                 query, analyze_fn=self._analyze, default_op=default_op
@@ -890,22 +912,26 @@ class SearchEngine:
                 return self._search_tree(
                     tree,
                     k=k,
+                    start=start,
                     with_url=with_url,
                     doc_filter=doc_filter,
                     bf=bf,
                     boost=boost,
                     _docset=_docset,
+                    _filter_docset=filter_docset,
                 )
         elif isinstance(query, BoolQuery):
             # programmatic tree (dismax/edismax dispatch, mm support)
             return self._search_tree(
                 query,
                 k=k,
+                start=start,
                 with_url=with_url,
                 doc_filter=doc_filter,
                 bf=bf,
                 boost=boost,
                 _docset=_docset,
+                _filter_docset=filter_docset,
             )
         else:
             pq = query
@@ -985,6 +1011,10 @@ class SearchEngine:
             blocks = blocks.filter(F.col("salt").isin(salts))
         if doc_filter is not None:
             prune = False  # the scan is already tiny; theta pass costs more
+        if filter_docset is not None:
+            # theta bounds the GLOBAL k-th best partial score; top-k among
+            # the fq-filtered subset may include docs below that bound.
+            prune = False
         if _docset:
             # theta is a TOP-K bound (k-th best partial score); a DocSet
             # wants every match, so the pass is unsound here.  Salt-level
@@ -1129,6 +1159,12 @@ class SearchEngine:
                 "left_anti",
             )
 
+        if filter_docset is not None:
+            agg = agg.join(filter_docset, "doc_id", "left_semi")
+        if _docset == "scored":
+            return agg.select(
+                "doc_id", F.col("_s").cast(self._sql_t).alias("score")
+            )
         if _docset:
             return agg.select("doc_id")
         return self._finalize(
@@ -1141,6 +1177,7 @@ class SearchEngine:
             ),
             k,
             with_url,
+            start=start,
         )
 
     def docset(self, query: str | ParsedQuery) -> DataFrame:
@@ -1150,6 +1187,133 @@ class SearchEngine:
         boolean/expansion/deletion semantics as search(); theta pruning is
         forced off (it is a top-k bound, unsound for a full DocSet)."""
         return self.search(query, prune=False, _docset=True).select("doc_id")
+
+    def scored_docset(
+        self, query, fq: list | None = None
+    ) -> DataFrame:
+        """Every matching (doc_id, score) — the full scored result set the
+        CollapsingQParserPlugin collector sees (it needs scores for ALL
+        matches to pick each group's best, not just the global top-k).
+        Theta pruning forced off for the same reason as :meth:`docset`."""
+        return self.search(query, prune=False, fq=fq, _docset="scored")
+
+    def collapsed_search(
+        self,
+        query,
+        by: str,
+        k: int = 10,
+        null_policy: str = "ignore",
+        order_by=None,
+        fq: list | None = None,
+    ) -> DataFrame:
+        """CollapsingQParserPlugin as USED in the reference — an fq
+        postfilter over the main query (search/CollapsingQParserPlugin.java
+        :121): score every match, keep the single best doc per group, THEN
+        take the top k.  (Collapsing after top-k would be wrong: a group's
+        head can sit below the global k-th score.)
+
+        ``by`` is a SQL expression over the docs-table columns (a column
+        name, or e.g. ``parse_url(url, 'HOST')`` — the reference collapses
+        on a docValues field; our group key is any derivable column).
+        ``order_by`` overrides the per-group head choice (default: highest
+        score, ties to lowest doc_id — the reference's default
+        max(score)); pass e.g. ``[F.col("doclen").desc()]`` for the
+        ``max=field`` variant.  ``null_policy`` is the reference's
+        nullPolicy (ignore / expand / collapse)."""
+        from apache___solr_spark.operators.streams import collapse as _collapse
+
+        sd = self.scored_docset(query, fq=fq)
+        full = sd.join(self.docs, "doc_id").withColumn("_grp", F.expr(by))
+        order = (
+            list(order_by)
+            if order_by is not None
+            else [F.col("score").desc(), F.col("doc_id").asc()]
+        )
+        best = _collapse(full, "_grp", order, null_policy)
+        return self._finalize(best.select("doc_id", "score"), k, with_url=True)
+
+    def sorted_search(
+        self,
+        query,
+        sort: str,
+        k: int = 10,
+        start: int = 0,
+        fq: list | None = None,
+    ) -> DataFrame:
+        """The ``sort`` request param (SortSpecParsing.java lowering to a
+        TopFieldCollector instead of TopScoreDocCollector): rank the FULL
+        matching docset by the sort spec instead of relevance.
+
+        Spec grammar: comma-separated ``<key> <asc|desc>`` where key is
+        ``score``, a docs-table column (``doclen``, ``url``, ...), or a
+        function query (FunctionQParser syntax, e.g.
+        ``recip(doclen,1,1000,1)``) over docs columns — the reference's
+        three sortable kinds.  Final tiebreak = doc_id asc (Lucene's
+        internal-docid tiebreak).  ``score`` stays in the output (the
+        reference returns it under field sort whenever fl asks).
+
+        Scale shape: the sort+limit compiles to TakeOrderedAndProject
+        (per-partition top-(start+k) then driver merge), never a full
+        sort."""
+        sd = self.scored_docset(query, fq=fq)
+        full = sd.join(self.docs, "doc_id")
+        # split sort keys on commas OUTSIDE parens (function queries carry
+        # their own commas: "recip(doclen,1,1000,1) desc, score desc")
+        parts: list[str] = []
+        depth, cur = 0, []
+        for ch in str(sort):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        parts.append("".join(cur))
+        order = []
+        for part in parts:
+            toks = part.strip().split()
+            if not toks:
+                continue
+            key = toks[0]
+            direction = (
+                toks[1].lower()
+                if len(toks) > 1
+                else ("desc" if key == "score" else "asc")
+            )
+            if key == "score":
+                col = F.col("score")
+            elif key in full.columns:
+                col = F.col(key)
+            else:
+                from apache___solr_spark.functions.registry import (
+                    parse_func_query,
+                )
+
+                col = parse_func_query(key)
+            order.append(col.desc() if direction == "desc" else col.asc())
+        order.append(F.col("doc_id").asc())
+        rows = (
+            full.orderBy(*order)
+            .limit(int(start) + int(k))
+            .select("doc_id", "url", "score")
+            .collect()
+        )[int(start):]
+        schema = f"rank int, doc_id long, url string, score {self._sql_t}"
+        out = [
+            {
+                "rank": int(start) + i + 1,
+                "doc_id": r["doc_id"],
+                "url": r["url"],
+                "score": r["score"],
+            }
+            for i, r in enumerate(rows)
+        ]
+        if not out:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.createDataFrame(out, schema)
 
     def explain_scores(self, query: str | ParsedQuery, k: int = 10) -> DataFrame:
         """debugQuery=true explain analog (response debug component,
@@ -1646,17 +1810,25 @@ class SearchEngine:
             frame = frame.join(self.deletes, "doc_id", "left_anti")
         return self._finalize(frame, k, with_url)
 
-    def _finalize(self, scored: DataFrame, k: int, with_url: bool) -> DataFrame:
+    def _finalize(
+        self, scored: DataFrame, k: int, with_url: bool, start: int = 0
+    ) -> DataFrame:
         """Top-k + two-phase fields fetch (QueryComponent.java:1000): phase 1
         ranks on the narrow (doc_id, score) via TakeOrderedAndProject; phase 2
         fetches display fields for JUST the k winners — the isin predicate
         prunes the docs scan by parquet row-group stats instead of joining
-        against the full table."""
+        against the full table.
+
+        ``start``: offset paging (the reference's start/rows params) — the
+        collector depth is start+rows (SolrIndexSearcher buildTopDocs
+        ``len = start + rows``), sliced driver-side like QueryComponent's
+        response window.  Ranks stay GLOBAL (page 2 starts at rank
+        start+1)."""
         topk_rows = (
             scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-            .limit(k)
+            .limit(int(start) + k)
             .collect()
-        )
+        )[int(start):]
         schema = (
             "rank int, doc_id long"
             + (", url string" if with_url else "")
@@ -1675,7 +1847,11 @@ class SearchEngine:
                 url_by_id[r["doc_id"]] = r["url"]
         out_rows = []
         for i, r in enumerate(topk_rows):
-            row = {"rank": i + 1, "doc_id": r["doc_id"], "score": r["score"]}
+            row = {
+                "rank": int(start) + i + 1,
+                "doc_id": r["doc_id"],
+                "score": r["score"],
+            }
             if with_url:
                 row["url"] = url_by_id[r["doc_id"]]
             out_rows.append(row)
@@ -1708,11 +1884,13 @@ class SearchEngine:
         self,
         tree: BoolQuery,
         k: int = 10,
+        start: int = 0,
         with_url: bool = True,
         doc_filter: list[int] | None = None,
         bf: list | None = None,
         boost: list | None = None,
-        _docset: bool = False,
+        _docset: bool | str = False,
+        _filter_docset: DataFrame | None = None,
     ) -> DataFrame:
         """Recursive BooleanQuery evaluation (BooleanQuery nesting semantics,
         QueryParser.jj:135-172): each node yields a (doc_id, score) frame of
@@ -1907,13 +2085,22 @@ class SearchEngine:
             res = res.filter(F.col("doc_id").isin([int(d) for d in doc_filter]))
         if self.deletes is not None:
             res = res.join(self.deletes, "doc_id", "left_anti")
+        if _filter_docset is not None:
+            # fq DocSet intersection: constant-score, applied before top-k
+            res = res.join(_filter_docset, "doc_id", "left_semi")
+        if _docset == "scored":
+            return res.select(
+                "doc_id", F.col("score").cast(self._sql_t).alias("score")
+            )
         if _docset:
             # NB: shared stays persisted only within this plan; Spark frees
             # it with the session — acceptable for the docset path, whose
             # caller aggregates immediately
             return res.select("doc_id")
         res = res.select("doc_id", F.col("score").cast(self._sql_t).alias("score"))
-        out = self._finalize(self._apply_funcs(res, bf, boost), k, with_url)
+        out = self._finalize(
+            self._apply_funcs(res, bf, boost), k, with_url, start=start
+        )
         if shared is not None:
             shared.unpersist()  # _finalize materialized the top-k
         return out

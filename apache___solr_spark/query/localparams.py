@@ -303,19 +303,144 @@ def _surround_query(engine, rest: str, k: int = 10, **kw) -> DataFrame:
 
 
 _TABLE_SHAPED = {
-    "join": "operators.streams.intersect/score_join (DataFrame join)",
-    "collapse": "operators.streams.collapse",
+    "join": "operators.streams.intersect/score_join "
+    "(or pass indexes= / use fromIndex-less same-index form for a real run)",
+    "collapse": "operators.streams.collapse "
+    "(or pass it as an fq= entry to dispatch_query — the reference shape)",
     "knn": "pipeline.similarity.cosine_topk_* / expr knnSearch "
     "(or pass vectors_df= to dispatch_query for a real {!knn} run)",
-    "graph": "operators.graph.gather_nodes/shortest_path",
-    "parent": "operators.streams.block_join_parent",
-    "child": "operators.streams.block_join_children",
-    "geofilt": "functions.spatial.geofilt (bbox prefilter + haversine)",
-    "bbox": "functions.spatial.bbox_predicate",
-    "ltr": "query.ltr.ltr_rerank (linear / tree-ensemble rescoring)",
+    "graph": "operators.graph.gather_nodes/shortest_path "
+    "(or pass graph_df= to dispatch_query for a real {!graph} run)",
+    "parent": "operators.streams.block_join_parent "
+    "(or pass blocks_df= to dispatch_query for a real {!parent} run)",
+    "child": "operators.streams.block_join_children "
+    "(or pass blocks_df= to dispatch_query for a real {!child} run)",
+    "geofilt": "functions.spatial.geofilt "
+    "(or pass docs_df= to dispatch_query for a real {!geofilt} run)",
+    "bbox": "functions.spatial.bbox_predicate "
+    "(or pass docs_df= to dispatch_query for a real {!bbox} run)",
+    "ltr": "query.ltr.ltr_rerank "
+    "(or pass ltr_models= to dispatch_query for a real {!ltr} run)",
     "igain": "pipeline.textml.select_features_igain",
     "tlogit": "pipeline.textml.train_text_logit",
 }
+
+# fq entries and the collapse postfilter only compose with parsers that
+# end in engine.search (where the DocSet semi-join applies before top-k)
+_FQ_COMPOSABLE = {
+    None,
+    "lucene",
+    "term",
+    "raw",
+    "field",
+    "prefix",
+    "bool",
+    "boost",
+    "dismax",
+    "edismax",
+    "switch",
+    "ltr",  # fq applies to the {!ltr} first pass (an engine.search)
+}
+
+
+def _engine_query_obj(engine, ptype, params, rest, raw):
+    """Lower an engine-shaped (ptype, params, rest) to the query object
+    engine.search/docset understand (str classic grammar / ParsedQuery /
+    BoolQuery).  The reference resolves fq entries through the same
+    QParser registry; the engine-shaped subset lowers here, everything
+    else raises honestly."""
+    if ptype is None or ptype == "lucene":
+        s = rest if ptype else raw
+        if "q.op" in params:
+            return parse_query_tree(
+                s,
+                analyze_fn=engine._analyze,
+                default_op=params["q.op"].upper(),
+            )
+        return s
+    if ptype in ("term", "raw"):
+        _check_field(params)
+        return ParsedQuery(must=[rest])
+    if ptype == "prefix":
+        _check_field(params)
+        return f"{rest}*"
+    if ptype == "field":
+        _check_field(params)
+        toks = engine._analyze(rest)
+        if not toks:
+            return ParsedQuery()
+        if len(toks) == 1:
+            return ParsedQuery(must=[toks[0]])
+        return ParsedQuery(must_phrases=[toks])
+    if ptype == "bool":
+        parts = []
+        for key, sign in (
+            ("must", "+"),
+            ("filter", "+"),
+            ("should", ""),
+            ("must_not", "-"),
+        ):
+            v = params.get(key)
+            if v:
+                parts.append(f"{sign}({v})")
+        return " ".join(parts)
+    if ptype == "boost":
+        return f"({rest})^{float(params.get('b', 1.0))}"
+    raise NotImplementedError(f"parser {{!{ptype}}} unsupported here")
+
+
+def _fq_query_obj(engine, f: str):
+    ptype, params, rest = parse_local_params(f)
+    if ptype in ("boost",):
+        raise NotImplementedError("fq parser {!boost} unsupported in fq")
+    return _engine_query_obj(engine, ptype, params, rest, f)
+
+
+def _collapse_main_query(engine, ptype, params, rest, raw):
+    """Main-query object for the {!collapse}-fq route.  Function boosts
+    (dismax bf / edismax boost) would need to ride into collapsed_search;
+    they raise rather than silently dropping."""
+    if ptype == "dismax":
+        if params.get("bf"):
+            raise NotImplementedError("{!dismax bf=} with collapse fq")
+        return _dismax_tree(engine, rest, params)
+    if ptype == "edismax":
+        if params.get("bf") or params.get("boost"):
+            raise NotImplementedError("{!edismax bf=/boost=} with collapse fq")
+        return _edismax_tree(engine, rest, params)
+    return _engine_query_obj(engine, ptype, params, rest, raw)
+
+
+def _split_fq(engine, fq):
+    """Partition fq entries into (engine filter queries, collapse params).
+    ``{!collapse ...}`` inside fq is the reference's ONLY collapse shape —
+    a postfilter over the scored result set, handled by
+    engine.collapsed_search rather than a DocSet intersection."""
+    filters: list = []
+    collapse_params: dict[str, str] | None = None
+    for f in fq or []:
+        ptype, params, _rest = parse_local_params(f)
+        if ptype == "collapse":
+            if collapse_params is not None:
+                raise ValueError("at most one {!collapse} fq per request")
+            collapse_params = params
+        else:
+            filters.append(_fq_query_obj(engine, f))
+    return filters, collapse_params
+
+
+def _collapse_order(params: dict[str, str]):
+    """CollapsingQParserPlugin head selection: default = best score;
+    ``max=F``/``min=F`` pick the group head by a numeric docs-table
+    expression instead (ties to lowest doc_id, like the reference's
+    docid tiebreak)."""
+    from pyspark.sql import functions as F
+
+    if "max" in params:
+        return [F.expr(params["max"]).desc(), F.col("doc_id").asc()]
+    if "min" in params:
+        return [F.expr(params["min"]).asc(), F.col("doc_id").asc()]
+    return None  # engine default: score desc, doc_id asc
 
 
 def _check_field(params: dict[str, str]) -> None:
@@ -326,9 +451,44 @@ def _check_field(params: dict[str, str]) -> None:
         )
 
 
-def dispatch_query(engine, q: str, k: int = 10, **kw) -> DataFrame:
-    """Run a local-params query through ``engine`` (a SearchEngine)."""
+def dispatch_query(
+    engine, q: str, k: int = 10, fq: list | None = None, **kw
+) -> DataFrame:
+    """Run a local-params query through ``engine`` (a SearchEngine).
+
+    ``fq``: list of filter-query strings (the reference's fq param): each
+    resolves through the engine-shaped parser subset to a constant-score
+    DocSet intersected before top-k; a ``{!collapse field=F}`` entry is
+    the reference's postfilter shape and routes the request through
+    engine.collapsed_search.  Table-shaped parsers dispatch for REAL when
+    their table arrives as a keyword (the {!knn} vectors_df= pattern):
+    ``blocks_df=`` ({!parent}/{!child}), ``graph_df=`` ({!graph}),
+    ``docs_df=`` ({!geofilt}/{!bbox}), ``ltr_models=`` ({!ltr}),
+    ``indexes=`` ({!join fromIndex=...}; same-index joins need nothing).
+    """
     ptype, params, rest = parse_local_params(q)
+
+    if fq:
+        if ptype not in _FQ_COMPOSABLE:
+            raise NotImplementedError(
+                f"fq does not compose with {{!{ptype}}} here"
+            )
+        if ptype == "switch":
+            kw = {**kw, "fq": fq}  # re-dispatch applies fq to the case
+        else:
+            fq_objs, collapse_params = _split_fq(engine, fq)
+            if collapse_params is not None:
+                main = _collapse_main_query(engine, ptype, params, rest, q)
+                return engine.collapsed_search(
+                    main,
+                    by=collapse_params["field"],
+                    k=k,
+                    null_policy=collapse_params.get("nullPolicy", "ignore"),
+                    order_by=_collapse_order(collapse_params),
+                    fq=fq_objs or None,
+                )
+            kw = {**kw, "fq": fq_objs}
+
     if ptype is None or ptype == "lucene":
         if "q.op" in params:  # {!lucene q.op=AND} (QueryParsing.OP)
             kw = {**kw, "default_op": params["q.op"].upper()}
@@ -537,6 +697,137 @@ def dispatch_query(engine, q: str, k: int = 10, **kw) -> DataFrame:
             k=int(params.get("topK", k)),
             vec_col=params.get("f", "embedding"),
             id_col=kw.get("id_col", "vec_id"),
+        )
+
+    if ptype in ("parent", "child") and "blocks_df" in kw:
+        # BlockJoinParent/ChildQParserPlugin over ONE table of blocks:
+        # ``which``/``of`` is the SQL predicate identifying parents, the
+        # rest the child/parent predicate; ``key``/``root`` name the
+        # parent-key and _root_ columns (SURVEY.md §1.1 maps Lucene's
+        # same-segment block adjacency to an explicit child->parent
+        # pointer column).  Empty rest = "has at least one child" /
+        # "parent matches all" (MatchAllDocs inner query).
+        from pyspark.sql import functions as F
+
+        from apache___solr_spark.operators.streams import (
+            block_join_children,
+            block_join_parent,
+        )
+
+        blocks = kw["blocks_df"]
+        key = params.get("key", "id")
+        root = params.get("root", "_root_")
+        which = params["which"] if ptype == "parent" else params["of"]
+        parents = blocks.filter(F.expr(which))
+        children = blocks.filter(~F.expr(which))
+        pred = F.expr(rest) if rest else F.lit(True)
+        if ptype == "parent":
+            return block_join_parent(parents, children, key, root, pred)
+        return block_join_children(parents, children, key, root, pred)
+
+    if ptype == "graph" and "graph_df" in kw:
+        # GraphQParserPlugin (search/join/GraphQuery.java): BFS from the
+        # docs matching the seed predicate, following from->to edges up
+        # to maxDepth (default: unlimited in the reference; 6 here — the
+        # practical ceiling the reference's own tests use).
+        from pyspark.sql import functions as F
+
+        from apache___solr_spark.operators.graph import gather_nodes
+
+        edges = kw["graph_df"]
+        frm, to = params["from"], params["to"]
+        hops = int(params.get("maxDepth", 6))
+        seeds = edges.filter(F.expr(rest)).select(frm)
+        return gather_nodes(edges, seeds, frm, to, hops=hops)
+
+    if ptype in ("geofilt", "bbox") and "docs_df" in kw:
+        # {!geofilt sfield=lat,lon pt=LAT,LON d=KM} — exact radius filter
+        # (bbox prefilter + haversine); {!bbox} keeps only the sargable
+        # bounding box (the reference's cheaper variant).  ``sfield``
+        # names the two coordinate columns ("latcol,loncol"); score=
+        # kilometers projects the distance (geodist sort key shape).
+        from pyspark.sql import functions as F
+
+        from apache___solr_spark.functions.spatial import (
+            bbox_predicate,
+            geodist,
+            geofilt,
+        )
+
+        df = kw["docs_df"]
+        lat_col, lon_col = (c.strip() for c in params["sfield"].split(","))
+        lat, lon = (float(x) for x in params["pt"].split(","))
+        d_km = float(params["d"])
+        want_dist = params.get("score") == "kilometers"
+        if ptype == "geofilt":
+            return geofilt(
+                df,
+                lat_col,
+                lon_col,
+                lat,
+                lon,
+                d_km,
+                dist_alias="score" if want_dist else None,
+            )
+        out = df.filter(bbox_predicate(lat_col, lon_col, lat, lon, d_km))
+        if want_dist:
+            out = out.withColumn("score", geodist(lat_col, lon_col, lat, lon))
+        return out
+
+    if ptype == "ltr" and "ltr_models" in kw:
+        # LTRQParserPlugin {!ltr model=NAME reRankDocs=N}q: first pass =
+        # the engine query, top reRankDocs rescored by the named model
+        # (query/ltr.py LinearModel / MultipleAdditiveTrees), tail kept in
+        # first-pass order.  ltr_models maps name -> {"features": {...},
+        # "model": {...}}; feature columns may reference the first-pass
+        # columns (score, url) and the docs-table columns (doclen, ...),
+        # which are joined in for the rescore window.
+        from apache___solr_spark.query.ltr import ltr_rerank
+
+        spec = kw["ltr_models"][params["model"]]
+        rerank_docs = int(params.get("reRankDocs", 200))
+        first = engine.search(rest, k=max(k, rerank_docs), **{
+            kk: vv for kk, vv in kw.items() if kk == "fq"
+        })
+        enriched = first.join(
+            engine.docs.drop("url"), "doc_id", "left"
+        )
+        return ltr_rerank(
+            enriched,
+            spec["features"],
+            spec["model"],
+            rerank_docs=rerank_docs,
+            k=k,
+        )
+
+    if ptype == "join" and (
+        "fromIndex" not in params or "indexes" in kw
+    ):
+        # JoinQParserPlugin {!join from=F to=T [fromIndex=X]}inner_q:
+        # semi-join — outer docs whose T value appears among the F values
+        # of the inner query's matches; scores do NOT flow (constant
+        # score, JoinQParserPlugin.java:36 — the scored variant is
+        # operators.streams.score_join).  F/T are docs-table columns of
+        # the inner/outer index; fromIndex names an engine passed via
+        # indexes={name: SearchEngine}.
+        from pyspark.sql import functions as F
+
+        inner_eng = (
+            kw["indexes"][params["fromIndex"]]
+            if "fromIndex" in params
+            else engine
+        )
+        frm, to = params["from"], params["to"]
+        inner_ids = inner_eng.docset(rest)
+        from_vals = (
+            inner_eng.docs.join(inner_ids, "doc_id", "left_semi")
+            .select(F.col(frm).alias(to))
+            .distinct()
+        )
+        return (
+            engine.docs.join(from_vals, to, "left_semi")
+            .select("doc_id", "url", F.lit(1.0).alias("score"))
+            .orderBy("doc_id")
         )
 
     if ptype in _TABLE_SHAPED:

@@ -1187,3 +1187,371 @@ def test_standard_folding_analyzer_end_to_end(spark, tmp_path_factory):
     eng = SearchEngine(spark, out, cfg=cfg)
     assert {r["doc_id"] for r in eng.search("cafe", k=5).collect()} == {0, 1}
     assert {r["doc_id"] for r in eng.search("café", k=5).collect()} == {0, 1}
+
+
+def test_fq_filter_queries(spark, corpus, built):
+    """fq (SolrIndexSearcher.getProcessedFilter): each filter query's full
+    DocSet intersects the main query's matches BEFORE top-k without
+    touching scores (ConstantScore semantics — unlike a MUST clause,
+    which would add its BM25 contribution).  Oracle: the unfiltered full
+    ranking manually intersected with the fq docsets."""
+    eng = SearchEngine(spark, built, cfg=CFG)
+    allowed = {r["doc_id"] for r in eng.docset("data").collect()}
+    base = eng.search("web search", k=N_DOCS, prune=False).collect()
+    want = [
+        (r["doc_id"], r["score"]) for r in base if r["doc_id"] in allowed
+    ][:10]
+    got = eng.search("web search", k=10, fq=["data"]).collect()
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    # scores are the MAIN query's scores, bit-identical to the unfiltered
+    # ranking (fq adds nothing)
+    assert [r["score"] for r in got] == [s for _, s in want]
+    assert got and got[0]["rank"] == 1
+
+    # two fqs intersect; fq composes with the default prune=True soundly
+    # (theta is auto-disabled under fq)
+    allowed2 = allowed & {
+        r["doc_id"] for r in eng.docset("engine").collect()
+    }
+    want2 = [r["doc_id"] for r in base if r["doc_id"] in allowed2][:10]
+    got2 = eng.search("web search", k=10, fq=["data", "engine"])
+    assert [r["doc_id"] for r in got2.collect()] == want2
+
+    # an impossible fq empties the result
+    assert eng.search("web search", k=10, fq=["zzznotaterm"]).count() == 0
+
+    # nested-tree main query takes the same fq path
+    tree_q = "(web AND data) OR (search AND engine)"
+    base_t = eng.search(tree_q, k=N_DOCS).collect()
+    want_t = [r["doc_id"] for r in base_t if r["doc_id"] in allowed][:10]
+    got_t = eng.search(tree_q, k=10, fq=["data"])
+    assert [r["doc_id"] for r in got_t.collect()] == want_t
+
+
+def test_collapsed_search_matches_manual_window(spark, corpus, built):
+    """collapsed_search == CollapsingQParserPlugin-as-fq: score EVERY
+    match, keep each group's best doc, then top-k.  Oracle: a manual
+    replay over the full scored docset."""
+    eng = SearchEngine(spark, built, cfg=CFG)
+    sd = {
+        r["doc_id"]: r["score"]
+        for r in eng.scored_docset("web data").collect()
+    }
+    top5 = [r["doc_id"] for r in eng.search("web data", k=5).collect()]
+
+    def group_heads(m: int) -> list[int]:
+        heads: dict[int, int] = {}
+        for d in sorted(sd):
+            g = d % m
+            if g not in heads or (sd[d], -d) > (sd[heads[g]], -heads[g]):
+                heads[g] = d
+        return sorted(heads.values(), key=lambda d: (-sd[d], d))[:5]
+
+    # pick a modulus where collapsing provably changes the top-5 — two
+    # global winners share a group, so collapsing the GLOBAL top-k
+    # instead of the full docset would be detectably wrong (non-vacuous)
+    m = next(
+        m for m in range(2, 11) if set(group_heads(m)) != set(top5)
+    )
+    want = group_heads(m)
+    got = eng.collapsed_search("web data", by=f"pmod(doc_id, {m})", k=5).collect()
+    assert [r["doc_id"] for r in got] == want
+    assert [r["rank"] for r in got] == list(range(1, len(want) + 1))
+    for r in got:
+        assert abs(r["score"] - sd[r["doc_id"]]) < 1e-6
+
+
+def test_dispatch_fq_and_collapse(spark, corpus, built):
+    """dispatch_query fq= plumbing: {!term} fq entries lower to DocSets,
+    a {!collapse} fq entry routes through collapsed_search (the
+    reference's only collapse shape)."""
+    from apache___solr_spark.query.localparams import dispatch_query
+
+    eng = SearchEngine(spark, built, cfg=CFG)
+
+    # plain fq through dispatch == engine fq
+    got = dispatch_query(eng, "web search", k=10, fq=["{!term f=text}data"])
+    want = eng.search("web search", k=10, fq=["data"])
+    assert [r["doc_id"] for r in got.collect()] == [
+        r["doc_id"] for r in want.collect()
+    ]
+
+    # collapse fq: manual oracle — fq-filtered scored docset, group
+    # heads, top-k
+    allowed = {r["doc_id"] for r in eng.docset("web").collect()}
+    sd = {
+        r["doc_id"]: r["score"]
+        for r in eng.scored_docset("web data").collect()
+        if r["doc_id"] in allowed
+    }
+    heads: dict[int, int] = {}
+    for d in sorted(sd):
+        g = d % 5
+        if g not in heads or (sd[d], -d) > (sd[heads[g]], -heads[g]):
+            heads[g] = d
+    want_ids = sorted(heads.values(), key=lambda d: (-sd[d], d))[:5]
+    got2 = dispatch_query(
+        eng,
+        "web data",
+        k=5,
+        fq=["{!term f=text}web", '{!collapse field="pmod(doc_id, 5)"}'],
+    )
+    assert [r["doc_id"] for r in got2.collect()] == want_ids
+
+    # {!collapse max=doclen}: head = group's longest doc, not best score
+    sd_all = {
+        r["doc_id"]: r["score"]
+        for r in eng.scored_docset("web data").collect()
+    }
+    doclens = {
+        r["doc_id"]: r["doclen"]
+        for r in eng.docs.select("doc_id", "doclen").collect()
+    }
+    heads2: dict[int, int] = {}
+    for d in sorted(sd_all):
+        g = d % 5
+        if g not in heads2 or (doclens[d], -d) > (
+            doclens[heads2[g]],
+            -heads2[g],
+        ):
+            heads2[g] = d
+    want3 = sorted(heads2.values(), key=lambda d: (-sd_all[d], d))[:5]
+    got3 = dispatch_query(
+        eng,
+        "web data",
+        k=5,
+        fq=['{!collapse field="pmod(doc_id, 5)" max=doclen}'],
+    )
+    assert [r["doc_id"] for r in got3.collect()] == want3
+
+    # fq does not compose with table-shaped parsers
+    with pytest.raises(NotImplementedError, match="fq"):
+        dispatch_query(eng, "{!func}doclen", k=5, fq=["web"])
+
+
+def test_dispatch_table_shaped_real(spark, corpus, built):
+    """Table-shaped QParsers dispatch for REAL when their table arrives
+    as a keyword ({!knn} vectors_df= pattern): {!parent}/{!child} over a
+    blocks table, {!graph} BFS, {!geofilt}/{!bbox} radius filters,
+    {!ltr} model rescoring, and the same-index {!join} semi-join."""
+    from pyspark.sql import functions as F
+
+    from apache___solr_spark.operators.graph import gather_nodes
+    from apache___solr_spark.operators.streams import (
+        block_join_children,
+        block_join_parent,
+    )
+    from apache___solr_spark.query.localparams import dispatch_query
+
+    eng = SearchEngine(spark, built, cfg=CFG)
+
+    # --- {!parent which=...}child_pred / {!child of=...}parent_pred
+    blocks = spark.createDataFrame(
+        [
+            (1, None, "parent", "red", 0),
+            (10, 1, "child", "red", 5),
+            (11, 1, "child", "blue", 7),
+            (2, None, "parent", "blue", 0),
+            (20, 2, "child", "blue", 9),
+            (3, None, "parent", "red", 0),
+        ],
+        "id long, _root_ long, kind string, color string, qty long",
+    )
+    got_p = dispatch_query(
+        eng, "{!parent which=\"kind='parent'\"}color='red'", blocks_df=blocks
+    )
+    want_p = block_join_parent(
+        blocks.filter("kind='parent'"),
+        blocks.filter("kind<>'parent'"),
+        "id",
+        "_root_",
+        F.expr("color='red'"),
+    )
+    assert sorted(r["id"] for r in got_p.collect()) == sorted(
+        r["id"] for r in want_p.collect()
+    ) == [1]
+
+    got_c = dispatch_query(
+        eng, "{!child of=\"kind='parent'\"}color='blue'", blocks_df=blocks
+    )
+    want_c = block_join_children(
+        blocks.filter("kind='parent'"),
+        blocks.filter("kind<>'parent'"),
+        "id",
+        "_root_",
+        F.expr("color='blue'"),
+    )
+    assert sorted(r["id"] for r in got_c.collect()) == sorted(
+        r["id"] for r in want_c.collect()
+    ) == [20]
+    # empty child predicate: parents with at least one child
+    got_any = dispatch_query(
+        eng, "{!parent which=\"kind='parent'\"}", blocks_df=blocks
+    )
+    assert sorted(r["id"] for r in got_any.collect()) == [1, 2]
+
+    # --- {!graph from=... to=... maxDepth=N}seed_pred
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (9, 1)], "src long, dst long"
+    )
+    got_g = dispatch_query(
+        eng, "{!graph from=src to=dst maxDepth=2}src=1", graph_df=edges
+    )
+    want_g = gather_nodes(
+        edges, edges.filter("src=1").select("src"), "src", "dst", hops=2
+    )
+    assert {(r["node"], r["depth"]) for r in got_g.collect()} == {
+        (r["node"], r["depth"]) for r in want_g.collect()
+    } == {(1, 0), (2, 1), (3, 2)}
+
+    # --- {!geofilt} / {!bbox} with an independent haversine check
+    pts = spark.createDataFrame(
+        [
+            (1, 48.8566, 2.3522),   # Paris (center)
+            (2, 48.8600, 2.3270),   # ~2.2 km away
+            (3, 48.9566, 2.3522),   # ~11 km north
+            (4, 40.4168, -3.7038),  # Madrid
+        ],
+        "id long, lat double, lon double",
+    )
+    got_geo = dispatch_query(
+        eng,
+        "{!geofilt sfield=lat,lon pt=48.8566,2.3522 d=5}",
+        docs_df=pts,
+    )
+    assert sorted(r["id"] for r in got_geo.collect()) == [1, 2]
+    got_box = dispatch_query(
+        eng,
+        "{!bbox sfield=lat,lon pt=48.8566,2.3522 d=5 score=kilometers}",
+        docs_df=pts,
+    )
+    rows_box = {r["id"]: r["score"] for r in got_box.collect()}
+    assert set(rows_box) >= {1, 2}  # bbox is a superset of the radius
+    import math as _m
+
+    def hav(lat1, lon1, lat2, lon2):
+        rl1, rl2 = _m.radians(lat1), _m.radians(lat2)
+        a = (
+            _m.sin((rl2 - rl1) / 2) ** 2
+            + _m.cos(rl1) * _m.cos(rl2)
+            * _m.sin(_m.radians(lon2 - lon1) / 2) ** 2
+        )
+        return 2 * 6371.0087714 * _m.asin(_m.sqrt(a))
+
+    assert abs(rows_box[2] - hav(48.8566, 2.3522, 48.8600, 2.3270)) < 0.02
+
+    # --- {!ltr model=...}q vs direct ltr_rerank
+    from apache___solr_spark.query.ltr import ltr_rerank
+
+    feats = {
+        "fp": F.col("score").cast("double"),
+        "dl": F.col("doclen").cast("double"),
+    }
+    model = {
+        "type": "linear",
+        "weights": {"fp": 1.0, "dl": -0.01},
+    }
+    got_ltr = dispatch_query(
+        eng,
+        "{!ltr model=m reRankDocs=20}web data",
+        k=5,
+        ltr_models={"m": {"features": feats, "model": model}},
+    )
+    first = eng.search("web data", k=20).join(
+        eng.docs.drop("url"), "doc_id", "left"
+    )
+    want_ltr = ltr_rerank(first, feats, model, rerank_docs=20, k=5)
+    assert [r["doc_id"] for r in got_ltr.collect()] == [
+        r["doc_id"] for r in want_ltr.collect()
+    ]
+
+    # --- same-index {!join from=doc_id to=doc_id}q == the inner docset
+    got_j = dispatch_query(eng, "{!join from=doc_id to=doc_id}data")
+    want_ids = sorted(r["doc_id"] for r in eng.docset("data").collect())
+    rows_j = got_j.collect()
+    assert [r["doc_id"] for r in rows_j] == want_ids
+    assert all(r["score"] == 1.0 for r in rows_j)
+    # fromIndex resolves through the indexes= registry
+    got_j2 = dispatch_query(
+        eng,
+        "{!join from=doc_id to=doc_id fromIndex=other}data",
+        indexes={"other": eng},
+    )
+    assert [r["doc_id"] for r in got_j2.collect()] == want_ids
+    # without its table a table-shaped parser still raises the pointer
+    with pytest.raises(NotImplementedError, match="table-shaped"):
+        dispatch_query(eng, "{!parent which=x}y")
+
+
+def test_start_offset_paging(spark, corpus, built):
+    """start/rows offset paging (SolrIndexSearcher: collector depth =
+    start+rows, QueryComponent slices the window; ranks stay global)."""
+    eng = SearchEngine(spark, built, cfg=CFG)
+    full = eng.search("web data", k=30).collect()
+    page2 = eng.search("web data", k=10, start=10).collect()
+    assert [r["doc_id"] for r in page2] == [r["doc_id"] for r in full[10:20]]
+    assert [r["score"] for r in page2] == [r["score"] for r in full[10:20]]
+    assert [r["rank"] for r in page2] == list(range(11, 21))
+    # past the end of the result set -> empty page
+    assert eng.search("web data", k=10, start=10_000).count() == 0
+    # tree path pages identically
+    tree_full = eng.search("(web AND data) OR search", k=20).collect()
+    tree_p2 = eng.search("(web AND data) OR search", k=5, start=5).collect()
+    assert [r["doc_id"] for r in tree_p2] == [
+        r["doc_id"] for r in tree_full[5:10]
+    ]
+
+
+def test_sorted_search_field_and_function(spark, corpus, built):
+    """sort= request param (SortSpecParsing.java): field sort, compound
+    specs, function sorts, score key — replayed manually over the full
+    scored docset."""
+    eng = SearchEngine(spark, built, cfg=CFG)
+    sd = {
+        r["doc_id"]: r["score"]
+        for r in eng.scored_docset("web data").collect()
+    }
+    doclens = {
+        r["doc_id"]: r["doclen"]
+        for r in eng.docs.select("doc_id", "doclen").collect()
+    }
+
+    # field sort asc: shortest matching docs first, doc_id tiebreak
+    want = sorted(sd, key=lambda d: (doclens[d], d))[:8]
+    got = eng.sorted_search("web data", sort="doclen asc", k=8).collect()
+    assert [r["doc_id"] for r in got] == want
+    # relevance score is still reported under field sort
+    for r in got:
+        assert abs(r["score"] - sd[r["doc_id"]]) < 1e-6
+
+    # compound: doclen desc, then doc_id asc implicit tiebreak
+    want2 = sorted(sd, key=lambda d: (-doclens[d], d))[:8]
+    got2 = eng.sorted_search("web data", sort="doclen desc", k=8).collect()
+    assert [r["doc_id"] for r in got2] == want2
+
+    # sort=score desc == the default ranking
+    got3 = eng.sorted_search("web data", sort="score desc", k=10).collect()
+    base = eng.search("web data", k=10, prune=False).collect()
+    assert [r["doc_id"] for r in got3] == [r["doc_id"] for r in base]
+
+    # function sort: recip(doclen,1,1000,1) desc == doclen asc
+    got4 = eng.sorted_search(
+        "web data", sort="recip(doclen,1,1000,1) desc", k=8
+    ).collect()
+    assert [r["doc_id"] for r in got4] == want
+
+    # start pages the sorted ranking with global ranks
+    page = eng.sorted_search("web data", sort="doclen asc", k=3, start=3)
+    rows = page.collect()
+    assert [r["doc_id"] for r in rows] == want[3:6]
+    assert [r["rank"] for r in rows] == [4, 5, 6]
+
+    # fq composes: filtered membership, same ordering rule
+    allowed = {r["doc_id"] for r in eng.docset("search").collect()}
+    want_fq = sorted(
+        (d for d in sd if d in allowed), key=lambda d: (doclens[d], d)
+    )[:8]
+    got_fq = eng.sorted_search(
+        "web data", sort="doclen asc", k=8, fq=["search"]
+    ).collect()
+    assert [r["doc_id"] for r in got_fq] == want_fq
