@@ -1170,7 +1170,11 @@ def q_query_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic-parser surface in one tagged entry (merged from the round-2
     entries bm25_simple_and / bm25_simple_nested / phrase_search /
     prefix_boost_search): MUST+MUST_NOT boolean, nested groups with a sloppy
-    phrase, exact-adjacency phrase, and prefix-expansion+boost — each case
+    phrase, exact-adjacency phrase, prefix-expansion+boost, a constant-score
+    fq filter (fq=merge restricts membership WITHOUT touching the BM25
+    scores — SolrIndexSearcher.getProcessedFilter semantics), and the sort=
+    request param (sorted_search doclen asc: membership = the 50 shortest
+    matching docs, scores still the query's BM25 values) — each case
     value-hash-checked against its DuckDB BM25 oracle."""
     eng = _simple_engine(spark, sf_dir)
     frames = {
@@ -1191,6 +1195,14 @@ def q_query_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prefix_boost": _stable_topk(
             eng.search("s* merge^2", k=64, with_url=False), 50
         ),
+        "fq": _stable_topk(
+            eng.search("table query", k=64, with_url=False, fq=["merge"]),
+            50,
+        ),
+        # integer sort keys -> the cut is exact; no rounded re-cut needed
+        "sorted": eng.sorted_search(
+            "table query", sort="doclen asc", k=50
+        ).select("doc_id", F.round("score", 6).alias("score")),
     }
     return _tagged_union(frames, "qcase").orderBy(
         "qcase", F.col("score").desc(), "doc_id"
@@ -1391,7 +1403,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     - similarity_topk = bm25_simple_topk + tfidf_topk + lmdirichlet_topk
       (tag ``sim``)
-    - query_suite = bm25_simple_and + bm25_simple_nested + phrase_search +
+    - query_suite = fq-filtered + doclen-sorted cases
+      + bm25_simple_and + bm25_simple_nested + phrase_search +
       prefix_boost_search (tag ``qcase``)
     - text_quality = token_count + detect_language + quality_score (joined)
     - topk_page = topk_orders + cursor_page (tag ``page``)
@@ -1505,6 +1518,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, round(score, 6) AS score FROM hits
             ORDER BY round(score, 6) DESC, doc_id ASC
+        """,
+        "bm25_fq": f"""
+            WITH {bm25}{_bm25_scored_cte("f", ["table", "query"])},
+            hits AS (
+                SELECT s.doc_id, s.score FROM scored_f s
+                WHERE s.doc_id IN (
+                    SELECT DISTINCT doc_id FROM toks WHERE term = 'merge')
+                ORDER BY s.score DESC, s.doc_id ASC LIMIT 50
+            )
+            SELECT doc_id, round(score, 6) AS score FROM hits
+            ORDER BY round(score, 6) DESC, doc_id ASC
+        """,
+        "bm25_sorted": f"""
+            WITH {bm25}{_bm25_scored_cte("srt", ["table", "query"])},
+            hits AS (
+                SELECT s.doc_id, s.score FROM scored_srt s
+                JOIN dl USING (doc_id)
+                ORDER BY dl.doclen ASC, s.doc_id ASC LIMIT 50
+            )
+            SELECT doc_id, round(score, 6) AS score FROM hits
+            ORDER BY doc_id ASC
         """,
         "bm25_simple_rerank": f"""
             WITH {bm25}{_bm25_scored_cte("m", ["table", "query"])}
@@ -2277,6 +2311,7 @@ def oracle_sql() -> dict[str, str]:
     for k in (
         "bm25_simple_topk",
         "bm25_simple_and",
+        "bm25_fq",
         "bm25_simple_nested",
         "phrase_search",
         "prefix_boost_search",
@@ -2303,6 +2338,8 @@ def oracle_sql() -> dict[str, str]:
             "nested_sloppy": d.pop("bm25_simple_nested"),
             "phrase": d.pop("phrase_search"),
             "prefix_boost": d.pop("prefix_boost_search"),
+            "fq": d.pop("bm25_fq"),
+            "sorted": d.pop("bm25_sorted"),
         },
         "qcase, score DESC, doc_id",
     )
