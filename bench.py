@@ -60,6 +60,9 @@ HEADLINE = [
     "features_igain",
     "classify_logit",
     "span_near_unordered",
+    "fq_search",
+    "sorted_search",
+    "collapse_fq",
     "scrub_pii",
     "remove_repeated_lines",
     "canonicalize_urls",
@@ -81,6 +84,33 @@ def _q_perplexity_score(spark, sf_dir):
         d.orderBy("doc_id").limit(2000), "text", "doc_id", n=3
     )
     return score_perplexity(d, "text", "doc_id", lm)
+
+
+def _q_fq_search(spark, sf_dir):
+    """fq filter query: constant-score DocSet intersection before top-k —
+    one extra docset scan vs the plain query, no extra shuffle."""
+    import __spark_entry__ as em
+
+    eng = em._engine(spark, em._fulltext_index(spark, sf_dir))
+    return eng.search("table query", k=50, fq=["merge"])
+
+
+def _q_sorted_search(spark, sf_dir):
+    """sort= request param: full matching docset ordered by a field —
+    TakeOrderedAndProject over the docset+docs join."""
+    import __spark_entry__ as em
+
+    eng = em._engine(spark, em._fulltext_index(spark, sf_dir))
+    return eng.sorted_search("table query", sort="doclen asc", k=50)
+
+
+def _q_collapse_fq(spark, sf_dir):
+    """{!collapse} postfilter: score every match, one window for the group
+    heads, then top-k."""
+    import __spark_entry__ as em
+
+    eng = em._engine(spark, em._fulltext_index(spark, sf_dir))
+    return eng.collapsed_search("table query", by="pmod(doc_id, 97)", k=20)
 
 
 def _q_scrub_pii(spark, sf_dir):
@@ -181,6 +211,9 @@ def main() -> None:
         "quality_score": entrymod.q_quality_score,
         "ann_ivf_topk": entrymod.q_ann_ivf_topk,
         "ann_graph_topk": entrymod.q_ann_graph_topk,
+        "fq_search": _q_fq_search,
+        "sorted_search": _q_sorted_search,
+        "collapse_fq": _q_collapse_fq,
         "scrub_pii": _q_scrub_pii,
         "remove_repeated_lines": _q_remove_repeated_lines,
         "canonicalize_urls": _q_canonicalize_urls,
