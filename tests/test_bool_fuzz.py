@@ -116,3 +116,26 @@ def test_random_boolean_tree_matches_set_oracle(fuzz_engine, tree):
     got = {r["url"] for r in eng.search(q, k=N_DOCS + 1).collect()}
     want = {u for u, terms in url_terms.items() if semantics(tree, terms)}
     assert got == want, f"query {q!r}: engine{sorted(got)[:5]}... oracle{sorted(want)[:5]}..."
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(tree=ast, fq_tree=ast)
+def test_random_fq_is_docset_intersection(fuzz_engine, tree, fq_tree):
+    """fq property: search(q, fq=[f]) matches exactly
+    matches(q) ∩ matches(f) — for arbitrary nested boolean q AND f, both
+    flat and tree engine paths, against the shared-nothing set oracle."""
+    eng, url_terms = fuzz_engine
+    q, f = render(tree), render(fq_tree)
+    got = {
+        r["url"] for r in eng.search(q, k=N_DOCS + 1, fq=[f]).collect()
+    }
+    want = {
+        u
+        for u, terms in url_terms.items()
+        if semantics(tree, terms) and semantics(fq_tree, terms)
+    }
+    assert got == want, f"q={q!r} fq={f!r}"
