@@ -722,6 +722,23 @@ def dispatch_query(
         children = blocks.filter(~F.expr(which))
         pred = F.expr(rest) if rest else F.lit(True)
         if ptype == "parent":
+            if "score" in params and params["score"] != "none":
+                # ToParentBlockJoinQuery ScoreMode (max/min/avg/total):
+                # the parent's score is the aggregate of its MATCHING
+                # children's scoreField values — the same shuffle shape
+                # as {!join score=}, so reuse score_join
+                from apache___solr_spark.operators.streams import score_join
+
+                return score_join(
+                    parents,
+                    children.filter(pred),
+                    key,
+                    root,
+                    params.get("scoreField", "score"),
+                    mode={"total": "total", "sum": "total"}.get(
+                        params["score"], params["score"]
+                    ),
+                )
             return block_join_parent(parents, children, key, root, pred)
         return block_join_children(parents, children, key, root, pred)
 

@@ -1478,6 +1478,28 @@ def test_dispatch_table_shaped_real(spark, corpus, built):
         indexes={"other": eng},
     )
     assert [r["doc_id"] for r in got_j2.collect()] == want_ids
+    # --- {!parent score=max}: ToParentBlockJoinQuery ScoreMode — parent
+    # score = aggregate of matching children's scoreField
+    scored_blocks = blocks.withColumn(
+        "score", F.col("qty").cast("double")
+    )
+    got_ps = dispatch_query(
+        eng,
+        "{!parent which=\"kind='parent'\" score=max}qty > 0",
+        blocks_df=scored_blocks,
+    )
+    rows_ps = {r["id"]: r["join_score"] for r in got_ps.collect()}
+    assert rows_ps == {1: 7.0, 2: 9.0}
+    got_pt = dispatch_query(
+        eng,
+        "{!parent which=\"kind='parent'\" score=total}qty > 0",
+        blocks_df=scored_blocks,
+    )
+    assert {r["id"]: r["join_score"] for r in got_pt.collect()} == {
+        1: 12.0,
+        2: 9.0,
+    }
+
     # without its table a table-shaped parser still raises the pointer
     with pytest.raises(NotImplementedError, match="table-shaped"):
         dispatch_query(eng, "{!parent which=x}y")
