@@ -325,6 +325,24 @@ _TABLE_SHAPED = {
     "tlogit": "pipeline.textml.train_text_logit",
 }
 
+# honest scope markers for the rest of the reference registry
+# (QParserPlugin.java standardPlugins) — each raises with the reason
+_UNSUPPORTED = {
+    "nested": "$param references need a request-parameter context",
+    "query": "$param references need a request-parameter context",
+    "filters": "pass the component queries via dispatch_query(fq=[...])",
+    "maxscore": "SHOULD-combine=max scoring mode not modeled (sum only)",
+    "simple": "SimpleQParser grammar not modeled; use the classic grammar",
+    "xml": "XML query syntax not modeled; use the classic grammar",
+    "export": "use sources.loaders.export_sorted for full sorted export",
+    "min_hash": "use pipeline.dedup.minhash_lsh_candidates",
+    "payload_score": "payloads are not stored in this index format",
+    "payload_check": "payloads are not stored in this index format",
+    "rank": "precomputed feature ranking: use {!func} over a docs column",
+    "vectorSimilarity": "pass vectors_df= for a real threshold query",
+    "numericRange": "pass docs_df= with the 'locol,hicol' range pair",
+}
+
 # fq entries and the collapse postfilter only compose with parsers that
 # end in engine.search (where the DocSet semi-join applies before top-k)
 _FQ_COMPOSABLE = {
@@ -339,6 +357,7 @@ _FQ_COMPOSABLE = {
     "dismax",
     "edismax",
     "switch",
+    "fuzzy",
     "ltr",  # fq applies to the {!ltr} first pass (an engine.search)
 }
 
@@ -364,6 +383,9 @@ def _engine_query_obj(engine, ptype, params, rest, raw):
     if ptype == "prefix":
         _check_field(params)
         return f"{rest}*"
+    if ptype == "fuzzy":
+        _check_field(params)
+        return f"{rest}~{params.get('maxEdits', 2)}"
     if ptype == "field":
         _check_field(params)
         toks = engine._analyze(rest)
@@ -847,8 +869,130 @@ def dispatch_query(
             .orderBy("doc_id")
         )
 
+    if ptype == "fuzzy":
+        # FuzzyQParserPlugin.java: one fuzzy term through the classic
+        # grammar's ~maxEdits dictionary expansion + scoring
+        _check_field(params)
+        return engine.search(
+            f"{rest}~{params.get('maxEdits', 2)}", k=k, **kw
+        )
+
+    if ptype == "hash":
+        # HashQParserPlugin.java:42 (fq={!hash workers=11 worker=4
+        # keys=f1,f2}): the parallel() partition filter — keep rows whose
+        # key-hash lands on this worker.  The CONTRACT is stable disjoint
+        # partitions covering everything; we hash with xxhash64 where the
+        # reference uses murmur (documented divergence — all workers just
+        # have to agree on the function).
+        from pyspark.sql import functions as F
+
+        workers = int(params["workers"])
+        if workers < 2:
+            raise ValueError("workers needs to be more than 1")
+        worker = int(params.get("worker", 0))
+        df = kw["docs_df"] if "docs_df" in kw else engine.docs
+        keys = [
+            F.col(c)
+            for c in params["keys"].replace(" ", "").split(",")
+            if c
+        ]
+        return df.filter(
+            F.pmod(F.xxhash64(*keys), F.lit(workers)) == F.lit(worker)
+        )
+
+    if ptype == "hash_range":
+        # join/HashRangeQParser.java (f/l/u): route-by-hash-range filter
+        # (cross-collection join partitioning); same stable-hash contract
+        # note as {!hash}, mapped onto a non-negative 31-bit space.
+        from pyspark.sql import functions as F
+
+        df = kw["docs_df"] if "docs_df" in kw else engine.docs
+        h = F.pmod(F.xxhash64(F.col(params["f"])), F.lit(2**31))
+        return df.filter(
+            (h >= F.lit(int(params["l"]))) & (h <= F.lit(int(params["u"])))
+        )
+
+    if ptype == "graphTerms":
+        # GraphTermsQParserPlugin: {!graphTerms f=text maxDocFreq=N}t1,t2
+        # — a terms filter that SKIPS terms above the df cap (frontier
+        # expansion without head-term blowup).  The df probe is one
+        # dictionary-table lookup, never a corpus scan.
+        from pyspark.sql import functions as F
+
+        _check_field(params)
+        maxdf = int(params.get("maxDocFreq", 2**31 - 1))
+        vals = [v for v in (x.strip() for x in rest.split(",")) if v]
+        kept = [
+            r["term"]
+            for r in engine.dictionary.filter(
+                F.col("term").isin(vals) & (F.col("df") <= maxdf)
+            )
+            .select("term")
+            .collect()
+        ]
+        return engine.terms_query(kept, k=k)
+
+    if ptype == "vectorSimilarity" and "vectors_df" in kw:
+        # vector/VectorSimilarityQParser.java: every vector whose cosine
+        # similarity clears minReturn — a THRESHOLD query, not top-k
+        # (minTraverse is an HNSW traversal knob; the exact scan has no
+        # equivalent and ignores it).
+        import numpy as _np
+        from pyspark.sql import functions as F
+
+        from apache___solr_spark.pipeline.similarity import _dot, _norm
+
+        vec = [float(x) for x in rest.strip().strip("[]").split(",")]
+        vcol = params.get("f", "embedding")
+        idc = kw.get("id_col", "vec_id")
+        q = F.array(*[F.lit(float(x)) for x in vec])
+        qn = float(_np.sqrt(_np.dot(vec, vec)))
+        cos = (
+            _dot(F.col(vcol), q) / (_norm(F.col(vcol)) * F.lit(qn))
+        ).alias("cosine")
+        return (
+            kw["vectors_df"]
+            .select(F.col(idc), cos)
+            .filter(F.col("cosine") >= float(params["minReturn"]))
+            .orderBy(F.col("cosine").desc(), F.col(idc).asc())
+        )
+
+    if ptype == "numericRange" and "docs_df" in kw:
+        # numericrange/NumericRangeQParserPlugin: relationship queries
+        # against RANGE fields.  A Lucene range field stores [lo, hi] per
+        # doc; here the field is two columns named "locol,hicol" (the
+        # DataFrame encoding of the same pair).  criteria semantics follow
+        # the plugin javadoc: intersects / within / contains / crosses
+        # (crosses = intersects but not within).
+        import re as _re
+
+        from pyspark.sql import functions as F
+
+        lo_c, hi_c = (c.strip() for c in params["field"].split(","))
+        m = _re.fullmatch(r"\s*\[\s*(\S+)\s+TO\s+(\S+)\s*\]\s*", rest)
+        if not m:
+            raise ValueError("{!numericRange} needs [l TO u]")
+        ql, qu = float(m.group(1)), float(m.group(2))
+        lo, hi = F.col(lo_c).cast("double"), F.col(hi_c).cast("double")
+        intersects = (lo <= F.lit(qu)) & (hi >= F.lit(ql))
+        within = (lo >= F.lit(ql)) & (hi <= F.lit(qu))
+        preds = {
+            "intersects": intersects,
+            "within": within,
+            "contains": (lo <= F.lit(ql)) & (hi >= F.lit(qu)),
+            "crosses": intersects & ~within,
+        }
+        crit = params.get("criteria", "intersects").strip("\"'")
+        if crit not in preds:
+            raise ValueError(f"unknown criteria {crit!r}")
+        return kw["docs_df"].filter(preds[crit])
+
     if ptype in _TABLE_SHAPED:
         raise NotImplementedError(
             f"{{!{ptype}}} is table-shaped here — use {_TABLE_SHAPED[ptype]}"
+        )
+    if ptype in _UNSUPPORTED:
+        raise NotImplementedError(
+            f"{{!{ptype}}}: {_UNSUPPORTED[ptype]}"
         )
     raise NotImplementedError(f"unknown query parser {ptype!r}")

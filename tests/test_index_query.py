@@ -1577,3 +1577,103 @@ def test_sorted_search_field_and_function(spark, corpus, built):
         "web data", sort="doclen asc", k=8, fq=["search"]
     ).collect()
     assert [r["doc_id"] for r in got_fq] == want_fq
+
+
+def test_dispatch_registry_tail(spark, corpus, built):
+    """The rest of the QParser registry (QParserPlugin.java
+    standardPlugins): {!fuzzy}, {!hash}, {!hash_range}, {!graphTerms},
+    {!vectorSimilarity}, {!numericRange} dispatch for real; the
+    request-context / unmodeled parsers raise their documented reason."""
+    from pyspark.sql import functions as F
+
+    from apache___solr_spark.query.localparams import dispatch_query
+
+    eng = SearchEngine(spark, built, cfg=CFG)
+
+    def ids(df):
+        return [r["doc_id"] for r in df.collect()]
+
+    # {!fuzzy} == the grammar's ~N expansion
+    assert ids(dispatch_query(eng, "{!fuzzy f=text maxEdits=1}dta", k=10)) == ids(
+        eng.search("dta~1", k=10)
+    )
+
+    # {!hash}: disjoint partitions covering all docs
+    parts = [
+        dispatch_query(eng, f"{{!hash workers=3 worker={w} keys=url}}")
+        for w in range(3)
+    ]
+    counts = [p.count() for p in parts]
+    assert sum(counts) == eng.docs.count() and all(c > 0 for c in counts)
+    first = {r["doc_id"] for r in parts[0].collect()}
+    second = {r["doc_id"] for r in parts[1].collect()}
+    assert not (first & second)
+    with pytest.raises(ValueError, match="workers"):
+        dispatch_query(eng, "{!hash workers=1 worker=0 keys=url}")
+
+    # {!hash_range}: half-open hash bands partition the docs
+    lohalf = dispatch_query(eng, f"{{!hash_range f=url l=0 u={2**30}}}")
+    hihalf = dispatch_query(
+        eng, f"{{!hash_range f=url l={2**30 + 1} u={2**31 - 1}}}"
+    )
+    assert lohalf.count() + hihalf.count() == eng.docs.count()
+
+    # {!graphTerms}: terms filter skipping high-df terms — with a tiny
+    # cap every candidate term is skipped, so nothing matches
+    rows = eng.dictionary.orderBy(F.col("df").desc()).limit(2).collect()
+    head_term, head_df = rows[0]["term"], rows[0]["df"]
+    got = dispatch_query(
+        eng, f"{{!graphTerms f=text maxDocFreq={head_df}}}{head_term}", k=5
+    )
+    assert got.count() > 0
+    assert (
+        dispatch_query(
+            eng, f"{{!graphTerms f=text maxDocFreq=0}}{head_term}", k=5
+        ).count()
+        == 0
+    )
+
+    # {!vectorSimilarity}: threshold query over the vectors table
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.8, 0.6]), (3, [0.0, 1.0]), (4, [-1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got_vs = dispatch_query(
+        eng, "{!vectorSimilarity f=embedding minReturn=0.7}[1.0, 0.0]",
+        vectors_df=vecs,
+    ).collect()
+    assert [r["vec_id"] for r in got_vs] == [1, 2]  # cos = 1.0, 0.8
+    assert abs(got_vs[1]["cosine"] - 0.8) < 1e-9
+
+    # {!numericRange}: range-field relationship criteria
+    ranges = spark.createDataFrame(
+        [(1, 100, 200), (2, 0, 300), (3, 150, 175), (4, 150, 250), (5, 400, 500)],
+        "id long, lo long, hi long",
+    )
+
+    def nr(crit):
+        return sorted(
+            r["id"]
+            for r in dispatch_query(
+                eng,
+                f'{{!numericRange criteria="{crit}" field=lo,hi}}[150 TO 200]',
+                docs_df=ranges,
+            ).collect()
+        )
+
+    assert nr("intersects") == [1, 2, 3, 4]
+    assert nr("within") == [3]
+    assert nr("contains") == [1, 2, 4]  # [150,250] contains [150,200]
+    assert nr("crosses") == [1, 2, 4]
+
+    # honest raises with the documented reason
+    for q, msg in [
+        ("{!maxscore}a b", "max"),
+        ("{!filters}x", "fq"),
+        ("{!min_hash}text", "minhash_lsh"),
+        ("{!payload_score f=text}x", "payload"),
+        ("{!vectorSimilarity f=v minReturn=0.5}[1.0]", "vectors_df"),
+        ("{!numericRange field=lo,hi}[1 TO 2]", "docs_df"),
+    ]:
+        with pytest.raises(NotImplementedError, match=msg):
+            dispatch_query(eng, q)
