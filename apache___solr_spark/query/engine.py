@@ -860,6 +860,8 @@ class SearchEngine:
         boost: list | None = None,
         default_op: str = "OR",
         fq: list | None = None,
+        should_combine: str = "sum",
+        tie: float = 0.0,
         _docset: bool | str = False,
         _filter_docset: DataFrame | None = None,
     ) -> DataFrame:
@@ -909,6 +911,11 @@ class SearchEngine:
                 # nested boolean structure (BooleanQuery nesting,
                 # QueryParser.jj:135-172 recursive Clause/Query productions)
                 # -> the recursive evaluator
+                if should_combine != "sum":
+                    raise NotImplementedError(
+                        "max SHOULD-combine ({!maxscore}) covers flat "
+                        "queries only; nested boolean structure raises"
+                    )
                 return self._search_tree(
                     tree,
                     k=k,
@@ -921,6 +928,10 @@ class SearchEngine:
                     _filter_docset=filter_docset,
                 )
         elif isinstance(query, BoolQuery):
+            if should_combine != "sum":
+                raise NotImplementedError(
+                    "max SHOULD-combine ({!maxscore}) covers flat queries"
+                )
             # programmatic tree (dismax/edismax dispatch, mm support)
             return self._search_tree(
                 query,
@@ -1014,6 +1025,9 @@ class SearchEngine:
         if filter_docset is not None:
             # theta bounds the GLOBAL k-th best partial score; top-k among
             # the fq-filtered subset may include docs below that bound.
+            prune = False
+        if should_combine != "sum":
+            # theta is a SUM-of-partials bound; unsound under dismax combine
             prune = False
         if _docset:
             # theta is a TOP-K bound (k-th best partial score); a DocSet
@@ -1121,10 +1135,41 @@ class SearchEngine:
             + [phrase_label(ph) for ph in pq.must_phrases]
             + [label for label, occ, _m, _b in exp_groups if occ == "MUST"]
         )
-        agg = scored.groupBy("doc_id").agg(
-            F.sum("score").alias("_s"),
-            F.count(F.when(F.col("term").isin(must_labels), 1)).alias("_nmust"),
-        )
+        if should_combine == "max":
+            # MaxScoreQParserPlugin.java: optional (SHOULD) clauses combine
+            # as DisjunctionMax(tie) — max + tie * sum(others) — while MUST
+            # clauses keep their summed contribution
+            is_must = (
+                F.col("term").isin(must_labels)
+                if must_labels
+                else F.lit(False)
+            )
+            s_should = F.when(~is_must, F.col("score"))
+            dismax = F.coalesce(
+                F.max(s_should)
+                + F.lit(float(tie)) * (F.sum(s_should) - F.max(s_should)),
+                F.lit(0.0),
+            )
+            agg = scored.groupBy("doc_id").agg(
+                (
+                    F.coalesce(
+                        F.sum(F.when(is_must, F.col("score"))), F.lit(0.0)
+                    )
+                    + dismax
+                ).alias("_s"),
+                F.count(
+                    F.when(F.col("term").isin(must_labels), 1)
+                ).alias("_nmust"),
+            )
+        elif should_combine != "sum":
+            raise ValueError(f"unknown should_combine {should_combine!r}")
+        else:
+            agg = scored.groupBy("doc_id").agg(
+                F.sum("score").alias("_s"),
+                F.count(
+                    F.when(F.col("term").isin(must_labels), 1)
+                ).alias("_nmust"),
+            )
         if must_labels:
             agg = agg.filter(F.col("_nmust") == len(must_labels))
         if self.deletes is not None:

@@ -331,7 +331,6 @@ _UNSUPPORTED = {
     "nested": "$param references need a request-parameter context",
     "query": "$param references need a request-parameter context",
     "filters": "pass the component queries via dispatch_query(fq=[...])",
-    "maxscore": "SHOULD-combine=max scoring mode not modeled (sum only)",
     "simple": "SimpleQParser grammar not modeled; use the classic grammar",
     "xml": "XML query syntax not modeled; use the classic grammar",
     "export": "use sources.loaders.export_sorted for full sorted export",
@@ -358,6 +357,7 @@ _FQ_COMPOSABLE = {
     "edismax",
     "switch",
     "fuzzy",
+    "maxscore",
     "ltr",  # fq applies to the {!ltr} first pass (an engine.search)
 }
 
@@ -551,6 +551,18 @@ def dispatch_query(
 
     if ptype == "surround":
         return _surround_query(engine, rest, k=k, **kw)
+
+    if ptype == "maxscore":
+        # MaxScoreQParserPlugin.java: classic grammar, but optional
+        # (SHOULD) clauses combine as DisjunctionMax(tie) instead of
+        # summing — engine.search(should_combine="max")
+        return engine.search(
+            rest,
+            k=k,
+            should_combine="max",
+            tie=float(params.get("tie", 0.0)),
+            **kw,
+        )
 
     if ptype == "dismax":
         return engine.search(

@@ -1677,3 +1677,67 @@ def test_dispatch_registry_tail(spark, corpus, built):
     ]:
         with pytest.raises(NotImplementedError, match=msg):
             dispatch_query(eng, q)
+
+
+def test_maxscore_should_combine(spark, corpus, built):
+    """{!maxscore} (MaxScoreQParserPlugin.java): SHOULD clauses combine as
+    DisjunctionMax(tie) — max + tie*sum(others) — while MUST clauses keep
+    their summed contribution.  Oracle: per-term score maps replayed in
+    Python."""
+    from apache___solr_spark.query.localparams import dispatch_query
+
+    eng = SearchEngine(spark, built, cfg=CFG)
+
+    def scores(term):
+        return {
+            r["doc_id"]: r["score"]
+            for r in eng.search(term, k=N_DOCS, prune=False).collect()
+        }
+
+    s_web, s_data, s_search = scores("web"), scores("data"), scores("search")
+
+    def topk(m, k=10):
+        return sorted(m.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    # pure-SHOULD, tie=0: per-doc max of the clause scores
+    want = topk(
+        {
+            d: max(s_web.get(d, 0.0), s_data.get(d, 0.0))
+            for d in set(s_web) | set(s_data)
+        }
+    )
+    got = eng.search("web data", k=10, should_combine="max").collect()
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (_, sc) in zip(got, want):
+        assert abs(r["score"] - sc) < 1e-5 * max(1.0, abs(sc))
+
+    # tie=0.5: max + 0.5 * (sum - max)
+    want_t = topk(
+        {
+            d: (lambda a, b: max(a, b) + 0.5 * (a + b - max(a, b)))(
+                s_web.get(d, 0.0), s_data.get(d, 0.0)
+            )
+            for d in set(s_web) | set(s_data)
+        }
+    )
+    got_t = dispatch_query(eng, "{!maxscore tie=0.5}web data", k=10).collect()
+    assert [r["doc_id"] for r in got_t] == [d for d, _ in want_t]
+    for r, (_, sc) in zip(got_t, want_t):
+        assert abs(r["score"] - sc) < 1e-5 * max(1.0, abs(sc))
+
+    # MUST + two SHOULDs: must sums, optionals dismax
+    want_m = topk(
+        {
+            d: s_web[d]
+            + max(s_data.get(d, 0.0), s_search.get(d, 0.0))
+            for d in s_web
+        }
+    )
+    got_m = eng.search(
+        "+web data search", k=10, should_combine="max"
+    ).collect()
+    assert [r["doc_id"] for r in got_m] == [d for d, _ in want_m]
+
+    # nested structure raises (documented flat-only scope)
+    with pytest.raises(NotImplementedError, match="flat"):
+        eng.search("(web AND data) OR search", k=5, should_combine="max")
