@@ -331,7 +331,6 @@ _UNSUPPORTED = {
     "nested": "$param references need a request-parameter context",
     "query": "$param references need a request-parameter context",
     "filters": "pass the component queries via dispatch_query(fq=[...])",
-    "simple": "SimpleQParser grammar not modeled; use the classic grammar",
     "xml": "XML query syntax not modeled; use the classic grammar",
     "export": "use sources.loaders.export_sorted for full sorted export",
     "min_hash": "use pipeline.dedup.minhash_lsh_candidates",
@@ -358,6 +357,7 @@ _FQ_COMPOSABLE = {
     "switch",
     "fuzzy",
     "maxscore",
+    "simple",
     "ltr",  # fq applies to the {!ltr} first pass (an engine.search)
 }
 
@@ -551,6 +551,22 @@ def dispatch_query(
 
     if ptype == "surround":
         return _surround_query(engine, rest, k=k, **kw)
+
+    if ptype == "simple":
+        # SimpleQParserPlugin.java:24 -> Lucene SimpleQueryParser: the
+        # never-throws end-user grammar (+ | - "..." * ~N parens, escape,
+        # graceful degradation) parsed by query/simpleparser.py into the
+        # recursive BoolQuery evaluator; q.op sets the whitespace operator
+        from apache___solr_spark.query.simpleparser import parse_simple
+
+        tree = parse_simple(
+            rest,
+            analyze_fn=engine._analyze,
+            default_op=params.get("q.op", "OR"),
+        )
+        if not tree.children:
+            return engine.search(ParsedQuery(), k=k, **kw)
+        return engine.search(tree, k=k, **kw)
 
     if ptype == "maxscore":
         # MaxScoreQParserPlugin.java: classic grammar, but optional

@@ -1741,3 +1741,54 @@ def test_maxscore_should_combine(spark, corpus, built):
     # nested structure raises (documented flat-only scope)
     with pytest.raises(NotImplementedError, match="flat"):
         eng.search("(web AND data) OR search", k=5, should_combine="max")
+
+
+def test_simple_query_parser(spark, corpus, built):
+    """{!simple} (SimpleQParserPlugin -> Lucene SimpleQueryParser): the
+    never-throws end-user grammar — checked against equivalent classic
+    queries, plus the degradation contract on malformed input."""
+    from apache___solr_spark.query.localparams import dispatch_query
+
+    eng = SearchEngine(spark, built, cfg=CFG)
+
+    def ids(df):
+        return [r["doc_id"] for r in df.collect()]
+
+    def simple(q, k=30, **p):
+        extra = " ".join(f"{k2}={v2}" for k2, v2 in p.items())
+        return dispatch_query(eng, f"{{!simple {extra}}}{q}", k=k)
+
+    k = 30
+    # whitespace = default OR; + = AND; | = OR; - = NOT
+    assert ids(simple("web data")) == ids(eng.search("web data", k=k))
+    assert ids(simple("web + data")) == ids(eng.search("web AND data", k=k))
+    assert ids(simple("data -web")) == ids(eng.search("data -web", k=k))
+    # left fold with operator-change wrapping
+    assert ids(simple("web + data | search")) == ids(
+        eng.search("(web AND data) OR search", k=k)
+    )
+    assert ids(simple("web | data + search")) == ids(
+        eng.search("(web OR data) AND search", k=k)
+    )
+    # parens override the fold
+    assert ids(simple("web + (data | search)")) == ids(
+        eng.search("web AND (data OR search)", k=k)
+    )
+    # phrase + slop, prefix, fuzzy
+    assert ids(simple('"web data" + search')) == ids(
+        eng.search('+"web data" +search', k=k)
+    )
+    assert ids(simple("dat* | web")) == ids(eng.search("dat* web", k=k))
+    assert ids(simple("dta~1")) == ids(eng.search("dta~1", k=k))
+    # q.op=AND switches the whitespace operator
+    assert ids(simple("web data", **{"q.op": "AND"})) == ids(
+        eng.search("web AND data", k=k)
+    )
+    # degradation: unclosed paren/quote, dangling ops, stray close — the
+    # parser NEVER raises and keeps the parseable prefix's semantics
+    assert ids(simple("web (data")) == ids(eng.search("web data", k=k))
+    assert ids(simple("web +")) == ids(eng.search("web", k=k))
+    assert ids(simple(') web "data')) == ids(eng.search("web data", k=k))
+    assert simple("| | -").count() == 0  # nothing parseable -> empty
+    # pure negation matches nothing (Lucene BooleanQuery contract)
+    assert simple("-web").count() == 0
