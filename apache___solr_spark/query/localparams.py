@@ -336,7 +336,6 @@ _UNSUPPORTED = {
     "min_hash": "use pipeline.dedup.minhash_lsh_candidates",
     "payload_score": "payloads are not stored in this index format",
     "payload_check": "payloads are not stored in this index format",
-    "rank": "precomputed feature ranking: use {!func} over a docs column",
     "vectorSimilarity": "pass vectors_df= for a real threshold query",
     "numericRange": "pass docs_df= with the 'locol,hicol' range pair",
 }
@@ -567,6 +566,57 @@ def dispatch_query(
         if not tree.children:
             return engine.search(ParsedQuery(), k=k, **kw)
         return engine.search(tree, k=k, **kw)
+
+    if ptype == "rank":
+        # RankQParserPlugin.java:43-110 (Lucene FeatureField queries over
+        # the precomputed rank field — here any numeric docs-table
+        # column): satu w*v/(v+pivot), linear w*v, log w*ln(a+v), sigm
+        # w*v^e/(v^e+pivot^e).  The reference derives a default satu
+        # pivot from index-wide feature stats; pass pivot explicitly
+        # (raises otherwise, mirroring the weight!=1 requirement).
+        from pyspark.sql import Window as _W
+        from pyspark.sql import functions as F
+
+        fname = params["f"]
+        fn = params.get("function", "satu").lower()
+        w = float(params.get("weight", 1.0))
+        v = F.col(fname).cast("double")
+        if fn == "satu":
+            if "pivot" not in params:
+                raise ValueError(
+                    "a pivot value needs to be provided for \"satu\""
+                )
+            pivot = float(params["pivot"])
+            sc = F.lit(w) * v / (v + F.lit(pivot))
+        elif fn == "linear":
+            sc = F.lit(w) * v
+        elif fn == "log":
+            a = float(params.get("scalingFactor", 1.0))
+            sc = F.lit(w) * F.log(F.lit(a) + v)
+        elif fn == "sigm":
+            if "pivot" not in params or "exponent" not in params:
+                raise ValueError("sigm needs pivot and exponent")
+            pivot, ex = float(params["pivot"]), float(params["exponent"])
+            sc = (
+                F.lit(w)
+                * F.pow(v, ex)
+                / (F.pow(v, ex) + F.lit(float(pivot**ex)))
+            )
+        else:
+            raise ValueError(f"unknown rank function {fn!r}")
+        out = (
+            engine.docs.select("doc_id", "url", sc.cast("double").alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
+        return out.select(
+            F.row_number()
+            .over(_W.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+            .alias("rank"),
+            "doc_id",
+            "url",
+            "score",
+        )
 
     if ptype == "maxscore":
         # MaxScoreQParserPlugin.java: classic grammar, but optional

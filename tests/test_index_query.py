@@ -1792,3 +1792,44 @@ def test_simple_query_parser(spark, corpus, built):
     assert simple("| | -").count() == 0  # nothing parseable -> empty
     # pure negation matches nothing (Lucene BooleanQuery contract)
     assert simple("-web").count() == 0
+
+
+def test_rank_qparser(spark, corpus, built):
+    """{!rank} (RankQParserPlugin.java / Lucene FeatureField): satu /
+    linear / log / sigm scoring over a precomputed numeric column,
+    replayed in Python."""
+    import math
+
+    from apache___solr_spark.query.localparams import dispatch_query
+
+    eng = SearchEngine(spark, built, cfg=CFG)
+    doclens = {
+        r["doc_id"]: r["doclen"]
+        for r in eng.docs.select("doc_id", "doclen").collect()
+    }
+
+    def want(fn, k=5):
+        scored = sorted(
+            ((fn(v), d) for d, v in doclens.items()),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        return [d for _, d in scored], [s for s, _ in scored]
+
+    cases = [
+        ("{!rank f=doclen function=satu pivot=50 weight=2}",
+         lambda v: 2.0 * v / (v + 50.0)),
+        ("{!rank f=doclen function=linear weight=0.5}", lambda v: 0.5 * v),
+        ("{!rank f=doclen function=log scalingFactor=3}",
+         lambda v: math.log(3.0 + v)),
+        ("{!rank f=doclen function=sigm pivot=40 exponent=2}",
+         lambda v: v**2 / (v**2 + 40.0**2)),
+    ]
+    for q, fn in cases:
+        got = dispatch_query(eng, q, k=5).collect()
+        ids_w, scores_w = want(fn)
+        assert [r["doc_id"] for r in got] == ids_w, q
+        for r, sw in zip(got, scores_w):
+            assert abs(r["score"] - sw) < 1e-9 * max(1.0, abs(sw)), q
+
+    with pytest.raises(ValueError, match="pivot"):
+        dispatch_query(eng, "{!rank f=doclen function=satu weight=2}")
