@@ -66,19 +66,25 @@ _LP_RE = re.compile(r"^\s*\{!\s*([^}]*)\}(.*)$", re.DOTALL)
 _KV_RE = re.compile(r"([\w.]+)=(\"[^\"]*\"|'[^']*'|\S+)|(\S+)")
 
 
-def parse_local_params(q: str) -> tuple[str | None, dict[str, str], str]:
+def parse_local_params(
+    q: str, request: dict | None = None
+) -> tuple[str | None, dict[str, str], str]:
     """Split ``{!type k=v}rest`` -> (type, params, rest).
 
     Returns (None, {}, q) when q carries no local params.  A bare first
     token is the parser type (``{!term f=x}``); ``type=`` also works.
-    ``$param`` references need a request context we don't have — raise.
-    """
+
+    ``$name`` values resolve against ``request`` — the reference's
+    request-parameter dereference (QueryParsing.java / DefaultSolrParams):
+    ``{!query v=$qq}`` with request={"qq": "..."}.  Without a request
+    context they raise, as before.  The special ``v`` key REPLACES the
+    trailing rest as the query body (LocalSolrQueryRequest semantics)."""
     m = _LP_RE.match(q)
     if not m:
         return None, {}, q
     body, rest = m.group(1).strip(), m.group(2).strip()
     ptype: str | None = None
-    params: dict[str, str] = {}
+    params: dict[str, object] = {}
     for kv in _KV_RE.finditer(body):
         if kv.group(3) is not None:
             if ptype is None:
@@ -88,13 +94,21 @@ def parse_local_params(q: str) -> tuple[str | None, dict[str, str], str]:
         if len(v) >= 2 and v[0] == v[-1] and v[0] in "\"'":
             v = v[1:-1]
         if v.startswith("$"):
-            raise NotImplementedError(
-                "$param references need a request-parameter context"
-            )
+            if request is None:
+                raise NotImplementedError(
+                    "$param references need a request-parameter context "
+                    "(pass request={...} to dispatch_query)"
+                )
+            name = v[1:]
+            if name not in request:
+                raise ValueError(f"missing request parameter {name!r}")
+            v = request[name]
         if k == "type":
             ptype = v
         else:
             params[k] = v
+    if "v" in params:
+        rest = params.pop("v")
     return ptype or "lucene", params, rest
 
 
@@ -328,9 +342,6 @@ _TABLE_SHAPED = {
 # honest scope markers for the rest of the reference registry
 # (QParserPlugin.java standardPlugins) — each raises with the reason
 _UNSUPPORTED = {
-    "nested": "$param references need a request-parameter context",
-    "query": "$param references need a request-parameter context",
-    "filters": "pass the component queries via dispatch_query(fq=[...])",
     "xml": "XML query syntax not modeled; use the classic grammar",
     "export": "use sources.loaders.export_sorted for full sorted export",
     "min_hash": "use pipeline.dedup.minhash_lsh_candidates",
@@ -410,8 +421,8 @@ def _engine_query_obj(engine, ptype, params, rest, raw):
     raise NotImplementedError(f"parser {{!{ptype}}} unsupported here")
 
 
-def _fq_query_obj(engine, f: str):
-    ptype, params, rest = parse_local_params(f)
+def _fq_query_obj(engine, f: str, request: dict | None = None):
+    ptype, params, rest = parse_local_params(f, request)
     if ptype in ("boost",):
         raise NotImplementedError("fq parser {!boost} unsupported in fq")
     return _engine_query_obj(engine, ptype, params, rest, f)
@@ -432,7 +443,7 @@ def _collapse_main_query(engine, ptype, params, rest, raw):
     return _engine_query_obj(engine, ptype, params, rest, raw)
 
 
-def _split_fq(engine, fq):
+def _split_fq(engine, fq, request: dict | None = None):
     """Partition fq entries into (engine filter queries, collapse params).
     ``{!collapse ...}`` inside fq is the reference's ONLY collapse shape —
     a postfilter over the scored result set, handled by
@@ -440,13 +451,13 @@ def _split_fq(engine, fq):
     filters: list = []
     collapse_params: dict[str, str] | None = None
     for f in fq or []:
-        ptype, params, _rest = parse_local_params(f)
+        ptype, params, _rest = parse_local_params(f, request)
         if ptype == "collapse":
             if collapse_params is not None:
                 raise ValueError("at most one {!collapse} fq per request")
             collapse_params = params
         else:
-            filters.append(_fq_query_obj(engine, f))
+            filters.append(_fq_query_obj(engine, f, request))
     return filters, collapse_params
 
 
@@ -473,7 +484,12 @@ def _check_field(params: dict[str, str]) -> None:
 
 
 def dispatch_query(
-    engine, q: str, k: int = 10, fq: list | None = None, **kw
+    engine,
+    q: str,
+    k: int = 10,
+    fq: list | None = None,
+    request: dict | None = None,
+    **kw,
 ) -> DataFrame:
     """Run a local-params query through ``engine`` (a SearchEngine).
 
@@ -487,7 +503,55 @@ def dispatch_query(
     ``docs_df=`` ({!geofilt}/{!bbox}), ``ltr_models=`` ({!ltr}),
     ``indexes=`` ({!join fromIndex=...}; same-index joins need nothing).
     """
-    ptype, params, rest = parse_local_params(q)
+    ptype, params, rest = parse_local_params(q, request)
+
+    if ptype in ("query", "nested"):
+        # NestedQParserPlugin ({!query v=$q1}): delegate the resolved body
+        # through the full dispatch again
+        return dispatch_query(engine, rest, k=k, fq=fq, request=request, **kw)
+
+    if ptype == "filters":
+        # FiltersQParserPlugin: combine the param= filter queries (minus
+        # excludeTags-tagged ones) with the main body as constant-score
+        # filters.  With no body the result is the bare intersection
+        # (ConstantScore over the DocSet), the reference's
+        # filter-only form.
+        raw = params.get("param", [])
+        flist = list(raw) if isinstance(raw, (list, tuple)) else [raw]
+        excl = {
+            t.strip()
+            for t in str(params.get("excludeTags", "")).split(",")
+            if t.strip()
+        }
+        keep = []
+        for f in flist:
+            ftags = {
+                t.strip()
+                for t in str(
+                    parse_local_params(f, request)[1].get("tag", "")
+                ).split(",")
+                if t.strip()
+            }
+            if not (ftags & excl):
+                keep.append(f)
+        all_fq = keep + list(fq or [])
+        if rest:
+            return dispatch_query(
+                engine, rest, k=k, fq=all_fq, request=request, **kw
+            )
+        from pyspark.sql import functions as F
+
+        ds = None
+        for f in all_fq:
+            d = engine.docset(_fq_query_obj(engine, f, request))
+            ds = d if ds is None else ds.join(d, "doc_id", "left_semi")
+        if ds is None:
+            raise ValueError("{!filters} needs param= or a query body")
+        return (
+            engine.docs.join(ds, "doc_id", "left_semi")
+            .select("doc_id", "url", F.lit(1.0).alias("score"))
+            .orderBy("doc_id")
+        )
 
     if fq:
         if ptype not in _FQ_COMPOSABLE:
@@ -497,7 +561,7 @@ def dispatch_query(
         if ptype == "switch":
             kw = {**kw, "fq": fq}  # re-dispatch applies fq to the case
         else:
-            fq_objs, collapse_params = _split_fq(engine, fq)
+            fq_objs, collapse_params = _split_fq(engine, fq, request)
             if collapse_params is not None:
                 main = _collapse_main_query(engine, ptype, params, rest, q)
                 return engine.collapsed_search(
@@ -730,7 +794,7 @@ def dispatch_query(
             sub = params.get("default")
         if sub is None:
             raise ValueError(f"{{!switch}} has no case for {key!r}")
-        return dispatch_query(engine, sub, k=k, **kw)
+        return dispatch_query(engine, sub, k=k, request=request, **kw)
 
     if ptype == "terms":
         # TermsQParserPlugin.java: {!terms f=field separator=","}A,B,C —

@@ -1668,8 +1668,6 @@ def test_dispatch_registry_tail(spark, corpus, built):
 
     # honest raises with the documented reason
     for q, msg in [
-        ("{!maxscore}a b", "max"),
-        ("{!filters}x", "fq"),
         ("{!min_hash}text", "minhash_lsh"),
         ("{!payload_score f=text}x", "payload"),
         ("{!vectorSimilarity f=v minReturn=0.5}[1.0]", "vectors_df"),
@@ -1833,3 +1831,55 @@ def test_rank_qparser(spark, corpus, built):
 
     with pytest.raises(ValueError, match="pivot"):
         dispatch_query(eng, "{!rank f=doclen function=satu weight=2}")
+
+
+def test_request_param_refs_and_filters(spark, corpus, built):
+    """$param dereference (QueryParsing request-parameter macros),
+    {!query v=$q1} nesting, and {!filters param=$fqs excludeTags=}."""
+    from apache___solr_spark.query.localparams import dispatch_query
+
+    eng = SearchEngine(spark, built, cfg=CFG)
+
+    def ids(df):
+        return [r["doc_id"] for r in df.collect()]
+
+    # {!query v=$qq} == dispatching the referenced query directly
+    req = {"qq": "web AND data", "rq": "{!term f=text}web"}
+    assert ids(dispatch_query(eng, "{!query v=$qq}", request=req)) == ids(
+        eng.search("web AND data", k=10)
+    )
+    # nesting: the referenced value is itself a local-params query
+    assert ids(dispatch_query(eng, "{!query v=$rq}", request=req)) == ids(
+        dispatch_query(eng, "{!term f=text}web")
+    )
+    # without a request context, $refs raise the documented error
+    with pytest.raises(NotImplementedError, match="request-parameter"):
+        dispatch_query(eng, "{!query v=$qq}")
+    with pytest.raises(ValueError, match="missing request parameter"):
+        dispatch_query(eng, "{!query v=$nope}", request=req)
+
+    # {!filters}: tagged filter list, excludeTags drops by tag
+    req2 = {"fqs": ["{!tag=t1}data", "{!tag=t2}engine"]}
+    base = eng.search("web search", k=N_DOCS, prune=False).collect()
+    d_data = {r["doc_id"] for r in eng.docset("data").collect()}
+    d_eng = {r["doc_id"] for r in eng.docset("engine").collect()}
+    got_all = dispatch_query(
+        eng, "{!filters param=$fqs}web search", k=10, request=req2
+    )
+    want_all = [
+        r["doc_id"] for r in base if r["doc_id"] in (d_data & d_eng)
+    ][:10]
+    assert ids(got_all) == want_all
+    got_ex = dispatch_query(
+        eng,
+        "{!filters param=$fqs excludeTags=t2}web search",
+        k=10,
+        request=req2,
+    )
+    want_ex = [r["doc_id"] for r in base if r["doc_id"] in d_data][:10]
+    assert ids(got_ex) == want_ex
+    # filter-only form: constant-score DocSet intersection
+    got_fo = dispatch_query(eng, "{!filters param=$fqs}", request=req2)
+    rows_fo = got_fo.collect()
+    assert sorted(r["doc_id"] for r in rows_fo) == sorted(d_data & d_eng)
+    assert all(r["score"] == 1.0 for r in rows_fo)
