@@ -342,8 +342,6 @@ _TABLE_SHAPED = {
 # honest scope markers for the rest of the reference registry
 # (QParserPlugin.java standardPlugins) — each raises with the reason
 _UNSUPPORTED = {
-    "xml": "XML query syntax not modeled; use the classic grammar",
-    "export": "use sources.loaders.export_sorted for full sorted export",
     "min_hash": "use pipeline.dedup.minhash_lsh_candidates",
     "payload_score": "payloads are not stored in this index format",
     "payload_check": "payloads are not stored in this index format",
@@ -551,6 +549,47 @@ def dispatch_query(
             engine.docs.join(ds, "doc_id", "left_semi")
             .select("doc_id", "url", F.lit(1.0).alias("score"))
             .orderBy("doc_id")
+        )
+
+    if ptype == "xml":
+        # XmlQParserPlugin.java:40 -> lucene CoreParser builder registry;
+        # the XML elements lower onto the same boolean tree evaluator the
+        # classic grammar uses (query/xmlparser.py)
+        from apache___solr_spark.query.xmlparser import run_xml_query
+
+        return run_xml_query(engine, rest, k=k, fq=fq)
+
+    if ptype == "export":
+        # ExportQParserPlugin.java + handler/export/ExportWriter.java:98:
+        # the FULL sorted result set (no top-k, no scores) of the fl
+        # fields — Spark's external sort over the complete DocSet is the
+        # /export streaming-sort capability
+        from pyspark.sql import functions as F
+
+        if not rest:
+            raise ValueError("{!export} needs a query body")
+        ds = engine.docset(_fq_query_obj(engine, rest, request))
+        for f in fq or []:
+            ds = ds.join(
+                engine.docset(_fq_query_obj(engine, f, request)),
+                "doc_id",
+                "left_semi",
+            )
+        fl = [
+            c.strip()
+            for c in str(params.get("fl", "doc_id,url")).split(",")
+            if c.strip()
+        ]
+        sort_cols = []
+        for part in str(params.get("sort", "doc_id asc")).split(","):
+            bits = part.strip().split()
+            col = F.col(bits[0])
+            desc = len(bits) > 1 and bits[1].lower() == "desc"
+            sort_cols.append(col.desc() if desc else col.asc())
+        return (
+            engine.docs.join(ds, "doc_id", "left_semi")
+            .select(*fl)
+            .orderBy(*sort_cols)
         )
 
     if fq:

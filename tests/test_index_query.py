@@ -1883,3 +1883,154 @@ def test_request_param_refs_and_filters(spark, corpus, built):
     rows_fo = got_fo.collect()
     assert sorted(r["doc_id"] for r in rows_fo) == sorted(d_data & d_eng)
     assert all(r["score"] == 1.0 for r in rows_fo)
+
+
+def test_xml_qparser(spark, corpus, built):
+    """{!xml} (XmlQParserPlugin -> lucene CoreParser builders): every
+    supported element matches its classic-grammar / engine-API twin."""
+    from apache___solr_spark.query.localparams import dispatch_query
+
+    eng = SearchEngine(spark, built, cfg=CFG)
+
+    def ids(df):
+        return [r["doc_id"] for r in df.collect()]
+
+    def scored(df):
+        return [(r["doc_id"], round(float(r["score"]), 4)) for r in df.collect()]
+
+    # TermQuery == {!term} (verbatim term, no analysis)
+    assert ids(dispatch_query(eng, "{!xml}<TermQuery>web</TermQuery>", k=5)) == ids(
+        dispatch_query(eng, "{!term f=text}web", k=5)
+    )
+
+    # BooleanQuery occurs=must|should|mustNot == classic +/-/bare
+    xml = (
+        "<BooleanQuery>"
+        '<Clause occurs="must"><TermQuery>web</TermQuery></Clause>'
+        '<Clause occurs="should"><TermQuery>data</TermQuery></Clause>'
+        '<Clause occurs="mustNot"><TermQuery>engine</TermQuery></Clause>'
+        "</BooleanQuery>"
+    )
+    assert scored(dispatch_query(eng, "{!xml}" + xml, k=10)) == scored(
+        eng.search("+web data -engine", k=10)
+    )
+
+    # occurs=filter: required but zero score contribution == fq semantics
+    xmlf = (
+        "<BooleanQuery>"
+        '<Clause occurs="must"><TermQuery>web</TermQuery></Clause>'
+        '<Clause occurs="filter"><TermQuery>data</TermQuery></Clause>'
+        "</BooleanQuery>"
+    )
+    assert scored(dispatch_query(eng, "{!xml}" + xmlf, k=10)) == scored(
+        eng.search("web", k=10, fq=["{!term f=text}data"])
+    )
+
+    # UserQuery: classic grammar incl. phrases; nested under a boolean
+    assert ids(
+        dispatch_query(eng, '{!xml}<UserQuery>"web data" OR engine</UserQuery>', k=8)
+    ) == ids(eng.search('"web data" OR engine', k=8))
+
+    # TermsQuery: analyzed text -> SHOULD group
+    assert ids(
+        dispatch_query(eng, "{!xml}<TermsQuery>Web DATA</TermsQuery>", k=8)
+    ) == ids(eng.search("web data", k=8))
+
+    # Range builders == classic [lo TO hi]
+    assert ids(
+        dispatch_query(
+            eng, '{!xml}<PointRangeQuery lowerTerm="data" upperTerm="web"/>', k=5
+        )
+    ) == ids(eng.search("[data TO web]", k=5))
+
+    # MatchAllDocsQuery: every live doc, constant boost score
+    rows = dispatch_query(
+        eng, '{!xml}<MatchAllDocsQuery boost="3.0"/>', k=N_DOCS + 10
+    ).collect()
+    assert len(rows) == N_DOCS and all(r["score"] == 3.0 for r in rows)
+
+    # ConstantScoreQuery: wrapped DocSet at boost score
+    rows = dispatch_query(
+        eng,
+        '{!xml}<ConstantScoreQuery boost="2.5">'
+        "<TermQuery>web</TermQuery></ConstantScoreQuery>",
+        k=N_DOCS,
+    ).collect()
+    want = sorted(r["doc_id"] for r in eng.docset("web").collect())
+    assert sorted(r["doc_id"] for r in rows) == want
+    assert all(r["score"] == 2.5 for r in rows)
+
+    # SpanNear over SpanTerms == engine.span_near (slop n == dist n+1)
+    assert scored(
+        dispatch_query(
+            eng,
+            '{!xml}<SpanNear slop="1" inOrder="true">'
+            "<SpanTerm>web</SpanTerm><SpanTerm>data</SpanTerm></SpanNear>",
+            k=5,
+        )
+    ) == scored(eng.span_near(["web", "data"], dist=2, ordered=True, k=5))
+
+    # DisjunctionMaxQuery: tie=0 max-combine; tie=1 folds to SHOULD sum
+    assert scored(
+        dispatch_query(
+            eng,
+            "{!xml}<DisjunctionMaxQuery><TermQuery>web</TermQuery>"
+            "<TermQuery>data</TermQuery></DisjunctionMaxQuery>",
+            k=5,
+        )
+    ) == scored(eng.search("web data", k=5, should_combine="max", tie=0.0))
+    assert ids(
+        dispatch_query(
+            eng,
+            '{!xml}<DisjunctionMaxQuery tieBreaker="1.0">'
+            "<TermQuery>web</TermQuery><TermQuery>data</TermQuery>"
+            "</DisjunctionMaxQuery>",
+            k=5,
+        )
+    ) == ids(eng.search("web data", k=5))
+
+    # fq composes with the tree path
+    assert ids(
+        dispatch_query(eng, "{!xml}<TermQuery>web</TermQuery>", k=10, fq=["data"])
+    ) == ids(eng.search("web", k=10, fq=["data"]))
+
+    # honest raises
+    for q, msg in [
+        ("{!xml}<SpanOr><SpanTerm>a</SpanTerm></SpanOr>", "span algebra"),
+        ("{!xml}<BoostingTermQuery>a</BoostingTermQuery>", "payload"),
+        (
+            '{!xml}<PointRangeQuery lowerTerm="a" upperTerm="b" '
+            'includeLower="false"/>',
+            "inclusivity",
+        ),
+        ('{!xml}<TermQuery fieldName="title">a</TermQuery>', "single-field"),
+    ]:
+        with pytest.raises(NotImplementedError, match=msg):
+            dispatch_query(eng, q)
+
+
+def test_export_qparser(spark, corpus, built):
+    """{!export sort= fl=}: the FULL sorted DocSet (no top-k), the
+    ExportWriter capability as one external sort."""
+    from apache___solr_spark.query.localparams import dispatch_query
+
+    eng = SearchEngine(spark, built, cfg=CFG)
+    out = dispatch_query(
+        eng, "{!export sort='doc_id desc' fl=doc_id,url}web AND data"
+    )
+    assert out.columns == ["doc_id", "url"]
+    got = [r["doc_id"] for r in out.collect()]
+    want = sorted(
+        (r["doc_id"] for r in eng.docset("web AND data").collect()),
+        reverse=True,
+    )
+    assert got == want and len(got) > 10  # full set, not top-k
+    # fq intersects before the sort
+    got_fq = [
+        r["doc_id"]
+        for r in dispatch_query(
+            eng, "{!export sort='doc_id asc' fl=doc_id}web", fq=["data"]
+        ).collect()
+    ]
+    inter = {r["doc_id"] for r in eng.docset("web AND data").collect()}
+    assert got_fq == sorted(inter)
