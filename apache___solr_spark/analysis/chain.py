@@ -150,4 +150,8 @@ def analyzer_fn(analyzer: str):
         return analyze_cjk
     if analyzer == "icu_folding":
         return analyze_icu_folding
+    if analyzer == "min_hash":
+        from apache___solr_spark.analysis.minhash import minhash_analyze
+
+        return minhash_analyze
     return analyze

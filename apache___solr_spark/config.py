@@ -78,6 +78,7 @@ class IndexConfig:
             "en_splitting",
             "icu_folding",
             "cjk",
+            "min_hash",
         ):
             raise ValueError(f"unknown analyzer {self.analyzer!r}")
         if self.score_dtype not in ("float32", "float64"):

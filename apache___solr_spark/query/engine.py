@@ -755,6 +755,93 @@ class SearchEngine:
             frame = frame.join(self.deletes, "doc_id", "left_anti")
         return self._finalize(frame, k, with_url)
 
+    def minhash_search(
+        self,
+        text: str,
+        k: int = 10,
+        sim: float | None = None,
+        tp: float = 1.0,
+        with_url: bool = True,
+    ) -> DataFrame:
+        """``{!min_hash}`` (MinHashQParser.java) over an index built with
+        ``analyzer="min_hash"`` (analysis/minhash.py): the query text runs
+        through the same min-hash chain and each signature token becomes a
+        constant-score term clause; a doc's score is its matched-token
+        count normalized by the signature size — the Jaccard-similarity
+        estimate (the reference reports the unnormalized constant-score
+        sum; same ranking).
+
+        ``sim``+``tp`` enable LSH banding (computeBandSize): candidates
+        must match EVERY token of at least one band — the selectivity
+        gate that keeps a high-similarity lookup from fanning out to
+        every doc sharing a single hash.  The per-doc overlap count still
+        scores all matched tokens, so banding changes the candidate set
+        (by design), never a surviving doc's score.
+
+        Scale shape: one bucket- and term-pruned postings scan through
+        the shared vectorized decode (constant kernel), one
+        groupBy(doc_id) count, top-k via _finalize; the band map is a
+        <=512-row broadcast join.
+        """
+        if self.cfg.analyzer != "min_hash":
+            raise NotImplementedError(
+                "{!min_hash} needs an index built with analyzer='min_hash' "
+                f"(this index: {self.cfg.analyzer!r})"
+            )
+        toks = self._analyze(text)
+        n = len(toks)
+        schema = f"rank int, doc_id long, url string, score {self._sql_t}"
+        if not toks:
+            return self.spark.createDataFrame([], schema)
+        meta = self._term_meta(sorted(set(toks)))
+        found = set(meta["term"])
+        qtoks = [t for t in toks if t in found]
+        if not qtoks:
+            return self.spark.createDataFrame([], schema)
+        dtype = self._dtype  # local capture: the kernel ships to executors
+        ones = lambda w, b, tfs, dl: np.full(  # noqa: E731
+            len(tfs), b, dtype=dtype
+        )
+        frame = self._scored(
+            self._blocks_for(sorted(set(qtoks))),
+            {t: 1.0 for t in set(qtoks)},
+            kernel=ones,
+        )
+        if sim is not None and tp < 1.0:
+            from apache___solr_spark.analysis.minhash import compute_band_size
+
+            rows = compute_band_size(n, float(sim), float(tp))
+            if rows > 1:
+                # band = `rows` consecutive signature positions; a doc
+                # qualifies when some band matches completely
+                bands = [(t, i // rows) for i, t in enumerate(toks)]
+                sizes: dict[int, int] = {}
+                for _t, b in bands:
+                    sizes[b] = sizes.get(b, 0) + 1
+                bmap = F.broadcast(
+                    self.spark.createDataFrame(
+                        [(t, b, sizes[b]) for t, b in bands],
+                        "term string, band int, band_n int",
+                    )
+                )
+                ok = (
+                    frame.join(bmap, "term")
+                    .groupBy("doc_id", "band", "band_n")
+                    .agg(F.count_distinct("term").alias("nt"))
+                    .filter(F.col("nt") == F.col("band_n"))
+                    .select("doc_id")
+                    .distinct()
+                )
+                frame = frame.join(ok, "doc_id", "left_semi")
+        scored = frame.groupBy("doc_id").agg(
+            (F.count_distinct("term") / F.lit(float(n)))
+            .cast(self._sql_t)
+            .alias("score")
+        )
+        if self.deletes is not None:
+            scored = scored.join(self.deletes, "doc_id", "left_anti")
+        return self._finalize(scored, k, with_url)
+
     def complex_phrase(
         self,
         phrase: str,

@@ -342,7 +342,6 @@ _TABLE_SHAPED = {
 # honest scope markers for the rest of the reference registry
 # (QParserPlugin.java standardPlugins) — each raises with the reason
 _UNSUPPORTED = {
-    "min_hash": "use pipeline.dedup.minhash_lsh_candidates",
     "payload_score": "payloads are not stored in this index format",
     "payload_check": "payloads are not stored in this index format",
     "vectorSimilarity": "pass vectors_df= for a real threshold query",
@@ -558,6 +557,20 @@ def dispatch_query(
         from apache___solr_spark.query.xmlparser import run_xml_query
 
         return run_xml_query(engine, rest, k=k, fq=fq)
+
+    if ptype == "min_hash":
+        # MinHashQParser.java: the body is raw text pushed through the
+        # min-hash chain; sim= + tp= pick the LSH band size
+        _check_field(params)
+        if fq:
+            raise NotImplementedError("fq with {!min_hash} unsupported")
+        sim = params.get("sim")
+        return engine.minhash_search(
+            rest,
+            k=k,
+            sim=float(sim) if sim is not None else None,
+            tp=float(params.get("tp", 1.0)),
+        )
 
     if ptype == "export":
         # ExportQParserPlugin.java + handler/export/ExportWriter.java:98:

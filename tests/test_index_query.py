@@ -2034,3 +2034,103 @@ def test_export_qparser(spark, corpus, built):
     ]
     inter = {r["doc_id"] for r in eng.docset("web AND data").collect()}
     assert got_fq == sorted(inter)
+
+
+@pytest.fixture(scope="module")
+def mh_built(spark, corpus, tmp_path_factory):
+    """Min-hash index over long docs plus planted near-duplicates
+    (tail-truncated copies) so similarity results are non-vacuous."""
+    import pandas as pd
+    import pyarrow as pa
+
+    _, table = corpus
+    tbl = table.to_pandas()
+    long = (
+        tbl[tbl.text.map(lambda t: t is not None and len(str(t).split()) >= 60)]
+        .head(40)
+        .copy()
+    )
+    dups = long.head(5).copy()
+    dups["text"] = dups["text"].map(lambda t: " ".join(str(t).split()[:-8]))
+    dups["url"] = dups["url"] + "#dup"
+    pages = pd.concat([long, dups], ignore_index=True)
+    d = tmp_path_factory.mktemp("mh")
+    path = str(d / "pages.parquet")
+    pq.write_table(pa.Table.from_pandas(pages, preserve_index=False), path)
+    idx = str(d / "idx")
+    cfg = IndexConfig(
+        analyzer="min_hash",
+        store_positions=False,
+        block_range=32,
+        salt_range=128,
+        n_buckets=8,
+    )
+    build_index(spark, path, idx, cfg=cfg)
+    return pages, idx, cfg
+
+
+def test_minhash_qparser(spark, corpus, built, mh_built):
+    """{!min_hash} (MinHashQParser): signature, Jaccard estimate vs the
+    exact shingle-set oracle, LSH banding gate, honest raises."""
+    from apache___solr_spark.analysis.chain import simple_analyze
+    from apache___solr_spark.analysis.minhash import (
+        BUCKETS,
+        SHINGLE_WORDS,
+        compute_band_size,
+        minhash_analyze,
+    )
+    from apache___solr_spark.query.localparams import dispatch_query
+
+    pages, idx, cfg = mh_built
+    eng = SearchEngine(spark, idx, cfg=cfg)
+    by_url = {r["url"]: str(r["text"] or "") for _, r in pages.iterrows()}
+    src = pages.iloc[0]  # has a planted "#dup" twin
+
+    # fixed-size signature (rotation fills every bucket)
+    assert len(minhash_analyze(src["text"])) == BUCKETS
+    assert minhash_analyze("too short") == []
+
+    # self-match at estimate 1.0; the planted near-dup in the top 2
+    top = dispatch_query(eng, "{!min_hash}" + src["text"], k=5).collect()
+    assert top[0]["url"] == src["url"] and top[0]["score"] == 1.0
+    assert top[1]["url"] == src["url"] + "#dup" and top[1]["score"] > 0.5
+
+    # estimate vs exact Jaccard of the underlying shingle sets
+    def shingles(t):
+        w = simple_analyze(t)
+        return {
+            " ".join(w[i : i + SHINGLE_WORDS])
+            for i in range(len(w) - SHINGLE_WORDS + 1)
+        }
+
+    qs = shingles(src["text"])
+    for r in top:
+        ds = shingles(by_url[r["url"]])
+        exact = len(qs & ds) / len(qs | ds)
+        assert abs(float(r["score"]) - exact) < 0.12
+
+    # banding: candidates are a subset of the ungated set; the truly
+    # similar docs (self + near-dup) survive the sim=0.5 tp=0.5 gate
+    all_ids = {
+        r["url"]
+        for r in dispatch_query(eng, "{!min_hash}" + src["text"], k=100).collect()
+    }
+    gated = {
+        r["url"]
+        for r in dispatch_query(
+            eng, "{!min_hash sim=0.5 tp=0.5}" + src["text"], k=100
+        ).collect()
+    }
+    assert gated <= all_ids
+    assert {src["url"], src["url"] + "#dup"} <= gated
+
+    # band size math: selective for high sim, degenerate (1) for tp=1
+    assert compute_band_size(512, 0.8, 0.5) > 1
+    assert compute_band_size(512, 0.8, 1.0) == 1
+
+    # honest raises
+    with pytest.raises(NotImplementedError, match="min_hash"):
+        dispatch_query(eng, "{!min_hash fq=x}t", fq=["a"])
+    eng_std = SearchEngine(spark, built, cfg=CFG)
+    with pytest.raises(NotImplementedError, match="analyzer='min_hash'"):
+        dispatch_query(eng_std, "{!min_hash}some text")
