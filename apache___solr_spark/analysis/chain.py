@@ -154,4 +154,8 @@ def analyzer_fn(analyzer: str):
         from apache___solr_spark.analysis.minhash import minhash_analyze
 
         return minhash_analyze
+    if analyzer == "whitespace_payload":
+        from apache___solr_spark.analysis.payloads import payload_analyze
+
+        return payload_analyze
     return analyze

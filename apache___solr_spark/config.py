@@ -79,6 +79,7 @@ class IndexConfig:
             "icu_folding",
             "cjk",
             "min_hash",
+            "whitespace_payload",
         ):
             raise ValueError(f"unknown analyzer {self.analyzer!r}")
         if self.score_dtype not in ("float32", "float64"):

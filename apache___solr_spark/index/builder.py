@@ -119,6 +119,12 @@ class IndexPaths:
         return os.path.join(self.root, "stats.json")
 
     @property
+    def payloads(self) -> str:
+        # optional per-doc payload side table (whitespace_payload indexes):
+        # (doc_id, n, payloads vbyte of float32 bits) aligned to positions
+        return os.path.join(self.root, "payloads")
+
+    @property
     def stored(self) -> str:
         # optional stored-fields store (Lucene .fdt analog) — written by
         # store_fields() / add_docs(store_fields=True), read by realtime_get
@@ -810,7 +816,80 @@ def build_index(
             partitions=lineage,
             started_at=t0,
         )
+
+    # ---- stage 5: per-doc payload side table (payload analyzers only) ---
+    # Positions index the post-analysis token stream, so payloads[pos]
+    # recovers any occurrence's payload — the PayloadScoreQuery /
+    # PayloadCheckQuery data path (DelimitedPayloadTokenFilter.java)
+    # without a postings-format change.  One extra pass over the raw
+    # text, paid only by payload indexes.
+    if cfg.analyzer == "whitespace_payload":
+        t0 = time.time()
+        if not (
+            resume and ckpt.stage_complete(paths.payloads, cfg_digest, in_digest)
+        ):
+            docs_map = spark.read.parquet(paths.docs).select("url", "doc_id")
+            (
+                _payload_arrays(pages)
+                .join(docs_map, "url")
+                .select("doc_id", "n", "payloads")
+                .repartitionByRange(n_parts, "doc_id")
+                .sortWithinPartitions("doc_id")
+                .write.mode("overwrite")
+                .parquet(paths.payloads)
+            )
+            lineage = ckpt.parquet_lineage(paths.payloads)
+            ckpt.publish_manifest(
+                paths.payloads,
+                stage="payloads",
+                config_digest=cfg_digest,
+                input_digest=in_digest,
+                rows=sum(p["rows"] for p in lineage),
+                partitions=lineage,
+                started_at=t0,
+            )
     return paths
+
+
+def _payload_arrays(pages: DataFrame) -> DataFrame:
+    """(url, n, payloads vbyte) — the position-aligned float32 payload
+    stream per doc (analysis/payloads.py), batched through one
+    encode_vbyte_packed pass like the analysis stage."""
+    from apache___solr_spark.analysis.payloads import (
+        encode_payloads,
+        payload_values,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals: list[np.ndarray] = []
+            for h, t in zip(pdf["html"], pdf["text"]):
+                vals.append(
+                    encode_payloads(payload_values(extract_text(h, t)))
+                )
+            ns = np.asarray([len(v) for v in vals], dtype=np.int64)
+            starts = np.concatenate(([0], np.cumsum(ns)[:-1]))
+            flat = (
+                np.concatenate(vals).astype(np.int64)
+                if vals and ns.sum()
+                else np.empty(0, dtype=np.int64)
+            )
+            buf, bounds = encode_vbyte_packed(flat, starts)
+            raw = buf.tobytes()
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"].to_numpy(),
+                    "n": ns,
+                    "payloads": [
+                        raw[int(bounds[i]) : int(bounds[i + 1])]
+                        for i in range(len(ns))
+                    ],
+                }
+            )
+
+    return pages.select("url", "html", "text").mapInPandas(
+        run, schema="url string, n long, payloads binary"
+    )
 
 
 @F.pandas_udf(T.IntegerType())

@@ -199,6 +199,103 @@ def _decode_positions_fn(salt_range: int):
     return run
 
 
+def _payload_eval_fn(
+    ptoks: list[str],
+    sum_idf: float,
+    k1: float,
+    b: float,
+    avgdl: float,
+    dtype,
+    func: str | None = None,
+    include_span: bool = False,
+    expected: list[float] | None = None,
+):
+    """mapInPandas fn over (doc_id, norm, plists, n, payloads):
+    exact-adjacency spans of ``ptoks`` with their per-position payloads.
+
+    ``func`` mode (PayloadScoreQuery): score = func over the payloads of
+    every matched span position (min/max/average/sum), optionally times
+    the span's BM25 (tf = span frequency).  ``expected`` mode
+    (SpanPayloadCheckQuery): keep docs with >=1 span whose payloads
+    equal ``expected`` elementwise; score = BM25 with tf = matching
+    spans.  Candidates are already pruned to docs containing all tokens,
+    so the per-row numpy work runs on the small gated set."""
+    from apache___solr_spark.analysis.payloads import decode_payloads
+
+    m = len(ptoks)
+    norm_table = NORM_TABLE.astype(dtype)
+    k1f = dtype(k1)
+    one_minus_b = dtype(1.0 - b)
+    bf = dtype(b)
+    avgdlf = dtype(avgdl)
+    idff = dtype(sum_idf)
+    exp_arr = (
+        np.asarray(expected, dtype=np.float32) if expected is not None else None
+    )
+    offs = np.arange(m, dtype=np.int64)
+    reduce_fn = {
+        "min": np.min,
+        "max": np.max,
+        "average": np.mean,
+        "avg": np.mean,
+        "sum": np.sum,
+        None: None,
+    }[func]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            scores: list[float] = []
+            for doc_id, norm, plists, n, pbin in zip(
+                pdf["doc_id"], pdf["norm"], pdf["plists"], pdf["n"],
+                pdf["payloads"],
+            ):
+                pos = {
+                    r["term"]: np.asarray(r["positions"], dtype=np.int64)
+                    for r in plists
+                }
+                starts = pos[ptoks[0]]
+                for i, t in enumerate(ptoks[1:], 1):
+                    if starts.size == 0:
+                        break
+                    starts = starts[np.isin(starts + i, pos[t])]
+                if starts.size == 0:
+                    continue
+                pay = decode_payloads(
+                    decode_vbyte(pbin, int(n)).astype(np.uint32)
+                )
+                gathered = pay[(starts[:, None] + offs).ravel()].reshape(
+                    -1, m
+                )
+
+                def bm25(tf: float) -> float:
+                    dl = norm_table[np.uint8(norm)]
+                    cache = k1f * (one_minus_b + bf * dl / avgdlf)
+                    tff = dtype(tf)
+                    return float(idff * tff / (tff + cache))
+
+                if exp_arr is not None:
+                    tf = int((gathered == exp_arr).all(axis=1).sum())
+                    if tf == 0:
+                        continue
+                    score = bm25(tf)
+                else:
+                    score = float(reduce_fn(gathered))
+                    if include_span:
+                        score *= bm25(starts.size)
+                ids.append(int(doc_id))
+                scores.append(score)
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.asarray(ids, dtype=np.int64),
+                        "score": np.asarray(scores, dtype=dtype),
+                    }
+                )
+
+    return run
+
+
 def _phrase_score_fn(
     ptoks: list[str],
     sum_idf: float,
@@ -841,6 +938,141 @@ class SearchEngine:
         if self.deletes is not None:
             scored = scored.join(self.deletes, "doc_id", "left_anti")
         return self._finalize(scored, k, with_url)
+
+    def _payload_candidates(self, ptoks: list[str]) -> DataFrame | None:
+        """(doc_id, norm, plists, n, payloads) for docs containing every
+        query token, with the per-doc payload stream joined in.  Same
+        salt-gate + vectorized-decode shape as _phrase_frame; the payload
+        side table is doc_id-range-partitioned so the join is a ranged
+        sort-merge against a candidate set the postings already pruned."""
+        import os
+
+        pay_dir = self.paths.payloads
+        if not os.path.isdir(pay_dir):
+            raise NotImplementedError(
+                "index has no payload side table — build with "
+                "analyzer='whitespace_payload'"
+            )
+        if not self.cfg.store_positions:
+            raise NotImplementedError(
+                "payload queries need positions (store_positions=True)"
+            )
+        uniq = sorted(set(ptoks))
+        meta = self._term_meta(uniq)
+        if len(set(meta["term"])) < len(uniq):
+            return None
+        blocks = self._blocks_for(uniq)
+        gate = (
+            blocks.select("salt", "term")
+            .groupBy("salt")
+            .agg(F.count_distinct("term").alias("nt"))
+            .filter(F.col("nt") == len(uniq))
+            .select("salt")
+        )
+        decoded = (
+            blocks.join(gate, "salt", "left_semi")
+            .select(
+                "term", "salt", "n_docs", "doc_gaps", "tfs", "norms",
+                "positions", "sum_tf",
+            )
+            .mapInPandas(
+                _decode_positions_fn(self.cfg.salt_range),
+                schema="term string, doc_id long, norm int, "
+                "positions array<long>",
+            )
+        )
+        grouped = (
+            decoded.groupBy("doc_id")
+            .agg(
+                F.first("norm").alias("norm"),
+                F.count_distinct("term").alias("nt"),
+                F.collect_list(F.struct("term", "positions")).alias("plists"),
+            )
+            .filter(F.col("nt") == len(uniq))
+            .select("doc_id", "norm", "plists")
+        )
+        pay = self.spark.read.parquet(pay_dir)
+        out = grouped.join(pay, "doc_id")
+        if self.deletes is not None:
+            out = out.join(self.deletes, "doc_id", "left_anti")
+        return out
+
+    def _payload_run(
+        self, query_text: str, k: int, with_url: bool, mode_kw: dict
+    ) -> DataFrame:
+        toks = self._analyze(query_text)
+        schema = f"rank int, doc_id long, url string, score {self._sql_t}"
+        if not toks:
+            return self.spark.createDataFrame([], schema)
+        cands = self._payload_candidates(toks)
+        if cands is None:
+            return self.spark.createDataFrame([], schema)
+        meta = self._term_meta(sorted(set(toks)))
+        n_docs = self.stats["N"]
+        sum_idf = float(
+            sum(
+                bm25_idf(n_docs, int(r["df"]), dtype=self._dtype)
+                for _, r in meta.iterrows()
+            )
+        )
+        fn = _payload_eval_fn(
+            toks,
+            sum_idf,
+            self.cfg.bm25_k1,
+            self.cfg.bm25_b,
+            self.stats["avgdl"],
+            self._dtype,
+            **mode_kw,
+        )
+        scored = cands.mapInPandas(
+            fn, schema=f"doc_id long, score {self._sql_t}"
+        )
+        return self._finalize(scored, k, with_url)
+
+    def payload_score(
+        self,
+        query_text: str,
+        func: str = "max",
+        include_span_score: bool = False,
+        k: int = 10,
+        with_url: bool = True,
+    ) -> DataFrame:
+        """``{!payload_score}`` (PayloadScoreQParser.java ->
+        lucene/queries PayloadScoreQuery): the query tokens form an
+        exact-adjacency span (a single token = a term span); each doc
+        scores ``func`` (min/max/average/sum) over the payloads at every
+        matched span position, times the span's BM25 score when
+        ``includeSpanScore`` (tf = span frequency, idf summed over
+        constituents — the engine's phrase scoring)."""
+        if func not in ("min", "max", "average", "avg", "sum"):
+            raise ValueError(f"unknown payload func {func!r}")
+        return self._payload_run(
+            query_text,
+            k,
+            with_url,
+            {"func": func, "include_span": include_span_score},
+        )
+
+    def payload_check(
+        self,
+        query_text: str,
+        payloads: list[float],
+        k: int = 10,
+        with_url: bool = True,
+    ) -> DataFrame:
+        """``{!payload_check}`` (PayloadCheckQParser.java ->
+        SpanPayloadCheckQuery): docs where at least one exact-adjacency
+        occurrence of the query tokens carries EXACTLY the given
+        payloads, position by position; matches score like the
+        underlying span (BM25 with tf = matching-span frequency)."""
+        toks = self._analyze(query_text)
+        if toks and len(payloads) != len(toks):
+            raise ValueError(
+                f"payloads count {len(payloads)} != query tokens {len(toks)}"
+            )
+        return self._payload_run(
+            query_text, k, with_url, {"expected": list(payloads)}
+        )
 
     def complex_phrase(
         self,

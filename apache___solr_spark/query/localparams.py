@@ -342,8 +342,6 @@ _TABLE_SHAPED = {
 # honest scope markers for the rest of the reference registry
 # (QParserPlugin.java standardPlugins) — each raises with the reason
 _UNSUPPORTED = {
-    "payload_score": "payloads are not stored in this index format",
-    "payload_check": "payloads are not stored in this index format",
     "vectorSimilarity": "pass vectors_df= for a real threshold query",
     "numericRange": "pass docs_df= with the 'locol,hicol' range pair",
 }
@@ -571,6 +569,25 @@ def dispatch_query(
             sim=float(sim) if sim is not None else None,
             tp=float(params.get("tp", 1.0)),
         )
+
+    if ptype in ("payload_score", "payload_check"):
+        # PayloadScoreQParser.java / PayloadCheckQParser.java over the
+        # per-doc payload side table (analysis/payloads.py)
+        _check_field(params)
+        if fq:
+            raise NotImplementedError(f"fq with {{!{ptype}}} unsupported")
+        if ptype == "payload_score":
+            return engine.payload_score(
+                rest,
+                func=params.get("func", "max"),
+                include_span_score=str(
+                    params.get("includeSpanScore", "false")
+                ).lower()
+                == "true",
+                k=k,
+            )
+        want = [float(x) for x in str(params.get("payloads", "")).split()]
+        return engine.payload_check(rest, want, k=k)
 
     if ptype == "export":
         # ExportQParserPlugin.java + handler/export/ExportWriter.java:98:

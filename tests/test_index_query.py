@@ -2134,3 +2134,151 @@ def test_minhash_qparser(spark, corpus, built, mh_built):
     eng_std = SearchEngine(spark, built, cfg=CFG)
     with pytest.raises(NotImplementedError, match="analyzer='min_hash'"):
         dispatch_query(eng_std, "{!min_hash}some text")
+
+
+@pytest.fixture(scope="module")
+def payload_built(spark, tmp_path_factory):
+    """whitespace_payload index over a synthetic `term|payload` corpus,
+    with a planted exact-payload phrase pair for payload_check."""
+    import random
+
+    import pandas as pd
+    import pyarrow as pa
+
+    rng = random.Random(3)
+    vocab = ["apple", "banana", "cherry", "durian", "elder", "fig", "grape"]
+    rows = []
+    for i in range(120):
+        toks = []
+        for _ in range(rng.randint(20, 60)):
+            w = rng.choice(vocab)
+            toks.append(
+                f"{w}|{round(rng.uniform(0.1, 5.0), 2)}"
+                if rng.random() < 0.7
+                else w
+            )
+        rows.append(
+            {
+                "url": f"u{i}",
+                "warc_ts": "2026",
+                "html": None,
+                "text": " ".join(toks),
+                "lang": "en",
+            }
+        )
+    rows.append(
+        {
+            "url": "uX",
+            "warc_ts": "2026",
+            "html": None,
+            "text": "red|1.5 apple|2.5 tail words here fine now",
+            "lang": "en",
+        }
+    )
+    rows.append(
+        {
+            "url": "uY",
+            "warc_ts": "2026",
+            "html": None,
+            "text": "red|9.0 apple|2.5 tail words here fine now",
+            "lang": "en",
+        }
+    )
+    d = tmp_path_factory.mktemp("payload")
+    path = str(d / "pages.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False), path
+    )
+    idx = str(d / "idx")
+    cfg = IndexConfig(
+        analyzer="whitespace_payload",
+        block_range=32,
+        salt_range=128,
+        n_buckets=8,
+    )
+    build_index(spark, path, idx, cfg=cfg)
+    return rows, idx, cfg
+
+
+def test_payload_qparsers(spark, built, payload_built):
+    """{!payload_score} / {!payload_check} vs a pure-Python payload
+    oracle over the same corpus."""
+    from apache___solr_spark.query.localparams import dispatch_query
+
+    rows, idx, cfg = payload_built
+    eng = SearchEngine(spark, idx, cfg=cfg)
+
+    def split(t):
+        out = []
+        for raw in t.split():
+            term, _, pay = raw.partition("|")
+            out.append((term.lower(), float(pay) if pay else 0.0))
+        return out
+
+    docs = {r["url"]: split(r["text"]) for r in rows}
+
+    # func=max over a term: every doc containing it, exact values
+    got = {
+        r["url"]: round(float(r["score"]), 4)
+        for r in dispatch_query(
+            eng, "{!payload_score f=text func=max}apple", k=500
+        ).collect()
+    }
+    want = {}
+    for u, d in docs.items():
+        vals = [p for t, p in d if t == "apple"]
+        if vals:
+            want[u] = round(float(np.float32(max(vals))), 4)
+    assert got == want and len(got) > 50  # non-vacuous
+
+    # func=sum accumulates every occurrence (float32 tolerance)
+    got = {
+        r["url"]: float(r["score"])
+        for r in dispatch_query(
+            eng, "{!payload_score f=text func=sum}banana", k=500
+        ).collect()
+    }
+    for u, v in got.items():
+        exact = float(
+            np.sum(
+                np.asarray(
+                    [p for t, p in docs[u] if t == "banana"], np.float32
+                )
+            )
+        )
+        assert abs(v - exact) < 1e-3
+    assert set(got) == {
+        u for u, d in docs.items() if any(t == "banana" for t, _ in d)
+    }
+
+    # payload_check: exact per-position payloads select the planted doc
+    got = [
+        r["url"]
+        for r in dispatch_query(
+            eng, '{!payload_check f=text payloads="1.5 2.5"}red apple', k=10
+        ).collect()
+    ]
+    assert got == ["uX"]
+    assert (
+        dispatch_query(
+            eng, '{!payload_check f=text payloads="7.7 2.5"}red apple', k=10
+        ).count()
+        == 0
+    )
+
+    # includeSpanScore keeps the doc set, scales by the span BM25
+    spanned = dispatch_query(
+        eng,
+        "{!payload_score f=text func=max includeSpanScore=true}apple",
+        k=500,
+    ).collect()
+    assert {r["url"] for r in spanned} == set(want)
+
+    # honest raises
+    with pytest.raises(ValueError, match="payloads count"):
+        eng.payload_check("red apple", [1.0])
+    with pytest.raises(ValueError, match="payload func"):
+        eng.payload_score("apple", func="median")
+    eng_std = SearchEngine(spark, built, cfg=CFG)
+    with pytest.raises(NotImplementedError, match="payload side table"):
+        eng_std.payload_score("apple")
