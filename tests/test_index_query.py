@@ -1666,10 +1666,11 @@ def test_dispatch_registry_tail(spark, corpus, built):
     assert nr("contains") == [1, 2, 4]  # [150,250] contains [150,200]
     assert nr("crosses") == [1, 2, 4]
 
-    # honest raises with the documented reason
+    # honest raises with the documented reason ({!min_hash}/{!payload_*}
+    # now dispatch for real but need their specialized index builds)
     for q, msg in [
-        ("{!min_hash}text", "minhash_lsh"),
-        ("{!payload_score f=text}x", "payload"),
+        ("{!min_hash}text", "analyzer='min_hash'"),
+        ("{!payload_score f=text}x", "payload side table"),
         ("{!vectorSimilarity f=v minReturn=0.5}[1.0]", "vectors_df"),
         ("{!numericRange field=lo,hi}[1 TO 2]", "docs_df"),
     ]:
