@@ -218,8 +218,16 @@ def _payload_eval_fn(
     the span's BM25 (tf = span frequency).  ``expected`` mode
     (SpanPayloadCheckQuery): keep docs with >=1 span whose payloads
     equal ``expected`` elementwise; score = BM25 with tf = matching
-    spans.  Candidates are already pruned to docs containing all tokens,
-    so the per-row numpy work runs on the small gated set."""
+    spans.
+
+    The whole batch evaluates vectorized — no per-doc Python loop on
+    the hot path (the r2 phrase-scoring lesson applied from day one):
+    payload vbyte streams decode in ONE call over the concatenated
+    buffers (vbyte is self-delimiting), positions are encoded as
+    row_idx*2^32+pos so adjacency runs as one np.isin per phrase term
+    across every doc at once (adding i never crosses a row boundary),
+    the payload gather is a single flat take, and per-doc func/tf
+    reduction is a segmented ufunc.reduceat over the row-sorted spans."""
     from apache___solr_spark.analysis.payloads import decode_payloads
 
     m = len(ptoks)
@@ -233,65 +241,92 @@ def _payload_eval_fn(
         np.asarray(expected, dtype=np.float32) if expected is not None else None
     )
     offs = np.arange(m, dtype=np.int64)
-    reduce_fn = {
-        "min": np.min,
-        "max": np.max,
-        "average": np.mean,
-        "avg": np.mean,
-        "sum": np.sum,
+    shift = np.int64(32)
+    mask = np.int64((1 << 32) - 1)
+    reduce_ufunc = {
+        "min": np.minimum,
+        "max": np.maximum,
+        "average": np.add,
+        "avg": np.add,
+        "sum": np.add,
         None: None,
     }[func]
+    is_mean = func in ("average", "avg")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids: list[int] = []
-            scores: list[float] = []
-            for doc_id, norm, plists, n, pbin in zip(
-                pdf["doc_id"], pdf["norm"], pdf["plists"], pdf["n"],
-                pdf["payloads"],
-            ):
-                pos = {
-                    r["term"]: np.asarray(r["positions"], dtype=np.int64)
-                    for r in plists
-                }
-                starts = pos[ptoks[0]]
-                for i, t in enumerate(ptoks[1:], 1):
-                    if starts.size == 0:
-                        break
-                    starts = starts[np.isin(starts + i, pos[t])]
+            nrows = len(pdf)
+            if nrows == 0:
+                continue
+            # one decode over the concatenated payload streams
+            ns = pdf["n"].to_numpy().astype(np.int64)
+            pay = decode_payloads(
+                decode_vbyte(
+                    b"".join(pdf["payloads"]), int(ns.sum())
+                ).astype(np.uint32)
+            )
+            pay_off = np.concatenate(([0], np.cumsum(ns)[:-1]))
+            # encoded positions per term, all docs at once
+            parts: dict[str, list[np.ndarray]] = {t: [] for t in set(ptoks)}
+            for row_idx, plists in enumerate(pdf["plists"]):
+                enc_row = np.int64(row_idx) << shift
+                for r in plists:
+                    if r["term"] in parts:
+                        parts[r["term"]].append(
+                            enc_row
+                            + np.asarray(r["positions"], dtype=np.int64)
+                        )
+            enc = {
+                t: (np.concatenate(v) if v else np.empty(0, dtype=np.int64))
+                for t, v in parts.items()
+            }
+            starts = enc[ptoks[0]]
+            for i, t in enumerate(ptoks[1:], 1):
                 if starts.size == 0:
-                    continue
-                pay = decode_payloads(
-                    decode_vbyte(pbin, int(n)).astype(np.uint32)
+                    break
+                starts = starts[np.isin(starts + i, enc[t])]
+            if starts.size == 0:
+                continue
+            rows = (starts >> shift).astype(np.int64)  # ascending
+            pos0 = starts & mask
+            gathered = pay[
+                ((pay_off[rows] + pos0)[:, None] + offs).ravel()
+            ].reshape(-1, m)
+            if exp_arr is not None:
+                ok = (gathered == exp_arr).all(axis=1)
+                tf_all = np.bincount(rows[ok], minlength=nrows)
+            else:
+                tf_all = np.bincount(rows, minlength=nrows)
+            hit = np.nonzero(tf_all)[0]
+            if hit.size == 0:
+                continue
+            tf = tf_all[hit].astype(dtype)
+            dl = norm_table[pdf["norm"].to_numpy()[hit].astype(np.uint8)]
+            bm25 = idff * tf / (tf + k1f * (one_minus_b + bf * dl / avgdlf))
+            if exp_arr is not None:
+                score = bm25
+            else:
+                # segmented reduce over each doc's span payloads: spans
+                # are row-sorted, so each hit row owns one contiguous
+                # slab of tf[row]*m flat payload values
+                flat = gathered.ravel()
+                seg = np.concatenate(
+                    ([0], np.cumsum(tf_all[hit] * m)[:-1])
                 )
-                gathered = pay[(starts[:, None] + offs).ravel()].reshape(
-                    -1, m
+                vals = reduce_ufunc.reduceat(
+                    flat.astype(np.float64), seg
                 )
-
-                def bm25(tf: float) -> float:
-                    dl = norm_table[np.uint8(norm)]
-                    cache = k1f * (one_minus_b + bf * dl / avgdlf)
-                    tff = dtype(tf)
-                    return float(idff * tff / (tff + cache))
-
-                if exp_arr is not None:
-                    tf = int((gathered == exp_arr).all(axis=1).sum())
-                    if tf == 0:
-                        continue
-                    score = bm25(tf)
-                else:
-                    score = float(reduce_fn(gathered))
-                    if include_span:
-                        score *= bm25(starts.size)
-                ids.append(int(doc_id))
-                scores.append(score)
-            if ids:
-                yield pd.DataFrame(
-                    {
-                        "doc_id": np.asarray(ids, dtype=np.int64),
-                        "score": np.asarray(scores, dtype=dtype),
-                    }
-                )
+                if is_mean:
+                    vals = vals / (tf_all[hit] * m)
+                score = vals.astype(dtype)
+                if include_span:
+                    score = score * bm25
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy()[hit],
+                    "score": score.astype(dtype),
+                }
+            )
 
     return run
 
