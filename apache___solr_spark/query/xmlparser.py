@@ -34,7 +34,9 @@ Supported builders (CoreParser.java constructor registrations):
   ``boost`` score.
 - ``SpanTerm`` / ``SpanNear slop= inOrder=`` — top level, lowered to
   :meth:`SearchEngine.span_near` (SpanNearQuery(slop, inOrder) with
-  dist = slop+1 in the surround convention).
+  dist = slop+1 in the surround convention); an ORDERED SpanNear over
+  plain SpanTerms also nests inside BooleanQuery clauses (it lowers to
+  the tree's PhraseNode — the same ordered-window matcher).
 
 ``SpanOr``/``SpanFirst``/``SpanNot`` and ``BoostingTermQuery``
 (payloads) raise with their reason — this index stores positions, not
@@ -53,6 +55,7 @@ from apache___solr_spark.query.parser import (
     BoolQuery,
     Clause,
     ParsedQuery,
+    PhraseNode,
     TermNode,
     parse_query_tree,
 )
@@ -152,6 +155,19 @@ def _lower(el: ET.Element, analyze_fn, occur: str = "MUST"):
             hi=hi,
             inclusive=inc_lo,
             boost=_boost(el),
+        )
+    if tag == "SpanNear" and el.get("inOrder", "true") == "true":
+        # an ordered SpanNear over plain SpanTerms IS the tree's
+        # PhraseNode (ordered-window matching, slop kept) — so it nests
+        # inside BooleanQuery clauses; unordered spans stay top-level
+        if all(c.tag == "SpanTerm" for c in el):
+            return PhraseNode(
+                [(c.text or "").strip() for c in el],
+                slop=int(el.get("slop", 0)),
+                boost=_boost(el),
+            )
+        raise NotImplementedError(
+            "<SpanNear> over non-SpanTerm children unsupported"
         )
     if tag == "DisjunctionMaxQuery":
         tie = float(el.get("tieBreaker", 0.0))

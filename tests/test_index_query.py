@@ -2283,3 +2283,27 @@ def test_payload_qparsers(spark, built, payload_built):
     eng_std = SearchEngine(spark, built, cfg=CFG)
     with pytest.raises(NotImplementedError, match="payload side table"):
         eng_std.payload_score("apple")
+
+
+def test_xml_span_nests_in_boolean(spark, corpus, built):
+    """An ordered <SpanNear> lowers to a PhraseNode, so it composes
+    inside <BooleanQuery> clauses like any phrase."""
+    from apache___solr_spark.query.localparams import dispatch_query
+
+    eng = SearchEngine(spark, built, cfg=CFG)
+    xml = (
+        "<BooleanQuery>"
+        '<Clause occurs="must"><SpanNear slop="1" inOrder="true">'
+        "<SpanTerm>web</SpanTerm><SpanTerm>data</SpanTerm></SpanNear></Clause>"
+        '<Clause occurs="should"><TermQuery>engine</TermQuery></Clause>'
+        "</BooleanQuery>"
+    )
+    got = [
+        (r["doc_id"], round(float(r["score"]), 4))
+        for r in dispatch_query(eng, "{!xml}" + xml, k=10).collect()
+    ]
+    want = [
+        (r["doc_id"], round(float(r["score"]), 4))
+        for r in eng.search('+"web data"~1 engine', k=10).collect()
+    ]
+    assert got == want and len(got) > 0
