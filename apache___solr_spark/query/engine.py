@@ -158,6 +158,32 @@ def _score_blocks(
     return run
 
 
+def _decode_docs_fn(salt_range: int):
+    """mapInPandas fn: postings rows -> (term, doc_id) only — the
+    lightest decode (doc_gaps vbyte, no tfs/norms/positions), for
+    membership-shaped scans like {!significantTerms}."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            terms_out: list[str] = []
+            docs_out: list[np.ndarray] = []
+            for term, salt, n, gaps_bin in zip(
+                pdf["term"], pdf["salt"], pdf["n_docs"], pdf["doc_gaps"]
+            ):
+                ids = delta_decode(
+                    decode_vbyte(gaps_bin, int(n)).astype(np.int64),
+                    int(salt) * salt_range,
+                )
+                terms_out.extend([term] * int(n))
+                docs_out.append(ids)
+            if docs_out:
+                yield pd.DataFrame(
+                    {"term": terms_out, "doc_id": np.concatenate(docs_out)}
+                )
+
+    return run
+
+
 def _decode_positions_fn(salt_range: int):
     """mapInPandas fn: postings rows -> (term, doc_id, norm, positions[])."""
 

@@ -301,3 +301,135 @@ def simple_facets(
         .select("field", "value", "count")
         .orderBy("field", F.col("count").desc(), "value")
     )
+
+
+def mlt_like_content(
+    engine: SearchEngine,
+    content: str,
+    k: int = 10,
+    max_query_terms: int = 10,
+    min_doc_freq: int = 2,
+    min_term_freq: int = 1,
+) -> DataFrame:
+    """{!mlt_content} (mlt/MLTContentQParserPlugin.java:36 ->
+    MoreLikeThis.like(field, Reader)): build the MLT query from FREE TEXT
+    instead of a stored doc — analyze the content, rank its terms by
+    tf*idf against the index statistics, and issue the top terms as an
+    OR query.  Same term selection as :func:`more_like_this`, no source
+    doc to exclude."""
+    toks = engine._analyze(content)
+    if not toks:
+        return engine.spark.createDataFrame(
+            [], f"rank int, doc_id long, url string, score {engine._sql_t}"
+        )
+    tf_by_term: dict[str, int] = {}
+    for t in toks:
+        tf_by_term[t] = tf_by_term.get(t, 0) + 1
+    meta = engine._term_meta(sorted(tf_by_term))
+    df_by_term = dict(zip(meta["term"], meta["df"]))
+    n = engine.stats["N"]
+    weighted = sorted(
+        (
+            (
+                float(bm25_idf(n, int(df_by_term[t]), dtype=engine._dtype))
+                * tf,
+                t,
+            )
+            for t, tf in tf_by_term.items()
+            if int(df_by_term.get(t, 0)) >= min_doc_freq
+            and tf >= min_term_freq
+        ),
+        key=lambda x: (-x[0], x[1]),
+    )
+    qterms = [t for _, t in weighted[:max_query_terms]]
+    if not qterms:
+        return engine.spark.createDataFrame(
+            [], f"rank int, doc_id long, url string, score {engine._sql_t}"
+        )
+    return engine.search(ParsedQuery(should=qterms), k=k)
+
+
+def significant_terms_index(
+    engine: SearchEngine,
+    query,
+    num_terms: int = 20,
+    min_doc_freq: float = 5.0,
+    max_doc_freq: float = 0.3,
+    min_term_length: int = 4,
+) -> DataFrame:
+    """{!significantTerms} (SignificantTermsQParserPlugin.java:42,200-250)
+    over the INDEX: terms over-represented in the docs matching ``query``
+    (the foreground) vs the whole collection, scored exactly like the
+    reference's collector —
+
+        score = ln(queryDocFreq) * (ln((N+1)/(docFreq+1)) + 1)
+
+    with the same min/max docFreq window (absolute when >= 1, a ratio of
+    N when < 1) and minTermLength gate.  Returns (term, queryDocFreq,
+    docFreq, score), top ``num_terms`` by score.
+
+    Scale shape: the docFreq window and term-length gate filter the
+    DICTIONARY first and restrict the postings scan by join (no driver
+    term list); only doc_gaps decode (no tfs/norms/positions); the
+    foreground intersection is one semi-join + groupBy(term).  The
+    reference walks every term's postings per shard — this is the same
+    scan expressed as one distributed job."""
+    spark = engine.spark
+    n_docs = engine.stats["N"]
+    fg = engine.docset(query)
+    lo = (
+        float(min_doc_freq)
+        if float(min_doc_freq) >= 1.0
+        else float(min_doc_freq) * n_docs
+    )
+    hi = (
+        float(max_doc_freq)
+        if float(max_doc_freq) >= 1.0
+        else float(max_doc_freq) * n_docs
+    )
+    cand = engine.dictionary.filter(
+        (F.col("df") >= F.lit(lo))
+        & (F.col("df") <= F.lit(hi))
+        & (F.length("term") >= int(min_term_length))
+    ).select("term", "df")
+
+    from apache___solr_spark.query.engine import _decode_docs_fn
+
+    pairs = (
+        engine.postings.join(cand.select("term"), "term")
+        .select("term", "salt", "n_docs", "doc_gaps")
+        .mapInPandas(
+            _decode_docs_fn(engine.cfg.salt_range),
+            schema="term string, doc_id long",
+        )
+    )
+    fg_tf = (
+        pairs.join(fg, "doc_id", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("queryDocFreq"))
+    )
+    scored = (
+        fg_tf.join(cand, "term")
+        .withColumn(
+            "score",
+            (
+                F.log(F.col("queryDocFreq").cast("double"))
+                * (
+                    F.log(
+                        F.lit(float(n_docs + 1))
+                        / (F.col("df").cast("double") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                )
+            ).cast("float"),
+        )
+        .select(
+            "term",
+            "queryDocFreq",
+            F.col("df").alias("docFreq"),
+            "score",
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("term").asc()).limit(
+        int(num_terms)
+    )

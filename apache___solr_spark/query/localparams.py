@@ -570,6 +570,38 @@ def dispatch_query(
             tp=float(params.get("tp", 1.0)),
         )
 
+    if ptype == "mlt_content":
+        # mlt/MLTContentQParserPlugin.java: MLT from free text
+        from apache___solr_spark.query.extras import mlt_like_content
+
+        _check_field(params)
+        return mlt_like_content(
+            engine,
+            rest,
+            k=k,
+            max_query_terms=int(params.get("maxqt", 10)),
+            min_doc_freq=int(params.get("mindf", 2)),
+            min_term_freq=int(params.get("mintf", 1)),
+        )
+
+    if ptype == "significantTerms":
+        # SignificantTermsQParserPlugin.java — returns the significant-
+        # terms table itself (the reference rides it on the response
+        # alongside the docs; the terms ARE the artifact)
+        from apache___solr_spark.query.extras import significant_terms_index
+
+        _check_field(params)
+        if not rest:
+            raise ValueError("{!significantTerms} needs a foreground query")
+        return significant_terms_index(
+            engine,
+            rest,
+            num_terms=int(params.get("numTerms", 20)),
+            min_doc_freq=float(params.get("minDocFreq", 5.0)),
+            max_doc_freq=float(params.get("maxDocFreq", 0.3)),
+            min_term_length=int(params.get("minTermLength", 4)),
+        )
+
     if ptype in ("payload_score", "payload_check"):
         # PayloadScoreQParser.java / PayloadCheckQParser.java over the
         # per-doc payload side table (analysis/payloads.py)

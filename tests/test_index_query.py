@@ -2307,3 +2307,59 @@ def test_xml_span_nests_in_boolean(spark, corpus, built):
         for r in eng.search('+"web data"~1 engine', k=10).collect()
     ]
     assert got == want and len(got) > 0
+
+
+def test_significant_terms_and_mlt_content(spark, corpus, built):
+    """{!significantTerms} vs an exact python oracle (reference collector
+    formula, SignificantTermsQParserPlugin.java:247-249) and
+    {!mlt_content} free-text MLT."""
+    import collections
+
+    from apache___solr_spark.analysis.chain import analyze, extract_text
+    from apache___solr_spark.query.localparams import dispatch_query
+
+    _, table = corpus
+    tbl = table.to_pandas()
+    eng = SearchEngine(spark, built, cfg=CFG)
+
+    res = dispatch_query(
+        eng,
+        "{!significantTerms numTerms=10 minDocFreq=3 maxDocFreq=0.5 "
+        "minTermLength=4}web",
+    ).collect()
+    assert len(res) == 10
+
+    doc_terms = {
+        row["url"]: set(analyze(extract_text(row["html"], row["text"])))
+        for _, row in tbl.iterrows()
+    }
+    fg = {u for u, ts in doc_terms.items() if "web" in ts}
+    n = len(doc_terms)
+    df = collections.Counter(t for ts in doc_terms.values() for t in ts)
+    cands = []
+    for t, d in df.items():
+        if d < 3 or d / n > 0.5 or len(t) < 4:
+            continue
+        qdf = sum(1 for u in fg if t in doc_terms[u])
+        if qdf:
+            s = math.log(qdf) * (math.log((n + 1) / (d + 1)) + 1.0)
+            cands.append((round(-s, 4), t, qdf, d))
+    cands.sort()
+    want = [(t, q, d, round(-s, 4)) for s, t, q, d in cands[:10]]
+    got = [
+        (r["term"], r["queryDocFreq"], r["docFreq"], round(r["score"], 4))
+        for r in res
+    ]
+    assert got == want
+
+    # mlt_content on a doc's own text ranks that doc first
+    r0 = tbl.iloc[3]
+    content = extract_text(r0["html"], r0["text"])
+    hits = dispatch_query(
+        eng, "{!mlt_content maxqt=8}" + content, k=8
+    ).collect()
+    src_id = eng.docs.filter(F.col("url") == r0["url"]).collect()[0]["doc_id"]
+    assert hits and hits[0]["doc_id"] == src_id
+
+    with pytest.raises(ValueError, match="foreground"):
+        dispatch_query(eng, "{!significantTerms}")
