@@ -28,15 +28,19 @@ DELIMITER = "|"
 
 
 def _split(text: str | None) -> list[tuple[str, float]]:
+    # a token WITHOUT a payload carries NaN, not 0.0 — Lucene stores a
+    # null payload there and PayloadScoreQuery.collectLeaf skips such
+    # positions entirely (payloadsSeen not incremented), which only a
+    # sentinel distinguishable from a real 0.0 payload can reproduce
     out: list[tuple[str, float]] = []
     for raw in (text or "").split():
         term, _, pay = raw.partition(DELIMITER)
         if not term:
             continue
         try:
-            val = float(pay) if pay else 0.0
+            val = float(pay) if pay else float("nan")
         except ValueError:
-            val = 0.0  # FloatEncoder on garbage: treat as no payload
+            val = float("nan")  # FloatEncoder on garbage: no payload
         out.append((term.lower(), val))
     return out
 

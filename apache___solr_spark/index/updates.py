@@ -160,6 +160,25 @@ def add_docs(
         )
         pages.join(new_ids, "url").write.mode("append").parquet(paths.stored)
 
+    if cfg.analyzer == "whitespace_payload":
+        # payload indexes: the per-doc payload side table must grow with
+        # every segment, or added docs silently vanish from payload
+        # queries (the candidates join is inner on doc_id)
+        from apache___solr_spark.index.builder import _payload_arrays
+
+        new_ids = (
+            spark.read.parquet(paths.docs)
+            .filter(F.col("doc_id") >= base_n)
+            .select("url", "doc_id")
+        )
+        (
+            _payload_arrays(pages)
+            .join(new_ids, "url")
+            .select("doc_id", "n", "payloads")
+            .write.mode("append")
+            .parquet(paths.payloads)
+        )
+
     # new segment rows (same map-side encoder as the full build), appended
     # into the bucket-partitioned postings layout
     segments = analyzed.select(
@@ -365,6 +384,16 @@ def optimize(
             live_ids, "doc_id", "left_semi"
         ).write.mode("overwrite").parquet(tmp_stored)
         _swap_dir(tmp_stored, paths.stored)
+
+    # same expunge for the payload side table (payload analyzers): doc
+    # ids are stable through optimize, so a live-semi-join suffices
+    if os.path.isdir(paths.payloads):
+        live_ids = spark.read.parquet(paths.docs).select("doc_id")
+        tmp_pay = paths.payloads + ".opt"
+        spark.read.parquet(paths.payloads).join(
+            live_ids, "doc_id", "left_semi"
+        ).write.mode("overwrite").parquet(tmp_pay)
+        _swap_dir(tmp_pay, paths.payloads)
 
     with open(paths.stats) as f:
         stats = json.load(f)

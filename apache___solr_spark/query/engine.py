@@ -235,16 +235,26 @@ def _payload_eval_fn(
     func: str | None = None,
     include_span: bool = False,
     expected: list[float] | None = None,
+    operator: str = "phrase",
+    check_op: str = "eq",
 ):
     """mapInPandas fn over (doc_id, norm, plists, n, payloads):
     exact-adjacency spans of ``ptoks`` with their per-position payloads.
 
     ``func`` mode (PayloadScoreQuery): score = func over the payloads of
     every matched span position (min/max/average/sum), optionally times
-    the span's BM25 (tf = span frequency).  ``expected`` mode
-    (SpanPayloadCheckQuery): keep docs with >=1 span whose payloads
-    equal ``expected`` elementwise; score = BM25 with tf = matching
-    spans.
+    the span's BM25 (tf = span frequency).  Positions WITHOUT a payload
+    (NaN in the stream) are skipped exactly like collectLeaf skips null
+    payloads — they never feed min/average; a doc whose spans carry no
+    payload at all scores 0.  ``expected`` mode (SpanPayloadCheckQuery):
+    keep docs with >=1 span whose payloads satisfy ``check_op``
+    (eq/gt/gte/lt/lte, PayloadCheckQParser's MatchOperation) against
+    ``expected`` position by position; score = BM25 with tf = matching
+    spans; a missing payload never satisfies any operation.
+
+    ``operator="or"`` (PayloadScoreQParser operator=or -> SpanOrQuery):
+    every occurrence of every query term is its own length-1 span
+    instead of the exact-adjacency phrase.
 
     The whole batch evaluates vectorized — no per-doc Python loop on
     the hot path (the r2 phrase-scoring lesson applied from day one):
@@ -263,21 +273,32 @@ def _payload_eval_fn(
     bf = dtype(b)
     avgdlf = dtype(avgdl)
     idff = dtype(sum_idf)
+    or_mode = operator == "or"
+    if or_mode:
+        m = 1
     exp_arr = (
         np.asarray(expected, dtype=np.float32) if expected is not None else None
     )
     offs = np.arange(m, dtype=np.int64)
     shift = np.int64(32)
     mask = np.int64((1 << 32) - 1)
+    # fmin/fmax skip NaN (missing payloads); sum folds nan_to_num
     reduce_ufunc = {
-        "min": np.minimum,
-        "max": np.maximum,
+        "min": np.fmin,
+        "max": np.fmax,
         "average": np.add,
         "avg": np.add,
         "sum": np.add,
         None: None,
     }[func]
     is_mean = func in ("average", "avg")
+    cmp = {
+        "eq": np.equal,
+        "gt": np.greater,
+        "gte": np.greater_equal,
+        "lt": np.less,
+        "lte": np.less_equal,
+    }[check_op]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -306,11 +327,19 @@ def _payload_eval_fn(
                 t: (np.concatenate(v) if v else np.empty(0, dtype=np.int64))
                 for t, v in parts.items()
             }
-            starts = enc[ptoks[0]]
-            for i, t in enumerate(ptoks[1:], 1):
-                if starts.size == 0:
-                    break
-                starts = starts[np.isin(starts + i, enc[t])]
+            if or_mode:
+                allpos = [enc[t] for t in set(ptoks) if enc[t].size]
+                starts = (
+                    np.unique(np.concatenate(allpos))
+                    if allpos
+                    else np.empty(0, dtype=np.int64)
+                )
+            else:
+                starts = enc[ptoks[0]]
+                for i, t in enumerate(ptoks[1:], 1):
+                    if starts.size == 0:
+                        break
+                    starts = starts[np.isin(starts + i, enc[t])]
             if starts.size == 0:
                 continue
             rows = (starts >> shift).astype(np.int64)  # ascending
@@ -319,7 +348,8 @@ def _payload_eval_fn(
                 ((pay_off[rows] + pos0)[:, None] + offs).ravel()
             ].reshape(-1, m)
             if exp_arr is not None:
-                ok = (gathered == exp_arr).all(axis=1)
+                # NaN (missing payload) fails every comparison op
+                ok = cmp(gathered, exp_arr).all(axis=1)
                 tf_all = np.bincount(rows[ok], minlength=nrows)
             else:
                 tf_all = np.bincount(rows, minlength=nrows)
@@ -334,16 +364,32 @@ def _payload_eval_fn(
             else:
                 # segmented reduce over each doc's span payloads: spans
                 # are row-sorted, so each hit row owns one contiguous
-                # slab of tf[row]*m flat payload values
-                flat = gathered.ravel()
+                # slab of tf[row]*m flat payload values.  NaN payloads
+                # are skipped (fmin/fmax ignore them; sums fold 0 and
+                # the mean divides by the SEEN count, like Lucene's
+                # payloadsSeen); an all-missing slab scores 0.
+                flat = gathered.ravel().astype(np.float64)
                 seg = np.concatenate(
                     ([0], np.cumsum(tf_all[hit] * m)[:-1])
                 )
-                vals = reduce_ufunc.reduceat(
-                    flat.astype(np.float64), seg
+                nseen = np.add.reduceat(
+                    np.isfinite(flat).astype(np.float64), seg
                 )
-                if is_mean:
-                    vals = vals / (tf_all[hit] * m)
+                if is_mean or reduce_ufunc is np.add:
+                    vals = np.add.reduceat(np.nan_to_num(flat), seg)
+                    if is_mean:
+                        vals = np.divide(
+                            vals,
+                            nseen,
+                            out=np.zeros_like(vals),
+                            where=nseen > 0,
+                        )
+                else:
+                    vals = np.where(
+                        nseen > 0,
+                        np.nan_to_num(reduce_ufunc.reduceat(flat, seg)),
+                        0.0,
+                    )
                 score = vals.astype(dtype)
                 if include_span:
                     score = score * bm25
@@ -1000,9 +1046,12 @@ class SearchEngine:
             scored = scored.join(self.deletes, "doc_id", "left_anti")
         return self._finalize(scored, k, with_url)
 
-    def _payload_candidates(self, ptoks: list[str]) -> DataFrame | None:
+    def _payload_candidates(
+        self, ptoks: list[str], require_all: bool = True
+    ) -> DataFrame | None:
         """(doc_id, norm, plists, n, payloads) for docs containing every
-        query token, with the per-doc payload stream joined in.  Same
+        query token (``require_all=False``, the SpanOr operator=or form:
+        ANY token), with the per-doc payload stream joined in.  Same
         salt-gate + vectorized-decode shape as _phrase_frame; the payload
         side table is doc_id-range-partitioned so the join is a ranged
         sort-merge against a candidate set the postings already pruned."""
@@ -1020,18 +1069,24 @@ class SearchEngine:
             )
         uniq = sorted(set(ptoks))
         meta = self._term_meta(uniq)
-        if len(set(meta["term"])) < len(uniq):
+        found = set(meta["term"])
+        if require_all:
+            if len(found) < len(uniq):
+                return None
+        elif not found:
             return None
-        blocks = self._blocks_for(uniq)
-        gate = (
-            blocks.select("salt", "term")
-            .groupBy("salt")
-            .agg(F.count_distinct("term").alias("nt"))
-            .filter(F.col("nt") == len(uniq))
-            .select("salt")
-        )
+        blocks = self._blocks_for(sorted(found))
+        if require_all:
+            gate = (
+                blocks.select("salt", "term")
+                .groupBy("salt")
+                .agg(F.count_distinct("term").alias("nt"))
+                .filter(F.col("nt") == len(uniq))
+                .select("salt")
+            )
+            blocks = blocks.join(gate, "salt", "left_semi")
         decoded = (
-            blocks.join(gate, "salt", "left_semi")
+            blocks
             .select(
                 "term", "salt", "n_docs", "doc_gaps", "tfs", "norms",
                 "positions", "sum_tf",
@@ -1049,7 +1104,9 @@ class SearchEngine:
                 F.count_distinct("term").alias("nt"),
                 F.collect_list(F.struct("term", "positions")).alias("plists"),
             )
-            .filter(F.col("nt") == len(uniq))
+            .filter(
+                F.col("nt") == (len(uniq) if require_all else F.col("nt"))
+            )
             .select("doc_id", "norm", "plists")
         )
         pay = self.spark.read.parquet(pay_dir)
@@ -1065,17 +1122,20 @@ class SearchEngine:
         schema = f"rank int, doc_id long, url string, score {self._sql_t}"
         if not toks:
             return self.spark.createDataFrame([], schema)
-        cands = self._payload_candidates(toks)
+        cands = self._payload_candidates(
+            toks, require_all=mode_kw.get("operator", "phrase") != "or"
+        )
         if cands is None:
             return self.spark.createDataFrame([], schema)
         meta = self._term_meta(sorted(set(toks)))
-        n_docs = self.stats["N"]
-        sum_idf = float(
-            sum(
-                bm25_idf(n_docs, int(r["df"]), dtype=self._dtype)
-                for _, r in meta.iterrows()
+        idf_by_term = {
+            r["term"]: float(
+                bm25_idf(self.stats["N"], int(r["df"]), dtype=self._dtype)
             )
-        )
+            for _, r in meta.iterrows()
+        }
+        # duplicates counted, like _phrase_frame's sum over ptoks
+        sum_idf = float(sum(idf_by_term.get(t, 0.0) for t in toks))
         fn = _payload_eval_fn(
             toks,
             sum_idf,
@@ -1095,44 +1155,62 @@ class SearchEngine:
         query_text: str,
         func: str = "max",
         include_span_score: bool = False,
+        operator: str = "phrase",
         k: int = 10,
         with_url: bool = True,
     ) -> DataFrame:
         """``{!payload_score}`` (PayloadScoreQParser.java ->
         lucene/queries PayloadScoreQuery): the query tokens form an
-        exact-adjacency span (a single token = a term span); each doc
-        scores ``func`` (min/max/average/sum) over the payloads at every
-        matched span position, times the span's BM25 score when
-        ``includeSpanScore`` (tf = span frequency, idf summed over
-        constituents — the engine's phrase scoring)."""
+        exact-adjacency span (a single token = a term span;
+        ``operator="or"`` makes every term occurrence its own span —
+        SpanOrQuery); each doc scores ``func`` (min/max/average/sum)
+        over the payloads at every matched span position — positions
+        without a payload are skipped, like collectLeaf skips null
+        payloads — times the span's BM25 score when ``includeSpanScore``
+        (tf = span frequency, idf summed over constituents with
+        duplicates counted — the engine's phrase scoring)."""
         if func not in ("min", "max", "average", "avg", "sum"):
             raise ValueError(f"unknown payload func {func!r}")
+        if operator not in ("phrase", "or"):
+            raise ValueError(f"unknown payload operator {operator!r}")
         return self._payload_run(
             query_text,
             k,
             with_url,
-            {"func": func, "include_span": include_span_score},
+            {
+                "func": func,
+                "include_span": include_span_score,
+                "operator": operator,
+            },
         )
 
     def payload_check(
         self,
         query_text: str,
         payloads: list[float],
+        op: str = "eq",
         k: int = 10,
         with_url: bool = True,
     ) -> DataFrame:
         """``{!payload_check}`` (PayloadCheckQParser.java ->
         SpanPayloadCheckQuery): docs where at least one exact-adjacency
-        occurrence of the query tokens carries EXACTLY the given
-        payloads, position by position; matches score like the
-        underlying span (BM25 with tf = matching-span frequency)."""
+        occurrence of the query tokens carries payloads satisfying
+        ``op`` (eq/gt/gte/lt/lte — the parser's MatchOperation) against
+        the given values, position by position; a missing payload never
+        satisfies any operation.  Matches score like the underlying
+        span (BM25 with tf = matching-span frequency)."""
+        if op not in ("eq", "gt", "gte", "lt", "lte"):
+            raise ValueError(f"unknown payload_check op {op!r}")
         toks = self._analyze(query_text)
         if toks and len(payloads) != len(toks):
             raise ValueError(
                 f"payloads count {len(payloads)} != query tokens {len(toks)}"
             )
         return self._payload_run(
-            query_text, k, with_url, {"expected": list(payloads)}
+            query_text,
+            k,
+            with_url,
+            {"expected": list(payloads), "check_op": op},
         )
 
     def complex_phrase(

@@ -87,6 +87,39 @@ def reciprocal_rank_fusion(
     )
 
 
+def _mlt_select_terms(
+    engine: SearchEngine,
+    tf_by_term: dict[str, int],
+    max_query_terms: int,
+    min_doc_freq: int,
+    min_term_freq: int,
+) -> list[str]:
+    """Shared MLT term selection (MoreLikeThis.java createQueue): rank the
+    source terms by tf*idf against the index statistics, window by mindf/
+    mintf, keep the top maxqt.  Terms absent from the index can never
+    match and are dropped regardless of mindf."""
+    meta = engine._term_meta(sorted(tf_by_term))
+    df_by_term = dict(zip(meta["term"], meta["df"]))
+    n = engine.stats["N"]
+    weighted = sorted(
+        (
+            (
+                float(
+                    bm25_idf(n, int(df_by_term[t]), dtype=engine._dtype)
+                )
+                * tf,
+                t,
+            )
+            for t, tf in tf_by_term.items()
+            if t in df_by_term
+            and int(df_by_term[t]) >= min_doc_freq
+            and int(tf) >= min_term_freq
+        ),
+        key=lambda x: (-x[0], x[1]),
+    )
+    return [t for _, t in weighted[:max_query_terms]]
+
+
 def more_like_this(
     engine: SearchEngine,
     doc_id: int,
@@ -117,19 +150,13 @@ def more_like_this(
 
     terms = row[0]["terms"]
     tfs = decode_vbyte(bytes(row[0]["tfs"]), len(terms)).astype(int)
-    meta = engine._term_meta(list(terms))
-    df_by_term = dict(zip(meta["term"], meta["df"]))
-    n = engine.stats["N"]
-    weighted = sorted(
-        (
-            (float(bm25_idf(n, int(df_by_term[t]), dtype=engine._dtype)) * tf, t)
-            for t, tf in zip(terms, tfs)
-            if int(df_by_term.get(t, 0)) >= min_doc_freq
-            and int(tf) >= min_term_freq
-        ),
-        key=lambda x: (-x[0], x[1]),
+    qterms = _mlt_select_terms(
+        engine,
+        dict(zip(terms, (int(x) for x in tfs))),
+        max_query_terms,
+        min_doc_freq,
+        min_term_freq,
     )
-    qterms = [t for _, t in weighted[:max_query_terms]]
     if not qterms:
         return engine.spark.createDataFrame(
             [], "rank int, doc_id long, url string, score float"
@@ -325,23 +352,9 @@ def mlt_like_content(
     tf_by_term: dict[str, int] = {}
     for t in toks:
         tf_by_term[t] = tf_by_term.get(t, 0) + 1
-    meta = engine._term_meta(sorted(tf_by_term))
-    df_by_term = dict(zip(meta["term"], meta["df"]))
-    n = engine.stats["N"]
-    weighted = sorted(
-        (
-            (
-                float(bm25_idf(n, int(df_by_term[t]), dtype=engine._dtype))
-                * tf,
-                t,
-            )
-            for t, tf in tf_by_term.items()
-            if int(df_by_term.get(t, 0)) >= min_doc_freq
-            and tf >= min_term_freq
-        ),
-        key=lambda x: (-x[0], x[1]),
+    qterms = _mlt_select_terms(
+        engine, tf_by_term, max_query_terms, min_doc_freq, min_term_freq
     )
-    qterms = [t for _, t in weighted[:max_query_terms]]
     if not qterms:
         return engine.spark.createDataFrame(
             [], f"rank int, doc_id long, url string, score {engine._sql_t}"
@@ -356,6 +369,7 @@ def significant_terms_index(
     min_doc_freq: float = 5.0,
     max_doc_freq: float = 0.3,
     min_term_length: int = 4,
+    fq: list | None = None,
 ) -> DataFrame:
     """{!significantTerms} (SignificantTermsQParserPlugin.java:42,200-250)
     over the INDEX: terms over-represented in the docs matching ``query``
@@ -374,9 +388,12 @@ def significant_terms_index(
     foreground intersection is one semi-join + groupBy(term).  The
     reference walks every term's postings per shard — this is the same
     scan expressed as one distributed job."""
-    spark = engine.spark
     n_docs = engine.stats["N"]
     fg = engine.docset(query)
+    for f in fq or []:
+        # fq restricts the FOREGROUND, like the request's filter queries
+        # restrict the result set the reference collects over
+        fg = fg.join(engine.docset(f), "doc_id", "left_semi")
     lo = (
         float(min_doc_freq)
         if float(min_doc_freq) >= 1.0

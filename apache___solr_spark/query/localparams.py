@@ -575,6 +575,8 @@ def dispatch_query(
         from apache___solr_spark.query.extras import mlt_like_content
 
         _check_field(params)
+        if fq:
+            raise NotImplementedError("fq with {!mlt_content} unsupported")
         return mlt_like_content(
             engine,
             rest,
@@ -596,6 +598,7 @@ def dispatch_query(
         return significant_terms_index(
             engine,
             rest,
+            fq=fq,
             num_terms=int(params.get("numTerms", 20)),
             min_doc_freq=float(params.get("minDocFreq", 5.0)),
             max_doc_freq=float(params.get("maxDocFreq", 0.3)),
@@ -609,17 +612,23 @@ def dispatch_query(
         if fq:
             raise NotImplementedError(f"fq with {{!{ptype}}} unsupported")
         if ptype == "payload_score":
+            if "func" not in params:
+                # the reference errors without func (PayloadScoreQParser)
+                raise ValueError("{!payload_score} requires func=")
             return engine.payload_score(
                 rest,
-                func=params.get("func", "max"),
+                func=str(params["func"]),
                 include_span_score=str(
                     params.get("includeSpanScore", "false")
                 ).lower()
                 == "true",
+                operator=str(params.get("operator", "phrase")) or "phrase",
                 k=k,
             )
         want = [float(x) for x in str(params.get("payloads", "")).split()]
-        return engine.payload_check(rest, want, k=k)
+        return engine.payload_check(
+            rest, want, op=str(params.get("op", "eq")), k=k
+        )
 
     if ptype == "export":
         # ExportQParserPlugin.java + handler/export/ExportWriter.java:98:

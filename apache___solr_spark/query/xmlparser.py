@@ -32,11 +32,13 @@ Supported builders (CoreParser.java constructor registrations):
 - ``MatchAllDocsQuery`` — top level: every live doc at constant score.
 - ``ConstantScoreQuery`` — top level: the wrapped query's DocSet at
   ``boost`` score.
-- ``SpanTerm`` / ``SpanNear slop= inOrder=`` — top level, lowered to
-  :meth:`SearchEngine.span_near` (SpanNearQuery(slop, inOrder) with
-  dist = slop+1 in the surround convention); an ORDERED SpanNear over
-  plain SpanTerms also nests inside BooleanQuery clauses (it lowers to
-  the tree's PhraseNode — the same ordered-window matcher).
+- ``SpanTerm`` / ``SpanNear slop= inOrder=`` — verbatim terms at any
+  nesting level (SpanTermBuilder does not analyze): a lone SpanTerm
+  lowers to a TermNode and an ORDERED SpanNear over SpanTerms to the
+  tree's PhraseNode (the same ordered-window matcher), so both compose
+  inside BooleanQuery clauses; an UNORDERED SpanNear runs top-level
+  through :meth:`SearchEngine.span_near` (dist = slop+1, whose words
+  pass through the query analyzer — documented divergence).
 
 ``SpanOr``/``SpanFirst``/``SpanNot`` and ``BoostingTermQuery``
 (payloads) raise with their reason — this index stores positions, not
@@ -156,10 +158,16 @@ def _lower(el: ET.Element, analyze_fn, occur: str = "MUST"):
             inclusive=inc_lo,
             boost=_boost(el),
         )
+    if tag == "SpanTerm":
+        # SpanTermBuilder: verbatim term, no analysis — a lone span term
+        # scores exactly like a TermQuery
+        _check_field(el)
+        return TermNode((el.text or "").strip(), boost=_boost(el))
     if tag == "SpanNear" and el.get("inOrder", "true") == "true":
         # an ordered SpanNear over plain SpanTerms IS the tree's
-        # PhraseNode (ordered-window matching, slop kept) — so it nests
-        # inside BooleanQuery clauses; unordered spans stay top-level
+        # PhraseNode (ordered-window matching, slop kept; verbatim
+        # terms, like SpanTermBuilder) — so it nests inside
+        # BooleanQuery clauses; unordered spans stay top-level
         if all(c.tag == "SpanTerm" for c in el):
             return PhraseNode(
                 [(c.text or "").strip() for c in el],
@@ -237,23 +245,25 @@ def run_xml_query(
         ids = engine.search(tree, prune=False, _docset=True).select("doc_id")
         return _finalize_const(engine, ids, k, _boost(root))
 
-    if tag in ("SpanTerm", "SpanNear"):
+    if tag == "SpanNear" and root.get("inOrder", "true") != "true":
+        # unordered spans have no tree node — engine.span_near's
+        # minimal-window matcher (NB: its words pass through the query
+        # analyzer, a documented divergence from the verbatim SpanTerm
+        # semantics the ordered/tree paths keep)
         if fq:
-            raise NotImplementedError("fq with XML span queries")
-        if tag == "SpanTerm":
-            words, slop, ordered = [(root.text or "").strip()], 0, True
-        else:
-            for c in root:
-                if c.tag != "SpanTerm":
-                    raise NotImplementedError(
-                        f"<SpanNear> over <{c.tag}>: plain SpanTerm "
-                        "children only"
-                    )
-            words = [(c.text or "").strip() for c in root]
-            slop = int(root.get("slop", 0))
-            ordered = root.get("inOrder", "true") == "true"
+            raise NotImplementedError("fq with unordered XML span queries")
+        for c in root:
+            if c.tag != "SpanTerm":
+                raise NotImplementedError(
+                    f"<SpanNear> over <{c.tag}>: plain SpanTerm "
+                    "children only"
+                )
         return engine.span_near(
-            words, dist=slop + 1, ordered=ordered, k=k, **kw
+            [(c.text or "").strip() for c in root],
+            dist=int(root.get("slop", 0)) + 1,
+            ordered=False,
+            k=k,
+            **kw,
         )
 
     if tag == "DisjunctionMaxQuery":

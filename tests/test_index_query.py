@@ -2210,15 +2210,18 @@ def test_payload_qparsers(spark, built, payload_built):
     eng = SearchEngine(spark, idx, cfg=cfg)
 
     def split(t):
+        # payload None == missing (the engine stores NaN there and skips
+        # such positions, like Lucene's null payloads)
         out = []
         for raw in t.split():
             term, _, pay = raw.partition("|")
-            out.append((term.lower(), float(pay) if pay else 0.0))
+            out.append((term.lower(), float(pay) if pay else None))
         return out
 
     docs = {r["url"]: split(r["text"]) for r in rows}
 
-    # func=max over a term: every doc containing it, exact values
+    # func=max over a term: every doc containing it; missing payloads
+    # are skipped, a doc with only payload-less occurrences scores 0
     got = {
         r["url"]: round(float(r["score"]), 4)
         for r in dispatch_query(
@@ -2227,12 +2230,31 @@ def test_payload_qparsers(spark, built, payload_built):
     }
     want = {}
     for u, d in docs.items():
-        vals = [p for t, p in d if t == "apple"]
-        if vals:
-            want[u] = round(float(np.float32(max(vals))), 4)
+        occ = [p for t, p in d if t == "apple"]
+        if occ:
+            vals = [p for p in occ if p is not None]
+            want[u] = round(float(np.float32(max(vals))), 4) if vals else 0.0
     assert got == want and len(got) > 50  # non-vacuous
 
-    # func=sum accumulates every occurrence (float32 tolerance)
+    # func=min must NOT collapse to 0.0 on mixed payload/no-payload docs
+    got_min = {
+        r["url"]: round(float(r["score"]), 4)
+        for r in dispatch_query(
+            eng, "{!payload_score f=text func=min}apple", k=500
+        ).collect()
+    }
+    want_min = {}
+    for u, d in docs.items():
+        occ = [p for t, p in d if t == "apple"]
+        if occ:
+            vals = [p for p in occ if p is not None]
+            want_min[u] = (
+                round(float(np.float32(min(vals))), 4) if vals else 0.0
+            )
+    assert got_min == want_min
+    assert any(v > 0 for v in want_min.values())
+
+    # func=sum accumulates every PAYLOADED occurrence (float32 tolerance)
     got = {
         r["url"]: float(r["score"])
         for r in dispatch_query(
@@ -2243,7 +2265,12 @@ def test_payload_qparsers(spark, built, payload_built):
         exact = float(
             np.sum(
                 np.asarray(
-                    [p for t, p in docs[u] if t == "banana"], np.float32
+                    [
+                        p
+                        for t, p in docs[u]
+                        if t == "banana" and p is not None
+                    ],
+                    np.float32,
                 )
             )
         )
@@ -2251,6 +2278,25 @@ def test_payload_qparsers(spark, built, payload_built):
     assert set(got) == {
         u for u, d in docs.items() if any(t == "banana" for t, _ in d)
     }
+
+    # operator=or: every occurrence of either term is its own span
+    got_or = {
+        r["url"]: round(float(r["score"]), 4)
+        for r in dispatch_query(
+            eng,
+            "{!payload_score f=text func=max operator=or}apple banana",
+            k=500,
+        ).collect()
+    }
+    want_or = {}
+    for u, d in docs.items():
+        occ = [p for t, p in d if t in ("apple", "banana")]
+        if occ:
+            vals = [p for p in occ if p is not None]
+            want_or[u] = (
+                round(float(np.float32(max(vals))), 4) if vals else 0.0
+            )
+    assert got_or == want_or and len(want_or) >= len(want)
 
     # payload_check: exact per-position payloads select the planted doc
     got = [
@@ -2275,11 +2321,24 @@ def test_payload_qparsers(spark, built, payload_built):
     ).collect()
     assert {r["url"] for r in spanned} == set(want)
 
+    # payload_check op=gt: 9.0 > 1.5 selects only the uY twin
+    got = [
+        r["url"]
+        for r in dispatch_query(
+            eng,
+            '{!payload_check f=text payloads="1.6 2.0" op=gt}red apple',
+            k=10,
+        ).collect()
+    ]
+    assert got == ["uY"]
+
     # honest raises
     with pytest.raises(ValueError, match="payloads count"):
         eng.payload_check("red apple", [1.0])
     with pytest.raises(ValueError, match="payload func"):
         eng.payload_score("apple", func="median")
+    with pytest.raises(ValueError, match="requires func"):
+        dispatch_query(eng, "{!payload_score f=text}apple")
     eng_std = SearchEngine(spark, built, cfg=CFG)
     with pytest.raises(NotImplementedError, match="payload side table"):
         eng_std.payload_score("apple")
@@ -2363,3 +2422,40 @@ def test_significant_terms_and_mlt_content(spark, corpus, built):
 
     with pytest.raises(ValueError, match="foreground"):
         dispatch_query(eng, "{!significantTerms}")
+
+
+def test_payload_add_docs(spark, payload_built, tmp_path):
+    """add_docs on a payload index grows the payload side table — an
+    incrementally added doc is visible to payload queries."""
+    import shutil
+
+    import pandas as pd
+
+    from apache___solr_spark.index.updates import add_docs
+    from apache___solr_spark.query.localparams import dispatch_query
+
+    rows, idx, cfg = payload_built
+    idx2 = str(tmp_path / "idx_copy")
+    shutil.copytree(idx, idx2)
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "url": "uNEW",
+                    "warc_ts": "2026",
+                    "html": None,
+                    "text": "zebra|7.5 apple|0.25 words words again",
+                    "lang": "en",
+                }
+            ]
+        )
+    )
+    add_docs(spark, idx2, batch, cfg=cfg)
+    eng = SearchEngine(spark, idx2, cfg=cfg)
+    got = {
+        r["url"]: round(float(r["score"]), 4)
+        for r in dispatch_query(
+            eng, "{!payload_score f=text func=max}zebra", k=10
+        ).collect()
+    }
+    assert got == {"uNEW": 7.5}
