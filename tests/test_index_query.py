@@ -1670,7 +1670,7 @@ def test_dispatch_registry_tail(spark, corpus, built):
     # now dispatch for real but need their specialized index builds)
     for q, msg in [
         ("{!min_hash}text", "analyzer='min_hash'"),
-        ("{!payload_score f=text}x", "payload side table"),
+        ("{!payload_score f=text func=max}x", "payload side table"),
         ("{!vectorSimilarity f=v minReturn=0.5}[1.0]", "vectors_df"),
         ("{!numericRange field=lo,hi}[1 TO 2]", "docs_df"),
     ]:
