@@ -44,6 +44,9 @@ HEADLINE = [
     "significant_terms",
     "exact_dedup",
     "minhash_lsh_candidates",
+    "minhash_query",
+    "payload_score",
+    "xml_query",
     "cosine_topk",
     "quality_score",
     "score_join",
@@ -168,6 +171,69 @@ def _q_pack_sequences(spark, sf_dir):
     return pack_sequences(counted, "doc_id", "n_tokens", 2048, num_buckets=64)
 
 
+_EXTRA_IDX: dict = {}
+
+
+def _q_minhash_query(spark, sf_dir):
+    """{!min_hash sim= tp=} Jaccard lookup over the bounded minhash index
+    (one bucket-pruned constant-kernel scan + banding gate)."""
+    from apache___solr_spark.config import IndexConfig
+    from apache___solr_spark.query.engine import SearchEngine
+    from apache___solr_spark.query.localparams import dispatch_query
+    from pyspark.sql import functions as F
+
+    eng = SearchEngine(
+        spark,
+        _EXTRA_IDX["minhash"],
+        cfg=IndexConfig(analyzer="min_hash", store_positions=False),
+    )
+    text = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .orderBy("doc_id")
+        .select("text")
+        .first()["text"]
+    )
+    return dispatch_query(eng, "{!min_hash sim=0.5 tp=0.5}" + text, k=20)
+
+
+def _q_payload_score(spark, sf_dir):
+    """{!payload_score operator=or} over the bounded payload index (one
+    positions decode + side-table join + segmented numpy reduction)."""
+    from apache___solr_spark.config import IndexConfig
+    from apache___solr_spark.query.engine import SearchEngine
+    from apache___solr_spark.query.localparams import dispatch_query
+
+    eng = SearchEngine(
+        spark,
+        _EXTRA_IDX["payload"],
+        cfg=IndexConfig(analyzer="whitespace_payload"),
+    )
+    return dispatch_query(
+        eng, "{!payload_score f=text func=max operator=or}the data", k=20
+    )
+
+
+def _q_xml_query(spark, sf_dir):
+    """{!xml} boolean+phrase query lowered onto the tree evaluator over
+    the standard fulltext index."""
+    import __spark_entry__ as entrymod
+    from apache___solr_spark.query.engine import SearchEngine
+    from apache___solr_spark.query.localparams import dispatch_query
+
+    idx = entrymod._fulltext_index(spark, sf_dir, "standard")
+    eng = SearchEngine(spark, idx)
+    xml = (
+        "<BooleanQuery>"
+        '<Clause occurs="must"><SpanNear slop="1" inOrder="true">'
+        "<SpanTerm>the</SpanTerm><SpanTerm>data</SpanTerm></SpanNear>"
+        "</Clause>"
+        '<Clause occurs="should"><TermQuery>model</TermQuery></Clause>'
+        '<Clause occurs="mustNot"><TermQuery>zebra</TermQuery></Clause>'
+        "</BooleanQuery>"
+    )
+    return dispatch_query(eng, "{!xml}" + xml, k=20)
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from apache___solr_spark.index.builder import build_index
@@ -196,6 +262,50 @@ def main() -> None:
     entrymod._fulltext_index(spark, SF_DIR, "simple")
     timings["index_build_simple"] = round(time.time() - t0, 3)
 
+    # bounded specialized indexes for the registry-completion entries
+    # (8k docs — these time the BUILD of the min-hash signature chain and
+    # the payload side table at a fixed size, queries timed separately)
+    from pyspark.sql import functions as F
+
+    from apache___solr_spark.config import IndexConfig
+
+    sub = entrymod._docs_as_pages(spark, SF_DIR).orderBy("url").limit(8000)
+    t0 = time.time()
+    _EXTRA_IDX["minhash"] = os.path.join(idx_dir, "mh")
+    build_index(
+        spark,
+        sub,
+        _EXTRA_IDX["minhash"],
+        cfg=IndexConfig(analyzer="min_hash", store_positions=False),
+    )
+    timings["index_build_minhash_8k"] = round(time.time() - t0, 3)
+    # synthesize per-token float payloads deterministically from the text
+    pay_pages = sub.withColumn(
+        "text",
+        F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda x: F.concat(
+                    x,
+                    F.lit("|"),
+                    (F.pmod(F.xxhash64(x), F.lit(50)) / F.lit(10.0)).cast(
+                        "string"
+                    ),
+                ),
+            ),
+            " ",
+        ),
+    )
+    t0 = time.time()
+    _EXTRA_IDX["payload"] = os.path.join(idx_dir, "pl")
+    build_index(
+        spark,
+        pay_pages,
+        _EXTRA_IDX["payload"],
+        cfg=IndexConfig(analyzer="whitespace_payload"),
+    )
+    timings["index_build_payload_8k"] = round(time.time() - t0, 3)
+
     # Registry entries were consolidated to fit the driver's 50-entry check
     # window; the bench keeps the round-2 per-query names for timing-series
     # continuity by resolving merged-away names to their module functions.
@@ -212,6 +322,9 @@ def main() -> None:
         "ann_ivf_topk": entrymod.q_ann_ivf_topk,
         "ann_graph_topk": entrymod.q_ann_graph_topk,
         "fq_search": _q_fq_search,
+        "minhash_query": _q_minhash_query,
+        "payload_score": _q_payload_score,
+        "xml_query": _q_xml_query,
         "sorted_search": _q_sorted_search,
         "collapse_fq": _q_collapse_fq,
         "scrub_pii": _q_scrub_pii,
