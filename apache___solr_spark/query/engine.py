@@ -965,6 +965,7 @@ class SearchEngine:
         k: int = 10,
         sim: float | None = None,
         tp: float = 1.0,
+        sep: str | None = None,
         with_url: bool = True,
     ) -> DataFrame:
         """``{!min_hash}`` (MinHashQParser.java) over an index built with
@@ -992,7 +993,14 @@ class SearchEngine:
                 "{!min_hash} needs an index built with analyzer='min_hash' "
                 f"(this index: {self.cfg.analyzer!r})"
             )
-        toks = self._analyze(text)
+        # sep= (MinHashQParser): the string is PRE-HASHED signature
+        # tokens joined by sep (e.g. a stored signature queried back),
+        # bypassing the analysis chain
+        toks = (
+            [t for t in text.split(sep) if t]
+            if sep is not None
+            else self._analyze(text)
+        )
         n = len(toks)
         schema = f"rank int, doc_id long, url string, score {self._sql_t}"
         if not toks:

@@ -568,6 +568,7 @@ def dispatch_query(
             k=k,
             sim=float(sim) if sim is not None else None,
             tp=float(params.get("tp", 1.0)),
+            sep=params.get("sep"),
         )
 
     if ptype == "mlt_content":

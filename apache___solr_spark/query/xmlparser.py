@@ -40,9 +40,11 @@ Supported builders (CoreParser.java constructor registrations):
   through :meth:`SearchEngine.span_near` (dist = slop+1, whose words
   pass through the query analyzer — documented divergence).
 
-``SpanOr``/``SpanFirst``/``SpanNot`` and ``BoostingTermQuery``
-(payloads) raise with their reason — this index stores positions, not
-payloads, and the span algebra models adjacency runs only.
+``BoostingTermQuery`` (BoostingTermBuilder -> PayloadScoreQuery over
+the term span, AveragePayloadFunction, includeSpanScore) runs for real
+against payload indexes via :meth:`SearchEngine.payload_score`.
+``SpanOr``/``SpanFirst``/``SpanNot`` raise with their reason — the
+span algebra models adjacency runs only.
 """
 
 from __future__ import annotations
@@ -71,7 +73,6 @@ _UNSUPPORTED_TAGS = {
     "SpanOrTerms": "span algebra models adjacency runs only",
     "SpanFirst": "span algebra models adjacency runs only",
     "SpanNot": "span algebra models adjacency runs only",
-    "BoostingTermQuery": "payloads are not stored in this index format",
 }
 
 
@@ -264,6 +265,21 @@ def run_xml_query(
             ordered=False,
             k=k,
             **kw,
+        )
+
+    if tag == "BoostingTermQuery":
+        # BoostingTermBuilder -> PayloadScoreQuery(SpanTermQuery,
+        # AveragePayloadFunction, includeSpanScore=true): the term's BM25
+        # scaled by its mean occurrence payload — real now that payload
+        # indexes exist (engine.payload_score)
+        _check_field(root)
+        if fq:
+            raise NotImplementedError("fq with XML BoostingTermQuery")
+        return engine.payload_score(
+            (root.text or "").strip(),
+            func="average",
+            include_span_score=True,
+            k=k,
         )
 
     if tag == "DisjunctionMaxQuery":

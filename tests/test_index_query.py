@@ -1998,7 +1998,7 @@ def test_xml_qparser(spark, corpus, built):
     # honest raises
     for q, msg in [
         ("{!xml}<SpanOr><SpanTerm>a</SpanTerm></SpanOr>", "span algebra"),
-        ("{!xml}<BoostingTermQuery>a</BoostingTermQuery>", "payload"),
+        ("{!xml}<BoostingTermQuery>web</BoostingTermQuery>", "payload"),
         (
             '{!xml}<PointRangeQuery lowerTerm="a" upperTerm="b" '
             'includeLower="false"/>',
@@ -2128,6 +2128,14 @@ def test_minhash_qparser(spark, corpus, built, mh_built):
     # band size math: selective for high sim, degenerate (1) for tp=1
     assert compute_band_size(512, 0.8, 0.5) > 1
     assert compute_band_size(512, 0.8, 1.0) == 1
+
+    # sep=: querying back a pre-hashed signature equals analyzing the text
+    sig = ",".join(minhash_analyze(src["text"]))
+    got_sep = dispatch_query(
+        eng, "{!min_hash sep=,}" + sig, k=5, request=None
+    ).collect()
+    assert [r["url"] for r in got_sep] == [r["url"] for r in top]
+    assert got_sep[0]["score"] == 1.0
 
     # honest raises
     with pytest.raises(NotImplementedError, match="min_hash"):
@@ -2331,6 +2339,17 @@ def test_payload_qparsers(spark, built, payload_built):
         ).collect()
     ]
     assert got == ["uY"]
+
+    # XML BoostingTermQuery == payload_score(average, includeSpanScore)
+    bt = dispatch_query(
+        eng, "{!xml}<BoostingTermQuery>apple</BoostingTermQuery>", k=20
+    ).collect()
+    ps = eng.payload_score(
+        "apple", func="average", include_span_score=True, k=20
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in bt] == [
+        (r["doc_id"], r["score"]) for r in ps
+    ] and len(bt) == 20
 
     # honest raises
     with pytest.raises(ValueError, match="payloads count"):
