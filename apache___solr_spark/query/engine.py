@@ -1523,7 +1523,12 @@ class SearchEngine:
             and not exp_groups
         ):
             term_meta = meta[meta["term"].isin(terms)]
-            theta = self._theta(term_meta, idf_by_term, term_boosts, k)
+            # θ must bound the COLLECTOR depth (start+k), not the page
+            # size: offset paging returns ranks start+1..start+k, and a
+            # k-deep bound would prune the very docs those ranks hold
+            theta = self._theta(
+                term_meta, idf_by_term, term_boosts, int(start) + k
+            )
             if theta > 0.0:
                 # per-term scores are float32-rounded, so a doc score can sit
                 # one ulp ABOVE the float64 upper bound — prune with a small

@@ -2478,3 +2478,98 @@ def test_payload_add_docs(spark, payload_built, tmp_path):
         ).collect()
     }
     assert got == {"uNEW": 7.5}
+
+
+def test_json_request_api(spark, corpus, built):
+    """JSON Request API (RequestUtil + JsonQueryConverter): every query
+    form matches its classic / dispatch twin through the one execution
+    path."""
+    from apache___solr_spark.query.json_request import json_request
+    from apache___solr_spark.query.localparams import dispatch_query
+
+    eng = SearchEngine(spark, built, cfg=CFG)
+
+    def ids(df):
+        return [r["doc_id"] for r in df.collect()]
+
+    def scored(df):
+        return [
+            (r["doc_id"], round(float(r["score"]), 4)) for r in df.collect()
+        ]
+
+    # string / parser-object / scalar-body forms
+    assert ids(json_request(eng, {"query": "web AND data", "limit": 5})) == ids(
+        eng.search("web AND data", k=5)
+    )
+    assert ids(
+        json_request(
+            eng, {"query": {"term": {"f": "text", "query": "web"}}, "limit": 5}
+        )
+    ) == ids(dispatch_query(eng, "{!term f=text}web", k=5))
+    assert ids(
+        json_request(eng, {"query": {"lucene": "web data"}, "limit": 5})
+    ) == ids(eng.search("web data", k=5))
+
+    # bool composition: filter occur is REQUIRED but non-scoring (== fq)
+    req = {
+        "query": {
+            "bool": {
+                "must": ["web"],
+                "filter": ["data"],
+                "must_not": ["engine"],
+            }
+        },
+        "limit": 10,
+    }
+    assert scored(json_request(eng, req)) == scored(
+        eng.search("web -engine", k=10, fq=["data"])
+    )
+
+    # param macro + filter list + offset paging + fields projection
+    req = {
+        "query": {"param": "qq"},
+        "filter": ["data"],
+        "limit": 5,
+        "params": {"qq": "web"},
+    }
+    assert ids(json_request(eng, req)) == ids(eng.search("web", k=5, fq=["data"]))
+    page = json_request(
+        eng, {"query": "web", "limit": 3, "offset": 2, "fields": "doc_id,score"}
+    )
+    assert page.columns == ["doc_id", "score"]
+    assert [r["doc_id"] for r in page.collect()] == ids(eng.search("web", k=5))[
+        2:5
+    ]
+
+    # sort routes to the TopFieldCollector path; *:* default matches all
+    assert ids(
+        json_request(eng, {"query": "web", "sort": "doclen asc", "limit": 5})
+    ) == ids(eng.sorted_search("web", "doclen asc", k=5))
+    assert json_request(eng, {"limit": N_DOCS + 10}).count() == N_DOCS
+
+    # honest raises
+    with pytest.raises(NotImplementedError, match="parser-object"):
+        json_request(
+            eng,
+            {"query": {"bool": {"must": [{"term": {"f": "text", "query": "x"}}]}}},
+        )
+    with pytest.raises(ValueError, match="unknown"):
+        json_request(eng, {"query": "web", "rows": 5})
+
+
+def test_offset_paging_prune_sound(spark, corpus, built):
+    """Offset paging with theta pruning ON must equal the unpruned full
+    ranking's slice — the theta bound has to cover the collector depth
+    start+k, not just the page size k (regression: deep pages silently
+    dropped true rank-(start+i) hits)."""
+    eng = SearchEngine(spark, built, cfg=CFG)
+    full = [
+        (r["doc_id"], round(float(r["score"]), 5))
+        for r in eng.search("web", k=12, prune=False).collect()
+    ]
+    for start, k in ((2, 3), (5, 5), (9, 3)):
+        page = [
+            (r["doc_id"], round(float(r["score"]), 5))
+            for r in eng.search("web", k=k, start=start, prune=True).collect()
+        ]
+        assert page == full[start : start + k], (start, k)
