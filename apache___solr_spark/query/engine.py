@@ -998,7 +998,7 @@ class SearchEngine:
         # bypassing the analysis chain
         toks = (
             [t for t in text.split(sep) if t]
-            if sep is not None
+            if sep  # empty sep == analyze, like MinHashQParser
             else self._analyze(text)
         )
         n = len(toks)

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame
 
 from apache___solr_spark.query.localparams import dispatch_query
 
-_SAFE_VALUE = re.compile(r"^[\w.,*\[\]\-+:]+$")
+_SAFE_VALUE = re.compile(r"[\w.,*\[\]\-+:]+\Z")
 
 
 def _hoist(value, params: dict, counter: list) -> str:
@@ -80,7 +80,7 @@ def convert_json_query(obj, params: dict, counter: list) -> str:
             parts.append(f"{key}={str(val).lower()}")
         elif isinstance(val, (int, float)):
             parts.append(f"{key}={val}")
-        elif isinstance(val, str) and _SAFE_VALUE.match(val):
+        elif isinstance(val, str) and _SAFE_VALUE.fullmatch(val):
             parts.append(f"{key}={val}")
         elif isinstance(val, (str, list, tuple)):
             pname = _hoist(
@@ -156,23 +156,45 @@ def json_request(engine, req: dict, request: dict | None = None, **kw) -> DataFr
     start = int(req.get("offset", 0))
     sort = req.get("sort")
     if q == "*:*":
-        # MatchAllDocsQuery spelling accepted by RequestUtil's default
+        # MatchAllDocsQuery spelling accepted by RequestUtil's default;
+        # offset pages by the global rank column like every other path
+        from pyspark.sql import functions as F
+
         from apache___solr_spark.query.xmlparser import run_xml_query
 
         if fq or sort is not None:
             raise NotImplementedError("*:* with filter/sort: use a query")
-        out = run_xml_query(engine, "<MatchAllDocsQuery/>", k=k)
+        out = run_xml_query(engine, "<MatchAllDocsQuery/>", k=start + k)
+        if start:
+            out = out.filter(F.col("rank") > start)
     elif sort is not None:
-        if q.lstrip().startswith("{!"):
+        if q.lstrip().startswith("{!") or any(
+            f.lstrip().startswith("{!") for f in fq
+        ):
+            # sorted_search's fq path parses classic strings only (no
+            # local-params resolution) — a {!...} filter would silently
+            # tokenize as literal terms, so refuse instead
             raise NotImplementedError(
-                "sort with a parser-object query is not modeled "
-                "(classic-string queries sort)"
+                "sort with a parser-object query/filter is not modeled "
+                "(classic-string queries and filters sort)"
             )
         out = engine.sorted_search(q, str(sort), k=k, start=start, fq=fq)
     else:
+        # uniform offset paging: ask the dispatch for the collector depth
+        # start+k and slice by the GLOBAL rank column — works for every
+        # parser branch (many accept no start kwarg), and ranks stay
+        # global like the reference's response window
+        from pyspark.sql import functions as F
+
+        out = dispatch_query(
+            engine, q, k=start + k, fq=fq, request=params, **kw
+        )
         if start:
-            kw = {**kw, "start": start}
-        out = dispatch_query(engine, q, k=k, fq=fq, request=params, **kw)
+            if "rank" not in out.columns:
+                raise NotImplementedError(
+                    "offset with a parser returning no rank column"
+                )
+            out = out.filter(F.col("rank") > start)
     fields = req.get("fields")
     if fields:
         if isinstance(fields, str):

@@ -367,6 +367,29 @@ _FQ_COMPOSABLE = {
 }
 
 
+def _compose_bool(params: dict, required: bool = False) -> str:
+    """BoolQParserPlugin occur composition (BoolQParser.java:52-77) as one
+    recursive classic-grammar string.  ``filter`` is Occur.FILTER —
+    REQUIRED but contributing NO score — which composes as ``+(q)^0``
+    (a zero-boosted required group; the tree evaluator multiplies the
+    child's score by its boost).  Shared by the {!bool} dispatch, the
+    fq-lowering path, and the JSON Request API's bool DSL so the three
+    entrances cannot drift."""
+    parts: list[str] = []
+    for key, sign, zero in (
+        ("must", "+", False),
+        ("filter", "+", True),
+        ("should", "", False),
+        ("must_not", "-", False),
+    ):
+        v = params.get(key)
+        if v:
+            parts.append(f"{sign}({v})^0" if zero else f"{sign}({v})")
+    if not parts and required:
+        raise ValueError("{!bool} needs must/should/must_not/filter")
+    return " ".join(parts)
+
+
 def _engine_query_obj(engine, ptype, params, rest, raw):
     """Lower an engine-shaped (ptype, params, rest) to the query object
     engine.search/docset understand (str classic grammar / ParsedQuery /
@@ -400,17 +423,7 @@ def _engine_query_obj(engine, ptype, params, rest, raw):
             return ParsedQuery(must=[toks[0]])
         return ParsedQuery(must_phrases=[toks])
     if ptype == "bool":
-        parts = []
-        for key, sign in (
-            ("must", "+"),
-            ("filter", "+"),
-            ("should", ""),
-            ("must_not", "-"),
-        ):
-            v = params.get(key)
-            if v:
-                parts.append(f"{sign}({v})")
-        return " ".join(parts)
+        return _compose_bool(params)
     if ptype == "boost":
         return f"({rest})^{float(params.get('b', 1.0))}"
     raise NotImplementedError(f"parser {{!{ptype}}} unsupported here")
@@ -709,15 +722,7 @@ def dispatch_query(
         return engine.search(f"{rest}*", k=k, **kw)
 
     if ptype == "bool":
-        parts: list[str] = []
-        occur_map = {"must": "+", "filter": "+", "should": "", "must_not": "-"}
-        for key, sign in occur_map.items():
-            v = params.get(key)
-            if v:
-                parts.append(f"{sign}({v})")
-        if not parts:
-            raise ValueError("{!bool} needs must/should/must_not/filter")
-        return engine.search(" ".join(parts), k=k, **kw)
+        return engine.search(_compose_bool(params, required=True), k=k, **kw)
 
     if ptype == "boost":
         b = float(params.get("b", 1.0))

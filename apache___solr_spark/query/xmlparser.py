@@ -271,16 +271,26 @@ def run_xml_query(
         # BoostingTermBuilder -> PayloadScoreQuery(SpanTermQuery,
         # AveragePayloadFunction, includeSpanScore=true): the term's BM25
         # scaled by its mean occurrence payload — real now that payload
-        # indexes exist (engine.payload_score)
+        # indexes exist (engine.payload_score).  NB the term passes
+        # through the payload chain's whitespace+lowercase analysis
+        # (BoostingTermBuilder is verbatim — documented divergence, same
+        # as the unordered-SpanNear branch); the XML boost attribute
+        # scales the score like the sibling top-level branches.
         _check_field(root)
         if fq:
             raise NotImplementedError("fq with XML BoostingTermQuery")
-        return engine.payload_score(
+        out = engine.payload_score(
             (root.text or "").strip(),
             func="average",
             include_span_score=True,
             k=k,
         )
+        b = _boost(root)
+        if b != 1.0:
+            out = out.withColumn(
+                "score", (F.col("score") * F.lit(b)).cast(engine._sql_t)
+            )
+        return out
 
     if tag == "DisjunctionMaxQuery":
         tie = float(root.get("tieBreaker", 0.0))

@@ -2350,6 +2350,15 @@ def test_payload_qparsers(spark, built, payload_built):
     assert [(r["doc_id"], r["score"]) for r in bt] == [
         (r["doc_id"], r["score"]) for r in ps
     ] and len(bt) == 20
+    # the XML boost attribute scales the payload score
+    bt2 = dispatch_query(
+        eng,
+        '{!xml}<BoostingTermQuery boost="2.0">apple</BoostingTermQuery>',
+        k=20,
+    ).collect()
+    assert [
+        (r["doc_id"], round(float(r["score"]), 3)) for r in bt2
+    ] == [(r["doc_id"], round(float(r["score"]) * 2.0, 3)) for r in bt]
 
     # honest raises
     with pytest.raises(ValueError, match="payloads count"):
@@ -2546,6 +2555,19 @@ def test_json_request_api(spark, corpus, built):
         json_request(eng, {"query": "web", "sort": "doclen asc", "limit": 5})
     ) == ids(eng.sorted_search("web", "doclen asc", k=5))
     assert json_request(eng, {"limit": N_DOCS + 10}).count() == N_DOCS
+    page2 = json_request(eng, {"limit": 3, "offset": 2}).collect()
+    assert [r["rank"] for r in page2] == [3, 4, 5]  # *:* offset pages too
+
+    # offset works for parser branches with no start kwarg (rank slice)
+    deep = json_request(
+        eng,
+        {"query": {"term": {"f": "text", "query": "web"}}, "limit": 3,
+         "offset": 2},
+    ).collect()
+    base = dispatch_query(eng, "{!term f=text}web", k=5).collect()
+    assert [(r["doc_id"], r["rank"]) for r in deep] == [
+        (r["doc_id"], r["rank"]) for r in base[2:5]
+    ]
 
     # honest raises
     with pytest.raises(NotImplementedError, match="parser-object"):
@@ -2573,3 +2595,22 @@ def test_offset_paging_prune_sound(spark, corpus, built):
             for r in eng.search("web", k=k, start=start, prune=True).collect()
         ]
         assert page == full[start : start + k], (start, k)
+
+
+def test_bool_filter_occur_non_scoring(spark, corpus, built):
+    """{!bool filter=} is Occur.FILTER — required but non-scoring
+    (BoolQParser.java): equals the same query with the clause as fq."""
+    from apache___solr_spark.query.localparams import dispatch_query
+
+    eng = SearchEngine(spark, built, cfg=CFG)
+    got = [
+        (r["doc_id"], round(float(r["score"]), 4))
+        for r in dispatch_query(
+            eng, '{!bool must="web" filter="data"}', k=10
+        ).collect()
+    ]
+    want = [
+        (r["doc_id"], round(float(r["score"]), 4))
+        for r in eng.search("web", k=10, fq=["data"]).collect()
+    ]
+    assert got == want and len(got) > 0
