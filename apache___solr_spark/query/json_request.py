@@ -201,3 +201,45 @@ def json_request(engine, req: dict, request: dict | None = None, **kw) -> DataFr
             fields = [f.strip() for f in fields.split(",") if f.strip()]
         out = out.select(*fields)
     return out
+
+
+def json_facet_request(
+    engine, req: dict, request: dict | None = None
+) -> dict:
+    """The JSON Request API's ``facet`` section (RequestUtil merges it
+    into a FacetModule request): facets evaluate over the DOMAIN of docs
+    matching ``query`` + ``filter`` — here the docset semi-joined onto
+    the docs table, handed to the JSON Facet DSL
+    (operators/json_facet.py).  Returns facet path -> DataFrame.
+
+    The query/filter entries must lower through the engine-shaped parser
+    subset (classic strings, {!term}/{!field}/{!prefix}/{!bool}/...);
+    exotic parsers raise like fq does.  Multi-select ``excludeTags``
+    domains are not wired through this entrance (pass tagged predicates
+    to ``json_facet`` directly for that) — documented gap.
+    """
+    from apache___solr_spark.operators.json_facet import json_facet
+    from apache___solr_spark.query.localparams import _fq_query_obj
+
+    if not isinstance(req, dict) or "facet" not in req:
+        raise ValueError("json_facet_request needs a 'facet' section")
+    params = dict(request or {})
+    params.update(req.get("params") or {})
+    counter = [0]
+    q = convert_json_query(req.get("query", "*:*"), params, counter)
+    filters = req.get("filter") or []
+    if not isinstance(filters, (list, tuple)):
+        filters = [filters]
+    ds = None
+    queries = ([] if q == "*:*" else [q]) + [
+        convert_json_query(f, params, counter) for f in filters
+    ]
+    for qq in queries:
+        d = engine.docset(_fq_query_obj(engine, qq, params))
+        ds = d if ds is None else ds.join(d, "doc_id", "left_semi")
+    domain = (
+        engine.docs if ds is None else engine.docs.join(ds, "doc_id", "left_semi")
+    )
+    if engine.deletes is not None:
+        domain = domain.join(engine.deletes, "doc_id", "left_anti")
+    return json_facet(domain, req["facet"])

@@ -2614,3 +2614,46 @@ def test_bool_filter_occur_non_scoring(spark, corpus, built):
         for r in eng.search("web", k=10, fq=["data"]).collect()
     ]
     assert got == want and len(got) > 0
+
+
+def test_json_facet_request(spark, corpus, built):
+    """JSON Request API facet section: facets over the query+filter
+    domain equal a manual groupBy over the same docset."""
+    import collections
+
+    from apache___solr_spark.query.json_request import json_facet_request
+
+    eng = SearchEngine(spark, built, cfg=CFG)
+    req = {
+        "query": "web",
+        "filter": ["data"],
+        "facet": {
+            "by_len": {
+                "type": "terms",
+                "field": "doclen",
+                "limit": 5,
+                "facet": {"max_doc": "max(doc_id)"},
+            }
+        },
+    }
+    out = json_facet_request(eng, req)
+    got = [
+        (r["doclen"], r["count"], r["max_doc"])
+        for r in out["by_len"].collect()
+    ]
+
+    dom = {r["doc_id"] for r in eng.docset("web AND data").collect()}
+    rows = [
+        (r["doclen"], r["doc_id"])
+        for r in eng.docs.collect()
+        if r["doc_id"] in dom
+    ]
+    cnt = collections.Counter(dl for dl, _ in rows)
+    mx = {}
+    for dl, did in rows:
+        mx[dl] = max(mx.get(dl, -1), did)
+    want = sorted(
+        ((dl, c, mx[dl]) for dl, c in cnt.items()),
+        key=lambda x: (-x[1], x[0]),
+    )[:5]
+    assert got == want and len(got) == 5
