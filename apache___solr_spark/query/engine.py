@@ -2037,6 +2037,9 @@ class SearchEngine:
             elif isinstance(node, PhraseNode):
                 leaf_terms.update(node.toks)
             elif isinstance(node, Clause):
+                # a clause under ANY negated ancestor is effectively
+                # prohibited: uncapped expansion (cap is perf-only, and
+                # capping a prohibited clause silently under-excludes)
                 cap = None if occur == "MUST_NOT" else 128
                 resolved[id(node)] = self._expand_clause(
                     node, max_expansions=cap
@@ -2044,7 +2047,10 @@ class SearchEngine:
                 leaf_terms.update(resolved[id(node)])
             else:
                 for c in node.children:
-                    walk(c.node, c.occur)
+                    walk(
+                        c.node,
+                        "MUST_NOT" if occur == "MUST_NOT" else c.occur,
+                    )
 
         walk(tree, "SHOULD")
         meta = self._term_meta(sorted(leaf_terms))
@@ -2458,7 +2464,12 @@ class SearchEngine:
                     shared_terms.update(resolved[id(node)])
             elif isinstance(node, BoolQuery):
                 for c in node.children:
-                    walk(c.node, c.occur)
+                    # negated scope propagates: clauses under a MUST_NOT
+                    # ancestor expand uncapped (see the explain walker)
+                    walk(
+                        c.node,
+                        "MUST_NOT" if occur == "MUST_NOT" else c.occur,
+                    )
 
         walk(tree, "SHOULD")
         meta = self._term_meta(sorted(leaf_terms))

@@ -220,6 +220,42 @@ def _adversarial_pages(spark):
     )
 
 
+def test_must_not_expansion_uncapped(spark, tmp_path_factory):
+    """Prohibited multi-term clauses expand with NO term cap (Lucene's
+    constant-score rewrite has none): docs matching only a rare term beyond
+    the df-ordered 128-term cap must still be excluded — in the flat path
+    (``-pre*``) AND when the clause sits inside a negated GROUP handled by
+    the tree evaluator (``-(pre* OR ...)``), where the negated scope must
+    propagate to descendants (ADVICE round-3 medium)."""
+    rows = []
+    # two docs holding 128 head pre-terms each -> df=2 per head term, so a
+    # df-desc cap of 128 keeps exactly these and drops every rare term
+    head = " ".join(f"prehead{i:03d}" for i in range(128))
+    rows.append(("h000", f"alpha {head}"))
+    rows.append(("h001", f"alpha {head}"))
+    # 12 docs each with a UNIQUE rare pre-term (df=1, beyond the cap)
+    for i in range(12):
+        rows.append((f"r{i:03d}", f"alpha prerare{i:03d}"))
+    # 20 clean docs that must be the entire result set
+    for i in range(20):
+        rows.append((f"z{i:03d}", f"alpha clean{i:03d}"))
+    pages = spark.createDataFrame(
+        [(u, None, None, t, "en") for u, t in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    out = str(tmp_path_factory.mktemp("mncap") / "idx")
+    build_index(spark, pages, out, cfg=CFG)
+    eng = SearchEngine(spark, out, cfg=CFG)
+    clean = {u for u, _ in rows if u.startswith("z")}
+    flat = {r["url"] for r in eng.search("alpha -pre*", k=50).collect()}
+    assert flat == clean
+    tree = {
+        r["url"]
+        for r in eng.search("alpha -(pre* OR zzzunseen)", k=50).collect()
+    }
+    assert tree == clean
+
+
 def test_must_prune_adversarial(spark, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("adv") / "idx")
     build_index(spark, _adversarial_pages(spark), out, cfg=CFG)
