@@ -72,7 +72,21 @@ HEADLINE = [
     "perplexity_score",
     "decontaminate",
     "pack_sequences",
+    "bpe_token_count",
 ]
+
+
+def _q_bpe_token_count(spark, sf_dir):
+    """Exact BPE token budget: train a 512-entry merge table on a 2k-doc
+    slice (one shuffle to the pretoken frequency table), then count tokens
+    corpus-wide — the Python merge loop runs once per DISTINCT pretoken."""
+    from apache___solr_spark.pipeline.bpe import bpe_token_count, train_bpe
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    merges = train_bpe(
+        d.orderBy("doc_id").limit(2000), "text", vocab_size=512, min_count=2
+    )
+    return bpe_token_count(d, "text", "doc_id", merges)
 
 
 def _q_perplexity_score(spark, sf_dir):
@@ -333,6 +347,7 @@ def main() -> None:
         "perplexity_score": _q_perplexity_score,
         "decontaminate": _q_decontaminate,
         "pack_sequences": _q_pack_sequences,
+        "bpe_token_count": _q_bpe_token_count,
     }
     qs = {**fallbacks, **entrymod.queries()}
     # best-of-2 per query: this host is shared and noisy (the scaling bench

@@ -1142,3 +1142,133 @@ def test_decontaminate_spans_python_oracle(spark):
     assert "mid filler tokens" in got0[1]["text"]
     assert got0[2]["text"] == "" and got0[2]["n_removed_tokens"] == 2
     assert got0[3]["n_removed_tokens"] == 0
+
+
+# ---------------------------------------------------------------------------
+# byte-level BPE tokenizer
+
+
+def _naive_bpe(texts: list[str], vocab_size: int):
+    """Independent BPE reference: full pair-rescan per merge over the raw
+    pretoken stream (no word-frequency factoring, no incremental tables),
+    pretokenized with the `regex` module instead of Spark's Java regex."""
+    import regex
+
+    from apache___solr_spark.pipeline.textqual import BPE_PRETOKEN_RE
+
+    pat = regex.compile(BPE_PRETOKEN_RE)
+    stream = [
+        [bytes([b]) for b in pt.encode("utf-8")]
+        for t in texts
+        for pt in pat.findall(t)
+        if pt
+    ]
+    merges = []
+    for _ in range(vocab_size - 256):
+        counts: dict = {}
+        for syms in stream:
+            for p in zip(syms, syms[1:]):
+                counts[p] = counts.get(p, 0) + 1
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        new = best[0] + best[1]
+        for syms in stream:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == best[0] and syms[i + 1] == best[1]:
+                    syms[i: i + 2] = [new]
+                else:
+                    i += 1
+    return merges
+
+
+def _naive_encode(text: str, merges):
+    import regex
+
+    from apache___solr_spark.pipeline.textqual import BPE_PRETOKEN_RE
+
+    ranks = {p: i for i, p in enumerate(merges)}
+    out = []
+    for pt in regex.findall(BPE_PRETOKEN_RE, text):
+        syms = [bytes([b]) for b in pt.encode("utf-8")]
+        while len(syms) > 1:
+            ranked = [
+                (ranks[p], i)
+                for i, p in enumerate(zip(syms, syms[1:]))
+                if p in ranks
+            ]
+            if not ranked:
+                break
+            _, i = min(ranked)
+            syms[i: i + 2] = [syms[i] + syms[i + 1]]
+        out.extend(syms)
+    return out
+
+
+def test_bpe_train_encode_matches_naive_oracle(spark):
+    from apache___solr_spark.pipeline.bpe import (
+        bpe_encode,
+        bpe_token_count,
+        merges_to_vocab,
+        train_bpe,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the lazy dog sleeps while the quick fox runs",
+        "pack my box with five dozen liquor jugs, quickly!",
+        "sphinx of black quartz judge my vow 123 456",
+        "naïve café déjà-vu — unicode bytes büt good",
+        "the the the quick quick lazy lazy lazy dog",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = train_bpe(df, "text", vocab_size=300)
+    assert merges == _naive_bpe(texts, 300)
+    assert len(merges) == 44
+
+    vocab = merges_to_vocab(merges)
+    want_syms = {i: _naive_encode(t, merges) for i, t in enumerate(texts)}
+
+    got_counts = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_token_count(df, "text", "doc_id", merges).collect()
+    }
+    assert got_counts == {i: len(s) for i, s in want_syms.items()}
+    assert got_counts[6] == 0  # empty doc present, zero tokens
+
+    got_ids = {
+        r["doc_id"]: list(r["token_ids"])
+        for r in bpe_encode(df, "text", "doc_id", merges).collect()
+    }
+    assert got_ids == {
+        i: [vocab[s] for s in syms] for i, syms in want_syms.items() if syms
+    }
+    # lossless round-trip: decoded bytes == original utf-8
+    inv = {v: k for k, v in vocab.items()}
+    for i, t in enumerate(texts):
+        if i in got_ids:
+            assert b"".join(inv[x] for x in got_ids[i]) == t.encode("utf-8")
+
+
+def test_bpe_min_count_and_shuffle_shape(spark):
+    from apache___solr_spark.pipeline.bpe import bpe_token_count, train_bpe
+
+    # each doc ends in a DISTINCT pretoken (" qqq...q", unique length) with
+    # corpus frequency 1 — min_count=2 must prune them all from the
+    # trainer's table, so no learned merge may contain a 'q'
+    rows = [(i, "common words repeat here " + "q" * (30 + i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = train_bpe(df, "text", vocab_size=280, min_count=2)
+    assert merges, "repeated vocabulary must still produce merges"
+    common_bytes = b"common words repeat here "
+    for a, b in merges:
+        assert b"q" not in (a + b)
+        assert (a + b).replace(b" ", b"") in common_bytes
+    # count path: distinct-pretoken encodings join broadcast (scale shape)
+    plan = bpe_token_count(df, "text", "doc_id", merges)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
