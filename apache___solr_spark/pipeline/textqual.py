@@ -351,3 +351,127 @@ def detect_language_multi(
         ),
         F.round(ratio, 6).alias("lang_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules / C4 line-level cleaning
+
+
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_filters(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """The Gopher quality-filter rule set (Rae et al. 2021, appendix A1.1)
+    as one map-only projection: per-rule boolean columns plus the combined
+    ``gopher_pass``.
+
+    Rules (reject when violated): word count outside [50, 100000]; mean
+    word length outside [3, 10]; symbol-to-word ratio > 0.1 for '#' or
+    '...'; > 90% of lines starting with a bullet; > 30% of lines ending
+    with an ellipsis; < 80% of words containing an alphabetic character;
+    fewer than two distinct Gopher stop words present.
+
+    All higher-order column expressions (split/filter/aggregate) — no UDF,
+    no shuffle; composes with :func:`repetition_stats` (A1.1's repetition
+    clauses) for the full Gopher pre-filter.
+    """
+    text = F.col(text_col)
+    words = F.split(F.trim(text), r"\s+")
+    words = F.filter(words, lambda w: w != "")
+    n_words = F.size(words)
+    lines = F.split(text, r"\n")
+    n_lines = F.size(lines)
+    mean_wordlen = F.when(
+        n_words > 0,
+        F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w)) / n_words,
+    ).otherwise(F.lit(0.0))
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, r"#", ""))
+    n_ellipsis = F.size(F.split(text, r"\.\.\.|…", -1)) - 1
+    bullet_lines = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[•\-\*▪●]"))
+    )
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda ln: F.rtrim(ln).rlike(r"(\.\.\.|…)$"))
+    )
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike(r"[A-Za-z]")))
+    lower_words = F.transform(words, lambda w: F.lower(w))
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(lower_words),
+            F.array(*[F.lit(w) for w in GOPHER_STOP_WORDS]),
+        )
+    )
+    frac = lambda num, den: F.when(den > 0, num / den).otherwise(F.lit(0.0))  # noqa: E731
+    ok_words = (F.lit(50) <= n_words) & (n_words <= F.lit(100000))
+    ok_wordlen = (F.lit(3.0) <= mean_wordlen) & (mean_wordlen <= F.lit(10.0))
+    ok_symbols = (frac(n_hash, n_words) <= 0.1) & (
+        frac(n_ellipsis, n_words) <= 0.1
+    )
+    ok_bullets = frac(bullet_lines, n_lines) <= 0.9
+    ok_ellipsis_lines = frac(ellipsis_lines, n_lines) <= 0.3
+    ok_alpha = frac(alpha_words, n_words) >= 0.8
+    ok_stops = n_stop >= 2
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wordlen, 6).alias("mean_wordlen"),
+        ok_words.alias("ok_word_count"),
+        ok_wordlen.alias("ok_mean_wordlen"),
+        ok_symbols.alias("ok_symbol_ratio"),
+        ok_bullets.alias("ok_bullet_lines"),
+        ok_ellipsis_lines.alias("ok_ellipsis_lines"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stops.alias("ok_stop_words"),
+        (
+            ok_words
+            & ok_wordlen
+            & ok_symbols
+            & ok_bullets
+            & ok_ellipsis_lines
+            & ok_alpha
+            & ok_stops
+        ).alias("gopher_pass"),
+    )
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_words_per_line: int = 5,
+    min_lines: int = 3,
+) -> DataFrame:
+    """The C4 cleaning procedure (Raffel et al. 2020, §2.2) as one map-only
+    projection: line-level retention + page-level drops.
+
+    Lines are kept only when they end in terminal punctuation (. ! ? ")
+    and contain at least ``min_words_per_line`` words; lines containing
+    the word "javascript" are dropped.  Pages are dropped (``c4_keep`` =
+    false) when fewer than ``min_lines`` lines survive, when the page
+    contains "lorem ipsum" or a curly brace.  Returns (id, text_clean,
+    n_lines_kept, c4_keep) — ``text_clean`` is the newline-join of the
+    surviving lines.  (C4's three-sentence-span dedup is corpus-level:
+    see ``pipeline.dedup.duplicate_spans``; its bad-word list is a
+    deployment-specific input, pass pre-filtered text if needed.)
+    """
+    text = F.col(text_col)
+    lines = F.split(text, r"\n")
+    kept = F.filter(
+        lines,
+        lambda ln: F.rtrim(ln).rlike(r'[.!?"]$')
+        & (
+            F.size(F.filter(F.split(F.trim(ln), r"\s+"), lambda w: w != ""))
+            >= min_words_per_line
+        )
+        & ~F.lower(ln).rlike(r"javascript"),
+    )
+    n_kept = F.size(kept)
+    has_lorem = F.lower(text).contains("lorem ipsum")
+    has_brace = text.contains("{") | text.contains("}")
+    keep = (n_kept >= min_lines) & ~has_lorem & ~has_brace
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("text_clean"),
+        n_kept.alias("n_lines_kept"),
+        keep.alias("c4_keep"),
+    )

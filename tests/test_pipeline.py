@@ -1272,3 +1272,120 @@ def test_bpe_min_count_and_shuffle_shape(spark):
     # count path: distinct-pretoken encodings join broadcast (scale shape)
     plan = bpe_token_count(df, "text", "doc_id", merges)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules / C4 cleaning
+
+
+def _gopher_oracle(text: str) -> dict:
+    import re as _re
+
+    words = [w for w in _re.split(r"\s+", text.strip()) if w]
+    lines = text.split("\n")
+    n_words = len(words)
+    mean_wl = sum(len(w) for w in words) / n_words if n_words else 0.0
+    n_hash = text.count("#")
+    n_ell = len(_re.split(r"\.\.\.|…", text)) - 1
+    bullet = sum(1 for ln in lines if _re.match(r"^[•\-\*▪●]", ln.strip()))
+    ell_ln = sum(1 for ln in lines if _re.search(r"(\.\.\.|…)$", ln.rstrip()))
+    alpha = sum(1 for w in words if _re.search(r"[A-Za-z]", w))
+    stops = {"the", "be", "to", "of", "and", "that", "have", "with"}
+    n_stop = len(stops & {w.lower() for w in words})
+    frac = lambda a, b: (a / b) if b else 0.0  # noqa: E731
+    ok = {
+        "ok_word_count": 50 <= n_words <= 100000,
+        "ok_mean_wordlen": 3.0 <= mean_wl <= 10.0,
+        "ok_symbol_ratio": frac(n_hash, n_words) <= 0.1
+        and frac(n_ell, n_words) <= 0.1,
+        "ok_bullet_lines": frac(bullet, len(lines)) <= 0.9,
+        "ok_ellipsis_lines": frac(ell_ln, len(lines)) <= 0.3,
+        "ok_alpha_words": frac(alpha, n_words) >= 0.8,
+        "ok_stop_words": n_stop >= 2,
+    }
+    ok["gopher_pass"] = all(ok.values())
+    return ok
+
+
+def test_gopher_filters_matches_oracle(spark):
+    from apache___solr_spark.pipeline.textqual import gopher_filters
+
+    good = (
+        "the quick brown fox and the lazy dog have fun with words of all "
+        "kinds that keep going to be long enough for the gopher rules to "
+        "accept this document as natural english prose with plenty of "
+        "common terms and a few more filler sentences that add up to the "
+        "required fifty word minimum for the word count rule to pass here"
+    )
+    texts = [
+        good,
+        "short text",  # word count fails
+        good + " " + "#tag " * 30,  # hash symbol ratio fails
+        good + (" trailing..." + "\nmore stuff..." ) * 8,  # ellipsis lines
+        "\n".join(["- bullet item for this line"] * 20),  # bullets + count
+        good.replace("the", "123").replace("and", "456"),  # stops/alpha hit
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_filters(df, "text", "doc_id").collect()
+    }
+    for i, t in enumerate(texts):
+        want = _gopher_oracle(t)
+        for k, v in want.items():
+            assert bool(rows[i][k]) == v, (i, k, rows[i], want)
+    assert rows[0]["gopher_pass"] and not rows[1]["gopher_pass"]
+
+
+def test_c4_clean_matches_oracle(spark):
+    import re as _re
+
+    from apache___solr_spark.pipeline.textqual import c4_clean
+
+    texts = [
+        # normal page: mixed keepable/droppable lines
+        "This is a fine sentence with enough words here.\n"
+        "too short.\n"
+        "No terminal punctuation on this line with many words\n"
+        "Another good line that ends with a question mark, right?\n"
+        "Uses javascript for the menu so it must be dropped today.\n"
+        'A quoted line with plenty of words ends in a quote."\n'
+        "And one more complete sentence finishes the page properly.",
+        # lorem ipsum page
+        "Lorem ipsum dolor sit amet, consectetur adipiscing elit today.\n"
+        "Another fine sentence with more than enough words here.\n"
+        "Third complete sentence to pass the minimum line count now.",
+        # curly brace page
+        "function f() { return 1; } is code and kills the page.\n"
+        "Second sentence with plenty of words to keep around here.\n"
+        "Third sentence with plenty of words to keep around here.",
+        # too few surviving lines
+        "Only one good sentence with enough words survives here.\nnope\nnah",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r.asDict() for r in c4_clean(df, "text", "doc_id").collect()
+    }
+    for i, t in enumerate(texts):
+        kept = [
+            ln
+            for ln in t.split("\n")
+            if _re.search(r'[.!?"]$', ln.rstrip())
+            and len([w for w in _re.split(r"\s+", ln.strip()) if w]) >= 5
+            and "javascript" not in ln.lower()
+        ]
+        keep = (
+            len(kept) >= 3
+            and "lorem ipsum" not in t.lower()
+            and "{" not in t
+            and "}" not in t
+        )
+        assert got[i]["text_clean"] == "\n".join(kept), i
+        assert got[i]["n_lines_kept"] == len(kept), i
+        assert bool(got[i]["c4_keep"]) == keep, i
+    assert got[0]["c4_keep"] and not got[1]["c4_keep"] and not got[2]["c4_keep"]
