@@ -1377,11 +1377,6 @@ class SearchEngine:
                 # nested boolean structure (BooleanQuery nesting,
                 # QueryParser.jj:135-172 recursive Clause/Query productions)
                 # -> the recursive evaluator
-                if should_combine != "sum":
-                    raise NotImplementedError(
-                        "max SHOULD-combine ({!maxscore}) covers flat "
-                        "queries only; nested boolean structure raises"
-                    )
                 return self._search_tree(
                     tree,
                     k=k,
@@ -1392,12 +1387,10 @@ class SearchEngine:
                     boost=boost,
                     _docset=_docset,
                     _filter_docset=filter_docset,
+                    should_combine=should_combine,
+                    tie=tie,
                 )
         elif isinstance(query, BoolQuery):
-            if should_combine != "sum":
-                raise NotImplementedError(
-                    "max SHOULD-combine ({!maxscore}) covers flat queries"
-                )
             # programmatic tree (dismax/edismax dispatch, mm support)
             return self._search_tree(
                 query,
@@ -1409,6 +1402,8 @@ class SearchEngine:
                 boost=boost,
                 _docset=_docset,
                 _filter_docset=filter_docset,
+                should_combine=should_combine,
+                tie=tie,
             )
         else:
             pq = query
@@ -2402,6 +2397,81 @@ class SearchEngine:
         rw(tree)
         return tree
 
+    def _ev_root_dismax(self, tree, ev, tie: float):
+        """Top-level DisjunctionMax combine for ``_search_tree`` (the
+        MaxScoreQParser rewrite): score = sum(MUST) + max(SHOULD) + tie *
+        (sum(SHOULD) - max(SHOULD)); MUST children all required, MUST_NOT
+        anti-joined, SHOULD subtrees evaluated with their own internal sum
+        semantics.  Returns None when nothing can match."""
+        must_frames: list[DataFrame] = []
+        should_frames: list[DataFrame] = []
+        not_frames: list[DataFrame] = []
+        for c in tree.children:
+            fr = ev(c.node)
+            if c.occur == "MUST_NOT":
+                if fr is not None:
+                    not_frames.append(fr)
+            elif c.occur == "MUST":
+                if fr is None:
+                    return None
+                must_frames.append(fr)
+            elif fr is not None:
+                should_frames.append(fr)
+        # the rewrite leaves ONE optional (the dismax) on the new bool;
+        # mm > 1 can never be satisfied, mm == 1 makes the dismax required
+        mm = getattr(tree, "mm", 0)
+        if mm and (mm > 1 or not should_frames):
+            return None
+        parts = [
+            fr.select(
+                "doc_id",
+                F.col("score").cast("double").alias("score"),
+                F.lit(1).alias("is_must"),
+            )
+            for fr in must_frames
+        ] + [
+            fr.select(
+                "doc_id",
+                F.col("score").cast("double").alias("score"),
+                F.lit(0).alias("is_must"),
+            )
+            for fr in should_frames
+        ]
+        if not parts:
+            return None
+        u = parts[0]
+        for fr in parts[1:]:
+            u = u.unionByName(fr)
+        s_should = F.when(F.col("is_must") == 0, F.col("score"))
+        dismax = F.coalesce(
+            F.max(s_should)
+            + F.lit(float(tie)) * (F.sum(s_should) - F.max(s_should)),
+            F.lit(0.0),
+        )
+        agg = u.groupBy("doc_id").agg(
+            (
+                F.coalesce(
+                    F.sum(F.when(F.col("is_must") == 1, F.col("score"))),
+                    F.lit(0.0),
+                )
+                + dismax
+            ).alias("score"),
+            F.sum("is_must").alias("_nm"),
+            F.count(F.lit(1)).alias("_np"),
+        )
+        if must_frames:
+            agg = agg.filter(F.col("_nm") == len(must_frames))
+        if mm:
+            agg = agg.filter((F.col("_np") - F.col("_nm")) >= 1)
+        agg = agg.select("doc_id", "score")
+        for nf in not_frames:
+            agg = agg.join(nf.select("doc_id").distinct(), "doc_id", "left_anti")
+        if getattr(tree, "boost", 1.0) != 1.0:
+            agg = agg.select(
+                "doc_id", (F.col("score") * tree.boost).alias("score")
+            )
+        return agg
+
     def _search_tree(
         self,
         tree: BoolQuery,
@@ -2413,6 +2483,8 @@ class SearchEngine:
         boost: list | None = None,
         _docset: bool | str = False,
         _filter_docset: DataFrame | None = None,
+        should_combine: str = "sum",
+        tie: float = 0.0,
     ) -> DataFrame:
         """Recursive BooleanQuery evaluation (BooleanQuery nesting semantics,
         QueryParser.jj:135-172): each node yields a (doc_id, score) frame of
@@ -2603,7 +2675,18 @@ class SearchEngine:
                 )
             return agg
 
-        res = ev(tree)
+        if should_combine == "max" and isinstance(tree, BoolQuery):
+            # {!maxscore tie=}: MaxScoreQParser.java rewrites only the TOP
+            # BooleanQuery — its SHOULD clauses (arbitrary subtrees, each
+            # keeping normal sum semantics internally) regroup into one
+            # DisjunctionMaxQuery(tie); MUST/MUST_NOT pass through.
+            res = self._ev_root_dismax(tree, ev, tie)
+        elif should_combine == "max":
+            res = ev(tree)  # single non-bool node: dismax of one == itself
+        elif should_combine != "sum":
+            raise ValueError(f"unknown should_combine {should_combine!r}")
+        else:
+            res = ev(tree)
         if res is None:
             if shared is not None:
                 shared.unpersist()

@@ -1773,9 +1773,43 @@ def test_maxscore_should_combine(spark, corpus, built):
     ).collect()
     assert [r["doc_id"] for r in got_m] == [d for d, _ in want_m]
 
-    # nested structure raises (documented flat-only scope)
-    with pytest.raises(NotImplementedError, match="flat"):
-        eng.search("(web AND data) OR search", k=5, should_combine="max")
+    # nested structure: the MaxScoreQParser rewrite touches only the TOP
+    # BooleanQuery — each SHOULD subtree keeps sum semantics internally,
+    # subtrees combine as DisjunctionMax(tie).  Oracle: every subtree
+    # replayed through the ordinary evaluator, combined in Python.
+    def sub_scores(q):
+        return {
+            r["doc_id"]: r["score"]
+            for r in eng.search(q, k=N_DOCS, prune=False).collect()
+        }
+
+    g1 = sub_scores("web AND data")  # MUST-sum subtree
+    g2 = sub_scores("search links")  # SHOULD-sum subtree
+    want_n = topk(
+        {
+            d: (lambda a, b: max(a, b) + 0.3 * (a + b - max(a, b)))(
+                g1.get(d, 0.0), g2.get(d, 0.0)
+            )
+            for d in set(g1) | set(g2)
+        }
+    )
+    got_n = eng.search(
+        "(web AND data) (search links)", k=10, should_combine="max", tie=0.3
+    ).collect()
+    assert [r["doc_id"] for r in got_n] == [d for d, _ in want_n]
+    for r, (_, sc) in zip(got_n, want_n):
+        assert abs(r["score"] - sc) < 1e-5 * max(1.0, abs(sc))
+
+    # MUST + nested SHOULD group: must sums, the group dismaxes as one unit
+    want_nm = topk(
+        {d: s_web[d] + g2.get(d, 0.0) for d in s_web}
+    )
+    got_nm = eng.search(
+        "+web (search links)", k=10, should_combine="max"
+    ).collect()
+    assert [r["doc_id"] for r in got_nm] == [d for d, _ in want_nm]
+    for r, (_, sc) in zip(got_nm, want_nm):
+        assert abs(r["score"] - sc) < 1e-5 * max(1.0, abs(sc))
 
 
 def test_simple_query_parser(spark, corpus, built):
