@@ -1216,16 +1216,45 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     language id, the quality heuristic, and duplicate-line / top-n-gram /
     duplicate-n-gram fractions (Rae et al. 2021 §A1.1), joined per doc —
     every column oracle-checked."""
-    from apache___solr_spark.pipeline.textqual import repetition_stats
+    from apache___solr_spark.pipeline.textqual import (
+        c4_clean,
+        gopher_filters,
+        repetition_stats,
+    )
 
+    docs = _t(spark, sf_dir, "documents")
     tc = q_token_count(spark, sf_dir)
     dl = q_detect_language(spark, sf_dir)
     qs = q_quality_score(spark, sf_dir).drop("n_tokens")
-    rep = repetition_stats(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    rep = repetition_stats(docs, "text", "doc_id")
+    gop = gopher_filters(docs, "text", "doc_id").select(
+        "doc_id",
+        "n_words",
+        *[
+            F.col(c).cast("int").alias(c)
+            for c in (
+                "ok_word_count",
+                "ok_mean_wordlen",
+                "ok_symbol_ratio",
+                "ok_bullet_lines",
+                "ok_ellipsis_lines",
+                "ok_alpha_words",
+                "ok_stop_words",
+                "gopher_pass",
+            )
+        ],
+    )
+    c4 = c4_clean(docs, "text", "doc_id").select(
+        "doc_id",
+        "n_lines_kept",
+        F.col("c4_keep").cast("int").alias("c4_keep"),
+    )
     return (
         tc.join(dl, "doc_id")
         .join(qs, "doc_id")
         .join(rep, "doc_id")
+        .join(gop, "doc_id")
+        .join(c4, "doc_id")
         .orderBy("doc_id")
     )
 
@@ -2388,16 +2417,93 @@ def oracle_sql() -> dict[str, str]:
             ELSE 0.0 END, 6) AS dup_3gram_frac
         FROM rg LEFT JOIN rtop2 USING (doc_id)
     """
+    # Gopher A1.1 rules + C4 line cleaning (pipeline/textqual.py
+    # gopher_filters/c4_clean), transcribed to DuckDB list lambdas; rule
+    # booleans as 0/1 ints so both engines hash identically
+    _gopher_sql = """
+        WITH gb AS (
+          SELECT doc_id, text,
+            list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                        w -> w <> '') AS words,
+            string_split(text, chr(10)) AS lines
+          FROM documents
+        ), gm AS (
+          SELECT doc_id, text, words, lines,
+            len(words) AS n_words, len(lines) AS n_lines,
+            CASE WHEN len(words) > 0 THEN
+              coalesce(list_aggregate(
+                list_transform(words, w -> length(w)), 'sum'), 0) * 1.0
+              / len(words) ELSE 0.0 END AS mean_wl,
+            length(text) - length(replace(text, '#', '')) AS n_hash,
+            len(regexp_split_to_array(text, '\\.\\.\\.|…')) - 1 AS n_ell,
+            len(list_filter(lines,
+              l -> regexp_matches(trim(l), '^[•\\-\\*▪●]'))) AS bullet_ln,
+            len(list_filter(lines,
+              l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$'))) AS ell_ln,
+            len(list_filter(words,
+              w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_w,
+            len(list_intersect(
+              list_distinct(list_transform(words, w -> lower(w))),
+              ['the','be','to','of','and','that','have','with'])) AS n_stop
+          FROM gb
+        )
+        SELECT doc_id, n_words,
+          CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END
+            AS ok_word_count,
+          CASE WHEN mean_wl BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END
+            AS ok_mean_wordlen,
+          CASE WHEN (CASE WHEN n_words > 0 THEN n_hash * 1.0 / n_words
+                     ELSE 0.0 END) <= 0.1
+               AND (CASE WHEN n_words > 0 THEN n_ell * 1.0 / n_words
+                    ELSE 0.0 END) <= 0.1 THEN 1 ELSE 0 END AS ok_symbol_ratio,
+          CASE WHEN (CASE WHEN n_lines > 0 THEN bullet_ln * 1.0 / n_lines
+                     ELSE 0.0 END) <= 0.9 THEN 1 ELSE 0 END AS ok_bullet_lines,
+          CASE WHEN (CASE WHEN n_lines > 0 THEN ell_ln * 1.0 / n_lines
+                     ELSE 0.0 END) <= 0.3 THEN 1 ELSE 0 END
+            AS ok_ellipsis_lines,
+          CASE WHEN (CASE WHEN n_words > 0 THEN alpha_w * 1.0 / n_words
+                     ELSE 0.0 END) >= 0.8 THEN 1 ELSE 0 END AS ok_alpha_words,
+          CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS ok_stop_words
+        FROM gm
+    """
+    _c4_sql = """
+        WITH cb AS (
+          SELECT doc_id, text,
+            list_filter(string_split(text, chr(10)),
+              l -> regexp_matches(rtrim(l), '[.!?"]$')
+                   AND len(list_filter(
+                         regexp_split_to_array(trim(l), '\\s+'),
+                         w -> w <> '')) >= 5
+                   AND NOT regexp_matches(lower(l), 'javascript')) AS kept
+          FROM documents
+        )
+        SELECT doc_id, len(kept) AS n_lines_kept,
+          CASE WHEN len(kept) >= 3
+               AND NOT contains(lower(text), 'lorem ipsum')
+               AND NOT contains(text, chr(123))
+               AND NOT contains(text, chr(125)) THEN 1 ELSE 0 END AS c4_keep
+        FROM cb
+    """
     d["text_quality"] = f"""
         SELECT t.doc_id AS doc_id, t.n_tokens, t.n_pretokens, t.n_subwords_est,
                l.stopword_ratio, l.lang_pred,
                q.mean_wordlen, q.punct_ratio, q.stop_ratio, q.quality,
                r.n_lines, r.dup_line_frac, r.dup_line_char_frac,
-               r.top_2gram_frac, r.dup_2gram_frac, r.dup_3gram_frac
+               r.top_2gram_frac, r.dup_2gram_frac, r.dup_3gram_frac,
+               g.n_words, g.ok_word_count, g.ok_mean_wordlen,
+               g.ok_symbol_ratio, g.ok_bullet_lines, g.ok_ellipsis_lines,
+               g.ok_alpha_words, g.ok_stop_words,
+               CASE WHEN g.ok_word_count + g.ok_mean_wordlen
+                    + g.ok_symbol_ratio + g.ok_bullet_lines
+                    + g.ok_ellipsis_lines + g.ok_alpha_words
+                    + g.ok_stop_words = 7 THEN 1 ELSE 0 END AS gopher_pass,
+               c.n_lines_kept, c.c4_keep
         FROM ({d.pop("token_count")}) t
         JOIN ({d.pop("detect_language")}) l ON t.doc_id = l.doc_id
         JOIN ({d.pop("quality_score")}) q ON t.doc_id = q.doc_id
         JOIN ({_rep_sql}) r ON t.doc_id = r.doc_id
+        JOIN ({_gopher_sql}) g ON t.doc_id = g.doc_id
+        JOIN ({_c4_sql}) c ON t.doc_id = c.doc_id
         ORDER BY doc_id
     """
     d["topk_page"] = _union_cases(
