@@ -101,6 +101,13 @@ def bm25_idf(n_docs: int, df: int, dtype=np.float32):
     return dtype(math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
 
 
+# prohibited multi-term clauses enumerate matching dictionary terms into a
+# literal predicate only up to this many terms (fast, bucket-pruned); past
+# it the engine switches to the fully distributed postings⋈dictionary
+# exclusion so the driver never holds an unbounded term list
+_EXCLUDE_LITERAL_CAP = 1024
+
+
 def _score_blocks(
     weight_by_term: dict[str, float],
     kernel,
@@ -734,49 +741,36 @@ class SearchEngine:
             return 0.0
         return float(rows[-1]["score"])
 
-    def _expand_clause(self, cl, max_expansions: int | None = 128) -> list[str]:
-        """Resolve a prefix/wildcard/fuzzy/range clause against the term
-        dictionary (the FST-seek analog: one scan of the small aggregated
-        dictionary table, never the corpus), capped at ``max_expansions``
-        terms by df desc (Lucene MultiTermQuery rewrite cap semantics;
-        scoring divergence: each expansion scores with its own idf instead
-        of the constant-score rewrite — documented).
-
-        ``max_expansions=None`` disables the cap — REQUIRED for MUST_NOT
-        clauses: Lucene's prohibited multi-term clauses use constant-score
-        rewrite with no term cap, so exclusion must cover every matching
-        term or prohibited docs would leak back into results."""
+    def _expand_cond(self, cl):
+        """Dictionary-filter Column for a prefix/wildcard/fuzzy/range clause
+        (the FST-seek predicate), or ``None`` for the enumerable kinds
+        (synonym/group/exact-fuzzy) whose members are already a small
+        literal list."""
         import re as _re
 
         if cl.kind in ("synonym", "group"):
-            cands = (
-                list(cl.terms or [])
-                if cl.kind == "group"
-                else [cl.value] + list(self.synonyms.get(cl.value, []))
-            )
-            meta = self._term_meta(list(dict.fromkeys(cands)))
-            return [t for t in cands if t in set(meta["term"])]
+            return None
         # MultiTermAware normalization (Analyzer#normalize): fold the
         # CONSTANT parts of the pattern with the analyzer's multiterm
         # filters, so e.g. icu_folding's RÉSu* reaches the dictionary as
         # resu* (the parser already lowercased; this is idempotent there)
         norm = self._mt_normalize
         if cl.kind == "prefix":
-            cond = F.col("term").startswith(norm(cl.value[:-1]))
-        elif cl.kind == "wildcard":
+            return F.col("term").startswith(norm(cl.value[:-1]))
+        if cl.kind == "wildcard":
             regex = "^" + "".join(
                 ".*" if c == "*" else "." if c == "?" else _re.escape(norm(c))
                 for c in cl.value
             ) + "$"
-            cond = F.col("term").rlike(regex)
-        elif cl.kind == "fuzzy":
+            return F.col("term").rlike(regex)
+        if cl.kind == "fuzzy":
             fval = norm(cl.value)
             if cl.fuzz <= 0:
-                return [fval] if not self._term_meta([fval]).empty else []
-            cond = (
+                return None
+            return (
                 F.abs(F.length("term") - F.lit(len(fval))) <= cl.fuzz
             ) & (F.levenshtein(F.col("term"), F.lit(fval)) <= cl.fuzz)
-        elif cl.kind == "range":
+        if cl.kind == "range":
             cond = F.lit(True)
             if cl.lo is not None:
                 lo = norm(cl.lo)
@@ -788,8 +782,41 @@ class SearchEngine:
                 cond = cond & (
                     F.col("term") <= hi if cl.inclusive else F.col("term") < hi
                 )
-        else:
-            raise ValueError(f"unknown expansion kind {cl.kind!r}")
+            return cond
+        raise ValueError(f"unknown expansion kind {cl.kind!r}")
+
+    def _expand_clause(
+        self, cl, max_expansions: int | None = 128
+    ) -> list[str] | None:
+        """Resolve a prefix/wildcard/fuzzy/range clause against the term
+        dictionary (the FST-seek analog: one scan of the small aggregated
+        dictionary table, never the corpus), capped at ``max_expansions``
+        terms by df desc (Lucene MultiTermQuery rewrite cap semantics;
+        scoring divergence: each expansion scores with its own idf instead
+        of the constant-score rewrite — documented).
+
+        ``max_expansions=None`` disables the cap — REQUIRED for MUST_NOT
+        clauses: Lucene's prohibited multi-term clauses use constant-score
+        rewrite with no term cap, so exclusion must cover every matching
+        term or prohibited docs would leak back into results.  To keep the
+        driver safe on web-scale dictionaries (``-t*`` can match millions
+        of terms), the uncapped path only materializes a literal list up to
+        ``_EXCLUDE_LITERAL_CAP`` terms; past that it returns ``None`` and
+        the caller must switch to the fully distributed exclusion
+        (:meth:`_excluded_docs_df` — a postings⋈dictionary join that never
+        ships terms through the driver)."""
+        if cl.kind in ("synonym", "group"):
+            cands = (
+                list(cl.terms or [])
+                if cl.kind == "group"
+                else [cl.value] + list(self.synonyms.get(cl.value, []))
+            )
+            meta = self._term_meta(list(dict.fromkeys(cands)))
+            return [t for t in cands if t in set(meta["term"])]
+        if cl.kind == "fuzzy" and cl.fuzz <= 0:
+            fval = self._mt_normalize(cl.value)
+            return [fval] if not self._term_meta([fval]).empty else []
+        cond = self._expand_cond(cl)
         matched = (
             self.dictionary.filter(cond)
             .groupBy("term")  # appended segments may duplicate a term's row
@@ -798,7 +825,36 @@ class SearchEngine:
         )
         if max_expansions is not None:
             matched = matched.limit(max_expansions)
-        return [r["term"] for r in matched.collect()]
+            return [r["term"] for r in matched.collect()]
+        rows = matched.limit(_EXCLUDE_LITERAL_CAP + 1).collect()
+        if len(rows) > _EXCLUDE_LITERAL_CAP:
+            return None  # too many to enumerate — distributed path required
+        return [r["term"] for r in rows]
+
+    def _excluded_docs_df(
+        self, cl, salts: list[int] | None = None
+    ) -> DataFrame:
+        """Distinct doc_ids matching ANY dictionary term of an expansion
+        clause — the fully distributed prohibited-clause path (Lucene
+        constant-score rewrite semantics, no term cap, no driver term
+        list): dictionary predicate → postings join on term (AQE
+        broadcasts the matched-term side when it fits) → lightest
+        doc-gaps-only decode.  Used when :meth:`_expand_clause` overflows
+        ``_EXCLUDE_LITERAL_CAP``."""
+        cond = self._expand_cond(cl)
+        tdf = self.dictionary.filter(cond).select("term").distinct()
+        nb = self.postings.join(tdf, "term")
+        if salts is not None:
+            nb = nb.filter(F.col("salt").isin(salts))
+        return (
+            nb.select("term", "salt", "n_docs", "doc_gaps")
+            .mapInPandas(
+                _decode_docs_fn(self.cfg.salt_range),
+                schema="term string, doc_id long",
+            )
+            .select("doc_id")
+            .distinct()
+        )
 
     def _phrase_frame(
         self,
@@ -1418,12 +1474,16 @@ class SearchEngine:
         # resolve dictionary-expanded clauses (prefix/wildcard/fuzzy/range)
         exp_groups: list[tuple[str, str, list[str], float]] = []
         exclude_exp_terms: list[str] = []
+        exclude_exp_frames: list[DataFrame] = []
         for cl in pq.expand:
             matched = self._expand_clause(
                 cl, max_expansions=None if cl.occur == "MUST_NOT" else 128
             )
             if cl.occur == "MUST_NOT":
-                exclude_exp_terms.extend(matched)
+                if matched is None:  # overflowed the literal cap
+                    exclude_exp_frames.append(self._excluded_docs_df(cl))
+                else:
+                    exclude_exp_terms.extend(matched)
                 continue
             if not matched:
                 if cl.occur == "MUST":
@@ -1512,6 +1572,7 @@ class SearchEngine:
             and blocks is not None
             and not pq.must_not
             and not exclude_exp_terms
+            and not exclude_exp_frames
             and not must
             and not scoring_phrases
             and not pq.must_not_phrases
@@ -1659,6 +1720,9 @@ class SearchEngine:
                 ),
             ).select("doc_id").distinct()
             agg = agg.join(excluded, "doc_id", "left_anti")
+        for fr in exclude_exp_frames:
+            # distributed prohibited-clause doc sets (literal-cap overflow)
+            agg = agg.join(fr, "doc_id", "left_anti")
         for ph in pq.must_not_phrases:
             if any(t not in found for t in ph):
                 continue  # phrase cannot match any doc -> excludes nothing
@@ -2039,7 +2103,8 @@ class SearchEngine:
                 resolved[id(node)] = self._expand_clause(
                     node, max_expansions=cap
                 )
-                leaf_terms.update(resolved[id(node)])
+                if resolved[id(node)] is not None:
+                    leaf_terms.update(resolved[id(node)])
             else:
                 for c in node.children:
                     walk(
@@ -2133,6 +2198,25 @@ class SearchEngine:
                         )
                     )
             elif isinstance(node, Clause):
+                if resolved[id(node)] is None:
+                    # literal-cap overflow (prohibited clause): constant-
+                    # score rewrite reports no per-term weight; the frame
+                    # is the distributed doc set restricted to the k docs
+                    node_info[path] = (
+                        occur, node.kind, node.label, 0.0,
+                        float(node.boost), True,
+                    )
+                    leaf_frames.append(
+                        _tag(
+                            self._excluded_docs_df(
+                                node, salts=salts
+                            ).withColumn(
+                                "score", F.lit(0.0).cast(self._sql_t)
+                            ),
+                            path,
+                        )
+                    )
+                    return
                 matched = [t for t in resolved[id(node)] if t in found]
                 node_info[path] = (
                     occur, node.kind, node.label,
@@ -2531,6 +2615,8 @@ class SearchEngine:
             elif isinstance(node, Clause):
                 cap = None if occur == "MUST_NOT" else 128
                 resolved[id(node)] = self._expand_clause(node, max_expansions=cap)
+                if resolved[id(node)] is None:
+                    return  # literal-cap overflow: distributed path in ev()
                 leaf_terms.update(resolved[id(node)])
                 if node.boost == 1.0:
                     shared_terms.update(resolved[id(node)])
@@ -2600,6 +2686,14 @@ class SearchEngine:
                     salts=salts,
                 )
             if isinstance(node, Clause):
+                if resolved[id(node)] is None:
+                    # literal-cap overflow: only reachable under a MUST_NOT
+                    # ancestor (positive clauses cap at 128) — the parent
+                    # anti-joins this frame, so a constant score suffices
+                    return self._excluded_docs_df(node, salts=salts).select(
+                        "doc_id",
+                        F.lit(0.0).cast(self._sql_t).alias("score"),
+                    )
                 matched = [t for t in resolved[id(node)] if t in found]
                 if not matched:
                     return None

@@ -256,6 +256,47 @@ def test_must_not_expansion_uncapped(spark, tmp_path_factory):
     assert tree == clean
 
 
+def test_must_not_overflow_uses_distributed_exclusion(
+    spark, tmp_path_factory, monkeypatch
+):
+    """When a prohibited clause matches more dictionary terms than
+    ``_EXCLUDE_LITERAL_CAP``, the engine must switch to the distributed
+    postings⋈dictionary exclusion (no driver term list) and return the
+    SAME results as the literal path — flat and tree evaluators both."""
+    import apache___solr_spark.query.engine as eng_mod
+
+    rows = [("h000", "alpha prehead000 prehead001 prehead002")]
+    for i in range(12):
+        rows.append((f"r{i:03d}", f"alpha prerare{i:03d}"))
+    for i in range(20):
+        rows.append((f"z{i:03d}", f"alpha clean{i:03d}"))
+    pages = spark.createDataFrame(
+        [(u, None, None, t, "en") for u, t in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    out = str(tmp_path_factory.mktemp("mnov") / "idx")
+    build_index(spark, pages, out, cfg=CFG)
+    eng = SearchEngine(spark, out, cfg=CFG)
+    clean = {u for u, _ in rows if u.startswith("z")}
+    queries = ["alpha -pre*", "alpha -(pre* OR zzzunseen)"]
+    literal = [
+        {r["url"] for r in eng.search(q, k=50).collect()} for q in queries
+    ]
+    # 15 pre* dictionary terms > cap of 4 -> every prohibited expansion
+    # overflows and must take the distributed path
+    monkeypatch.setattr(eng_mod, "_EXCLUDE_LITERAL_CAP", 4)
+    distributed = [
+        {r["url"] for r in eng.search(q, k=50).collect()} for q in queries
+    ]
+    assert literal == distributed == [clean, clean]
+    # explain of the negated-group form still gates correctly
+    exp = eng.explain_scores_tree("alpha -(pre* OR zzzunseen)", k=5)
+    assert {r["doc_id"] for r in exp.collect() if r["path"] == ""} <= {
+        r["doc_id"]
+        for r in eng.search(queries[1], k=5, with_url=False).collect()
+    }
+
+
 def test_must_prune_adversarial(spark, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("adv") / "idx")
     build_index(spark, _adversarial_pages(spark), out, cfg=CFG)
