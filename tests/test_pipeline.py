@@ -1421,3 +1421,117 @@ def test_bpe_property_fuzz(spark):
         }
         want = {i: len(_naive_encode(t, merges)) for i, t in enumerate(texts)}
         assert got == want, trial
+
+
+# ---------------------------------------------------------------------------
+# main-content extraction (pipeline/extract.py, jusText-style)
+
+
+_ARTICLE_HTML = """
+<html><head><title>T</title></head><body>
+<nav><ul><li><a href="/">Home</a></li><li><a href="/a">About</a></li>
+<li><a href="/c">Contact</a></li></ul></nav>
+<h1>The article title here</h1>
+<p>This is the first paragraph of the article and it is quite long because
+it has to exceed the length threshold, with plenty of the usual stopwords
+that an English sentence would have in it as we write more and more of this
+text about the topic at hand.</p>
+<p>Short connector.</p>
+<p>The second long paragraph continues the discussion of the topic with
+further details and it also contains the usual density of common English
+stopwords so that it will be classified as good by the algorithm that we
+have implemented here in this module today.</p>
+<div><a href="/ad">Buy now!</a></div>
+<footer>&copy; 2026 Example Corp. All rights reserved.</footer>
+</body></html>
+"""
+
+
+def test_extract_blocks_article_fixture():
+    """Nav link lists, the <title>, the ad link and the copyright footer
+    are boilerplate; the heading, both long stopword-rich paragraphs AND
+    the short connector between them (context rule: short between two
+    goods) are content."""
+    from apache___solr_spark.pipeline.extract import extract_blocks
+
+    got = extract_blocks(_ARTICLE_HTML)
+    classes = [c for c, _ in got]
+    texts = [t for _, t in got]
+    assert classes == [
+        "bad", "bad", "bad", "bad",  # title + 3 nav links
+        "good",  # heading (promoted: near good content)
+        "good", "good", "good",  # para, short connector, para
+        "bad", "bad",  # ad link, copyright footer
+    ], list(zip(classes, texts))
+    assert texts[4] == "The article title here"
+    assert texts[6] == "Short connector."
+
+
+def test_extract_blocks_context_rules():
+    from apache___solr_spark.pipeline.extract import extract_blocks
+
+    LONG = (
+        "this paragraph is long enough to pass the high length threshold and"
+        " it is full of the most common english stopwords so that it will be"
+        " judged as good content by the context free classification step of"
+        " the algorithm because we wrote it that way on purpose for testing"
+    )
+    NOSW = "lorem ipsum dolor sit amet consectetur adipiscing elit " * 5
+    # short between two bad blocks -> bad
+    got = extract_blocks(
+        f"<p>{NOSW}</p><p>Short thing.</p><p>{NOSW}</p>"
+    )
+    assert [c for c, _ in got] == ["bad", "bad", "bad"]
+    # short between two good blocks -> good
+    got = extract_blocks(f"<p>{LONG}</p><p>Short thing.</p><p>{LONG}</p>")
+    assert [c for c, _ in got] == ["good", "good", "good"]
+    # isolated page of only a short block -> bad (edges are bad)
+    got = extract_blocks("<p>Short thing.</p>")
+    assert [c for c, _ in got] == ["bad"]
+    # link-dense block is bad even when long and stopword-rich
+    got = extract_blocks(f"<p><a href='/x'>{LONG}</a></p>")
+    assert [c for c, _ in got] == ["bad"]
+
+
+def test_extract_blocks_segmenter_matches_html_strip_tokens():
+    """The block segmenter and html_strip must see the SAME visible words
+    (the north-rule text invariant extends to the block view)."""
+    import re
+
+    from apache___solr_spark.analysis.html_strip import html_strip
+    from apache___solr_spark.pipeline.extract import _segment_blocks
+
+    html = _ARTICLE_HTML + "<script>var x = '<p>no</p>';</script>"
+    w = re.compile(r"\S+")
+    stripped = w.findall(html_strip(html))
+    blocks = w.findall(" ".join(b.text for b in _segment_blocks(html)))
+    assert blocks == stripped
+
+
+def test_extract_main_content_spark(spark):
+    """Arrow-batched Spark pass: passthrough columns survive, main_text
+    equals the pure kernel's good blocks, html may be binary or null, and
+    the pass is map-only (no Exchange in the plan)."""
+    from apache___solr_spark.pipeline.extract import (
+        extract_blocks,
+        extract_main_content,
+    )
+
+    rows = [
+        ("u1", _ARTICLE_HTML.encode("utf-8")),
+        ("u2", None),
+        ("u3", b"<p>plain tiny</p>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = extract_main_content(df, "html").orderBy("url")
+    got = {r["url"]: r for r in out.collect()}
+    want_main = "\n".join(
+        t for c, t in extract_blocks(_ARTICLE_HTML) if c == "good"
+    )
+    assert got["u1"]["main_text"] == want_main
+    assert got["u1"]["n_blocks_good"] == 4
+    assert got["u1"]["n_blocks_total"] == 10
+    assert got["u2"]["main_text"] == "" and got["u2"]["n_blocks_total"] == 0
+    assert got["u3"]["main_text"] == "" and got["u3"]["n_blocks_good"] == 0
+    plan = extract_main_content(df, "html")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-only
