@@ -1535,3 +1535,38 @@ def test_extract_main_content_spark(spark):
     assert got["u3"]["main_text"] == "" and got["u3"]["n_blocks_good"] == 0
     plan = extract_main_content(df, "html")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # map-only
+
+
+def test_extract_segmenter_fuzz_token_identity():
+    """Property fuzz: random nested/malformed HTML — the block segmenter
+    must see exactly html_strip's visible words, in order."""
+    import random
+    import re
+
+    from apache___solr_spark.analysis.html_strip import html_strip
+    from apache___solr_spark.pipeline.extract import _segment_blocks
+
+    rng = random.Random(11)
+    tags = ["p", "div", "a href='/x'", "span", "li", "h2", "table", "td",
+            "em", "nav", "footer", "br/", "hr"]
+    words = ["alpha", "beta", "the", "of", "and", "&amp;", "&#65;", "x<y",
+             "a&b", "café"]
+    w = re.compile(r"\S+")
+    for trial in range(25):
+        parts = []
+        depth = 0
+        for _ in range(rng.randrange(5, 60)):
+            r = rng.random()
+            if r < 0.35:
+                t = rng.choice(tags)
+                parts.append(f"<{t}>")
+                depth += 1
+            elif r < 0.55 and depth > 0:
+                parts.append(f"</{rng.choice(tags).split()[0]}>")
+                depth -= 1
+            else:
+                parts.append(" ".join(rng.choices(words, k=rng.randrange(1, 6))))
+        html = " ".join(parts)
+        stripped = w.findall(html_strip(html))
+        blocks = w.findall(" ".join(b.text for b in _segment_blocks(html)))
+        assert blocks == stripped, (trial, html)
