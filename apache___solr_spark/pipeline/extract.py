@@ -58,11 +58,16 @@ from apache___solr_spark.analysis.stopwords import ENGLISH_STOP_WORDS
 
 # tags that open/close a text block (HTML5 flow-content structure tags)
 _BLOCK_TAGS = frozenset(
-    """address article aside blockquote body br caption center col colgroup
+    """address article aside blockquote body caption center col colgroup
     dd div dl dt fieldset figcaption figure footer form h1 h2 h3 h4 h5 h6
     head header hr html li main menu nav ol p pre section table tbody td
     tfoot th thead tr ul""".split()
 )
+# a RUN of 2+ <br> acts as a paragraph boundary (the old-web idiom for
+# separating paragraphs inside one <div>); a single <br> is just a line
+# break within the block — flushing on every <br> would fragment prose
+# into per-line "short" blocks and misclassify it as boilerplate
+_BR_RUN = re.compile(r"(?:<br\b[^>]*>\s*){2,}", re.IGNORECASE)
 _HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
 _TAG_RE = re.compile(r"<(/?)([A-Za-z][A-Za-z0-9]*)[^>]*?(/?)>|<![^>]*>|<\?[^>]*\?>")
 _WORD_RE = re.compile(r"\w+", re.UNICODE)
@@ -94,6 +99,7 @@ def _segment_blocks(html_text: str | bytes | None) -> list[_Block]:
     s = _COMMENT.sub(" ", html_text)
     s = _SCRIPT_STYLE.sub(" ", s)
     s = _CDATA.sub(lambda m: m.group(1), s)
+    s = _BR_RUN.sub("<p>", s)  # double-<br> = paragraph boundary
 
     import html as _html
 

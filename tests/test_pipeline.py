@@ -1570,3 +1570,19 @@ def test_extract_segmenter_fuzz_token_identity():
         stripped = w.findall(html_strip(html))
         blocks = w.findall(" ".join(b.text for b in _segment_blocks(html)))
         assert blocks == stripped, (trial, html)
+
+
+def test_extract_blocks_br_runs():
+    """Single <br> is a line break inside the block; a run of 2+ <br>
+    separates paragraphs (the old-web idiom) — prose split by single
+    <br>s must stay ONE block, not fragment into short boilerplate."""
+    from apache___solr_spark.pipeline.extract import extract_blocks
+
+    line = "the quick brown fox jumps over the lazy dog of the town"
+    # 6 short lines joined by single <br>: one good block
+    got = extract_blocks("<div>" + "<br>".join([line] * 6) + "</div>")
+    assert [c for c, _ in got] == ["good"]
+    assert got[0][1].count("fox") == 6
+    # the same lines joined by <br><br>: six separate (short) blocks
+    got = extract_blocks("<div>" + "<br><br>".join([line] * 6) + "</div>")
+    assert len(got) == 6
