@@ -389,3 +389,84 @@ def test_domain_exclude_tags_nested_raises(events):
             },
             fqs={"x": "value:[0 TO 10]"},
         )["types.users"]
+
+
+def test_json_facet_fuzz_two_level_vs_duckdb(events, ddb):
+    """Property fuzz: random nested terms specs (stat set, sort key and
+    direction, limit, mincount, nested child facet) must match a
+    programmatically-built DuckDB query on every draw."""
+    import random
+
+    rng = random.Random(23)
+    STATS = {
+        "s": ("sum(value)", "sum(value)"),
+        "a": ("avg(value)", "avg(value)"),
+        "mn": ("min(value)", "min(value)"),
+        "mx": ("max(value)", "max(value)"),
+        "u": ("unique(user_id)", "count(DISTINCT user_id)"),
+    }
+    for trial in range(8):
+        keys = rng.sample(sorted(STATS), rng.randrange(1, 4))
+        sort_key = rng.choice(keys + ["count"])
+        direction = rng.choice(["asc", "desc"])
+        limit = rng.randrange(1, 6)
+        mincount = rng.choice([1, 1, 5])
+        spec_stats = {k: STATS[k][0] for k in keys}
+        node = {
+            "type": "terms",
+            "field": "event_type",
+            "limit": limit,
+            "mincount": mincount,
+            "sort": f"{sort_key} {direction}",
+            "facet": dict(spec_stats),
+        }
+        nested = rng.random() < 0.5
+        if nested:
+            node["facet"]["by_user"] = {
+                "type": "terms",
+                "field": "user_id",
+                "limit": 2,
+                "sort": "count desc",
+            }
+        out = json_facet(events, {"t": node})
+        sel = ", ".join(
+            f"{STATS[k][1]} AS {k}" for k in keys
+        )
+        ord_sql = (
+            f"{sort_key} {direction.upper()}, event_type ASC"
+        )
+        want = ddb.sql(
+            f"SELECT event_type, count(*) AS count, {sel} FROM events "
+            f"GROUP BY event_type HAVING count(*) >= {mincount} "
+            f"ORDER BY {ord_sql} LIMIT {limit}"
+        ).fetchall()
+        got = [
+            tuple(
+                round(v, 6) if isinstance(v, float) else v
+                for v in (r["event_type"], r["count"], *[r[k] for k in keys])
+            )
+            for r in out["t"].collect()
+        ]
+        want = [
+            tuple(round(v, 6) if isinstance(v, float) else v for v in row)
+            for row in want
+        ]
+        assert got == want, (trial, node)
+        if nested:
+            # child buckets: per surviving parent, top-2 users by count
+            parents = [row[0] for row in want]
+            cw = []
+            for p in parents:
+                cw += ddb.sql(
+                    "SELECT event_type, user_id, count(*) AS count "
+                    "FROM events WHERE event_type = ? GROUP BY 1, 2 "
+                    "ORDER BY count DESC, user_id ASC LIMIT 2",
+                    params=[p],
+                ).fetchall()
+            cg = [
+                (r["event_type"], r["user_id"], r["count"])
+                for r in out["t.by_user"]
+                .orderBy("event_type", "user_id")
+                .collect()
+            ]
+            assert sorted(cg) == sorted(cw), (trial, node)
