@@ -198,3 +198,111 @@ def test_realtime_get_latest_live_version(spark, tmp_path):
     got = {r["url"]: r for r in realtime_get(spark, idx, urls).collect()}
     assert set(got) == {u_upd, u_keep}
     assert got[u_upd]["text"] == "zzrtg merged body"
+
+
+def test_atomic_merge_fuzz_vs_python_oracle(spark):
+    """Property fuzz: random doc stores + random per-field op batches must
+    match an independent pure-Python implementation of the documented
+    AtomicUpdateDocumentMerger semantics on every draw."""
+    import random
+    import re as _re
+
+    rng = random.Random(31)
+
+    def py_merge(doc, upd, ops):
+        out = dict(doc)
+        for f, op in ops.items():
+            if op == "removefield":
+                out[f] = None
+                continue
+            new = upd.get(f)
+            if new is None:
+                continue
+            old = out[f]
+            if op == "set":
+                out[f] = new
+            elif op == "inc":
+                out[f] = (old or 0) + new
+            elif op in ("add", "add-distinct", "remove", "removeregex"):
+                old_arr = list(old) if old is not None else []
+                new_arr = new if isinstance(new, list) else [new]
+                if op == "add":
+                    out[f] = old_arr + new_arr
+                elif op == "add-distinct":
+                    fresh = []
+                    for v in new_arr:  # array_except dedups + keeps order
+                        if v not in old_arr and v not in fresh:
+                            fresh.append(v)
+                    out[f] = old_arr + fresh
+                elif op == "remove":
+                    out[f] = [v for v in old_arr if v not in new_arr]
+                else:
+                    out[f] = [
+                        v for v in old_arr if not _re.search(new, v)
+                    ]
+        return out
+
+    tags_pool = ["red", "blue", "green", "gold", "x1", "x2"]
+    for trial in range(6):
+        docs = {}
+        for i in range(rng.randrange(4, 9)):
+            docs[f"d{i}"] = {
+                "id": f"d{i}",
+                "n": rng.choice([None, rng.randrange(-5, 20)]),
+                "tags": rng.choice(
+                    [None, rng.sample(tags_pool, rng.randrange(0, 4)) * rng.randrange(1, 3)]
+                ),
+            }
+        n_op = rng.choice(["set", "inc"])
+        t_op = rng.choice(
+            ["add", "add-distinct", "remove", "removeregex", "removefield", "set"]
+        )
+        ops = {"n": n_op, "tags": t_op}
+        upd_rows = []
+        for k in rng.sample(sorted(docs), rng.randrange(1, len(docs) + 1)):
+            if t_op == "removeregex":
+                tv = rng.choice([None, "^x", "e"])
+            elif t_op == "remove":
+                tv = rng.choice([None, rng.sample(tags_pool, 2)])
+            else:
+                tv = rng.choice([None, rng.sample(tags_pool, rng.randrange(1, 3))])
+            upd_rows.append(
+                {
+                    "id": k,
+                    "n": rng.choice([None, rng.randrange(-3, 7)]),
+                    "tags": tv,
+                }
+            )
+        existing = spark.createDataFrame(
+            list(docs.values()),
+            "id string, n long, tags array<string>",
+        )
+        tags_t = (
+            "string" if t_op == "removeregex" else "array<string>"
+        )
+        updates = spark.createDataFrame(
+            [(r["id"], r["n"], r["tags"]) for r in upd_rows],
+            f"id string, n long, tags {tags_t}",
+        )
+        got = {
+            r["id"]: {"id": r["id"], "n": r["n"],
+                      "tags": list(r["tags"]) if r["tags"] is not None else None}
+            for r in atomic_merge(existing, updates, "id", ops).collect()
+        }
+        want = dict(docs)
+        upd_by_id = {r["id"]: r for r in upd_rows}
+        for k, u in upd_by_id.items():
+            want[k] = py_merge(docs[k], u, ops)
+        # removefield nulls for every UPDATED doc regardless of values
+        for k in want:
+            if k in upd_by_id and t_op == "removefield":
+                want[k] = {**want[k], "tags": None}
+        norm = lambda d: {
+            k: {
+                "id": v["id"],
+                "n": v["n"],
+                "tags": None if v["tags"] is None else list(v["tags"]),
+            }
+            for k, v in d.items()
+        }
+        assert norm(got) == norm(want), (trial, ops)
