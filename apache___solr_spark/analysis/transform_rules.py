@@ -28,12 +28,15 @@ order, first match replaces and the cursor moves past the replacement
 (or to '|'); unmatched positions advance by one.  Chain-step ids map to
 the built-in transforms (Any-Lower/Upper, NFC/NFD/NFKC/NFKD, Null, and
 every id `analysis.filters.icu_transform` knows).  Segments capture in
-the key — ``([bc]) a > $1 ;`` — numbered by '(' order (nesting allowed)
-and substituted by ``$1``-``$9`` in the replacement.
+the key — ``([bc]) a > $1 ;`` — AND in contexts (capture-only there:
+context text is never replaced, but its captures feed the output, e.g.
+``([a-z]) {x} > $1 ;``), numbered by '(' order across the whole rule
+(pre-context, key, post-context; nesting allowed) and substituted by
+``$1``-``$9`` in the replacement.
 ``&Id($1 lit)`` in a replacement applies a chain-step transform (same
 id namespace as '::id;') to the materialized argument — ICU's function
 calls, e.g. ``(a[bc]) > &Any-Upper($1) ;``.  Out of scope (raise,
-never mis-transform): segments inside contexts, reverse-direction
+never mis-transform): reverse-direction
 application (``<`` rules are accepted in the source but skipped
 forward, like ICU's forward compile), and global ``::[filter]`` sets.
 """
@@ -311,7 +314,7 @@ class _Rule:
     indexes; ``cursor`` is a part index ('|' position), or None for the
     default move-past-replacement."""
 
-    __slots__ = ("pre", "key", "post", "parts", "cursor")
+    __slots__ = ("pre", "key", "post", "parts", "cursor", "pre_len")
 
     def __init__(self, pre, key, post, parts, cursor):
         self.pre = pre
@@ -319,28 +322,21 @@ class _Rule:
         self.post = post
         self.parts = parts
         self.cursor = cursor
-
-
-def _match_forward(buf: str, i: int, atoms) -> int | None:
-    """Match atoms starting at buf[i]; return the end index or None."""
-    for a in atoms:
-        if a is _ANCHOR_END:
-            if i != len(buf):
-                return None
-            continue
-        if a is _ANCHOR_START:
-            if i != 0:
-                return None
-            continue
-        if i >= len(buf):
-            return None
-        if isinstance(a, _USet):
-            if not a.match(buf[i]):
-                return None
-        elif buf[i] != a:
-            return None
-        i += 1
-    return i
+        # every consuming atom (literal char / UnicodeSet) matches exactly
+        # one char, so the pre-context has a FIXED width — which lets the
+        # capture-recording forward matcher serve the pre-context too
+        # (match at i - pre_len), instead of a separate backward walker
+        self.pre_len = sum(
+            0
+            if (
+                a is _ANCHOR_START
+                or a is _ANCHOR_END
+                or a is _SEG_OPEN
+                or a is _SEG_CLOSE
+            )
+            else 1
+            for a in pre
+        )
 
 
 def _match_key(buf: str, i: int, atoms) -> tuple[int, list[str]] | None:
@@ -376,25 +372,6 @@ def _match_key(buf: str, i: int, atoms) -> tuple[int, list[str]] | None:
     return i, caps
 
 
-def _match_backward(buf: str, i: int, atoms) -> bool:
-    """Match atoms ending exactly at buf[i] (pre-context)."""
-    j = i
-    for a in reversed(atoms):
-        if a is _ANCHOR_START:
-            if j != 0:
-                return False
-            continue
-        if a is _ANCHOR_END:
-            return False  # '$' only makes sense in a post-context
-        if j <= 0:
-            return False
-        j -= 1
-        if isinstance(a, _USet):
-            if not a.match(buf[j]):
-                return False
-        elif buf[j] != a:
-            return False
-    return True
 
 
 class _RulePass:
@@ -411,11 +388,23 @@ class _RulePass:
                 m = _match_key(buf, i, r.key)
                 if m is None:
                     continue
-                end, caps = m
-                if r.post and _match_forward(buf, end, r.post) is None:
-                    continue
-                if r.pre and not _match_backward(buf, i, r.pre):
-                    continue
+                end, key_caps = m
+                post_caps: list[str] = []
+                if r.post:
+                    pm = _match_key(buf, end, r.post)
+                    if pm is None:
+                        continue
+                    post_caps = pm[1]
+                pre_caps: list[str] = []
+                if r.pre:
+                    if i < r.pre_len:
+                        continue
+                    pm = _match_key(buf, i - r.pre_len, r.pre)
+                    if pm is None or pm[0] != i:
+                        continue
+                    pre_caps = pm[1]
+                # global segment numbering: pre, then key, then post
+                caps = pre_caps + key_caps + post_caps
                 pieces = []
                 for p in r.parts:
                     if isinstance(p, str):
@@ -551,23 +540,26 @@ def _parse_contexted(side: str, variables: dict):
     pre = _tokenize_side(pre_src, variables, output=False)
     key = _tokenize_side(key_src, variables, output=False)
     post = _tokenize_side(post_src, variables, output=False)
-    for ctx in (pre, post):
-        if any(a is _SEG_OPEN or a is _SEG_CLOSE for a in ctx):
-            raise NotImplementedError(
-                "segments inside contexts are out of scope"
-            )
-    depth = 0
-    nsegs = 0
-    for a in key:
-        if a is _SEG_OPEN:
-            depth += 1
-            nsegs += 1
-        elif a is _SEG_CLOSE:
-            depth -= 1
-            if depth < 0:
-                raise ValueError(f"unbalanced ')' in {side!r}")
-    if depth != 0:
-        raise ValueError(f"unbalanced '(' in {side!r}")
+
+    def count_segs(atoms) -> int:
+        # segments may appear in contexts too (ICU: capture-only — the
+        # context text is not replaced but its captures feed the output);
+        # each side's parens must balance independently
+        depth = 0
+        n = 0
+        for a in atoms:
+            if a is _SEG_OPEN:
+                depth += 1
+                n += 1
+            elif a is _SEG_CLOSE:
+                depth -= 1
+                if depth < 0:
+                    raise ValueError(f"unbalanced ')' in {side!r}")
+        if depth != 0:
+            raise ValueError(f"unbalanced '(' in {side!r}")
+        return n
+
+    nsegs = (count_segs(pre), count_segs(key), count_segs(post))
     skip = (_ANCHOR_START, _ANCHOR_END, _SEG_OPEN, _SEG_CLOSE)
     if not key or all(any(a is s for s in skip) for a in key):
         raise ValueError(f"rule key matches nothing: {side!r}")
@@ -633,7 +625,10 @@ class Transliterator:
             if op == "<":  # reverse-only rule: skipped when running forward
                 continue
             # '<>' runs its forward half here, same as '>'
-            pre, key, post, nsegs = _parse_contexted(lhs, variables)
+            pre, key, post, per_side = _parse_contexted(lhs, variables)
+            # ICU numbers segments by '(' order across the WHOLE rule:
+            # pre-context captures first, then key, then post-context
+            nsegs = sum(per_side)
             out_atoms = _tokenize_side(rhs, variables, output=True)
             cursor = None
             parts: list[str | int] = []
@@ -646,7 +641,7 @@ class Transliterator:
                 if isinstance(a, _BackRef):
                     if a.n > nsegs:
                         raise ValueError(
-                            f"${a.n} but the key has only {nsegs} segment(s)"
+                            f"${a.n} but the rule has only {nsegs} segment(s)"
                         )
                     parts.append(a.n - 1)
                     continue
@@ -656,7 +651,7 @@ class Transliterator:
                         if isinstance(x, _BackRef):
                             if x.n > nsegs:
                                 raise ValueError(
-                                    f"${x.n} but the key has only "
+                                    f"${x.n} but the rule has only "
                                     f"{nsegs} segment(s)"
                                 )
                             inner.append(x.n - 1)

@@ -146,8 +146,32 @@ def test_segment_errors():
         compile_transform("(a > x ;")  # unbalanced
     with pytest.raises(ValueError):
         compile_transform("(a) > $0 ;")  # numbered from 1
-    with pytest.raises(NotImplementedError):
-        compile_transform("(a) { b > c ;")  # segment in a context
+
+
+def test_segments_in_contexts():
+    """Segments capture inside pre/post contexts (capture-only: context
+    text survives, its capture feeds the output) with GLOBAL '(' -order
+    numbering pre -> key -> post."""
+    t = lambda rules, s: compile_transform(rules)(s)
+    # pre-context capture: double the preceding letter in place of x
+    assert t("([a-z]) { x > $1 ;", "ax bx") == "aa bb"
+    # the context char itself is untouched, non-matching x unchanged
+    assert t("([ab]) { x > $1 ;", "ax cx") == "aa cx"
+    # post-context capture
+    assert t("x } ([a-z]) > $1 ;", "xa xb") == "aa bb"
+    # global numbering across pre, key and post
+    assert t("([0-9]) { (x) } ([a-z]) > $3 '-' $1 ;", "1xa") == "1a-1a"
+    assert t("([0-9]) { (x) } ([a-z]) > $2$2 ;", "1xa") == "1xxa"
+    # anchored pre-context with capture only fires at the start
+    assert t("^ ([a-z]) { x > $1 ;", "ax ax") == "aa ax"
+    # a context capture inside a function call
+    assert t("([a-z]) { x > &Upper($1) ;", "ax") == "aA"
+    # backref bound counts ALL segments in the rule
+    with pytest.raises(ValueError):
+        compile_transform("(a) { b > $2 ;")  # only one segment total
+    # unbalanced parens in a context still rejected
+    with pytest.raises(ValueError):
+        compile_transform("(a { b > c ;")
 
 
 def test_errors():
