@@ -294,10 +294,13 @@ def _surround_query(engine, rest: str, k: int = 10, **kw) -> DataFrame:
     grammar in lucene/queryparser/surround/parser/QueryParser.jj): the
     prefix forms ``<n>W(a, b, ...)`` — ordered within distance n — and
     ``<n>N(a, b, ...)`` — unordered within distance n — case-insensitive,
-    distance defaulting to 1 (adjacent).  Operands are plain terms
-    (the reference also allows nested operators, infix forms, and
-    truncation inside spans — those raise here, inventoried).  Lowers to
-    SearchEngine.span_near, the SpanNearQuery(slop=n-1, inOrder) analog.
+    distance defaulting to 1 (adjacent).  Operands are plain terms or
+    truncated/wildcard terms (``app*``, ``pag?`` — surround's truncation
+    inside spans, SrndTruncQuery: each pattern slot rewrites to the
+    SpanOr of its dictionary expansions via the complexphrase machinery).
+    Nested operators and infix forms raise, inventoried.  Lowers to
+    SearchEngine.span_near / complex_phrase, the
+    SpanNearQuery(slop=n-1, inOrder) analogs.
     """
     m = _SURROUND_RE.match(rest.strip())
     if not m:
@@ -308,10 +311,14 @@ def _surround_query(engine, rest: str, k: int = 10, **kw) -> DataFrame:
     dist = int(m.group(1) or 1)
     ordered = m.group(2).lower() == "w"
     words = [w.strip() for w in m.group(3).split(",")]
-    if any(not w or any(c in w for c in '()*?"') for w in words):
+    if any(not w or any(c in w for c in '()"') for w in words):
         raise NotImplementedError(
-            "surround: nested operators / truncation inside spans "
-            f"unsupported, got {rest!r}"
+            "surround: nested operators / infix forms unsupported, "
+            f"got {rest!r}"
+        )
+    if any("*" in w or "?" in w for w in words):
+        return engine.complex_phrase(
+            " ".join(words), slop=dist - 1, ordered=ordered, k=k, **kw
         )
     return engine.span_near(words, dist=dist, ordered=ordered, k=k, **kw)
 

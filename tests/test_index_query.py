@@ -1048,6 +1048,31 @@ def test_span_near_matches_oracle(spark, built, oracle_idx):
     ]
     assert via_lp == direct
 
+    # truncation inside spans (SrndTruncQuery): a pattern operand routes
+    # through the complexphrase SpanOr machinery — dispatch == direct,
+    # and the truncated span's doc set CONTAINS the concrete span's
+    trunc = [
+        (r["rank"], r["doc_id"], round(r["score"], 5))
+        for r in dispatch_query(eng, "{!surround}2W(web, pag*)", k=25).collect()
+    ]
+    direct_cp = [
+        (r["rank"], r["doc_id"], round(r["score"], 5))
+        for r in eng.complex_phrase("web pag*", slop=1, ordered=True, k=25).collect()
+    ]
+    assert trunc == direct_cp and trunc
+    concrete = {
+        r["doc_id"]
+        for r in eng.span_near(["web", "page"], dist=2, ordered=True, k=400).collect()
+    }
+    wide = {
+        r["doc_id"]
+        for r in eng.complex_phrase("web pag*", slop=1, ordered=True, k=400).collect()
+    }
+    assert concrete <= wide
+    # nested operators still raise
+    with pytest.raises(NotImplementedError):
+        dispatch_query(eng, "{!surround}3W(2N(a, b), c)", k=5)
+
 
 def test_complex_phrase_matches_oracle(spark, built, oracle_idx):
     """{!complexphrase}: wildcard/prefix/fuzzy slots inside phrases
