@@ -287,6 +287,11 @@ def _edismax_tree(engine, rest: str, params: dict[str, str]) -> BoolQuery:
 
 
 _SURROUND_RE = re.compile(r"^(\d*)([wn])\((.+)\)$", re.IGNORECASE)
+# infix chain: operand (op operand)+, e.g. "a 3w b", "a w b w c"
+_SURROUND_INFIX_RE = re.compile(
+    r"^(\S+)(\s+\d*[wn]\s+\S+)+$", re.IGNORECASE
+)
+_SURROUND_INFIX_OP = re.compile(r"\s+(\d*)([wn])\s+", re.IGNORECASE)
 
 
 def _surround_query(engine, rest: str, k: int = 10, **kw) -> DataFrame:
@@ -298,19 +303,41 @@ def _surround_query(engine, rest: str, k: int = 10, **kw) -> DataFrame:
     truncated/wildcard terms (``app*``, ``pag?`` — surround's truncation
     inside spans, SrndTruncQuery: each pattern slot rewrites to the
     SpanOr of its dictionary expansions via the complexphrase machinery).
-    Nested operators and infix forms raise, inventoried.  Lowers to
+    Infix forms parse too — ``a 3W b`` and uniform-operator chains
+    ``a W b W c`` (the grammar's left-associative chain of ONE operator;
+    mixed operators or distances in a chain raise).  A bare operand is
+    SrndTermQuery/SrndTruncQuery: it lowers to the classic term/prefix
+    query.  Nested operators raise, inventoried.  Lowers to
     SearchEngine.span_near / complex_phrase, the
     SpanNearQuery(slop=n-1, inOrder) analogs.
     """
-    m = _SURROUND_RE.match(rest.strip())
-    if not m:
+    rest = rest.strip()
+    m = _SURROUND_RE.match(rest)
+    if m:
+        dist = int(m.group(1) or 1)
+        ordered = m.group(2).lower() == "w"
+        words = [w.strip() for w in m.group(3).split(",")]
+    elif _SURROUND_INFIX_RE.match(rest) and "(" not in rest:
+        ops = [
+            (int(g1 or 1), g2.lower())
+            for g1, g2 in _SURROUND_INFIX_OP.findall(rest)
+        ]
+        if len(set(ops)) > 1:
+            raise NotImplementedError(
+                "surround: mixed operators/distances in an infix chain "
+                f"unsupported, got {rest!r}"
+            )
+        dist, opc = ops[0]
+        ordered = opc == "w"
+        words = [w.strip() for w in _SURROUND_INFIX_OP.split(rest)[::3]]
+    elif re.fullmatch(r"[^\s(),]+", rest):
+        # bare operand: SrndTermQuery / SrndTruncQuery -> classic query
+        return engine.search(rest, k=k, **kw)
+    else:
         raise NotImplementedError(
-            "surround: only the prefix forms nW(...)/nN(...) with plain "
-            f"terms are supported, got {rest!r}"
+            "surround: only prefix nW(...)/nN(...), uniform infix chains, "
+            f"and bare terms are supported, got {rest!r}"
         )
-    dist = int(m.group(1) or 1)
-    ordered = m.group(2).lower() == "w"
-    words = [w.strip() for w in m.group(3).split(",")]
     if any(not w or any(c in w for c in '()"') for w in words):
         raise NotImplementedError(
             "surround: nested operators / infix forms unsupported, "

@@ -1073,6 +1073,34 @@ def test_span_near_matches_oracle(spark, built, oracle_idx):
     with pytest.raises(NotImplementedError):
         dispatch_query(eng, "{!surround}3W(2N(a, b), c)", k=5)
 
+    # infix forms: "a nW b" == nW(a, b); uniform chains n-ary; bare
+    # operand lowers to the classic term/prefix query
+    infix = [
+        (r["rank"], r["doc_id"], round(r["score"], 5))
+        for r in dispatch_query(eng, "{!surround}web 4N data", k=10).collect()
+    ]
+    assert infix == direct
+    chain = [
+        (r["doc_id"], round(r["score"], 5))
+        for r in dispatch_query(eng, "{!surround}web 6n data 6n page", k=10).collect()
+    ]
+    chain_prefix = [
+        (r["doc_id"], round(r["score"], 5))
+        for r in dispatch_query(eng, "{!surround}6N(web, data, page)", k=10).collect()
+    ]
+    assert chain == chain_prefix and chain
+    bare = [
+        (r["doc_id"], round(r["score"], 5))
+        for r in dispatch_query(eng, "{!surround}pag*", k=10).collect()
+    ]
+    classic = [
+        (r["doc_id"], round(r["score"], 5))
+        for r in eng.search("pag*", k=10).collect()
+    ]
+    assert bare == classic and bare
+    with pytest.raises(NotImplementedError):
+        dispatch_query(eng, "{!surround}a 3w b 2n c", k=5)  # mixed chain
+
 
 def test_complex_phrase_matches_oracle(spark, built, oracle_idx):
     """{!complexphrase}: wildcard/prefix/fuzzy slots inside phrases
