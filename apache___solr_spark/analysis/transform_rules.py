@@ -35,10 +35,15 @@ context text is never replaced, but its captures feed the output, e.g.
 ``$1``-``$9`` in the replacement.
 ``&Id($1 lit)`` in a replacement applies a chain-step transform (same
 id namespace as '::id;') to the materialized argument — ICU's function
-calls, e.g. ``(a[bc]) > &Any-Upper($1) ;``.  Out of scope (raise,
-never mis-transform): reverse-direction
-application (``<`` rules are accepted in the source but skipped
-forward, like ICU's forward compile), and global ``::[filter]`` sets.
+calls, e.g. ``(a[bc]) > &Any-Upper($1) ;``.  ``::[set];`` sets the
+GLOBAL FILTER for what follows (ICU places it first, scoping the whole
+transform): rule replacements may only modify in-filter characters
+(contexts still see everything), and builtin chain steps apply per
+maximal in-filter run; ``::[set] Id;`` is a filtered chain step
+(``:: [:Lu:] Any-Lower ;``).  Out of scope (raise, never
+mis-transform): reverse-direction application (``<`` rules are
+accepted in the source but skipped forward, like ICU's forward
+compile).
 """
 
 from __future__ import annotations
@@ -374,9 +379,38 @@ def _match_key(buf: str, i: int, atoms) -> tuple[int, list[str]] | None:
 
 
 
+def _filtered_builtin(fn, flt):
+    """Apply a builtin chain-step transform under a global filter: only
+    maximal runs of in-filter characters are transformed; out-of-filter
+    characters pass through untouched (ICU filter semantics — for the
+    per-char transforms this is exact; normalization steps normalize each
+    filtered run independently, documented)."""
+    if flt is None:
+        return fn
+
+    def run(text: str) -> str:
+        out: list[str] = []
+        i = 0
+        n = len(text)
+        while i < n:
+            j = i
+            while j < n and flt.match(text[j]):
+                j += 1
+            if j > i:
+                out.append(fn(text[i:j]))
+                i = j
+            else:
+                out.append(text[i])
+                i += 1
+        return "".join(out)
+
+    return run
+
+
 class _RulePass:
-    def __init__(self, rules: list[_Rule]):
+    def __init__(self, rules: list[_Rule], flt: "_USet | None" = None):
         self.rules = rules
+        self.flt = flt
 
     def __call__(self, text: str) -> str:
         buf = text
@@ -389,6 +423,12 @@ class _RulePass:
                 if m is None:
                     continue
                 end, key_caps = m
+                if self.flt is not None and any(
+                    not self.flt.match(c) for c in buf[i:end]
+                ):
+                    # global filter: only filtered chars may be MODIFIED
+                    # (contexts may still see unfiltered text)
+                    continue
                 post_caps: list[str] = []
                 if r.post:
                     pm = _match_key(buf, end, r.post)
@@ -596,22 +636,35 @@ class Transliterator:
         variables: dict[str, list] = {}
         self.passes: list = []
         pending: list[_Rule] = []
+        cur_filter: _USet | None = None
 
         def close_rule_pass():
             nonlocal pending
             if pending:
-                self.passes.append(_RulePass(pending))
+                self.passes.append(_RulePass(pending, cur_filter))
                 pending = []
 
         for stmt in _split_statements(rules):
             if stmt.startswith("::"):
-                close_rule_pass()
+                close_rule_pass()  # closes with the filter in effect
                 tid = stmt[2:].strip()
                 if tid.startswith("["):
-                    raise NotImplementedError(
-                        "global '::[filter]' sets are out of scope"
-                    )
-                self.passes.append(_builtin_pass(tid))
+                    # '::[set];' = the global filter for everything that
+                    # follows (ICU puts it first, so it scopes the whole
+                    # transform); '::[set] Id;' = a FILTERED chain step
+                    # (':: [:Greek:] Lower;' lowercases Greek runs only)
+                    flt, j = _parse_uset(tid, 0)
+                    rest_id = tid[j:].strip()
+                    if rest_id:
+                        self.passes.append(
+                            _filtered_builtin(_builtin_pass(rest_id), flt)
+                        )
+                    else:
+                        cur_filter = flt
+                    continue
+                self.passes.append(_filtered_builtin(
+                    _builtin_pass(tid), cur_filter
+                ))
                 continue
             lhs, op, rhs = _split_rule(stmt)
             if op == "=":

@@ -180,7 +180,7 @@ def test_errors():
     with pytest.raises(ValueError):
         compile_transform("$undefined > x ;")
     with pytest.raises(NotImplementedError):
-        compile_transform(":: [a-z] Remove ;")  # global filter set
+        compile_transform(":: [a-z] Remove ;")  # unknown filtered step id
     with pytest.raises(NotImplementedError):
         compile_transform("::NoSuchTransform ;")
     with pytest.raises(ValueError):
@@ -212,3 +212,22 @@ def test_column_udf(spark):
 
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-q"]))
+
+
+def test_global_filter_sets():
+    """'::[set];' global filter: rule replacements only touch in-filter
+    characters (contexts still see everything); builtin steps apply per
+    in-filter run; '::[set] Id;' is a filtered chain step."""
+    t = lambda rules, s: compile_transform(rules)(s)
+    # rule pass under a filter: only a-m chars may change
+    assert t(":: [a-m] ; a > X ;", "aza") == "XzX"
+    # key containing any out-of-filter char never fires
+    assert t(":: [a-m] ; az > Y ;", "az") == "az"
+    # out-of-filter text still serves as context
+    assert t(":: [a-m] ; z { a > Q ;", "za ba") == "zQ ba"
+    # filtered builtin chain step: uppercase only vowels
+    assert t(":: [aeiou] Any-Upper ;", "banana") == "bAnAnA"
+    # bare filter scopes the builtin that FOLLOWS it
+    assert t(":: [b-z] ; ::Any-Upper ;", "abc") == "aBC"
+    # a filter statement closes the pending rule pass with the OLD scope
+    assert t("a > b ; :: [^b] ; b > c ;", "ab") == "bb"
