@@ -815,3 +815,116 @@ def oracle_complex_phrase(
         }
         for i, (s, doc_id) in enumerate(hits[:k])
     ]
+
+
+def _tree_matches_brute(node, pos_by_slot) -> set[tuple[int, int]]:
+    """All (start, end) matches of a slot-level span tree by EXHAUSTIVE
+    enumeration (itertools.product over child matches) — deliberately a
+    different algorithm from the engine's DP combiner (query/spans.py).
+    Semantics: near(dist, ordered) picks one interval per child,
+    pairwise non-overlapping in the (chosen or sorted) order with
+    sum-of-gaps <= dist-1; seq = adjacency (gap 0, ordered)."""
+    import itertools
+
+    kind = node[0]
+    if kind == "slot":
+        return {(p, p + 1) for p in pos_by_slot.get(node[1], ())}
+    if kind == "seq":
+        children, dist, ordered = node[1], 1, True
+    else:
+        _, dist, ordered, children = node
+    child_sets = [sorted(_tree_matches_brute(c, pos_by_slot)) for c in children]
+    out: set[tuple[int, int]] = set()
+    for combo in itertools.product(*child_sets):
+        arr = list(combo) if ordered else sorted(combo)
+        gaps = 0
+        ok = True
+        for (s1, e1), (s2, e2) in zip(arr, arr[1:]):
+            if s2 < e1:
+                ok = False
+                break
+            gaps += s2 - e1
+        if ok and gaps <= dist - 1:
+            out.add((arr[0][0], arr[-1][1]))
+    return out
+
+
+def oracle_span_tree(
+    idx: OracleIndex,
+    slot_tree,
+    slots: list[tuple[str, ...]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> list[dict]:
+    """Control result for SearchEngine.span_tree: tf = the root's span
+    frequency (distinct match starts when the root is ordered or a
+    seq/slot; distinct MINIMAL ends — min end per start, then distinct —
+    when unordered), idf = summed idfs of every slot member, same
+    float32 arithmetic as oracle_search.  ``slots`` carries the
+    already-resolved member term-sets; ``slot_tree`` refers to them by
+    index."""
+    members = [t for s in slots for t in s]
+    if any(
+        not s or any(t not in idx.postings for t in s) for s in slots
+    ):
+        # mirror the engine: slot members absent from the dictionary are
+        # dropped there; here the caller resolves against the same index,
+        # so just drop missing members and fail empty slots
+        slots = [tuple(t for t in s if t in idx.postings) for s in slots]
+        if any(not s for s in slots):
+            return []
+        members = [t for s in slots for t in s]
+    idf_sum = 0.0
+    for t in members:
+        df = len(idx.postings[t])
+        idf_sum += float(
+            np.float32(math.log(1.0 + (idx.n_docs - df + 0.5) / (df + 0.5)))
+        )
+    idf = np.float32(idf_sum)
+    k1f = np.float32(k1)
+    one_minus_b = np.float32(1.0 - b)
+    bf = np.float32(b)
+    avgdlf = np.float32(idx.avgdl)
+    cands: set[int] | None = None
+    for s in slots:
+        docs = set()
+        for t in s:
+            docs.update(idx.postings[t])
+        cands = docs if cands is None else (cands & docs)
+    root_unordered = slot_tree[0] == "near" and not slot_tree[2]
+    hits = []
+    for doc_id in sorted(cands or ()):
+        pos_by_slot = {
+            i: sorted(
+                p
+                for t in s
+                for p in idx.positions[t].get(doc_id, ())
+            )
+            for i, s in enumerate(slots)
+        }
+        m = _tree_matches_brute(slot_tree, pos_by_slot)
+        if root_unordered:
+            emin: dict[int, int] = {}
+            for s, e in m:
+                if s not in emin or e < emin[s]:
+                    emin[s] = e
+            sf = len(set(emin.values()))
+        else:
+            sf = len({s for s, _ in m})
+        if sf == 0:
+            continue
+        dl = np.float32(byte4_to_int(idx.norm_byte[doc_id]))
+        cache = k1f * (one_minus_b + bf * dl / avgdlf)
+        sff = np.float32(sf)
+        hits.append((np.float32(idf * sff / (sff + cache)), doc_id))
+    hits.sort(key=lambda x: (-float(x[0]), x[1]))
+    return [
+        {
+            "rank": i + 1,
+            "doc_id": doc_id,
+            "url": idx.url_by_doc[doc_id],
+            "score": float(s),
+        }
+        for i, (s, doc_id) in enumerate(hits[:k])
+    ]

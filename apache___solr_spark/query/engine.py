@@ -547,6 +547,78 @@ def _phrase_score_fn(
     return run
 
 
+def _span_tree_score_fn(
+    tree,
+    slots: list[tuple[str, ...]],
+    sum_idf: float,
+    k1: float,
+    b: float,
+    avgdl: float,
+    dtype,
+):
+    """mapInPandas fn over (doc_id, norm, plists): nested-span frequency
+    via query/spans.py interval algebra, then BM25 with tf = sf and
+    idf = the summed slot-member idfs.  Root sf = distinct match STARTS
+    when the root is ordered (or a seq/slot); when unordered, distinct
+    MINIMAL ENDS (min end per match start, then distinct) — exactly the
+    flat paths' counting on flat trees (fuzz-verified vs the per-doc
+    bisect matchers), so a degenerate tree scores identically to
+    span_near/complex_phrase."""
+    norm_table = NORM_TABLE.astype(dtype)
+    k1f = dtype(k1)
+    one_minus_b = dtype(1.0 - b)
+    bf = dtype(b)
+    avgdlf = dtype(avgdl)
+    idff = dtype(sum_idf)
+    member_slots: dict[str, list[int]] = {}
+    for i, s in enumerate(slots):
+        for t in s:
+            member_slots.setdefault(t, []).append(i)
+    root_unordered = tree[0] == "near" and not tree[2]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from apache___solr_spark.query.spans import match_intervals
+
+        for pdf in batches:
+            docs: list[int] = []
+            scores: list = []
+            for doc_id, norm, plists in zip(
+                pdf["doc_id"], pdf["norm"], pdf["plists"]
+            ):
+                acc: dict[int, list[int]] = {}
+                for r in plists:
+                    for si in member_slots.get(r["term"], ()):
+                        acc.setdefault(si, []).extend(
+                            int(p) for p in r["positions"]
+                        )
+                pos_by_slot = {i: sorted(v) for i, v in acc.items()}
+                m = match_intervals(tree, pos_by_slot)
+                if root_unordered:
+                    emin: dict[int, int] = {}
+                    for s, e in m:
+                        if s not in emin or e < emin[s]:
+                            emin[s] = e
+                    sf = len(set(emin.values()))
+                else:
+                    sf = len({s for (s, _) in m})
+                if not sf:
+                    continue
+                dl = norm_table[int(norm)]
+                sff = dtype(sf)
+                cache = k1f * (one_minus_b + bf * dl / avgdlf)
+                docs.append(int(doc_id))
+                scores.append(dtype(idff * sff / (sff + cache)))
+            if docs:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.asarray(docs, dtype=np.int64),
+                        "score": np.asarray(scores, dtype=dtype),
+                    }
+                )
+
+    return run
+
+
 class SearchEngine:
     """Query-side handle on a built index directory."""
 
@@ -865,12 +937,16 @@ class SearchEngine:
         salts: list[int] | None = None,
         ordered: bool = True,
         slots: list[tuple[str, ...]] | None = None,
+        tree=None,
     ) -> DataFrame:
         """(doc_id, score) of docs matching the phrase (``slop=0``: exact
         adjacency; ``slop>0``: ordered window; ``ordered=False``:
         unordered minimal-window — see _phrase_score_fn).  ``slots``
         switches to per-position term SETS (complexphrase): the salt/doc
         gates then require >=1 member of EVERY slot instead of every term.
+        ``tree`` (a slot-level span tree, see span_tree/query/spans.py)
+        swaps the final matcher for the nested-interval evaluator; the
+        scan/gate/decode pipeline is shared.
 
         Scale shape: the scan prunes to the phrase terms' buckets AND to the
         salt ranges containing ALL constituent terms (one member per slot in
@@ -953,17 +1029,28 @@ class SearchEngine:
             .select("doc_id", "norm", "plists")
         )
         sum_idf = float(sum(idf_by_term[t] for t in ptoks)) * float(boost)
-        fn = _phrase_score_fn(
-            ptoks,
-            sum_idf,
-            self.cfg.bm25_k1,
-            self.cfg.bm25_b,
-            self.stats["avgdl"],
-            self._dtype,
-            slop=slop,
-            ordered=ordered,
-            slots=slots,
-        )
+        if tree is not None:
+            fn = _span_tree_score_fn(
+                tree,
+                slots,
+                sum_idf,
+                self.cfg.bm25_k1,
+                self.cfg.bm25_b,
+                self.stats["avgdl"],
+                self._dtype,
+            )
+        else:
+            fn = _phrase_score_fn(
+                ptoks,
+                sum_idf,
+                self.cfg.bm25_k1,
+                self.cfg.bm25_b,
+                self.stats["avgdl"],
+                self._dtype,
+                slop=slop,
+                ordered=ordered,
+                slots=slots,
+            )
         return grouped.mapInPandas(fn, schema=f"doc_id long, score {self._sql_t}")
 
     def span_near(
@@ -1277,6 +1364,116 @@ class SearchEngine:
             {"expected": list(payloads), "check_op": op},
         )
 
+    def _resolve_span_operand(
+        self, raw: str, max_expansions: int = 128
+    ) -> list[tuple[str, ...]] | None:
+        """One span operand -> its slot term-sets: a pattern (``jo*``,
+        ``pag?``, ``term~N``) expands against the dictionary into ONE
+        SpanOr slot; a plain token analyzes (multi-token analysis yields
+        consecutive slots).  ``None`` == the operand can never match
+        (empty expansion / analyzes away)."""
+        from apache___solr_spark.query.parser import Clause
+
+        fm = re.fullmatch(r"(.+?)~(\d*)", raw)
+        if "*" in raw or "?" in raw:
+            kind = (
+                "prefix"
+                if raw.endswith("*") and "*" not in raw[:-1] and "?" not in raw
+                else "wildcard"
+            )
+            cl = Clause(occur="SHOULD", kind=kind, value=raw.lower())
+            members = self._expand_clause(cl, max_expansions=max_expansions)
+            return [tuple(sorted(members))] if members else None
+        if fm:
+            cl = Clause(
+                occur="SHOULD",
+                kind="fuzzy",
+                value=fm.group(1).lower(),
+                fuzz=int(fm.group(2) or 2),
+            )
+            members = self._expand_clause(cl, max_expansions=max_expansions)
+            return [tuple(sorted(members))] if members else None
+        toks = self._analyze(raw)
+        return [(t,) for t in toks] if toks else None
+
+    def span_tree(
+        self,
+        spec,
+        k: int = 10,
+        with_url: bool = True,
+        max_expansions: int = 128,
+    ) -> DataFrame:
+        """NESTED span-proximity query — surround's nested distance
+        operators (queryparser/surround/query/DistanceQuery.java trees,
+        ``3W(2N(a, b), c)`` -> SpanNear nesting SpanNear).
+
+        ``spec`` is ``("near", dist, ordered, [children])`` with operand
+        leaves ``("op", raw)``; operands resolve like complexphrase slots
+        (patterns -> SpanOr of dictionary expansions, plain tokens
+        analyze — multi-token analysis becomes an adjacency sequence).
+        Interval semantics live in query/spans.py (shared verbatim with
+        the independent oracle).  Scoring: BM25 with tf = the root's
+        span frequency — distinct match STARTS when the root is ordered,
+        distinct ENDS when unordered, so a tree that is secretly flat
+        scores identically to span_near/complex_phrase — and idf = the
+        summed idfs of every slot member (SpanWeight aggregation).
+
+        Scale shape: identical to the flat path — bucket- and salt-gated
+        scan, one positions decode, per-doc interval algebra inside the
+        Arrow batch (candidates already passed the every-slot gate, so
+        the per-doc Python matcher runs on the tiny qualifying set, like
+        the complexphrase matcher before vectorization).
+        """
+        if not self.sim.supports_phrases:
+            raise NotImplementedError(
+                f"similarity {self.sim.name!r}: span queries need BM25"
+            )
+        schema = f"rank int, doc_id long, url string, score {self._sql_t}"
+        slots: list[tuple[str, ...]] = []
+        unmatchable = False
+
+        def build(node):
+            nonlocal unmatchable
+            if node[0] == "near":
+                _, dist, ordered, children = node
+                return (
+                    "near",
+                    int(dist),
+                    bool(ordered),
+                    [build(c) for c in children],
+                )
+            groups = self._resolve_span_operand(node[1], max_expansions)
+            if not groups:
+                unmatchable = True
+                return ("slot", -1)
+            parts = []
+            for g in groups:
+                slots.append(tuple(g))
+                parts.append(("slot", len(slots) - 1))
+            return parts[0] if len(parts) == 1 else ("seq", parts)
+
+        tree = build(spec)
+        if unmatchable or not slots:
+            return self.spark.createDataFrame([], schema)
+        ptoks = [t for s in slots for t in s]
+        meta = self._term_meta(sorted(set(ptoks)))
+        found = set(meta["term"])
+        slots = [tuple(t for t in s if t in found) for s in slots]
+        if any(not s for s in slots):
+            return self.spark.createDataFrame([], schema)
+        ptoks = [t for s in slots for t in s]
+        n_docs = self.stats["N"]
+        idf_by_term = {
+            r["term"]: float(bm25_idf(n_docs, int(r["df"]), dtype=self._dtype))
+            for _, r in meta.iterrows()
+        }
+        frame = self._phrase_frame(
+            ptoks, idf_by_term, slots=slots, tree=tree
+        )
+        if self.deletes is not None:
+            frame = frame.join(self.deletes, "doc_id", "left_anti")
+        return self._finalize(frame, k, with_url)
+
     def complex_phrase(
         self,
         phrase: str,
@@ -1302,44 +1499,18 @@ class SearchEngine:
         under the query — documented: the expansion cap bounds the sum).
         Returns (rank, doc_id[, url], score).
         """
-        from apache___solr_spark.query.parser import Clause
-
         if not self.sim.supports_phrases:
             raise NotImplementedError(
                 f"similarity {self.sim.name!r}: complex phrases need BM25"
             )
         slots: list[tuple[str, ...]] = []
         for raw in phrase.split():
-            fm = re.fullmatch(r"(.+?)~(\d*)", raw)
-            if "*" in raw or "?" in raw:
-                kind = (
-                    "prefix"
-                    if raw.endswith("*") and "*" not in raw[:-1] and "?" not in raw
-                    else "wildcard"
+            groups = self._resolve_span_operand(raw, max_expansions)
+            if groups is None:
+                return self.spark.createDataFrame(
+                    [], f"rank int, doc_id long, url string, score {self._sql_t}"
                 )
-                cl = Clause(occur="SHOULD", kind=kind, value=raw.lower())
-                members = self._expand_clause(cl, max_expansions=max_expansions)
-                if not members:
-                    return self.spark.createDataFrame(
-                        [], f"rank int, doc_id long, url string, score {self._sql_t}"
-                    )
-                slots.append(tuple(sorted(members)))
-            elif fm:
-                cl = Clause(
-                    occur="SHOULD",
-                    kind="fuzzy",
-                    value=fm.group(1).lower(),
-                    fuzz=int(fm.group(2) or 2),
-                )
-                members = self._expand_clause(cl, max_expansions=max_expansions)
-                if not members:
-                    return self.spark.createDataFrame(
-                        [], f"rank int, doc_id long, url string, score {self._sql_t}"
-                    )
-                slots.append(tuple(sorted(members)))
-            else:
-                for t in self._analyze(raw):
-                    slots.append((t,))
+            slots.extend(groups)
         schema = f"rank int, doc_id long, url string, score {self._sql_t}"
         if not slots:
             return self.spark.createDataFrame([], schema)

@@ -287,6 +287,47 @@ def _edismax_tree(engine, rest: str, params: dict[str, str]) -> BoolQuery:
 
 
 _SURROUND_RE = re.compile(r"^(\d*)([wn])\((.+)\)$", re.IGNORECASE)
+_SURROUND_OPEN = re.compile(r"^(\d*)([wn])\(", re.IGNORECASE)
+
+
+def _parse_surround_expr(s: str):
+    """Recursive surround prefix grammar: ``expr := <n>[WN] '(' expr
+    (',' expr)* ')' | operand`` — returns ``("near", dist, ordered,
+    [children])`` / ``("op", raw)``."""
+    s = s.strip()
+    m = _SURROUND_OPEN.match(s)
+    if m and s.endswith(")"):
+        inner = s[m.end() : -1]
+        parts: list[str] = []
+        depth = 0
+        cur: list[str] = []
+        for ch in inner:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth < 0:
+                    raise NotImplementedError(
+                        f"surround: unbalanced parens in {s!r}"
+                    )
+            if ch == "," and depth == 0:
+                parts.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        if depth != 0:
+            raise NotImplementedError(f"surround: unbalanced parens in {s!r}")
+        parts.append("".join(cur))
+        children = [_parse_surround_expr(p) for p in parts]
+        if any(not (c[0] == "near" or c[1]) for c in children):
+            raise NotImplementedError(f"surround: empty operand in {s!r}")
+        return ("near", int(m.group(1) or 1), m.group(2).lower() == "w", children)
+    if re.fullmatch(r"[^\s(),\"]+", s):
+        return ("op", s)
+    raise NotImplementedError(
+        "surround: only prefix nW(...)/nN(...) trees, uniform infix "
+        f"chains, and bare terms are supported, got {s!r}"
+    )
 # infix chain: operand (op operand)+, e.g. "a 3w b", "a w b w c"
 _SURROUND_INFIX_RE = re.compile(
     r"^(\S+)(\s+\d*[wn]\s+\S+)+$", re.IGNORECASE
@@ -303,20 +344,27 @@ def _surround_query(engine, rest: str, k: int = 10, **kw) -> DataFrame:
     truncated/wildcard terms (``app*``, ``pag?`` — surround's truncation
     inside spans, SrndTruncQuery: each pattern slot rewrites to the
     SpanOr of its dictionary expansions via the complexphrase machinery).
-    Infix forms parse too — ``a 3W b`` and uniform-operator chains
-    ``a W b W c`` (the grammar's left-associative chain of ONE operator;
-    mixed operators or distances in a chain raise).  A bare operand is
-    SrndTermQuery/SrndTruncQuery: it lowers to the classic term/prefix
-    query.  Nested operators raise, inventoried.  Lowers to
+    NESTED operators parse recursively — ``3W(2N(a, b), c)`` lowers to
+    SearchEngine.span_tree (SpanNear nesting SpanNear, interval algebra
+    in query/spans.py).  Infix forms parse too — ``a 3W b`` and
+    uniform-operator chains ``a W b W c`` (the grammar's
+    left-associative chain of ONE operator; mixed operators or distances
+    in a chain raise).  A bare operand is SrndTermQuery/SrndTruncQuery:
+    it lowers to the classic term/prefix query.  Flat operators lower to
     SearchEngine.span_near / complex_phrase, the
     SpanNearQuery(slop=n-1, inOrder) analogs.
     """
     rest = rest.strip()
-    m = _SURROUND_RE.match(rest)
-    if m:
-        dist = int(m.group(1) or 1)
-        ordered = m.group(2).lower() == "w"
-        words = [w.strip() for w in m.group(3).split(",")]
+    if _SURROUND_OPEN.match(rest) and rest.endswith(")"):
+        spec = _parse_surround_expr(rest)
+        if all(c[0] == "op" for c in spec[3]):
+            # flat operator: the vectorized span_near / complexphrase
+            # paths (and their flat counting semantics) still apply
+            dist, ordered = spec[1], spec[2]
+            words = [c[1] for c in spec[3]]
+        else:
+            # genuinely nested: the span-tree interval evaluator
+            return engine.span_tree(spec, k=k, **kw)
     elif _SURROUND_INFIX_RE.match(rest) and "(" not in rest:
         ops = [
             (int(g1 or 1), g2.lower())

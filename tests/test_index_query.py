@@ -1069,9 +1069,9 @@ def test_span_near_matches_oracle(spark, built, oracle_idx):
         for r in eng.complex_phrase("web pag*", slop=1, ordered=True, k=400).collect()
     }
     assert concrete <= wide
-    # nested operators still raise
+    # malformed nesting still raises
     with pytest.raises(NotImplementedError):
-        dispatch_query(eng, "{!surround}3W(2N(a, b), c)", k=5)
+        dispatch_query(eng, "{!surround}3W(2N(a, b, c)", k=5)  # unbalanced
 
     # infix forms: "a nW b" == nW(a, b); uniform chains n-ary; bare
     # operand lowers to the classic term/prefix query
@@ -2821,3 +2821,97 @@ def test_json_facet_request(spark, corpus, built):
         key=lambda x: (-x[1], x[0]),
     )[:5]
     assert got == want and len(got) == 5
+
+
+def test_nested_span_tree_matches_oracle(spark, built, oracle_idx):
+    """Nested surround operators — SpanNear nesting SpanNear — vs the
+    independent exhaustive-enumeration oracle (oracle_span_tree uses
+    itertools.product; the engine a DP combiner).  Also: a degenerate
+    flat tree scores identically to span_near, and nesting with a wide
+    budget relaxes to the flat doc set."""
+    from apache___solr_spark.oracle import oracle_span_tree
+    from apache___solr_spark.query.localparams import dispatch_query
+
+    eng = SearchEngine(spark, built, cfg=CFG)
+
+    def run(q, k=25):
+        return [
+            (r["rank"], r["doc_id"], round(r["score"], 5))
+            for r in dispatch_query(eng, "{!surround}" + q, k=k).collect()
+        ]
+
+    def want(slot_tree, slots, k=25):
+        return [
+            (h["rank"], h["doc_id"], round(h["score"], 5))
+            for h in oracle_span_tree(oracle_idx, slot_tree, slots, k=k)
+        ]
+
+    cases = [
+        (
+            "6W(web, 4N(page, data))",
+            ("near", 6, True, [
+                ("slot", 0),
+                ("near", 4, False, [("slot", 1), ("slot", 2)]),
+            ]),
+            [("web",), ("page",), ("data",)],
+        ),
+        (
+            "8N(3W(web, page), data)",
+            ("near", 8, False, [
+                ("near", 3, True, [("slot", 0), ("slot", 1)]),
+                ("slot", 2),
+            ]),
+            [("web",), ("page",), ("data",)],
+        ),
+        (
+            # depth 3: near inside near inside near
+            "10N(6W(web, 4N(page, data)), aaa)",
+            ("near", 10, False, [
+                ("near", 6, True, [
+                    ("slot", 0),
+                    ("near", 4, False, [("slot", 1), ("slot", 2)]),
+                ]),
+                ("slot", 3),
+            ]),
+            [("web",), ("page",), ("data",), ("aaa",)],
+        ),
+    ]
+    for q, slot_tree, slots in cases:
+        got = run(q)
+        expect = want(slot_tree, slots)
+        assert got == expect, q
+        assert expect, q  # non-vacuous: every case matches something
+
+    # a truncation inside a NESTED operator goes through the same path
+    got = run("6W(web, 4N(pag*, data))")
+    exp_terms = tuple(sorted(
+        t for t in oracle_idx.postings if t.startswith("pag")
+    ))
+    expect = want(
+        ("near", 6, True, [
+            ("slot", 0),
+            ("near", 4, False, [("slot", 1), ("slot", 2)]),
+        ]),
+        [("web",), exp_terms, ("data",)],
+    )
+    assert got == expect and expect
+
+    # degenerate flat tree == span_near exactly (scores included)
+    via_tree = [
+        (r["doc_id"], round(r["score"], 5))
+        for r in eng.span_tree(
+            ("near", 4, False, [("op", "web"), ("op", "data")]), k=50
+        ).collect()
+    ]
+    flat = [
+        (r["doc_id"], round(r["score"], 5))
+        for r in eng.span_near(["web", "data"], dist=4, ordered=False, k=50).collect()
+    ]
+    assert via_tree == flat and flat
+
+    # widening the outer budget only grows the doc set
+    tight = {r["doc_id"] for r in dispatch_query(
+        eng, "{!surround}2W(web, 4N(page, data))", k=400).collect()}
+    wide = {r["doc_id"] for r in dispatch_query(
+        eng, "{!surround}9W(web, 4N(page, data))", k=400).collect()}
+    assert tight <= wide and wide
