@@ -467,16 +467,27 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
     return s, rate
 
 
+def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
+    """Audio bytes -> (float32 mono samples, sample_rate), dispatching on
+    magic: RIFF/WAVE (stdlib) or fLaC (pipeline/flac.py, own decoder)."""
+    head = bytes(content[:4])
+    if head == b"fLaC":
+        from apache___solr_spark.pipeline.flac import flac_to_float_mono
+
+        return flac_to_float_mono(content)
+    return decode_wav(content)
+
+
 def extract_audio_features(df: DataFrame) -> DataFrame:
-    """binary WAV column -> per-clip acoustic features: duration, RMS
-    energy, zero-crossing rate, and FFT spectral centroid — the numpy
-    feature set a training-data audio-quality filter needs."""
+    """binary WAV/FLAC column -> per-clip acoustic features: duration,
+    RMS energy, zero-crossing rate, and FFT spectral centroid — the
+    numpy feature set a training-data audio-quality filter needs."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                s, rate = decode_wav(content)
+                s, rate = decode_audio(content)
                 n = len(s)
                 if n == 0:
                     rows.append((mid, rate, 0, 0.0, 0.0, 0.0, 0.0))
