@@ -7,10 +7,12 @@ indexes the extracted text).  Tika is a JVM dependency we don't ship;
 this module implements the honest subset pure-Python: PDFs whose page
 content streams are raw or FlateDecode (zlib), with text drawn through
 the standard `Tj` / `TJ` / `'` / `"` show operators using simple
-(byte-mapped) fonts.  Image-only pages contribute nothing; encrypted
-documents and exotic filters (DCT, JBIG2, LZW, CID-keyed composite
-fonts) raise `NotImplementedError` honestly rather than emitting
-garbage.
+(byte-mapped) fonts.  RC4-encrypted documents (the PDF standard
+security handler, /V 1-2 /R 2-3) decrypt when the user password is
+empty — the common "owner-locked" web PDF; the /U entry is verified
+first, so a real user password (or AES /V 4+) raises
+`NotImplementedError` honestly, as do exotic filters (DCT, JBIG2, LZW,
+CID-keyed composite fonts), rather than emitting garbage.
 
 Everything here is driver-/executor-side plain Python over bytes —
 stdlib ``zlib`` + ``re`` only — invoked per file from an Arrow-batched
@@ -20,12 +22,16 @@ parallelism is the file, the same shape as the JavaBin/CBOR loaders.
 
 from __future__ import annotations
 
+import hashlib
 import re
+import struct
 import zlib
 
 __all__ = ["extract_pdf_text", "extract_pdf_pages"]
 
-_STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream(?:\r\n|\n)", re.S)
+_STREAM_RE = re.compile(
+    rb"(?:(\d+)\s+(\d+)\s+obj\s*)?<<(.*?)>>\s*stream(?:\r\n|\n)", re.S
+)
 _UNSUPPORTED_FILTERS = (
     b"/DCTDecode",
     b"/JPXDecode",
@@ -161,7 +167,8 @@ def _extract_stream_text(content: bytes) -> str:
 
 
 def _iter_streams(data: bytes):
-    """Yield (dict_bytes, raw_stream_bytes) for every stream object."""
+    """Yield (obj_num, gen_num, dict_bytes, raw_stream_bytes) for every
+    stream object (obj/gen None when the object wrapper isn't visible)."""
     for m in _STREAM_RE.finditer(data):
         body_start = m.end()
         end = data.find(b"endstream", body_start)
@@ -173,7 +180,124 @@ def _iter_streams(data: bytes):
             raw = raw[:-2]
         elif raw.endswith(b"\n") or raw.endswith(b"\r"):
             raw = raw[:-1]
-        yield m.group(1), raw
+        num = int(m.group(1)) if m.group(1) else None
+        gen = int(m.group(2)) if m.group(2) else None
+        yield num, gen, m.group(3), raw
+
+
+# -- RC4 standard security handler (PDF 32000-1 §7.6.3, /V 1-2 /R 2-3) ------
+
+_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    S = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + S[i] + key[i % len(key)]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, b in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[n] = b ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+def _pdf_string_entry(dct: bytes, name: bytes) -> bytes | None:
+    """Value of ``/name (...)`` or ``/name <hex>`` in a dict body."""
+    m = re.search(name + rb"\s*\(((?:\\.|[^()\\])*)\)", dct, re.S)
+    if m:
+        return _decode_literal(m.group(1))
+    m = re.search(name + rb"\s*<([0-9A-Fa-f\s]*)>", dct, re.S)
+    if m:
+        h = re.sub(rb"\s", b"", m.group(1))
+        return bytes.fromhex(h.decode("ascii"))
+    return None
+
+
+def _parse_encryption(data: bytes):
+    """Parse the /Encrypt dictionary; returns the 40-128 bit file key for
+    an EMPTY user password, or raises NotImplementedError for AES or a
+    real password."""
+    em = re.search(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R", data)
+    if not em:
+        raise NotImplementedError("encrypted PDF with inline /Encrypt dict")
+    num, gen = int(em.group(1)), int(em.group(2))
+    om = re.search(
+        rb"(?<![0-9])" + str(num).encode() + rb"\s+" + str(gen).encode()
+        + rb"\s+obj\s*<<(.*?)>>",
+        data,
+        re.S,
+    )
+    if not om:
+        raise NotImplementedError("encrypted PDF: /Encrypt object not found")
+    enc = om.group(1)
+    v = int(re.search(rb"/V\s+(\d+)", enc).group(1)) if re.search(rb"/V\s+(\d+)", enc) else 0
+    r = int(re.search(rb"/R\s+(\d+)", enc).group(1)) if re.search(rb"/R\s+(\d+)", enc) else 2
+    if v not in (1, 2) or r not in (2, 3):
+        raise NotImplementedError(
+            f"encrypted PDF: only RC4 /V 1-2 /R 2-3 supported (V={v} R={r})"
+        )
+    lm = re.search(rb"/Length\s+(\d+)", enc)
+    nbytes = (int(lm.group(1)) // 8) if lm else 5
+    if r == 2:
+        nbytes = 5
+    o_entry = _pdf_string_entry(enc, rb"/O")
+    u_entry = _pdf_string_entry(enc, rb"/U")
+    pm = re.search(rb"/P\s+(-?\d+)", enc)
+    if o_entry is None or u_entry is None or pm is None:
+        raise NotImplementedError("encrypted PDF: incomplete /Encrypt dict")
+    p = int(pm.group(1))
+    # first file-identifier string from the trailer /ID array
+    idm = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>", data)
+    if idm:
+        id0 = bytes.fromhex(
+            re.sub(rb"\s", b"", idm.group(1)).decode("ascii")
+        )
+    else:
+        idm = re.search(rb"/ID\s*\[\s*\(((?:\\.|[^()\\])*)\)", data, re.S)
+        id0 = _decode_literal(idm.group(1)) if idm else b""
+    # Algorithm 2 with the empty user password
+    h = hashlib.md5(
+        _PAD + o_entry[:32] + struct.pack("<i", p) + id0
+    ).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:nbytes]).digest()
+    key = h[:nbytes]
+    # Algorithm 6: verify /U so a REAL user password raises instead of
+    # silently decoding garbage
+    if r == 2:
+        ok = _rc4(key, _PAD) == u_entry[:32]
+    else:
+        u = _rc4(key, hashlib.md5(_PAD + id0).digest())
+        for i in range(1, 20):
+            u = _rc4(bytes(b ^ i for b in key), u)
+        ok = u == u_entry[:16]
+    if not ok:
+        raise NotImplementedError(
+            "encrypted PDF: non-empty user password required"
+        )
+    return key
+
+
+def _object_key(file_key: bytes, num: int, gen: int) -> bytes:
+    h = hashlib.md5(
+        file_key
+        + struct.pack("<I", num)[:3]
+        + struct.pack("<I", gen)[:2]
+    ).digest()
+    return h[: min(len(file_key) + 5, 16)]
 
 
 def extract_pdf_pages(data: bytes) -> list[str]:
@@ -184,10 +308,17 @@ def extract_pdf_pages(data: bytes) -> list[str]:
     data = bytes(data)
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF stream")
-    if re.search(rb"/Encrypt\b", data):
-        raise NotImplementedError("encrypted PDF — decryption not supported")
+    file_key = (
+        _parse_encryption(data) if re.search(rb"/Encrypt\b", data) else None
+    )
     out: list[str] = []
-    for dct, raw in _iter_streams(data):
+    for num, gen, dct, raw in _iter_streams(data):
+        if file_key is not None:
+            if num is None:
+                raise NotImplementedError(
+                    "encrypted PDF: stream without an object wrapper"
+                )
+            raw = _rc4(_object_key(file_key, num, gen or 0), raw)
         if b"/FlateDecode" in dct:
             try:
                 content = zlib.decompress(raw)

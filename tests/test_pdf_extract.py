@@ -120,11 +120,112 @@ def test_non_pdf_raises():
         extract_pdf_text(b"GIF89a...")
 
 
-def test_encrypted_raises():
-    pdf = make_pdf([SIMPLE])
-    pdf = pdf.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R")
-    with pytest.raises(NotImplementedError, match="encrypted"):
-        extract_pdf_text(pdf)
+def _encrypt_pdf(pdf: bytes, r: int = 3, owner_pwd: bytes = b"owner") -> bytes:
+    """RC4 standard-security encrypt (PDF spec algorithms 2/3/4/5) with an
+    EMPTY user password — an independent implementation of the spec, so
+    the extractor's decryption is tested against the format."""
+    import hashlib
+    import re as _re
+    import struct
+
+    from apache___solr_spark.sources.pdf_extract import _PAD, _rc4
+
+    nbytes = 5 if r == 2 else 16
+    p = -4  # modify-restricted, the common owner-locked flag word shape
+    id0 = hashlib.md5(pdf).digest()
+
+    def pad(pw: bytes) -> bytes:
+        return (pw + _PAD)[:32]
+
+    # Algorithm 3: the /O entry
+    h = hashlib.md5(pad(owner_pwd)).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    okey = h[:nbytes]
+    o = _rc4(okey, pad(b""))
+    if r >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in okey), o)
+    # Algorithm 2: the file key (empty user password)
+    h = hashlib.md5(pad(b"") + o + struct.pack("<i", p) + id0).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:nbytes]).digest()
+    key = h[:nbytes]
+    # Algorithms 4/5: the /U entry
+    if r == 2:
+        u = _rc4(key, _PAD)
+    else:
+        u = _rc4(key, hashlib.md5(_PAD + id0).digest())
+        for i in range(1, 20):
+            u = _rc4(bytes(b ^ i for b in key), u)
+        u = u + b"\x00" * 16
+    # encrypt every stream body with its per-object key
+    out = bytearray()
+    pos = 0
+    stream_re = _re.compile(
+        rb"(\d+)\s+(\d+)\s+obj\s*<<.*?>>\s*stream\n", _re.S
+    )
+    for m in stream_re.finditer(pdf):
+        body_start = m.end()
+        end = pdf.find(b"\nendstream", body_start)
+        num, gen = int(m.group(1)), int(m.group(2))
+        okey2 = hashlib.md5(
+            key + struct.pack("<I", num)[:3] + struct.pack("<I", gen)[:2]
+        ).digest()[: min(nbytes + 5, 16)]
+        out += pdf[pos:body_start]
+        out += _rc4(okey2, pdf[body_start:end])
+        pos = end
+    out += pdf[pos:]
+    n_obj = max(
+        int(m.group(1)) for m in _re.finditer(rb"(\d+)\s+\d+\s+obj", pdf)
+    )
+    enc_num = n_obj + 1
+    v = 1 if r == 2 else 2
+    enc_obj = (
+        f"{enc_num} 0 obj\n<< /Filter /Standard /V {v} /R {r} "
+        f"/Length {nbytes * 8} /P {p} /O <{o.hex()}> /U <{u.hex()}> >>\n"
+        f"endobj\n"
+    ).encode()
+    out = bytes(out).replace(b"xref\n", enc_obj + b"xref\n", 1)
+    return out.replace(
+        b"/Root 1 0 R",
+        f"/Root 1 0 R /Encrypt {enc_num} 0 R /ID [<{id0.hex()}> <{id0.hex()}>]".encode(),
+        1,
+    )
+
+
+@pytest.mark.parametrize("r", [2, 3])
+@pytest.mark.parametrize("compress", [False, True])
+def test_rc4_encrypted_pdf_decrypts(r, compress):
+    """Owner-locked (empty user password) RC4 PDFs decrypt and extract
+    the same text as their plaintext twins — R=2 (40-bit) and R=3
+    (128-bit), raw and Flate streams."""
+    plain = make_pdf([SIMPLE], compress=compress)
+    enc = _encrypt_pdf(plain, r=r)
+    assert extract_pdf_text(enc) == extract_pdf_text(plain) == "Hello world"
+
+
+def test_encrypted_with_user_password_raises():
+    plain = make_pdf([SIMPLE])
+    enc = _encrypt_pdf(plain, r=3)
+    # corrupt /U so the empty-password check fails -> must raise, never
+    # emit garbage
+    import re as _re
+
+    m = _re.search(rb"/U <([0-9a-f]+)>", enc)
+    bad = enc.replace(m.group(1), m.group(1)[::-1], 1)
+    with pytest.raises(NotImplementedError, match="password"):
+        extract_pdf_text(bad)
+
+
+def test_aes_encrypted_raises():
+    plain = make_pdf([SIMPLE])
+    enc = _encrypt_pdf(plain, r=3)
+    bad = enc.replace(b"/V 2 /R 3", b"/V 4 /R 4", 1)
+    with pytest.raises(NotImplementedError, match="V 1-2"):
+        extract_pdf_text(bad)
 
 
 def test_image_stream_skipped():
