@@ -63,6 +63,7 @@ HEADLINE = [
     "features_igain",
     "classify_logit",
     "span_near_unordered",
+    "span_nested",
     "fq_search",
     "sorted_search",
     "collapse_fq",
@@ -75,6 +76,18 @@ HEADLINE = [
     "bpe_token_count",
     "extract_main_content",
 ]
+
+
+def _q_span_nested(spark, sf_dir):
+    """Nested surround distance operators (SpanNear nesting SpanNear):
+    the span-tree interval evaluator over the shared gated scan."""
+    import __spark_entry__ as em
+    from apache___solr_spark.query.localparams import dispatch_query
+
+    eng = em._simple_engine(spark, sf_dir)
+    return dispatch_query(
+        eng, "{!surround}8W(table, 6N(filter, merge))", k=50
+    )
 
 
 def _q_extract_main_content(spark, sf_dir):
@@ -380,6 +393,7 @@ def main() -> None:
         "pack_sequences": _q_pack_sequences,
         "bpe_token_count": _q_bpe_token_count,
         "extract_main_content": _q_extract_main_content,
+        "span_nested": _q_span_nested,
     }
     qs = {**fallbacks, **entrymod.queries()}
     # best-of-2 per query: this host is shared and noisy (the scaling bench
