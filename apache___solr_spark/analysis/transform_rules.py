@@ -40,10 +40,12 @@ GLOBAL FILTER for what follows (ICU places it first, scoping the whole
 transform): rule replacements may only modify in-filter characters
 (contexts still see everything), and builtin chain steps apply per
 maximal in-filter run; ``::[set] Id;`` is a filtered chain step
-(``:: [:Lu:] Any-Lower ;``).  Out of scope (raise, never
-mis-transform): reverse-direction application (``<`` rules are
-accepted in the source but skipped forward, like ICU's forward
-compile).
+(``:: [:Lu:] Any-Lower ;``).  ``compile_transform(rules, "reverse")``
+compiles the REVERSE reading: statements in reverse order, ``<``/``<>``
+rules replacing rhs with the lhs key under the rhs's contexts, chain
+steps inverted (Lower↔Upper, NFC↔NFD, NFKC↔NFKD); chain ids without a
+registered inverse, and global filters under reverse, raise — never
+mis-transform.
 """
 
 from __future__ import annotations
@@ -564,8 +566,8 @@ def _split_rule(stmt: str) -> tuple[str, str, str]:
     raise ValueError(f"statement without '>', '<' or '=': {stmt!r}")
 
 
-def _parse_contexted(side: str, variables: dict):
-    """Parse ``pre { key } post`` (both braces optional) into atom lists."""
+def _split_contexts(side: str) -> tuple[str, str, str]:
+    """``pre { key } post`` (both braces optional) -> source substrings."""
     pre_src = key_src = post_src = ""
     b1 = _find_top(side, "{")
     b2 = _find_top(side, "}")
@@ -577,6 +579,12 @@ def _parse_contexted(side: str, variables: dict):
         key_src, post_src = side[:b2], side[b2 + 1 :]
     else:
         key_src = side
+    return pre_src, key_src, post_src
+
+
+def _parse_contexted(side: str, variables: dict):
+    """Parse ``pre { key } post`` (both braces optional) into atom lists."""
+    pre_src, key_src, post_src = _split_contexts(side)
     pre = _tokenize_side(pre_src, variables, output=False)
     key = _tokenize_side(key_src, variables, output=False)
     post = _tokenize_side(post_src, variables, output=False)
@@ -628,11 +636,81 @@ def _find_top(src: str, target: str) -> int | None:
     return None
 
 
-class Transliterator:
-    """Compiled transform: a sequence of passes applied left to right."""
+def _build_rule(src_side: str, out_src: str, variables: dict) -> _Rule:
+    """Compile one rule from its source side (``pre { key } post``) and
+    output side into a _Rule (shared by forward and reverse compiles)."""
+    pre, key, post, per_side = _parse_contexted(src_side, variables)
+    # ICU numbers segments by '(' order across the WHOLE rule:
+    # pre-context captures first, then key, then post-context
+    nsegs = sum(per_side)
+    out_atoms = _tokenize_side(out_src, variables, output=True)
+    cursor = None
+    parts: list[str | int] = []
+    for a in out_atoms:
+        if a is _CURSOR:
+            if cursor is not None:
+                raise ValueError("two '|' cursors in one rule")
+            cursor = len(parts)
+            continue
+        if isinstance(a, _BackRef):
+            if a.n > nsegs:
+                raise ValueError(
+                    f"${a.n} but the rule has only {nsegs} segment(s)"
+                )
+            parts.append(a.n - 1)
+            continue
+        if isinstance(a, _FnCall):
+            inner: list[str | int] = []
+            for x in a.parts:
+                if isinstance(x, _BackRef):
+                    if x.n > nsegs:
+                        raise ValueError(
+                            f"${x.n} but the rule has only "
+                            f"{nsegs} segment(s)"
+                        )
+                    inner.append(x.n - 1)
+                else:
+                    inner.append(x)
+            parts.append(_FnCall(a.fn, tuple(inner)))
+            continue
+        if not isinstance(a, str):
+            raise ValueError(
+                "replacement must be literal text / back-references"
+            )
+        parts.append(a)
+    return _Rule(pre, key, post, tuple(parts), cursor)
 
-    def __init__(self, rules: str):
+
+_BUILTIN_INVERSES = {
+    "lower": "upper", "upper": "lower",
+    "any-lower": "upper", "any-upper": "lower",
+    "nfc": "nfd", "nfd": "nfc", "nfkc": "nfkd", "nfkd": "nfkc",
+    "any-nfc": "any-nfd", "any-nfd": "any-nfc",
+    "any-nfkc": "any-nfkd", "any-nfkd": "any-nfkc",
+    "null": "null",
+}
+
+
+class Transliterator:
+    """Compiled transform: a sequence of passes applied left to right.
+
+    ``direction="reverse"`` compiles the rule set's REVERSE reading
+    (Transliterator.createFromRules REVERSE): statements run in reverse
+    order; ``a <> b`` / ``a < b`` rules replace ``b`` with ``a`` using
+    the RIGHT side's contexts (the left side's contexts are
+    forward-only, its key region is the reverse output); ``a > b``
+    forward-only rules are skipped; ``::id;`` chain steps invert
+    (Any-Lower↔Any-Upper, NFC↔NFD, NFKC↔NFKD, Null) — table transforms
+    without a registered inverse, and global filters (whose scope is
+    inherently forward-directional), raise.  Variable definitions are
+    collected first (last definition wins — documented divergence from
+    forward's sequential redefinition)."""
+
+    def __init__(self, rules: str, direction: str = "forward"):
+        if direction not in ("forward", "reverse"):
+            raise ValueError(f"direction must be forward|reverse: {direction}")
         self.rules = rules
+        self.direction = direction
         variables: dict[str, list] = {}
         self.passes: list = []
         pending: list[_Rule] = []
@@ -644,7 +722,52 @@ class Transliterator:
                 self.passes.append(_RulePass(pending, cur_filter))
                 pending = []
 
-        for stmt in _split_statements(rules):
+        stmts = _split_statements(rules)
+        if direction == "reverse":
+            # variables are global in the reverse reading: collect every
+            # definition first (last wins), then process statements in
+            # reverse order
+            for stmt in stmts:
+                if stmt.startswith("::"):
+                    continue
+                lhs, op, rhs = _split_rule(stmt)
+                if op == "=":
+                    name = lhs.strip()
+                    if not re.fullmatch(r"\$[A-Za-z_][A-Za-z0-9_]*", name):
+                        raise ValueError(f"bad variable name {name!r}")
+                    variables[name[1:]] = _tokenize_side(
+                        rhs, variables, output=False
+                    )
+            for stmt in reversed(stmts):
+                if stmt.startswith("::"):
+                    close_rule_pass()
+                    tid = stmt[2:].strip()
+                    if tid.startswith("["):
+                        raise NotImplementedError(
+                            "reverse compile: global filters are "
+                            "forward-directional"
+                        )
+                    inv = _BUILTIN_INVERSES.get(tid.lower())
+                    if inv is None:
+                        raise NotImplementedError(
+                            f"'::{tid};' has no registered inverse"
+                        )
+                    self.passes.append(_builtin_pass(inv))
+                    continue
+                lhs, op, rhs = _split_rule(stmt)
+                if op in ("=", ">"):
+                    continue  # definitions collected; forward-only skipped
+                # 'a < b' / 'a <> b': reverse replaces b with a, using the
+                # RIGHT side's contexts; the LEFT side's contexts are
+                # forward-only and its key region is the reverse output
+                _, out_src, _ = _split_contexts(lhs)
+                pending.append(_build_rule(rhs, out_src, variables))
+            close_rule_pass()
+            if not self.passes:
+                raise ValueError("empty transform rule set (reverse)")
+            return
+
+        for stmt in stmts:
             if stmt.startswith("::"):
                 close_rule_pass()  # closes with the filter in effect
                 tid = stmt[2:].strip()
@@ -678,46 +801,7 @@ class Transliterator:
             if op == "<":  # reverse-only rule: skipped when running forward
                 continue
             # '<>' runs its forward half here, same as '>'
-            pre, key, post, per_side = _parse_contexted(lhs, variables)
-            # ICU numbers segments by '(' order across the WHOLE rule:
-            # pre-context captures first, then key, then post-context
-            nsegs = sum(per_side)
-            out_atoms = _tokenize_side(rhs, variables, output=True)
-            cursor = None
-            parts: list[str | int] = []
-            for a in out_atoms:
-                if a is _CURSOR:
-                    if cursor is not None:
-                        raise ValueError("two '|' cursors in one rule")
-                    cursor = len(parts)
-                    continue
-                if isinstance(a, _BackRef):
-                    if a.n > nsegs:
-                        raise ValueError(
-                            f"${a.n} but the rule has only {nsegs} segment(s)"
-                        )
-                    parts.append(a.n - 1)
-                    continue
-                if isinstance(a, _FnCall):
-                    inner: list[str | int] = []
-                    for x in a.parts:
-                        if isinstance(x, _BackRef):
-                            if x.n > nsegs:
-                                raise ValueError(
-                                    f"${x.n} but the rule has only "
-                                    f"{nsegs} segment(s)"
-                                )
-                            inner.append(x.n - 1)
-                        else:
-                            inner.append(x)
-                    parts.append(_FnCall(a.fn, tuple(inner)))
-                    continue
-                if not isinstance(a, str):
-                    raise ValueError(
-                        "replacement must be literal text / back-references"
-                    )
-                parts.append(a)
-            pending.append(_Rule(pre, key, post, tuple(parts), cursor))
+            pending.append(_build_rule(lhs, rhs, variables))
         close_rule_pass()
         if not self.passes:
             raise ValueError("empty transform rule set")
@@ -731,8 +815,10 @@ class Transliterator:
 
 
 @lru_cache(maxsize=64)
-def compile_transform(rules: str) -> Transliterator:
-    return Transliterator(rules)
+def compile_transform(
+    rules: str, direction: str = "forward"
+) -> Transliterator:
+    return Transliterator(rules, direction=direction)
 
 
 def icu_transform_rules(token: str, rules: str) -> str:

@@ -231,3 +231,34 @@ def test_global_filter_sets():
     assert t(":: [b-z] ; ::Any-Upper ;", "abc") == "aBC"
     # a filter statement closes the pending rule pass with the OLD scope
     assert t("a > b ; :: [^b] ; b > c ;", "ab") == "bb"
+
+
+def test_reverse_direction():
+    """compile_transform(rules, 'reverse'): '<>' rules run right-to-left
+    with rhs contexts, '<' reverse-only rules activate, '>' rules are
+    skipped, chain steps invert and run in reverse statement order."""
+    rev = lambda rules, s: compile_transform(rules, "reverse")(s)
+    # bidirectional pair runs backwards
+    assert rev("a <> b ;", "ab") == "aa"
+    # reverse-only rule activates; forward-only skipped
+    assert rev("x < y ; p > q ;", "yp") == "xp"
+    # rhs contexts gate the reverse match: only 'b' after 'c' maps back
+    assert rev("a <> c { b ;", "cb ab") == "ca ab"
+    # lhs context is forward-only: its key region is the reverse output
+    assert rev("z { a } w <> b ;", "b") == "a"
+    # chain steps invert and reverse order: forward lower-then-rule
+    # becomes reverse rule-then-upper
+    assert rev("::Any-Lower ; B <> q ;", "q") == "B"
+    # segments on the rhs capture for the reverse output
+    assert rev("$1 '-' <> ([xy]) z ;", "xz yz") == "x- y-"
+    # no inverse for table transforms; filters are forward-directional
+    with pytest.raises(NotImplementedError):
+        compile_transform("::Cyrillic-Latin ;", "reverse")
+    with pytest.raises(NotImplementedError):
+        compile_transform(":: [a-z] ; a <> b ;", "reverse")
+    # round-trip property on a bijective pair set
+    rules = "a <> '1' ; b <> '2' ; c <> '3' ;"
+    fwd = compile_transform(rules)
+    bwd = compile_transform(rules, "reverse")
+    for s in ("abc", "cab", "bbb"):
+        assert bwd(fwd(s)) == s
