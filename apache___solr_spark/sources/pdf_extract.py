@@ -7,12 +7,13 @@ indexes the extracted text).  Tika is a JVM dependency we don't ship;
 this module implements the honest subset pure-Python: PDFs whose page
 content streams are raw or FlateDecode (zlib), with text drawn through
 the standard `Tj` / `TJ` / `'` / `"` show operators using simple
-(byte-mapped) fonts.  RC4-encrypted documents (the PDF standard
-security handler, /V 1-2 /R 2-3) decrypt when the user password is
-empty — the common "owner-locked" web PDF; the /U entry is verified
-first, so a real user password (or AES /V 4+) raises
-`NotImplementedError` honestly, as do exotic filters (DCT, JBIG2, LZW,
-CID-keyed composite fonts), rather than emitting garbage.
+(byte-mapped) fonts.  Encrypted documents under the PDF standard
+security handler decrypt when the user password is empty — the common
+"owner-locked" web PDF — for RC4 (/V 1-2 /R 2-3) and AES-128-CBC
+(/V 4 /R 4 /AESV2, own FIPS-197 AES); the /U entry is verified first,
+so a real user password (or AES-256 /V 5) raises `NotImplementedError`
+honestly, as do exotic filters (DCT, JBIG2, LZW, CID-keyed composite
+fonts), rather than emitting garbage.
 
 Everything here is driver-/executor-side plain Python over bytes —
 stdlib ``zlib`` + ``re`` only — invoked per file from an Arrow-batched
@@ -213,6 +214,146 @@ def _rc4(key: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
+# -- AES-128 (FIPS-197) for the V4/AESV2 crypt filter ----------------------
+
+_AES_SBOX = bytes.fromhex(
+    "637c777bf26b6fc53001672bfed7ab76ca82c97dfa5947f0add4a2af9ca472c0"
+    "b7fd9326363ff7cc34a5e5f171d8311504c723c31896059a071280e2eb27b275"
+    "09832c1a1b6e5aa0523bd6b329e32f8453d100ed20fcb15b6acbbe394a4c58cf"
+    "d0efaafb434d338545f9027f503c9fa851a3408f929d38f5bcb6da2110fff3d2"
+    "cd0c13ec5f974417c4a77e3d645d197360814fdc222a908846eeb814de5e0bdb"
+    "e0323a0a4906245cc2d3ac629195e479e7c8376d8dd54ea96c56f4ea657aae08"
+    "ba78252e1ca6b4c6e8dd741f4bbd8b8a703eb5664803f60e613557b986c11d9e"
+    "e1f8981169d98e949b1e87e9ce5528df8ca1890dbfe6426841992d0fb054bb16"
+)
+_AES_INV_SBOX = bytes(256)
+_AES_INV_SBOX = bytearray(256)
+for _i, _v in enumerate(_AES_SBOX):
+    _AES_INV_SBOX[_v] = _i
+_AES_INV_SBOX = bytes(_AES_INV_SBOX)
+_AES_RCON = [0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36]
+
+
+def _xtime(a: int) -> int:
+    a <<= 1
+    return (a ^ 0x1B) & 0xFF if a & 0x100 else a
+
+
+def _gmul(a: int, b: int) -> int:
+    p = 0
+    while b:
+        if b & 1:
+            p ^= a
+        a = _xtime(a)
+        b >>= 1
+    return p
+
+
+def _aes_expand_key(key: bytes) -> list[bytes]:
+    words = [key[i : i + 4] for i in range(0, 16, 4)]
+    for i in range(4, 44):
+        t = words[i - 1]
+        if i % 4 == 0:
+            t = bytes(
+                _AES_SBOX[b] for b in (t[1], t[2], t[3], t[0])
+            )
+            t = bytes([t[0] ^ _AES_RCON[i // 4 - 1], t[1], t[2], t[3]])
+        words.append(bytes(a ^ b for a, b in zip(words[i - 4], t)))
+    return [b"".join(words[r * 4 : r * 4 + 4]) for r in range(11)]
+
+
+def _aes_encrypt_block(rk: list[bytes], block: bytes) -> bytes:
+    s = bytes(a ^ b for a, b in zip(block, rk[0]))
+    for rnd in range(1, 11):
+        s = bytes(_AES_SBOX[b] for b in s)  # SubBytes
+        # ShiftRows (column-major state: byte i is row i%4, col i//4)
+        s = bytes(s[(i + (i % 4) * 4) % 16] for i in range(16))
+        if rnd < 10:  # MixColumns
+            out = bytearray(16)
+            for c in range(4):
+                col = s[c * 4 : c * 4 + 4]
+                out[c * 4 + 0] = (
+                    _gmul(col[0], 2) ^ _gmul(col[1], 3) ^ col[2] ^ col[3]
+                )
+                out[c * 4 + 1] = (
+                    col[0] ^ _gmul(col[1], 2) ^ _gmul(col[2], 3) ^ col[3]
+                )
+                out[c * 4 + 2] = (
+                    col[0] ^ col[1] ^ _gmul(col[2], 2) ^ _gmul(col[3], 3)
+                )
+                out[c * 4 + 3] = (
+                    _gmul(col[0], 3) ^ col[1] ^ col[2] ^ _gmul(col[3], 2)
+                )
+            s = bytes(out)
+        s = bytes(a ^ b for a, b in zip(s, rk[rnd]))
+    return s
+
+
+def _aes_decrypt_block(rk: list[bytes], block: bytes) -> bytes:
+    s = bytes(a ^ b for a, b in zip(block, rk[10]))
+    for rnd in range(9, -1, -1):
+        # InvShiftRows
+        s = bytes(s[(i - (i % 4) * 4) % 16] for i in range(16))
+        s = bytes(_AES_INV_SBOX[b] for b in s)  # InvSubBytes
+        s = bytes(a ^ b for a, b in zip(s, rk[rnd]))
+        if rnd > 0:  # InvMixColumns
+            out = bytearray(16)
+            for c in range(4):
+                col = s[c * 4 : c * 4 + 4]
+                out[c * 4 + 0] = (
+                    _gmul(col[0], 14) ^ _gmul(col[1], 11)
+                    ^ _gmul(col[2], 13) ^ _gmul(col[3], 9)
+                )
+                out[c * 4 + 1] = (
+                    _gmul(col[0], 9) ^ _gmul(col[1], 14)
+                    ^ _gmul(col[2], 11) ^ _gmul(col[3], 13)
+                )
+                out[c * 4 + 2] = (
+                    _gmul(col[0], 13) ^ _gmul(col[1], 9)
+                    ^ _gmul(col[2], 14) ^ _gmul(col[3], 11)
+                )
+                out[c * 4 + 3] = (
+                    _gmul(col[0], 11) ^ _gmul(col[1], 13)
+                    ^ _gmul(col[2], 9) ^ _gmul(col[3], 14)
+                )
+            s = bytes(out)
+    return s
+
+
+def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+    """PDF AESV2 stream: 16-byte IV prefix, PKCS#5-padded CBC body."""
+    if len(data) < 32 or len(data) % 16:
+        raise NotImplementedError("encrypted PDF: malformed AES stream")
+    rk = _aes_expand_key(key)
+    iv = data[:16]
+    out = bytearray()
+    prev = iv
+    for i in range(16, len(data), 16):
+        blk = data[i : i + 16]
+        out += bytes(
+            a ^ b for a, b in zip(_aes_decrypt_block(rk, blk), prev)
+        )
+        prev = blk
+    pad = out[-1]
+    if not 1 <= pad <= 16:
+        raise NotImplementedError("encrypted PDF: bad AES padding")
+    return bytes(out[:-pad])
+
+
+def _aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """CBC encrypt with PKCS#5 padding (the test fixtures' direction)."""
+    rk = _aes_expand_key(key)
+    pad = 16 - len(data) % 16
+    data = data + bytes([pad]) * pad
+    out = bytearray(iv)
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
+        prev = _aes_encrypt_block(rk, blk)
+        out += prev
+    return bytes(out)
+
+
 def _pdf_string_entry(dct: bytes, name: bytes) -> bytes | None:
     """Value of ``/name (...)`` or ``/name <hex>`` in a dict body."""
     m = re.search(name + rb"\s*\(((?:\\.|[^()\\])*)\)", dct, re.S)
@@ -235,21 +376,45 @@ def _parse_encryption(data: bytes):
     num, gen = int(em.group(1)), int(em.group(2))
     om = re.search(
         rb"(?<![0-9])" + str(num).encode() + rb"\s+" + str(gen).encode()
-        + rb"\s+obj\s*<<(.*?)>>",
+        + rb"\s+obj\s*<<",
         data,
         re.S,
     )
     if not om:
         raise NotImplementedError("encrypted PDF: /Encrypt object not found")
-    enc = om.group(1)
+    # balanced << >> scan: the dict nests (/CF << /StdCF << ... >> >>)
+    i = om.end()
+    depth = 1
+    while i < len(data) and depth:
+        if data[i : i + 2] == b"<<":
+            depth += 1
+            i += 2
+        elif data[i : i + 2] == b">>":
+            depth -= 1
+            i += 2
+        else:
+            i += 1
+    enc = data[om.end() : i - 2]
     v = int(re.search(rb"/V\s+(\d+)", enc).group(1)) if re.search(rb"/V\s+(\d+)", enc) else 0
     r = int(re.search(rb"/R\s+(\d+)", enc).group(1)) if re.search(rb"/R\s+(\d+)", enc) else 2
-    if v not in (1, 2) or r not in (2, 3):
+    method = "rc4"
+    if v == 4 and r == 4:
+        # V4 names a crypt filter: /CFM /AESV2 (AES-128-CBC) or /V2 (RC4)
+        cfm = re.search(rb"/CFM\s*/(\w+)", enc)
+        if not cfm or cfm.group(1) not in (b"AESV2", b"V2"):
+            raise NotImplementedError(
+                "encrypted PDF: V4 crypt filter "
+                f"{cfm.group(1).decode() if cfm else '?'} unsupported "
+                "(AESV2 and V2 only)"
+            )
+        method = "aes" if cfm.group(1) == b"AESV2" else "rc4"
+    elif v not in (1, 2) or r not in (2, 3):
         raise NotImplementedError(
-            f"encrypted PDF: only RC4 /V 1-2 /R 2-3 supported (V={v} R={r})"
+            f"encrypted PDF: only RC4 /V 1-2 /R 2-3 and AES-128 /V 4 /R 4 "
+            f"supported (V={v} R={r})"
         )
     lm = re.search(rb"/Length\s+(\d+)", enc)
-    nbytes = (int(lm.group(1)) // 8) if lm else 5
+    nbytes = (int(lm.group(1)) // 8) if lm else (16 if v == 4 else 5)
     if r == 2:
         nbytes = 5
     o_entry = _pdf_string_entry(enc, rb"/O")
@@ -268,9 +433,10 @@ def _parse_encryption(data: bytes):
         idm = re.search(rb"/ID\s*\[\s*\(((?:\\.|[^()\\])*)\)", data, re.S)
         id0 = _decode_literal(idm.group(1)) if idm else b""
     # Algorithm 2 with the empty user password
-    h = hashlib.md5(
-        _PAD + o_entry[:32] + struct.pack("<i", p) + id0
-    ).digest()
+    seed = _PAD + o_entry[:32] + struct.pack("<i", p) + id0
+    if r >= 4 and re.search(rb"/EncryptMetadata\s+false", enc):
+        seed += b"\xff\xff\xff\xff"
+    h = hashlib.md5(seed).digest()
     if r >= 3:
         for _ in range(50):
             h = hashlib.md5(h[:nbytes]).digest()
@@ -288,14 +454,17 @@ def _parse_encryption(data: bytes):
         raise NotImplementedError(
             "encrypted PDF: non-empty user password required"
         )
-    return key
+    return key, method
 
 
-def _object_key(file_key: bytes, num: int, gen: int) -> bytes:
+def _object_key(
+    file_key: bytes, num: int, gen: int, aes: bool = False
+) -> bytes:
     h = hashlib.md5(
         file_key
         + struct.pack("<I", num)[:3]
         + struct.pack("<I", gen)[:2]
+        + (b"sAlT" if aes else b"")  # AESV2 salt (spec algorithm 1)
     ).digest()
     return h[: min(len(file_key) + 5, 16)]
 
@@ -308,9 +477,9 @@ def extract_pdf_pages(data: bytes) -> list[str]:
     data = bytes(data)
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF stream")
-    file_key = (
-        _parse_encryption(data) if re.search(rb"/Encrypt\b", data) else None
-    )
+    file_key = method = None
+    if re.search(rb"/Encrypt\b", data):
+        file_key, method = _parse_encryption(data)
     out: list[str] = []
     for num, gen, dct, raw in _iter_streams(data):
         if file_key is not None:
@@ -318,7 +487,14 @@ def extract_pdf_pages(data: bytes) -> list[str]:
                 raise NotImplementedError(
                     "encrypted PDF: stream without an object wrapper"
                 )
-            raw = _rc4(_object_key(file_key, num, gen or 0), raw)
+            okey = _object_key(
+                file_key, num, gen or 0, aes=(method == "aes")
+            )
+            raw = (
+                _aes_cbc_decrypt(okey, raw)
+                if method == "aes"
+                else _rc4(okey, raw)
+            )
         if b"/FlateDecode" in dct:
             try:
                 content = zlib.decompress(raw)

@@ -121,14 +121,20 @@ def test_non_pdf_raises():
 
 
 def _encrypt_pdf(pdf: bytes, r: int = 3, owner_pwd: bytes = b"owner") -> bytes:
-    """RC4 standard-security encrypt (PDF spec algorithms 2/3/4/5) with an
+    """Standard-security encrypt (PDF spec algorithms 2/3/4/5) with an
     EMPTY user password — an independent implementation of the spec, so
-    the extractor's decryption is tested against the format."""
+    the extractor's decryption is tested against the format.  r=2/3:
+    RC4 (40/128-bit); r=4: the V4 /AESV2 crypt filter (AES-128-CBC,
+    deterministic per-object IVs)."""
     import hashlib
     import re as _re
     import struct
 
-    from apache___solr_spark.sources.pdf_extract import _PAD, _rc4
+    from apache___solr_spark.sources.pdf_extract import (
+        _PAD,
+        _aes_cbc_encrypt,
+        _rc4,
+    )
 
     nbytes = 5 if r == 2 else 16
     p = -4  # modify-restricted, the common owner-locked flag word shape
@@ -173,19 +179,30 @@ def _encrypt_pdf(pdf: bytes, r: int = 3, owner_pwd: bytes = b"owner") -> bytes:
         num, gen = int(m.group(1)), int(m.group(2))
         okey2 = hashlib.md5(
             key + struct.pack("<I", num)[:3] + struct.pack("<I", gen)[:2]
+            + (b"sAlT" if r == 4 else b"")
         ).digest()[: min(nbytes + 5, 16)]
         out += pdf[pos:body_start]
-        out += _rc4(okey2, pdf[body_start:end])
+        if r == 4:
+            iv = hashlib.md5(b"iv" + struct.pack("<I", num)).digest()
+            out += _aes_cbc_encrypt(okey2, iv, pdf[body_start:end])
+        else:
+            out += _rc4(okey2, pdf[body_start:end])
         pos = end
     out += pdf[pos:]
     n_obj = max(
         int(m.group(1)) for m in _re.finditer(rb"(\d+)\s+\d+\s+obj", pdf)
     )
     enc_num = n_obj + 1
-    v = 1 if r == 2 else 2
+    v = {2: 1, 3: 2, 4: 4}[r]
+    cf = (
+        " /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+        "/StmF /StdCF /StrF /StdCF"
+        if r == 4
+        else ""
+    )
     enc_obj = (
         f"{enc_num} 0 obj\n<< /Filter /Standard /V {v} /R {r} "
-        f"/Length {nbytes * 8} /P {p} /O <{o.hex()}> /U <{u.hex()}> >>\n"
+        f"/Length {nbytes * 8} /P {p}{cf} /O <{o.hex()}> /U <{u.hex()}> >>\n"
         f"endobj\n"
     ).encode()
     out = bytes(out).replace(b"xref\n", enc_obj + b"xref\n", 1)
@@ -196,12 +213,13 @@ def _encrypt_pdf(pdf: bytes, r: int = 3, owner_pwd: bytes = b"owner") -> bytes:
     )
 
 
-@pytest.mark.parametrize("r", [2, 3])
+@pytest.mark.parametrize("r", [2, 3, 4])
 @pytest.mark.parametrize("compress", [False, True])
-def test_rc4_encrypted_pdf_decrypts(r, compress):
-    """Owner-locked (empty user password) RC4 PDFs decrypt and extract
-    the same text as their plaintext twins — R=2 (40-bit) and R=3
-    (128-bit), raw and Flate streams."""
+def test_encrypted_pdf_decrypts(r, compress):
+    """Owner-locked (empty user password) encrypted PDFs decrypt and
+    extract the same text as their plaintext twins — R=2 (40-bit RC4),
+    R=3 (128-bit RC4), and R=4 (V4 /AESV2 AES-128-CBC), raw and Flate
+    streams."""
     plain = make_pdf([SIMPLE], compress=compress)
     enc = _encrypt_pdf(plain, r=r)
     assert extract_pdf_text(enc) == extract_pdf_text(plain) == "Hello world"
@@ -220,12 +238,16 @@ def test_encrypted_with_user_password_raises():
         extract_pdf_text(bad)
 
 
-def test_aes_encrypted_raises():
+def test_aes256_encrypted_raises():
     plain = make_pdf([SIMPLE])
     enc = _encrypt_pdf(plain, r=3)
-    bad = enc.replace(b"/V 2 /R 3", b"/V 4 /R 4", 1)
-    with pytest.raises(NotImplementedError, match="V 1-2"):
+    bad = enc.replace(b"/V 2 /R 3", b"/V 5 /R 6", 1)
+    with pytest.raises(NotImplementedError, match="supported"):
         extract_pdf_text(bad)
+    enc4 = _encrypt_pdf(plain, r=4)
+    bad4 = enc4.replace(b"/CFM /AESV2", b"/CFM /AESV3", 1)
+    with pytest.raises(NotImplementedError, match="crypt filter"):
+        extract_pdf_text(bad4)
 
 
 def test_image_stream_skipped():
