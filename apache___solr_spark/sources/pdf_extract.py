@@ -250,25 +250,31 @@ def _gmul(a: int, b: int) -> int:
 
 
 def _aes_expand_key(key: bytes) -> list[bytes]:
-    words = [key[i : i + 4] for i in range(0, 16, 4)]
-    for i in range(4, 44):
+    """AES-128 or AES-256 key schedule (Nk=4/8, Nr=10/14)."""
+    nk = len(key) // 4
+    nr = nk + 6
+    words = [key[i : i + 4] for i in range(0, len(key), 4)]
+    for i in range(nk, 4 * (nr + 1)):
         t = words[i - 1]
-        if i % 4 == 0:
+        if i % nk == 0:
             t = bytes(
                 _AES_SBOX[b] for b in (t[1], t[2], t[3], t[0])
             )
-            t = bytes([t[0] ^ _AES_RCON[i // 4 - 1], t[1], t[2], t[3]])
-        words.append(bytes(a ^ b for a, b in zip(words[i - 4], t)))
-    return [b"".join(words[r * 4 : r * 4 + 4]) for r in range(11)]
+            t = bytes([t[0] ^ _AES_RCON[i // nk - 1], t[1], t[2], t[3]])
+        elif nk > 6 and i % nk == 4:
+            t = bytes(_AES_SBOX[b] for b in t)
+        words.append(bytes(a ^ b for a, b in zip(words[i - nk], t)))
+    return [b"".join(words[r * 4 : r * 4 + 4]) for r in range(nr + 1)]
 
 
 def _aes_encrypt_block(rk: list[bytes], block: bytes) -> bytes:
+    nr = len(rk) - 1
     s = bytes(a ^ b for a, b in zip(block, rk[0]))
-    for rnd in range(1, 11):
+    for rnd in range(1, nr + 1):
         s = bytes(_AES_SBOX[b] for b in s)  # SubBytes
         # ShiftRows (column-major state: byte i is row i%4, col i//4)
         s = bytes(s[(i + (i % 4) * 4) % 16] for i in range(16))
-        if rnd < 10:  # MixColumns
+        if rnd < nr:  # MixColumns
             out = bytearray(16)
             for c in range(4):
                 col = s[c * 4 : c * 4 + 4]
@@ -290,8 +296,9 @@ def _aes_encrypt_block(rk: list[bytes], block: bytes) -> bytes:
 
 
 def _aes_decrypt_block(rk: list[bytes], block: bytes) -> bytes:
-    s = bytes(a ^ b for a, b in zip(block, rk[10]))
-    for rnd in range(9, -1, -1):
+    nr = len(rk) - 1
+    s = bytes(a ^ b for a, b in zip(block, rk[nr]))
+    for rnd in range(nr - 1, -1, -1):
         # InvShiftRows
         s = bytes(s[(i - (i % 4) * 4) % 16] for i in range(16))
         s = bytes(_AES_INV_SBOX[b] for b in s)  # InvSubBytes
@@ -354,6 +361,42 @@ def _aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
+def _hash_r6(pwd: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """PDF 2.0 algorithm 2.B hardened hash (revision 6): iterated
+    SHA-256/384/512 driven by an AES-128-CBC mixing step."""
+    k = hashlib.sha256(pwd + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (pwd + k + udata) * 64
+        rk = _aes_expand_key(k[:16])
+        prev = k[16:32]
+        e = bytearray()
+        for j in range(0, len(k1), 16):
+            blk = bytes(a ^ b for a, b in zip(k1[j : j + 16], prev))
+            prev = _aes_encrypt_block(rk, blk)
+            e += prev
+        mod = sum(e[:16]) % 3
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[mod](
+            bytes(e)
+        ).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+def _aes_cbc_decrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    rk = _aes_expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = data[i : i + 16]
+        out += bytes(
+            a ^ b for a, b in zip(_aes_decrypt_block(rk, blk), prev)
+        )
+        prev = blk
+    return bytes(out)
+
+
 def _pdf_string_entry(dct: bytes, name: bytes) -> bytes | None:
     """Value of ``/name (...)`` or ``/name <hex>`` in a dict body."""
     m = re.search(name + rb"\s*\(((?:\\.|[^()\\])*)\)", dct, re.S)
@@ -398,6 +441,31 @@ def _parse_encryption(data: bytes):
     v = int(re.search(rb"/V\s+(\d+)", enc).group(1)) if re.search(rb"/V\s+(\d+)", enc) else 0
     r = int(re.search(rb"/R\s+(\d+)", enc).group(1)) if re.search(rb"/R\s+(\d+)", enc) else 2
     method = "rc4"
+    if v == 5 and r in (5, 6):
+        # AES-256 (AESV3): U = hash(32) + validation salt(8) + key
+        # salt(8); the file key is the AES-256-CBC decryption of /UE
+        # under the key-salt hash.  Revision 6 uses the hardened 2.B
+        # hash; the withdrawn revision 5 a single SHA-256.
+        u_entry = _pdf_string_entry(enc, rb"/U")
+        ue_entry = _pdf_string_entry(enc, rb"/UE")
+        if u_entry is None or len(u_entry) < 48 or ue_entry is None:
+            raise NotImplementedError(
+                "encrypted PDF: incomplete V5 /Encrypt dict"
+            )
+        vsalt, ksalt = u_entry[32:40], u_entry[40:48]
+        if r == 6:
+            hfn = _hash_r6
+        else:
+            hfn = lambda pwd, salt, udata=b"": hashlib.sha256(
+                pwd + salt + udata
+            ).digest()
+        if hfn(b"", vsalt) != u_entry[:32]:
+            raise NotImplementedError(
+                "encrypted PDF: non-empty user password required"
+            )
+        ik = hfn(b"", ksalt)
+        file_key = _aes_cbc_decrypt_nopad(ik, bytes(16), ue_entry[:32])
+        return file_key, "aes"
     if v == 4 and r == 4:
         # V4 names a crypt filter: /CFM /AESV2 (AES-128-CBC) or /V2 (RC4)
         cfm = re.search(rb"/CFM\s*/(\w+)", enc)
@@ -410,8 +478,8 @@ def _parse_encryption(data: bytes):
         method = "aes" if cfm.group(1) == b"AESV2" else "rc4"
     elif v not in (1, 2) or r not in (2, 3):
         raise NotImplementedError(
-            f"encrypted PDF: only RC4 /V 1-2 /R 2-3 and AES-128 /V 4 /R 4 "
-            f"supported (V={v} R={r})"
+            f"encrypted PDF: only RC4 /V 1-2 /R 2-3, AES-128 /V 4 /R 4, "
+            f"and AES-256 /V 5 /R 5-6 supported (V={v} R={r})"
         )
     lm = re.search(rb"/Length\s+(\d+)", enc)
     nbytes = (int(lm.group(1)) // 8) if lm else (16 if v == 4 else 5)
@@ -487,8 +555,14 @@ def extract_pdf_pages(data: bytes) -> list[str]:
                 raise NotImplementedError(
                     "encrypted PDF: stream without an object wrapper"
                 )
-            okey = _object_key(
-                file_key, num, gen or 0, aes=(method == "aes")
+            # V5/AES-256 uses the file key for every object; the earlier
+            # revisions derive a per-object key
+            okey = (
+                file_key
+                if len(file_key) == 32
+                else _object_key(
+                    file_key, num, gen or 0, aes=(method == "aes")
+                )
             )
             raw = (
                 _aes_cbc_decrypt(okey, raw)

@@ -238,10 +238,10 @@ def test_encrypted_with_user_password_raises():
         extract_pdf_text(bad)
 
 
-def test_aes256_encrypted_raises():
+def test_unknown_revision_raises():
     plain = make_pdf([SIMPLE])
     enc = _encrypt_pdf(plain, r=3)
-    bad = enc.replace(b"/V 2 /R 3", b"/V 5 /R 6", 1)
+    bad = enc.replace(b"/V 2 /R 3", b"/V 6 /R 7", 1)
     with pytest.raises(NotImplementedError, match="supported"):
         extract_pdf_text(bad)
     enc4 = _encrypt_pdf(plain, r=4)
@@ -279,3 +279,83 @@ def test_read_pdf_docs_loader(spark, tmp_path):
     assert rows["b.pdf"]["n_pages"] == 2
     assert rows["broken.pdf"]["text"] is None
     assert "ValueError" in rows["broken.pdf"]["err"]
+
+
+def _encrypt_pdf_v5(pdf: bytes, r: int = 6) -> bytes:
+    """AES-256 (V5/AESV3) encrypt with an empty user password: U carries
+    the validation/key salts, UE the file key wrapped under the key-salt
+    hash (algorithm 8); streams AES-256-CBC with IV prefix + PKCS#5."""
+    import hashlib
+    import re as _re
+    import struct
+
+    from apache___solr_spark.sources.pdf_extract import (
+        _aes_cbc_encrypt,
+        _aes_expand_key,
+        _aes_encrypt_block,
+        _hash_r6,
+    )
+
+    vsalt = hashlib.md5(b"vs").digest()[:8]
+    ksalt = hashlib.md5(b"ks").digest()[:8]
+    file_key = hashlib.sha256(b"the file key").digest()
+    if r == 6:
+        hfn = _hash_r6
+    else:
+        hfn = lambda pwd, salt: hashlib.sha256(pwd + salt).digest()
+    u = hfn(b"", vsalt) + vsalt + ksalt
+    ik = hfn(b"", ksalt)
+    # wrap the file key: AES-256-CBC, zero IV, NO padding (algorithm 8)
+    rk = _aes_expand_key(ik)
+    prev = bytes(16)
+    ue = bytearray()
+    for i in range(0, 32, 16):
+        blk = bytes(a ^ b for a, b in zip(file_key[i : i + 16], prev))
+        prev = _aes_encrypt_block(rk, blk)
+        ue += prev
+    out = bytearray()
+    pos = 0
+    stream_re = _re.compile(rb"(\d+)\s+(\d+)\s+obj\s*<<.*?>>\s*stream\n", _re.S)
+    for m in stream_re.finditer(pdf):
+        body_start = m.end()
+        end = pdf.find(b"\nendstream", body_start)
+        num = int(m.group(1))
+        iv = hashlib.md5(b"iv5" + struct.pack("<I", num)).digest()
+        out += pdf[pos:body_start]
+        out += _aes_cbc_encrypt(file_key, iv, pdf[body_start:end])
+        pos = end
+    out += pdf[pos:]
+    n_obj = max(int(m.group(1)) for m in _re.finditer(rb"(\d+)\s+\d+\s+obj", pdf))
+    enc_num = n_obj + 1
+    enc_obj = (
+        f"{enc_num} 0 obj\n<< /Filter /Standard /V 5 /R {r} /Length 256 "
+        f"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF "
+        f"/StrF /StdCF /P -4 /U <{bytes(u).hex()}> /UE <{bytes(ue).hex()}> "
+        f"/O <{'00' * 48}> /OE <{'00' * 32}> >>\nendobj\n"
+    ).encode()
+    out = bytes(out).replace(b"xref\n", enc_obj + b"xref\n", 1)
+    return out.replace(
+        b"/Root 1 0 R", f"/Root 1 0 R /Encrypt {enc_num} 0 R".encode(), 1
+    )
+
+
+@pytest.mark.parametrize("r", [5, 6])
+@pytest.mark.parametrize("compress", [False, True])
+def test_aes256_encrypted_pdf_decrypts(r, compress):
+    """AES-256 owner-locked PDFs (V5: withdrawn revision 5's plain
+    SHA-256 and revision 6's hardened 2.B hash) decrypt byte-identical
+    to their plaintext twins."""
+    plain = make_pdf([SIMPLE], compress=compress)
+    enc = _encrypt_pdf_v5(plain, r=r)
+    assert extract_pdf_text(enc) == extract_pdf_text(plain) == "Hello world"
+
+
+def test_aes256_wrong_password_raises():
+    plain = make_pdf([SIMPLE])
+    enc = _encrypt_pdf_v5(plain, r=6)
+    import re as _re
+
+    m = _re.search(rb"/U <([0-9a-f]+)>", enc)
+    bad = enc.replace(m.group(1), m.group(1)[::-1], 1)
+    with pytest.raises(NotImplementedError, match="password"):
+        extract_pdf_text(bad)
