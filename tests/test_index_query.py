@@ -2915,3 +2915,70 @@ def test_nested_span_tree_matches_oracle(spark, built, oracle_idx):
     wide = {r["doc_id"] for r in dispatch_query(
         eng, "{!surround}9W(web, 4N(page, data))", k=400).collect()}
     assert tight <= wide and wide
+
+
+def test_classic_grammar_fuzz_vs_oracle(spark, built, oracle_idx):
+    """Grammar-directed fuzz: random classic-syntax queries (terms,
+    boosts, phrases+slop, prefix/wildcard/fuzzy, +/-, OR groups, nested
+    boolean trees) must rank+score-match the independent oracle.  The
+    generator is seeded; every query is printed on failure."""
+    import random
+
+    rng = random.Random(17)
+    by_df = sorted(
+        oracle_idx.postings, key=lambda t: -len(oracle_idx.postings[t])
+    )
+    common = by_df[:12]
+    mid = by_df[len(by_df) // 4 : len(by_df) // 4 + 30]
+    vocab = common + mid + ["zzzunseen"]
+
+    def term():
+        t = rng.choice(vocab)
+        r = rng.random()
+        if r < 0.15:
+            return f"{t}^{rng.choice([2, 3, 0.5])}"
+        if r < 0.25 and len(t) > 3:
+            return t[:3] + "*"
+        if r < 0.32 and len(t) > 4:
+            return t[:2] + "?" + t[3:]
+        if r < 0.4 and len(t) > 4:
+            return t + "~1"
+        return t
+
+    def phrase():
+        k = rng.randrange(2, 4)
+        ws = [rng.choice(common) for _ in range(k)]
+        s = '"' + " ".join(ws) + '"'
+        if rng.random() < 0.4:
+            s += f"~{rng.randrange(1, 4)}"
+        return s
+
+    def atom(depth):
+        r = rng.random()
+        if r < 0.15:
+            return phrase()
+        if r < 0.3:
+            return "(" + " ".join(term() for _ in range(rng.randrange(2, 4))) + ")"
+        if depth > 0 and r < 0.45:
+            op = rng.choice([" AND ", " OR "])
+            return "(" + op.join(atom(depth - 1) for _ in range(2)) + ")"
+        return term()
+
+    for trial in range(15):
+        n = rng.randrange(2, 5)
+        parts = []
+        for i in range(n):
+            a = atom(1)
+            r = rng.random()
+            if i > 0 and r < 0.2 and not a.startswith("("):
+                parts.append("-" + a)
+            elif r < 0.35:
+                parts.append("+" + a)
+            else:
+                parts.append(a)
+        q = " ".join(parts)
+        try:
+            _run_tree_query_pair(spark, built, oracle_idx, q, 15)
+        except AssertionError:
+            print("FUZZ QUERY FAILED:", q)
+            raise
