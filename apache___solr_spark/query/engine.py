@@ -1371,7 +1371,10 @@ class SearchEngine:
         ``pag?``, ``term~N``) expands against the dictionary into ONE
         SpanOr slot; a plain token analyzes (multi-token analysis yields
         consecutive slots).  ``None`` == the operand can never match
-        (empty expansion / analyzes away)."""
+        (a PATTERN with an empty dictionary expansion); ``[]`` == the
+        token ANALYZED AWAY (e.g. a stopword) — Lucene's
+        ComplexPhraseQueryParser drops such tokens and keeps matching
+        the remaining slots, so callers must skip, not fail."""
         from apache___solr_spark.query.parser import Clause
 
         fm = re.fullmatch(r"(.+?)~(\d*)", raw)
@@ -1394,7 +1397,7 @@ class SearchEngine:
             members = self._expand_clause(cl, max_expansions=max_expansions)
             return [tuple(sorted(members))] if members else None
         toks = self._analyze(raw)
-        return [(t,) for t in toks] if toks else None
+        return [(t,) for t in toks]
 
     def span_tree(
         self,
@@ -1436,16 +1439,22 @@ class SearchEngine:
             nonlocal unmatchable
             if node[0] == "near":
                 _, dist, ordered, children = node
-                return (
-                    "near",
-                    int(dist),
-                    bool(ordered),
-                    [build(c) for c in children],
-                )
+                built = [build(c) for c in children]
+                # a child that analyzed away (stopword) is dropped, like
+                # ComplexPhraseQueryParser; a near left with one child
+                # collapses to that child, with none it vanishes too
+                built = [b for b in built if b is not None]
+                if not built:
+                    return None
+                if len(built) == 1:
+                    return built[0]
+                return ("near", int(dist), bool(ordered), built)
             groups = self._resolve_span_operand(node[1], max_expansions)
-            if not groups:
+            if groups is None:
                 unmatchable = True
                 return ("slot", -1)
+            if not groups:
+                return None
             parts = []
             for g in groups:
                 slots.append(tuple(g))

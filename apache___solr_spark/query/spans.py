@@ -33,8 +33,6 @@ as the flat per-doc matcher the complexphrase path uses.
 
 from __future__ import annotations
 
-from itertools import permutations
-
 
 def leaf_slots(tree) -> list[int]:
     """Slot ids of every leaf, left-to-right."""
@@ -97,13 +95,47 @@ def _combine_ordered(lists, slop: int) -> list[tuple[int, int]]:
 
 
 def _combine_unordered(lists, slop: int) -> list[tuple[int, int]]:
-    """Any-order arrangement: try every child permutation through the
-    ordered combiner (child counts are the operator's arity — tiny) and
-    union the distinct intervals."""
-    out: set[tuple[int, int]] = set()
-    for perm in permutations(range(len(lists))):
-        out.update(_combine_ordered([lists[i] for i in perm], slop))
-    return sorted(out)
+    """Any-order arrangement: subset-DP chaining start-sorted choices.
+
+    Only the arrangement whose chosen intervals are sorted by start can
+    form a valid non-overlapping chain, so instead of permuting child
+    order (n! redundant ordered-DP runs), grow chains left-to-right: a
+    state is (used-children mask, chain start, chain end, gaps used) and
+    extends with any UNUSED child's interval starting at/after the chain
+    end — the chain is start-sorted by construction, and the union over
+    permutations falls out exactly."""
+    n = len(lists)
+    cur: list[tuple[int, int, int, int]] = [
+        (1 << i, s, e, 0) for i, li in enumerate(lists) for (s, e) in li
+    ]
+    cur = _prune_masked(cur)
+    for _ in range(n - 1):
+        nxt: list[tuple[int, int, int, int]] = []
+        for (m, s, e, g) in cur:
+            for i in range(n):
+                if m & (1 << i):
+                    continue
+                for (s2, e2) in lists[i]:
+                    if s2 < e:
+                        continue
+                    g2 = g + (s2 - e)
+                    if g2 <= slop:
+                        nxt.append((m | (1 << i), s, e2, g2))
+        cur = _prune_masked(nxt)
+        if not cur:
+            return []
+    return sorted({(s, e) for (_m, s, e, _g) in cur})
+
+
+def _prune_masked(states):
+    """Minimal gap per distinct (mask, start, end) — same dominance rule
+    as _prune, keyed by the used-children set too."""
+    best: dict[tuple[int, int, int], int] = {}
+    for m, s, e, g in states:
+        k = (m, s, e)
+        if k not in best or g < best[k]:
+            best[k] = g
+    return [(m, s, e, g) for (m, s, e), g in best.items()]
 
 
 def _prune(states):

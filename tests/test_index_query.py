@@ -1209,6 +1209,45 @@ def test_complex_phrase_matches_oracle(spark, built, oracle_idx):
     assert via_lp == direct
 
 
+def test_complex_phrase_stopword_token_skipped(spark, built):
+    """Regression: a whitespace token that ANALYZES AWAY (a stopword under
+    the standard chain) is skipped and the remaining slots keep matching —
+    Lucene ComplexPhraseQueryParser behavior — instead of silently
+    emptying the result.  A pattern expanding to NOTHING stays
+    unmatchable."""
+    eng = SearchEngine(spark, built, cfg=CFG)
+    with_stop = [
+        (r["rank"], r["doc_id"], round(r["score"], 5))
+        for r in eng.complex_phrase("the web pag*", k=25).collect()
+    ]
+    without = [
+        (r["rank"], r["doc_id"], round(r["score"], 5))
+        for r in eng.complex_phrase("web pag*", k=25).collect()
+    ]
+    assert with_stop == without and with_stop
+    # all-stopword phrase -> no slots -> empty, not an error
+    assert eng.complex_phrase("the of and", k=5).collect() == []
+    # pattern with empty dictionary expansion is still unmatchable
+    assert eng.complex_phrase("web zzzzqqq*", k=5).collect() == []
+
+    # span_tree: a stopword operand drops from the near, the survivor
+    # collapses to the remaining child
+    dropped = [
+        (r["rank"], r["doc_id"], round(r["score"], 5))
+        for r in eng.span_tree(
+            ("near", 3, True, [("op", "the"), ("op", "web"), ("op", "data")]),
+            k=25,
+        ).collect()
+    ]
+    plain = [
+        (r["rank"], r["doc_id"], round(r["score"], 5))
+        for r in eng.span_tree(
+            ("near", 3, True, [("op", "web"), ("op", "data")]), k=25
+        ).collect()
+    ]
+    assert dropped == plain and dropped
+
+
 def test_spellcheck_collate(spark, built, oracle_idx):
     """SpellCheckCollator: misspelled terms replaced by dictionary-nearest
     corrections, collations verified by re-running the query (hits capped
