@@ -248,11 +248,13 @@ def q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     4N(table, filter) — both terms within a 4-token window in either
     order, BM25 tf = minimal-window span frequency.  Rank+score-exact vs
     an independent bisect oracle in tests/test_index_query.py
-    (test_span_near_matches_oracle); no single-SQL oracle (positional)."""
+    (test_span_near_matches_oracle) AND a full DuckDB positional oracle
+    (minimal-window counting via per-start earliest-cover joins)."""
     eng = _simple_engine(spark, sf_dir)
-    return _rounded_hits(
-        eng.span_near(["table", "filter"], dist=4, ordered=False, k=50,
-                      with_url=False)
+    return _stable_topk(
+        eng.span_near(["table", "filter"], dist=4, ordered=False, k=64,
+                      with_url=False),
+        50,
     )
 
 
@@ -594,8 +596,10 @@ def q_features_igain(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_classify_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """train() + classify() (TextLogisticRegressionQParserPlugin.java:150,
     ClassifyStream.java): batch-GD logistic regression on igain features,
-    then score every doc.  Iterative — no single-SQL oracle; train math is
-    numpy-oracled in tests/test_textml.py."""
+    then score every doc.  Deterministic (zero init, fixed epochs): the
+    driver hash-checks it against a fully-independent DuckDB oracle that
+    unrolls the 3 GD epochs in SQL (_classify_logit_sql); train math is
+    additionally numpy-oracled per epoch in tests/test_textml.py."""
     from apache___solr_spark.pipeline.textml import (
         predict_logit,
         select_features_igain,
@@ -1422,6 +1426,151 @@ def _bm25_scored_cte(name: str, terms: list[str], boost: float = 1.0) -> str:
         )"""
 
 
+def _classify_logit_sql(
+    iters: int = 3, alpha: float = 0.05, k_feats: int = 10
+) -> str:
+    """Fully-independent DuckDB oracle for train()+classify(): igain top-k
+    feature selection, ``iters`` UNROLLED full-batch GD epochs (one CTE
+    chain per epoch — deterministic, fixed zero init), then per-doc
+    scoring.  Float nesting mirrors pipeline/textml.py exactly:
+    value = idf*(1+ln tf), w -= (alpha*g)/n, dot built feature-by-feature
+    in igain-rank order with 0.0 for absent terms (predict_logit's chained
+    column expression)."""
+
+    def ent(p: str) -> str:
+        return (
+            f"(CASE WHEN {p} <= 0 OR {p} >= 1 THEN 0 "
+            f"ELSE -({p})*ln({p}) - (1-({p}))*ln(1-({p})) END)"
+        )
+
+    score = (
+        f"{ent('npos/n')} - ( (dfreq/n) * {ent('xc/dfreq')} "
+        f"+ (1 - dfreq/n) * {ent('(npos-xc)/(n-dfreq+1)')} )"
+    )
+    a = repr(float(alpha))
+    epochs = []
+    # epoch 1 from zero weights: dot = 0, sigmoid(0) = 0.5
+    epochs.append(f"""
+        err1 AS (
+            SELECT doc_id, 0.5 - y AS err
+            FROM (SELECT DISTINCT doc_id, y FROM design)
+        ),
+        w1 AS (
+            SELECT f.term, 0.0 - {a} * coalesce(g.g, 0.0) / nd.n AS w
+            FROM feats f LEFT JOIN (
+                SELECT d.term, sum(e.err * d.value) AS g
+                FROM design d JOIN err1 e USING (doc_id) GROUP BY d.term
+            ) g ON f.term = g.term CROSS JOIN nd
+        ),
+        b1 AS (
+            SELECT 0.0 - {a} * (SELECT sum(err) FROM err1) / nd.n AS b
+            FROM nd
+        )""")
+    for it in range(2, iters + 1):
+        p = it - 1
+        epochs.append(f"""
+        dot{it} AS (
+            SELECT d.doc_id, d.y,
+                   (SELECT b FROM b{p}) + sum(w.w * d.value) AS dot
+            FROM design d JOIN w{p} w ON d.term = w.term
+            GROUP BY d.doc_id, d.y
+        ),
+        err{it} AS (
+            SELECT doc_id, 1/(1+exp(-dot)) - y AS err FROM dot{it}
+        ),
+        w{it} AS (
+            SELECT w{p}.term, w{p}.w - {a} * coalesce(g.g, 0.0) / nd.n AS w
+            FROM w{p} LEFT JOIN (
+                SELECT d.term, sum(e.err * d.value) AS g
+                FROM design d JOIN err{it} e USING (doc_id) GROUP BY d.term
+            ) g ON w{p}.term = g.term CROSS JOIN nd
+        ),
+        b{it} AS (
+            SELECT (SELECT b FROM b{p})
+                   - {a} * (SELECT sum(err) FROM err{it}) / nd.n AS b
+            FROM nd
+        )""")
+    wf, bf = f"w{iters}", f"b{iters}"
+    # dot chained in rank order, 0.0 when the doc lacks the term — each
+    # sum(CASE WHEN rk=i ...) aggregates at most one row, so the float
+    # addition order is exactly predict_logit's w0 + c1 + ... + ck
+    chain = "".join(
+        f"\n                   + coalesce(sum(CASE WHEN ct.rk = {i} "
+        f"THEN ct.c END), 0.0)"
+        for i in range(1, k_feats + 1)
+    )
+    return f"""
+        WITH labeled AS (
+            SELECT doc_id, text,
+                   CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+            FROM documents
+        ),
+        totals AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(y) AS DOUBLE) AS npos
+            FROM labeled
+        ),
+        per_term AS (
+            SELECT term, CAST(count(*) AS DOUBLE) AS dfreq,
+                   CAST(sum(y) AS DOUBLE) AS xc
+            FROM (
+                SELECT unnest(list_distinct(
+                           regexp_extract_all(lower(text), '[a-z0-9]+')
+                       )) AS term, y
+                FROM labeled
+            ) GROUP BY term
+        ),
+        feats AS (
+            SELECT term, idf, row_number() OVER (
+                       ORDER BY score DESC, term) AS rk
+            FROM (
+                SELECT term, {score} AS score, ln(n/(dfreq+1)) AS idf
+                FROM per_term, totals
+            ) QUALIFY rk <= {k_feats}
+        ),
+        design AS (
+            SELECT tok.doc_id, tok.y, tok.term,
+                   f.idf * (1 + ln(CAST(count(*) AS DOUBLE))) AS value
+            FROM (
+                SELECT doc_id, y,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                       AS term
+                FROM labeled
+            ) tok JOIN feats f ON tok.term = f.term
+            GROUP BY tok.doc_id, tok.y, tok.term, f.idf
+        ),
+        nd AS (
+            SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM design
+        ),{",".join(epochs)},
+        alltf AS (
+            SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+            FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                       AS term
+                FROM documents
+            )
+            WHERE term IN (SELECT term FROM feats)
+            GROUP BY doc_id, term
+        ),
+        contrib AS (
+            SELECT a.doc_id, f.rk, w.w * f.idf * (1 + ln(a.tf)) AS c
+            FROM alltf a JOIN {wf} w ON a.term = w.term
+            JOIN feats f ON a.term = f.term
+        ),
+        dots AS (
+            SELECT d.doc_id,
+                   (SELECT b FROM {bf}){chain} AS dot
+            FROM documents d LEFT JOIN contrib ct ON ct.doc_id = d.doc_id
+            GROUP BY d.doc_id
+        )
+        SELECT doc_id, round(1/(1+exp(-dot)), 6) AS prob,
+               CASE WHEN 1/(1+exp(-dot)) >= 0.5 THEN 1 ELSE 0 END
+                   AS prediction
+        FROM dots ORDER BY doc_id
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries — the driver checks the FIRST 50, so EVERY entry
     (45 oracle-backed first, then 5 rows-only approximate/non-SQL operators,
@@ -1747,6 +1896,69 @@ def oracle_sql() -> dict[str, str]:
             ),
             hits AS (
                 SELECT doc_id, score FROM combined
+                ORDER BY score DESC, doc_id ASC LIMIT 50
+            )
+            SELECT doc_id, round(score, 6) AS score FROM hits
+            ORDER BY round(score, 6) DESC, doc_id ASC
+        """,
+        "span_near_unordered": f"""
+            WITH {bm25},
+            ptoks AS (
+                SELECT doc_id, unnest(t) AS term,
+                       unnest(range(1, len(t) + 1)) AS pos
+                FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
+            ),
+            pa AS (SELECT doc_id, pos FROM ptoks WHERE term = 'table'),
+            pb AS (SELECT doc_id, pos FROM ptoks WHERE term = 'filter'),
+            -- SpanNearQuery(inOrder=false) minimal-window counting, the
+            -- engine's _phrase_score_fn unordered path verbatim: every
+            -- occurrence of either term is a candidate window START; its
+            -- minimal cover ends at the MAX over terms of the earliest
+            -- occurrence at-or-after the start; a window is a match when
+            -- end - start <= m-1+slop = 4 (m=2 distinct terms, dist=4 =>
+            -- slop=3); matches dedupe by END so each minimal window
+            -- counts once -> sf
+            starts AS (
+                SELECT doc_id, pos AS s FROM pa
+                UNION SELECT doc_id, pos FROM pb
+            ),
+            ea AS (
+                SELECT st.doc_id, st.s, min(a.pos) AS e
+                FROM starts st JOIN pa a
+                  ON a.doc_id = st.doc_id AND a.pos >= st.s
+                GROUP BY st.doc_id, st.s
+            ),
+            eb AS (
+                SELECT st.doc_id, st.s, min(b.pos) AS e
+                FROM starts st JOIN pb b
+                  ON b.doc_id = st.doc_id AND b.pos >= st.s
+                GROUP BY st.doc_id, st.s
+            ),
+            wnd AS (
+                SELECT ea.doc_id, greatest(ea.e, eb.e) AS e
+                FROM ea JOIN eb ON ea.doc_id = eb.doc_id AND ea.s = eb.s
+                WHERE greatest(ea.e, eb.e) - ea.s <= 4
+            ),
+            sfreq AS (
+                SELECT doc_id, count(DISTINCT e) AS sf FROM wnd
+                GROUP BY doc_id
+            ),
+            dfa AS (SELECT count(DISTINCT doc_id) AS df FROM toks
+                    WHERE term = 'table'),
+            dfb AS (SELECT count(DISTINCT doc_id) AS df FROM toks
+                    WHERE term = 'filter'),
+            -- idf sums in the engine's sorted-token order (filter, table)
+            scored AS (
+                SELECT f.doc_id,
+                       (ln(1 + (s.n - dfb.df + 0.5) / (dfb.df + 0.5))
+                        + ln(1 + (s.n - dfa.df + 0.5) / (dfa.df + 0.5)))
+                       * f.sf / (f.sf + 1.2 * ((1 - 0.75) + 0.75 * q.dlq
+                                 / (CAST(s.total_len AS DOUBLE) / s.n))) AS score
+                FROM sfreq f JOIN qdl q USING (doc_id)
+                CROSS JOIN stats s CROSS JOIN dfa CROSS JOIN dfb
+            ),
+            hits AS (
+                SELECT doc_id, score FROM scored
                 ORDER BY score DESC, doc_id ASC LIMIT 50
             )
             SELECT doc_id, round(score, 6) AS score FROM hits
@@ -2325,6 +2537,7 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             ORDER BY raw_score DESC, term LIMIT 25
         """,
+        "classify_logit": _classify_logit_sql(),
     }
 
     # ---- stable top-k cut (mirrors _stable_topk): over-fetch the raw-score
@@ -2346,6 +2559,7 @@ def oracle_sql() -> dict[str, str]:
         "prefix_boost_search",
         "tfidf_topk",
         "lmdirichlet_topk",
+        "span_near_unordered",
     ):
         d[k] = _stable(d[k])
 

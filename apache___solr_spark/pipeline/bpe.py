@@ -59,23 +59,39 @@ def train_bpe(
     text_col: str,
     vocab_size: int = 512,
     min_count: int = 1,
+    max_table: int = 2_000_000,
 ) -> list[tuple[bytes, bytes]]:
     """Learn ``vocab_size - 256`` byte-pair merges from the corpus.
 
     Returns the ordered merge list; pair (a, b) at index i merges into the
     single symbol a+b with token id 256+i.  Deterministic: ties in pair
     frequency break on the lexicographically smallest (a, b).
-    """
+
+    DRIVER MEMORY BOUND: only the top ``max_table`` distinct pretokens by
+    frequency are collected (ties at the cut break on the pretoken string,
+    so truncation is reproducible).  At web scale the distinct-pretoken
+    table is 1e7-1e9 rows; the default cap (2M rows x ~50 B ~= 100 MB)
+    keeps the driver safe while Zipf makes the truncation loss negligible —
+    the dropped tail is the long tail of hapax pretokens whose pair counts
+    cannot influence the first ``vocab_size - 256`` merges in any corpus
+    whose head mass dominates (the same word-frequency factoring Sennrich's
+    trainer relies on).  Pass ``max_table=None`` to disable the cap."""
     n_merges = vocab_size - 256
     if n_merges <= 0:
         return []
-    freq_rows = (
+    freq = (
         df.select(F.explode(_pretokens(text_col)).alias("pt"))
         .groupBy("pt")
         .agg(F.count(F.lit(1)).alias("freq"))
         .filter(F.col("freq") >= min_count)
-        .collect()
     )
+    if max_table is not None:
+        # TakeOrderedAndProject: per-partition top-N + driver merge — the
+        # driver never sees more than max_table rows
+        freq = freq.orderBy(F.col("freq").desc(), F.col("pt")).limit(
+            int(max_table)
+        )
+    freq_rows = freq.collect()
     # driver-local merge selection over the (small) frequency table
     words: list[tuple[list[bytes], int]] = [
         ([bytes([b]) for b in r["pt"].encode("utf-8")], int(r["freq"]))

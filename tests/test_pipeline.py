@@ -1423,6 +1423,55 @@ def test_bpe_property_fuzz(spark):
         assert got == want, trial
 
 
+def test_train_bpe_max_table_cap(spark):
+    """The driver-side frequency-table collect is bounded by ``max_table``:
+
+    (1) capped training == uncapped training on the EXACT deterministic
+        top-N cut (freq desc, pretoken asc — incl. the tie at the cut),
+        materialized independently in the test;
+    (2) a non-binding cap changes nothing;
+    (3) a ~1e6-distinct-pretoken corpus (driver-OOM shape at web scale
+        without the cap) trains under a 2k cap — the collect is a
+        TakeOrderedAndProject, the driver never sees the hapax tail."""
+    from apache___solr_spark.pipeline.bpe import train_bpe
+
+    # distinct freqs + one freq-tie pair ("cdab" vs "cdba") straddling the
+    # cut so the pretoken-asc tiebreak is exercised
+    vocab = [("ab" * (i + 1), 40 - i) for i in range(12)]
+    vocab += [("cdab", 7), ("cdba", 7), ("xy", 3), ("yz", 2)]
+    rows = [((" " + w) * f,) for w, f in vocab]
+    full = spark.createDataFrame(rows, "text string")
+    cap = 13  # keeps the 12 distinct-freq words + "cdab" (tie, pt asc)
+    cut = sorted(vocab, key=lambda wf: (-wf[1], " " + wf[0]))[:cap]
+    subset = spark.createDataFrame(
+        [((" " + w) * f,) for w, f in cut], "text string"
+    )
+    capped = train_bpe(full, "text", vocab_size=290, max_table=cap)
+    want = train_bpe(subset, "text", vocab_size=290, max_table=None)
+    assert capped == want and capped
+    # (2) non-binding cap == no cap
+    loose = train_bpe(full, "text", vocab_size=290, max_table=10_000)
+    uncapped = train_bpe(full, "text", vocab_size=290, max_table=None)
+    assert loose == uncapped
+    assert loose != capped  # the binding cut really dropped tail mass
+    # (3) ~1e6 distinct hapax pretokens, capped collect stays tiny
+    tail = spark.range(1000).select(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(999)),
+                lambda i: F.translate(
+                    (F.col("id") * 1000 + i + 1_000_000).cast("string"),
+                    "0123456789",
+                    "qwertyuiop",
+                ),
+            ),
+        ).alias("text")
+    )
+    merges = train_bpe(tail, "text", vocab_size=266, max_table=2000)
+    assert len(merges) == 10
+
+
 # ---------------------------------------------------------------------------
 # main-content extraction (pipeline/extract.py, jusText-style)
 
