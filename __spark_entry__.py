@@ -1849,22 +1849,59 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY round(score, 6) DESC, doc_id ASC
         """,
         "bm25_simple_nested": f"""
-            WITH {bm25}{_bm25_scored_cte("m", ["merge"])}
+            WITH RECURSIVE {bm25}{_bm25_scored_cte("m", ["merge"])}
                  {_bm25_scored_cte("tq", ["table", "query"])},
             ptoks AS (
                 SELECT doc_id, unnest(t) AS term,
                        unnest(range(1, len(t) + 1)) AS pos
                 FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)
             ),
-            -- sloppy pf, ordered window: a start matches iff some 'filter'
-            -- position lies in (a.pos, a.pos + 1 + slop], slop=2
+            -- Lucene SloppyPhraseMatcher freq for "part filter"~2
+            -- (SloppyPhraseMatcher.java): ADJUSTED positions (raw -
+            -- phrase offset), then the alternating successor chain of
+            -- minimized windows — at each episode the stationary side
+            -- sits at e and the window closes at the other side's
+            -- predecessor <= e; matchLength = e - pred, each match
+            -- weighs 1/(1+matchLength) into a FRACTIONAL tf.  This
+            -- 2-term chain is fuzz-proven equivalent to the engine's
+            -- priority-queue matcher (tests/test_sloppy.py).
+            spm AS (
+                SELECT doc_id, pos AS p, 0 AS src FROM ptoks
+                WHERE term = 'part'
+                UNION ALL
+                SELECT doc_id, pos - 1 AS p, 1 AS src FROM ptoks
+                WHERE term = 'filter'
+            ),
+            spf AS (
+                SELECT doc_id,
+                       min(CASE WHEN src = 0 THEN p END) AS f0,
+                       min(CASE WHEN src = 1 THEN p END) AS f1
+                FROM spm GROUP BY doc_id
+                HAVING f0 IS NOT NULL AND f1 IS NOT NULL
+            ),
+            sprec AS (
+                SELECT doc_id, greatest(f0, f1) AS e,
+                       CASE WHEN f0 > f1 THEN 0 ELSE 1 END AS side
+                FROM spf
+                UNION ALL
+                SELECT r.doc_id,
+                       (SELECT min(p) FROM spm WHERE spm.doc_id = r.doc_id
+                          AND spm.src = 1 - r.side AND spm.p > r.e),
+                       1 - r.side
+                FROM sprec r
+                WHERE EXISTS (
+                    SELECT 1 FROM spm WHERE spm.doc_id = r.doc_id
+                      AND spm.src = 1 - r.side AND spm.p > r.e)
+            ),
             pf AS (
-                SELECT a.doc_id, count(DISTINCT a.pos) AS pf
-                FROM ptoks a JOIN ptoks b
-                  ON a.doc_id = b.doc_id
-                 AND b.pos > a.pos AND b.pos <= a.pos + 3
-                WHERE a.term = 'part' AND b.term = 'filter'
-                GROUP BY a.doc_id
+                SELECT doc_id, sum(1.0 / (1 + ml)) AS pf FROM (
+                    SELECT r.doc_id,
+                           r.e - (SELECT max(p) FROM spm
+                                    WHERE spm.doc_id = r.doc_id
+                                      AND spm.src = 1 - r.side
+                                      AND spm.p <= r.e) AS ml
+                    FROM sprec r
+                ) WHERE ml <= 2 GROUP BY doc_id
             ),
             dfp AS (SELECT count(DISTINCT doc_id) AS df FROM toks
                     WHERE term = 'part'),

@@ -292,7 +292,7 @@ def oracle_search(
             excluded.update(
                 d
                 for d in _phrase_candidates(idx, ph)
-                if _pf(idx, ph, d, slop=sl) > 0
+                if _classic_pf(idx, ph, d, slop=sl) > 0
             )
 
     if similarity != "bm25" and (
@@ -363,8 +363,8 @@ def oracle_search(
         idf = np.float32(idf_sum * float(pq.boosts.get(label, 1.0)))
         is_must = ph in pq.must_phrases
         for doc_id in _phrase_candidates(idx, ph):
-            pf = _pf(idx, ph, doc_id, slop=pq.slops.get(label, 0))
-            if pf == 0:
+            pf = _classic_pf(idx, ph, doc_id, slop=pq.slops.get(label, 0))
+            if pf <= 0:
                 continue
             dl = np.float32(byte4_to_int(idx.norm_byte[doc_id]))
             cache = k1f * (one_minus_b + bf * dl / avgdlf)
@@ -485,6 +485,95 @@ def oracle_span_near(
     ]
 
 
+def _sloppy_pf(
+    idx: OracleIndex, ph: list[str], doc_id: int, slop: int
+) -> float:
+    """Independent SloppyPhraseMatcher twin (classic sloppy phrases,
+    lucene/core/.../search/SloppyPhraseMatcher.java): explicit min-scan
+    state machine written separately from the engine's heap-based
+    query/sloppy.py.  Pointers carry ADJUSTED positions raw - offset;
+    the minimal pointer advances until it would overtake the runner-up,
+    the minimized window [min, end] checks against the slop, and each
+    match weighs 1/(1+matchLength) into the fractional phrase freq.
+    Repeated terms hold distinct raw positions (collision -> advance)."""
+    n = len(ph)
+    lists = [list(idx.positions[t][doc_id]) for t in ph]
+    if n == 1:
+        return float(len(lists[0]))
+    group_of: dict[str, int] = {}
+    groups = [group_of.setdefault(t, len(group_of)) for t in ph]
+    rpts = len(group_of) < n
+
+    ptr = [0] * n
+    if rpts:
+        used: dict[int, int] = {}
+        for i in range(n):
+            ptr[i] = used.get(groups[i], -1) + 1
+            if ptr[i] >= len(lists[i]):
+                return 0.0
+            used[groups[i]] = ptr[i]
+    cur = [lists[i][ptr[i]] - i for i in range(n)]
+    end = max(cur)
+
+    def step(i: int) -> bool:
+        """Advance pointer i (skipping group-sibling collisions)."""
+        nonlocal end
+        while True:
+            ptr[i] += 1
+            if ptr[i] >= len(lists[i]):
+                return False
+            raw = lists[i][ptr[i]]
+            if rpts and any(
+                k != i
+                and groups[k] == groups[i]
+                and ptr[k] < len(lists[k])
+                and lists[k][ptr[k]] == raw
+                for k in range(n)
+            ):
+                continue
+            break
+        cur[i] = raw - i
+        end = max(end, cur[i])
+        return True
+
+    def pick_min(exclude: int = -1) -> int:
+        """Smallest (position, offset) among live pointers != exclude."""
+        best = -1
+        for i in range(n):
+            if i == exclude:
+                continue
+            if best < 0 or (cur[i], i) < (cur[best], best):
+                best = i
+        return best
+
+    freq = 0.0
+    m = pick_min()
+    ml = end - cur[m]
+    while True:
+        runner = cur[pick_min(exclude=m)]
+        if not step(m):
+            if ml <= slop:
+                freq += 1.0 / (1.0 + ml)
+            return freq
+        if cur[m] > runner:
+            if ml <= slop:
+                freq += 1.0 / (1.0 + ml)
+            m = pick_min()
+            ml = end - cur[m]
+        else:
+            ml = min(ml, end - cur[m])
+
+
+def _classic_pf(
+    idx: OracleIndex, ph: list[str], doc_id: int, slop: int = 0
+) -> float:
+    """Classic-parser phrase freq: exact adjacency count when slop=0,
+    Lucene sloppyFreq (fractional) when slop>0."""
+    if slop > 0 and len(ph) > 1:
+        return _sloppy_pf(idx, ph, doc_id, slop)
+    return float(_pf(idx, ph, doc_id, slop=slop))
+
+
 def _pf(idx: OracleIndex, ph: list[str], doc_id: int, slop: int = 0) -> int:
     """Phrase frequency in the post-filter token stream: the number of
     first-term positions starting an increasing position chain whose span is
@@ -569,8 +658,12 @@ def oracle_search_tree(
             idf = np.float32(idf_sum * float(node.boost))
             out: dict[int, float] = {}
             for doc_id in _phrase_candidates(idx, node.toks):
-                pf = _pf(idx, node.toks, doc_id, slop=node.slop)
-                if pf == 0:
+                pf = (
+                    float(_pf(idx, node.toks, doc_id, slop=node.slop))
+                    if node.window  # span-derived: ordered-window
+                    else _classic_pf(idx, node.toks, doc_id, slop=node.slop)
+                )
+                if pf <= 0:
                     continue
                 dl = np.float32(byte4_to_int(idx.norm_byte[doc_id]))
                 cache = k1f * (one_minus_b + bf * dl / avgdlf)

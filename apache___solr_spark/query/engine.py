@@ -70,7 +70,12 @@ from apache___solr_spark.query.parser import (
 def _apply_synonyms(pq: ParsedQuery, synonyms: dict[str, list[str]]) -> ParsedQuery:
     """Rewrite term clauses whose term has synonyms into disjunction
     (expansion) clauses; MUST_NOT terms exclude every synonym.  Returns a
-    copy — the caller's ParsedQuery is never mutated."""
+    copy — the caller's ParsedQuery is never mutated.  SINGLE-word
+    synonyms only: string queries with multi-word synonyms route through
+    the tree evaluator before reaching here (search() checks
+    _tree_has_multiword_synonym); on a programmatic ParsedQuery a
+    multi-word value is a non-dictionary term and silently matches
+    nothing — use the string/tree path for phrase alternatives."""
     import copy
 
     from apache___solr_spark.query.parser import Clause
@@ -420,17 +425,24 @@ def _phrase_score_fn(
     slop: int = 0,
     ordered: bool = True,
     slots: list[tuple[str, ...]] | None = None,
+    lucene_sloppy: bool = False,
 ):
     """mapInPandas fn over (doc_id, norm, plists): phrase frequency, then
     BM25 with tf=pf and idf=sum of constituent idfs (Lucene PhraseQuery
     scoring: BM25Similarity sums idf over the phrase's term statistics).
 
-    ``ordered=True`` (PhraseQuery / SpanNearQuery inOrder=true): pf =
+    ``lucene_sloppy=True`` (classic sloppy phrases, slop>0): tf = the
+    FRACTIONAL SloppyPhraseMatcher freq — sum of 1/(1+matchLength) over
+    minimized windows, out-of-order matches at transposition cost
+    (query/sloppy.py; lucene/core SloppyPhraseMatcher.java) — the
+    reference's rank semantics for ``"a b"~N``.  Runs per doc on the
+    already-gated candidate set (every term present), the span matchers'
+    cost class.
+
+    ``ordered=True`` otherwise (SpanNearQuery inOrder=true): pf =
     number of first-term positions starting an INCREASING position chain
     of the phrase terms whose span is <= len(ptoks)-1+slop; slop=0 is
-    exact adjacency.  (Lucene's SloppyPhraseScorer additionally allows
-    out-of-order matches at transposition cost and weights each match by
-    1/(1+distance) — documented divergence; ordered-window matching only.)
+    exact adjacency in both modes (ExactPhraseMatcher).
 
     ``ordered=False`` (SpanNearQuery inOrder=false — the surround
     parser's N operator, queryparser/surround/query/DistanceQuery.java):
@@ -460,10 +472,60 @@ def _phrase_score_fn(
     # (ComplexPhraseQParserPlugin: a wildcard inside a phrase rewrites to
     # a SpanOr of its dictionary expansions — any member term satisfies
     # the slot).  The default is singleton slots == plain phrase terms.
+    use_sloppy = (
+        lucene_sloppy and ordered and slop > 0 and slots is None
+        and len(ptoks) > 1
+    )
     if slots is None:
         slots = [(t,) for t in (ptoks if ordered else sorted(set(ptoks)))]
     want = {t for s in slots for t in s}
     bound = np.int64(len(slots) - 1 + slop)
+
+    if use_sloppy:
+        from apache___solr_spark.query.sloppy import sloppy_freq
+
+        g: dict[str, int] = {}
+        groups = [g.setdefault(t, len(g)) for t in ptoks]
+
+        def run_sloppy(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                docs: list[int] = []
+                scores: list = []
+                for doc_id, norm, plists in zip(
+                    pdf["doc_id"], pdf["norm"], pdf["plists"]
+                ):
+                    pos_by_term = {
+                        r["term"]: r["positions"] for r in plists
+                    }
+                    pls = []
+                    ok = True
+                    for t in ptoks:
+                        p = pos_by_term.get(t)
+                        if p is None or len(p) == 0:
+                            ok = False
+                            break
+                        pls.append([int(x) for x in p])
+                    if not ok:
+                        continue
+                    fr = sloppy_freq(pls, slop, groups)
+                    if fr <= 0.0:
+                        continue
+                    dl = norm_table[int(norm)]
+                    frf = dtype(fr)
+                    cache = k1f * (one_minus_b + bf * dl / avgdlf)
+                    docs.append(int(doc_id))
+                    scores.append(dtype(idff * frf / (frf + cache)))
+                if docs:
+                    yield pd.DataFrame(
+                        {
+                            "doc_id": np.asarray(docs, dtype=np.int64),
+                            "score": np.asarray(scores, dtype=dtype),
+                        }
+                    )
+
+        return run_sloppy
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -629,13 +691,27 @@ class SearchEngine:
         cfg: IndexConfig | None = None,
         synonyms: dict[str, list[str]] | None = None,
         similarity: str | object = "bm25",
+        sloppy: str = "lucene",
     ) -> None:
-        """``synonyms``: query-time synonym map (SynonymGraphFilter in the
+        """``sloppy``: scoring semantics for CLASSIC sloppy phrases
+        (``"a b"~N``): ``"lucene"`` (default) = SloppyPhraseMatcher —
+        out-of-order matches at transposition cost, each match weighted
+        1/(1+matchLength) into a fractional tf (query/sloppy.py), the
+        reference's rank semantics; ``"window"`` = legacy ordered-window
+        counting (integer tf).  Span/surround/complexphrase queries keep
+        span-interval semantics in both modes (they are SpanNearQuery,
+        not SloppyPhraseScorer, in the reference too).
+
+        ``synonyms``: query-time synonym map (SynonymGraphFilter in the
         default schema's QUERY analyzer, managed-schema.xml:308-314) —
         analyzed lowercase term -> equivalent terms.  A query term with
         synonyms becomes one disjunction clause over the synonym set
         (divergence from Lucene's SynonymQuery blended statistics: each
-        synonym scores with its own idf — documented).
+        synonym scores with its own idf — documented).  A synonym value
+        containing spaces is a MULTI-WORD mapping ("usa" -> "united
+        states"): it becomes a phrase alternative (SynonymGraphFilter's
+        multi-token graph), scored like the manually written phrase
+        disjunction and excluded as a phrase under MUST_NOT.
 
         ``similarity``: a factory name ("bm25", "classic", "lmdirichlet",
         "lmjelinekmercer", "boolean") or a Similarity instance
@@ -678,6 +754,9 @@ class SearchEngine:
 
         self._mt_normalize = multiterm_normalize_fn(cfg.analyzer)
         self.synonyms = synonyms or {}
+        if sloppy not in ("lucene", "window"):
+            raise ValueError(f"sloppy must be 'lucene' or 'window': {sloppy!r}")
+        self._sloppy_lucene = sloppy == "lucene"
         self.sim = get_similarity(similarity, cfg)
         self._kernel = self.sim.kernel(self.stats["avgdl"], dtype=self._dtype)
         from apache___solr_spark.index.updates import load_deletes
@@ -938,9 +1017,11 @@ class SearchEngine:
         ordered: bool = True,
         slots: list[tuple[str, ...]] | None = None,
         tree=None,
+        lucene_sloppy: bool = False,
     ) -> DataFrame:
         """(doc_id, score) of docs matching the phrase (``slop=0``: exact
-        adjacency; ``slop>0``: ordered window; ``ordered=False``:
+        adjacency; ``slop>0``: ordered window, or Lucene SloppyPhrase
+        fractional freq when ``lucene_sloppy``; ``ordered=False``:
         unordered minimal-window — see _phrase_score_fn).  ``slots``
         switches to per-position term SETS (complexphrase): the salt/doc
         gates then require >=1 member of EVERY slot instead of every term.
@@ -1050,6 +1131,7 @@ class SearchEngine:
                 slop=slop,
                 ordered=ordered,
                 slots=slots,
+                lucene_sloppy=lucene_sloppy,
             )
         return grouped.mapInPandas(fn, schema=f"doc_id long, score {self._sql_t}")
 
@@ -1607,6 +1689,22 @@ class SearchEngine:
             tree = parse_query_tree(
                 query, analyze_fn=self._analyze, default_op=default_op
             )
+            if self.synonyms and self._tree_has_multiword_synonym(tree):
+                # phrase alternatives need the recursive evaluator — the
+                # flat path's expansion groups are term-only
+                return self._search_tree(
+                    tree,
+                    k=k,
+                    start=start,
+                    with_url=with_url,
+                    doc_filter=doc_filter,
+                    bf=bf,
+                    boost=boost,
+                    _docset=_docset,
+                    _filter_docset=filter_docset,
+                    should_combine=should_combine,
+                    tie=tie,
+                )
             try:
                 pq = lower_tree(tree)
             except NotFlatQuery:
@@ -1817,6 +1915,7 @@ class SearchEngine:
                     idf_by_term,
                     boost=float(pq.boosts.get(phrase_label(ph), 1.0)),
                     slop=int(pq.slops.get(phrase_label(ph), 0)),
+                    lucene_sloppy=self._sloppy_lucene,
                 ).select(F.lit(phrase_label(ph)).alias("term"), "doc_id", "score")
             )
         # NB: the loop variable must not shadow the ``boost`` parameter
@@ -1908,7 +2007,10 @@ class SearchEngine:
                 continue  # phrase cannot match any doc -> excludes nothing
             agg = agg.join(
                 self._phrase_frame(
-                    ph, idf_by_term, slop=int(pq.slops.get(phrase_label(ph), 0))
+                    ph,
+                    idf_by_term,
+                    slop=int(pq.slops.get(phrase_label(ph), 0)),
+                    lucene_sloppy=self._sloppy_lucene,
                 ).select("doc_id"),
                 "doc_id",
                 "left_anti",
@@ -2179,6 +2281,7 @@ class SearchEngine:
                 boost=pboost,
                 slop=int(pq.slops.get(label, 0)),
                 salts=salts,
+                lucene_sloppy=self._sloppy_lucene,
             ).filter(F.col("doc_id").isin(doc_ids))
             parts.append(
                 pf.select(
@@ -2373,6 +2476,8 @@ class SearchEngine:
                                 boost=float(node.boost),
                                 slop=int(node.slop),
                                 salts=salts,
+                                lucene_sloppy=self._sloppy_lucene
+                                and not node.window,
                             ),
                             path,
                         )
@@ -2641,25 +2746,77 @@ class SearchEngine:
     def _apply_synonyms_tree(self, tree: BoolQuery) -> BoolQuery:
         """Tree-path analog of _apply_synonyms: a term with synonyms becomes
         a disjunction clause; under MUST_NOT the clause excludes every
-        synonym (matching the flat path's exclusion extension)."""
+        synonym (matching the flat path's exclusion extension).
+
+        MULTI-WORD synonyms (SynonymGraphFilter's multi-token mappings,
+        managed-schema.xml:312 — e.g. "usa" -> "united states"): the term
+        rewrites to a nested bool — (group of the term + single-word
+        synonyms) OR (one PhraseNode per multi-word synonym) — so the
+        phrase alternative matches consecutive tokens exactly like the
+        manually-written phrase disjunction; under MUST_NOT the nested
+        bool's doc set (any alternative, incl. the phrase) is excluded."""
         import copy
+
+        from apache___solr_spark.query.parser import BoolChild, PhraseNode
 
         tree = copy.deepcopy(tree)
 
         def rw(node: BoolQuery) -> None:
             for c in node.children:
                 if isinstance(c.node, TermNode) and c.node.term in self.synonyms:
-                    c.node = Clause(
-                        occur="",
-                        kind="synonym",
-                        value=c.node.term,
-                        boost=c.node.boost,
-                    )
+                    t, b = c.node.term, c.node.boost
+                    phrases = [
+                        s.split() for s in self.synonyms[t] if " " in s
+                    ]
+                    if not phrases:
+                        c.node = Clause(
+                            occur="", kind="synonym", value=t, boost=b
+                        )
+                    else:
+                        singles = [
+                            s for s in self.synonyms[t] if " " not in s
+                        ]
+                        c.node = BoolQuery(
+                            children=[
+                                BoolChild(
+                                    "SHOULD",
+                                    Clause(
+                                        occur="",
+                                        kind="group",
+                                        terms=[t] + singles,
+                                        boost=b,
+                                    ),
+                                ),
+                                *[
+                                    BoolChild(
+                                        "SHOULD",
+                                        PhraseNode(toks=ph, boost=b),
+                                    )
+                                    for ph in phrases
+                                ],
+                            ]
+                        )
                 elif isinstance(c.node, BoolQuery):
                     rw(c.node)
 
         rw(tree)
         return tree
+
+    def _tree_has_multiword_synonym(self, tree) -> bool:
+        """True when any term in the tree maps to a multi-word synonym —
+        the flat path cannot score phrase alternatives, so search()
+        routes such queries through the recursive evaluator."""
+
+        def any_mw(node) -> bool:
+            if isinstance(node, TermNode):
+                return any(
+                    " " in s for s in self.synonyms.get(node.term, ())
+                )
+            if isinstance(node, BoolQuery):
+                return any(any_mw(c.node) for c in node.children)
+            return False
+
+        return any_mw(tree)
 
     def _ev_root_dismax(self, tree, ev, tie: float):
         """Top-level DisjunctionMax combine for ``_search_tree`` (the
@@ -2864,6 +3021,7 @@ class SearchEngine:
                     boost=node.boost,
                     slop=node.slop,
                     salts=salts,
+                    lucene_sloppy=self._sloppy_lucene and not node.window,
                 )
             if isinstance(node, Clause):
                 if resolved[id(node)] is None:

@@ -87,6 +87,10 @@ class PhraseNode:
     toks: list[str]
     slop: int = 0
     boost: float = 1.0
+    # True for SPAN-derived nodes (XML SpanNear lowering): keeps ordered-
+    # window counting — SpanNearQuery semantics — even when the engine's
+    # classic sloppy phrases use Lucene SloppyPhraseMatcher weighting
+    window: bool = False
 
     @property
     def label(self) -> str:

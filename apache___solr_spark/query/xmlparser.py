@@ -174,6 +174,7 @@ def _lower(el: ET.Element, analyze_fn, occur: str = "MUST"):
                 [(c.text or "").strip() for c in el],
                 slop=int(el.get("slop", 0)),
                 boost=_boost(el),
+                window=True,  # SpanNearQuery semantics, not SloppyPhrase
             )
         raise NotImplementedError(
             "<SpanNear> over non-SpanTerm children unsupported"

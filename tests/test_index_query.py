@@ -436,6 +436,42 @@ def test_query_time_synonyms(spark, built, oracle_idx):
     assert [r["doc_id"] for r in excl] == [w["doc_id"] for w in want]
 
 
+def test_multiword_synonyms(spark, built):
+    """SynonymGraphFilter multi-token mappings (managed-schema.xml:312):
+    "usa" -> "united states"-style synonyms become PHRASE alternatives —
+    a query term with a multi-word synonym scores like the manually
+    written phrase disjunction, and MUST_NOT excludes the phrase too."""
+    syn = {"web": ["page", "aaa bhhh"]}
+    eng = SearchEngine(spark, built, cfg=CFG, synonyms=syn)
+    plain = SearchEngine(spark, built, cfg=CFG)
+
+    got = {
+        r["doc_id"]: r["score"] for r in eng.search("web", k=N_DOCS).collect()
+    }
+    want = {
+        r["doc_id"]: r["score"]
+        for r in plain.search('web page "aaa bhhh"', k=N_DOCS).collect()
+    }
+    assert set(got) == set(want) and got
+    for d, s in got.items():
+        assert abs(s - want[d]) < 1e-5
+    # the phrase alternative really matches: docs with the consecutive
+    # pair but neither single word rank under the synonym query
+    ph_only = {
+        r["doc_id"] for r in plain.search('"aaa bhhh"', k=N_DOCS).collect()
+    }
+    assert ph_only & set(got)
+
+    # MUST_NOT: -web excludes single-word synonyms AND the phrase docs
+    excl = {r["doc_id"] for r in eng.search("table -web", k=N_DOCS).collect()}
+    man = {
+        r["doc_id"]
+        for r in plain.search('table -web -page -"aaa bhhh"', k=N_DOCS).collect()
+    }
+    assert excl == man
+    assert not (excl & ph_only)
+
+
 def test_incremental_add_and_delete(spark, corpus, tmp_path_factory):
     """/update parity: deleteById tombstones filter every query path;
     add_docs appends a new immutable segment whose docs are searchable
@@ -600,8 +636,9 @@ def test_tree_oracle_agrees_with_flat_oracle_on_flat_queries(oracle_idx):
 
 
 def test_sloppy_phrase_queries_match_oracle(spark, corpus, built, oracle_idx):
-    """Phrase slop (ordered-window semantics: increasing position chain,
-    span <= len-1+slop; pf = matching start positions)."""
+    """Phrase slop (Lucene SloppyPhraseMatcher semantics: fractional tf =
+    sum of 1/(1+matchLength) over minimized windows, out-of-order matches
+    at transposition cost) — engine vs the independent oracle twin."""
     from apache___solr_spark.analysis.chain import analyze, extract_text
 
     _, table = corpus
@@ -613,14 +650,40 @@ def test_sloppy_phrase_queries_match_oracle(spark, corpus, built, oracle_idx):
         f'"{a} {b}"~1',
         f'"{a} {c}"~1',      # needs slop >= 1 (one token between)
         f'"{a} {c}"~3',
-        f'"{b} {a}"~2',      # reversed: ordered-window does NOT match unless
-        f'"{a} {b}"~0',      # both orders occur; still well-defined
+        f'"{b} {a}"~2',      # reversed: matches at transposition cost 2
+        f'"{a} {b}"~0',      # slop=0: exact adjacency (integer tf)
         f'+"{a} {c}"~2 web',
         f'web -"{a} {c}"~2',
         f'"{a} {b} {c}"~2',
     ]
     for q in queries:
         _run_query_pair(spark, built, oracle_idx, q, 10, prune=True)
+
+
+def test_sloppy_lucene_vs_window_flag(spark, built, oracle_idx):
+    """sloppy='lucene' (default) scores transposed occurrences; the
+    legacy sloppy='window' flag restores ordered-window counting.  A doc
+    containing only the REVERSED pair ranks under lucene semantics and
+    vanishes under window semantics."""
+    eng = SearchEngine(spark, built, cfg=CFG)
+    engw = SearchEngine(spark, built, cfg=CFG, sloppy="window")
+    # a reversed-only pair: find terms where some doc has b-before-a only
+    q = '"page web"~3'
+    lucene_ids = {r["doc_id"] for r in eng.search(q, k=400, prune=False).collect()}
+    window_ids = {r["doc_id"] for r in engw.search(q, k=400, prune=False).collect()}
+    # window matches (ordered chains) are a subset of lucene matches
+    assert window_ids <= lucene_ids
+    # and the transposed occurrences ("web page" order with gap <= 2,
+    # i.e. adjusted spread <= 3) rank ONLY under lucene semantics
+    rev_only = lucene_ids - window_ids
+    from apache___solr_spark.oracle import _sloppy_pf
+
+    for d in sorted(rev_only)[:5]:
+        assert _sloppy_pf(oracle_idx, ["page", "web"], d, 3) > 0.0
+    # exact phrases (slop=0) are identical in both modes
+    e0 = [(r["doc_id"], r["score"]) for r in eng.search('"web page"', k=50).collect()]
+    w0 = [(r["doc_id"], r["score"]) for r in engw.search('"web page"', k=50).collect()]
+    assert e0 == w0
 
 
 def test_slop_widens_matches(oracle_idx):
@@ -2576,11 +2639,15 @@ def test_payload_qparsers(spark, built, payload_built):
 
 
 def test_xml_span_nests_in_boolean(spark, corpus, built):
-    """An ordered <SpanNear> lowers to a PhraseNode, so it composes
-    inside <BooleanQuery> clauses like any phrase."""
+    """An ordered <SpanNear> lowers to a window-semantics PhraseNode, so
+    it composes inside <BooleanQuery> clauses like any phrase — and keeps
+    SpanNearQuery (ordered-window) counting even though classic sloppy
+    phrases score with SloppyPhraseMatcher weighting by default (the
+    window-mode engine's classic query is the exact twin)."""
     from apache___solr_spark.query.localparams import dispatch_query
 
     eng = SearchEngine(spark, built, cfg=CFG)
+    engw = SearchEngine(spark, built, cfg=CFG, sloppy="window")
     xml = (
         "<BooleanQuery>"
         '<Clause occurs="must"><SpanNear slop="1" inOrder="true">'
@@ -2594,9 +2661,15 @@ def test_xml_span_nests_in_boolean(spark, corpus, built):
     ]
     want = [
         (r["doc_id"], round(float(r["score"]), 4))
-        for r in eng.search('+"web data"~1 engine', k=10).collect()
+        for r in engw.search('+"web data"~1 engine', k=10).collect()
     ]
     assert got == want and len(got) > 0
+    # the span clause is UNCHANGED by the engine's sloppy mode
+    got_w = [
+        (r["doc_id"], round(float(r["score"]), 4))
+        for r in dispatch_query(engw, "{!xml}" + xml, k=10).collect()
+    ]
+    assert got == got_w
 
 
 def test_significant_terms_and_mlt_content(spark, corpus, built):
