@@ -280,10 +280,17 @@ def media_metadata(
                     len(m["tracks"]),
                 )
             if b[:4] == b"RIFF":
+                import io
+                import wave
+
                 from apache___solr_spark.pipeline.multimodal import decode_wav
 
+                # channel count from the header — decode_wav downmixes to
+                # mono, so the metadata must read nchannels itself
+                with wave.open(io.BytesIO(b), "rb") as w:
+                    nch = w.getnchannels()
                 s, rate = decode_wav(b)
-                return ("wav", "pcm", rate, 1, len(s) / rate, 1)
+                return ("wav", "pcm", rate, nch, len(s) / rate, 1)
             if b[:4] == b"fLaC":
                 from apache___solr_spark.pipeline.flac import decode_flac
 

@@ -550,7 +550,12 @@ def extract_pdf_pages(data: bytes) -> list[str]:
         file_key, method = _parse_encryption(data)
     out: list[str] = []
     for num, gen, dct, raw in _iter_streams(data):
-        if file_key is not None:
+        is_xref = b"/XRef" in dct
+        is_objstm = b"/ObjStm" in dct
+        if file_key is not None and not is_xref:
+            # PDF 1.5+ cross-reference streams are stored UNENCRYPTED
+            # (ISO 32000-1 7.5.8.2) — decrypting them corrupts the bytes;
+            # object streams and content streams decrypt normally
             if num is None:
                 raise NotImplementedError(
                     "encrypted PDF: stream without an object wrapper"
@@ -573,6 +578,11 @@ def extract_pdf_pages(data: bytes) -> list[str]:
             try:
                 content = zlib.decompress(raw)
             except zlib.error as e:
+                if is_xref or is_objstm:
+                    # xref/object streams carry no Tj text operators; a
+                    # predictor-filtered xref stream must not abort the
+                    # extraction of the decryptable content streams
+                    continue
                 raise NotImplementedError(
                     f"undecodable FlateDecode stream ({e}); predictor or "
                     "multi-filter chains not supported"

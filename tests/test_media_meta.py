@@ -97,6 +97,17 @@ def test_media_metadata_spark(spark):
 
     wav = encode_wav(np.zeros(8000, np.float32), 16000)
     flac = encode_flac(np.arange(-100, 100, dtype=np.int64), 8000, 16)
+    # stereo WAV fixture (encode_wav is mono-only): interleaved L/R
+    import io
+    import wave as _wave
+
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(np.zeros(8000 * 2, "<i2").tobytes())
+    stereo = buf.getvalue()
     rows = [
         (1, bytearray(_id3(10) + _FRAME * 20)),
         (2, bytearray(_mp4_fixture())),
@@ -104,6 +115,7 @@ def test_media_metadata_spark(spark):
         (4, bytearray(flac)),
         (5, bytearray(b"\x00garbage")),
         (6, None),
+        (7, bytearray(stereo)),
     ]
     df = spark.createDataFrame(rows, "media_id long, content binary")
     got = {r["media_id"]: r for r in media_metadata(df).collect()}
@@ -111,7 +123,12 @@ def test_media_metadata_spark(spark):
     assert got[2]["format"] == "mp4" and got[2]["codec"] == "mp4a"
     assert got[2]["duration_sec"] == 5.0 and got[2]["n_tracks"] == 1
     assert got[3]["format"] == "wav" and got[3]["duration_sec"] == 0.5
+    assert got[3]["channels"] == 1
     assert got[4]["format"] == "flac" and got[4]["sample_rate"] == 8000
     assert got[5]["format"] == "unknown" and got[6]["format"] == "unknown"
+    # stereo WAV reports its real channel count (regression: decode_wav
+    # downmixes, the header must be read for metadata)
+    assert got[7]["format"] == "wav" and got[7]["channels"] == 2
+    assert got[7]["duration_sec"] == 0.5
     plan = media_metadata(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # map-only

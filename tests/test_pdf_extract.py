@@ -174,6 +174,8 @@ def _encrypt_pdf(pdf: bytes, r: int = 3, owner_pwd: bytes = b"owner") -> bytes:
         rb"(\d+)\s+(\d+)\s+obj\s*<<.*?>>\s*stream\n", _re.S
     )
     for m in stream_re.finditer(pdf):
+        if b"/XRef" in m.group(0):
+            continue  # producers store cross-reference streams plaintext
         body_start = m.end()
         end = pdf.find(b"\nendstream", body_start)
         num, gen = int(m.group(1)), int(m.group(2))
@@ -261,6 +263,37 @@ def test_image_stream_skipped():
     assert extract_pdf_text(pdf) == "Hello world"
 
 
+def test_encrypted_pdf_with_xref_stream():
+    """PDF 1.5+ cross-reference streams are stored UNENCRYPTED (ISO
+    32000-1 7.5.8.2); the extractor must not 'decrypt' (corrupt) them —
+    regression: an encrypted PDF using xref streams failed extraction
+    entirely because the bogusly-decrypted xref stream no longer
+    inflated.  A predictor-filtered (undecodable) xref or object stream
+    must be skipped, not abort the decryptable content streams."""
+    import zlib as _zlib
+
+    plain = make_pdf([SIMPLE], compress=True)
+    # unencrypted predictor-filtered xref stream, as a 1.5+ producer
+    # writes it (our inflater has no predictor support — it must skip)
+    xref = (
+        b"8 0 obj\n<< /Type /XRef /Filter /FlateDecode /W [1 2 1] "
+        b"/Size 9 /DecodeParms << /Predictor 12 /Columns 4 >> >>\n"
+        b"stream\n" + _zlib.compress(bytes(range(40))) + b"\nendstream\nendobj\n"
+    )
+    # plus an ENCRYPTED object stream whose payload our inflater cannot
+    # decode (simulates predictor chains) — tolerated, not fatal
+    objstm = (
+        b"9 0 obj\n<< /Type /ObjStm /Filter /FlateDecode /N 1 >>\n"
+        b"stream\nnot-zlib-bytes\nendstream\nendobj\n"
+    )
+    pdf = plain.replace(b"xref\n", xref + objstm + b"xref\n", 1)
+    for r in (3, 4):
+        enc = _encrypt_pdf(pdf, r=r)
+        assert extract_pdf_text(enc) == "Hello world"
+    enc5 = _encrypt_pdf_v5(pdf, r=6)
+    assert extract_pdf_text(enc5) == "Hello world"
+
+
 def test_read_pdf_docs_loader(spark, tmp_path):
     from apache___solr_spark.sources.loaders import read_pdf_docs
 
@@ -317,6 +350,8 @@ def _encrypt_pdf_v5(pdf: bytes, r: int = 6) -> bytes:
     pos = 0
     stream_re = _re.compile(rb"(\d+)\s+(\d+)\s+obj\s*<<.*?>>\s*stream\n", _re.S)
     for m in stream_re.finditer(pdf):
+        if b"/XRef" in m.group(0):
+            continue  # producers store cross-reference streams plaintext
         body_start = m.end()
         end = pdf.find(b"\nendstream", body_start)
         num = int(m.group(1))
