@@ -37,24 +37,36 @@ distributed DataFrame jobs:
   Same fixed points, different trajectory.
 
 Everything is DataFrame ops: one explode + groupBy(term) shuffle for
-feature selection; train caches the sparse (doc, term, value) design
-matrix once, PRE-PARTITIONED on the doc key, so the per-epoch dot-product
-aggregation and the error join both reuse the cached partitioning (no
-exchange) and each epoch moves only the k-row term-gradient shuffle —
-the tiny weight vector rides along as literals; no .collect() of
-anything unbounded.
+feature selection; train pivots the sparse design matrix ONCE into
+per-doc dense feature columns and caches them, so each GD epoch is a
+single exchange-free whole-stage-codegen aggregation (one row to the
+driver) — the tiny weight vector rides along as literals; no .collect()
+of anything unbounded.
 """
 
 from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["select_features_igain", "train_text_logit", "term_vectors", "top_features"]
 
 _TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Widen tiny inputs to the cluster's parallelism before CPU-bound
+    tokenize stages: heavily-compressed small parquet can yield fewer
+    splits than cores, capping the regex/explode stage far below the box.
+    At web scale input splits exceed defaultParallelism and this is a
+    no-op (no shuffle added)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def _doc_terms(df: DataFrame, text_col: str, distinct: bool) -> DataFrame:
@@ -87,7 +99,7 @@ def select_features_igain(
     in via a broadcast single-row cross join, so the plan is two stages
     regardless of corpus size.
     """
-    labeled = df.select(
+    labeled = _spread(df).select(
         F.col(text_col).alias("__text"),
         (F.col(outcome_col) == F.lit(positive_label))
         .cast("int")
@@ -191,100 +203,109 @@ def train_text_logit(
     Returns one dict per iteration: {iteration, weights (intercept-first),
     error, truePositive_i, trueNegative_i, falsePositive_i,
     falseNegative_i} — the TextLogitStream tuple shape.  Weights live on
-    the driver (num_terms + 1 doubles); each epoch is ONE job over the
-    cached design matrix (window dot + a single groupBy(term)).
+    the driver (num_terms + 1 doubles).
+
+    Epoch shape: the sparse design matrix pivots ONCE into per-doc DENSE
+    feature columns (k = num_terms doubles per doc — the feature count is
+    query-sized) and caches; each GD epoch is then a single whole-stage-
+    codegen aggregation over that cache — sigmoid/error/gradient as
+    column expressions, map-side partial aggregation, ONE row to the
+    driver — with no window sort, no per-term shuffle, and no exchange at
+    all.  Epochs stay one-job-each because batch GD is inherently
+    sequential (epoch k's gradient is a nonlinear function of epoch
+    k-1's aggregated weights — there is no per-partition sufficient
+    statistic spanning two epochs), matching TextLogitStream's
+    per-iteration tuple emission; the per-epoch cost is one narrow agg
+    over cached columnar data, so 100 epochs = 100 sub-second jobs, not
+    100 shuffles.
     """
-    # hash-partition on the doc key BEFORE caching: the epoch loop's
-    # per-doc window requires distribution by __doc, and InMemoryRelation
-    # preserves output partitioning, so every epoch runs the window
-    # exchange-free off the cache (only the term-keyed partial rows
-    # shuffle, k rows per task)
-    design = (
-        _design_matrix(
-            df, text_col, outcome_col, positive_label, features,
-            id_col=id_col,
+    terms = [t for t, _ in features]
+    k = len(terms)
+    # dense per-doc feature columns built MAP-ONLY (no explode, no
+    # groupBy): tf per feature term is one JVM array count each — the
+    # feature count is query-sized — and value = idf * (1 + ln tf)
+    # exactly as _design_matrix computes it; docs containing no feature
+    # term drop out (the reference's docVectors exclusion)
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), _TOKEN_SPLIT), lambda x: x != ""
+    ).alias("__toks")
+    vcols = []
+    for i, (t, idf) in enumerate(features):
+        tf = F.size(F.filter(F.col("__toks"), lambda x: x == F.lit(t)))
+        vcols.append(
+            F.when(
+                tf > 0,
+                F.lit(float(idf))
+                * (F.lit(1.0) + F.log(tf.cast("double"))),
+            )
+            .otherwise(F.lit(0.0))
+            .alias(f"v{i}")
         )
-        .repartition("__doc")
+    wide = (
+        _spread(df).select(
+            (F.col(outcome_col) == F.lit(positive_label))
+            .cast("double")
+            .alias("y"),
+            toks,
+        )
+        .select("y", *vcols)
+        .filter(
+            " OR ".join(f"v{i} != 0.0" for i in range(k)) if k else "true"
+        )
         .persist()
     )
     try:
-        terms = [t for t, _ in features]
-        weights = [0.0] * (len(terms) + 1)  # [intercept, w_term...]
+        weights = [0.0] * (k + 1)  # [intercept, w_term...]
         out = []
-        wdoc = Window.partitionBy("__doc", "y")
-        wrep = wdoc.orderBy("term")
         for it in range(1, iterations + 1):
-            w_map = F.create_map(
-                *[
-                    x
-                    for t, w in zip(terms, weights[1:])
-                    for x in (F.lit(t), F.lit(float(w)))
-                ]
-            )
-            # ONE job per epoch, one pass over the cached design matrix:
-            # the per-doc dot product is a window sum over the cache's own
-            # __doc partitioning (no exchange, no join), doc-level stats
-            # ride the SAME groupBy(term) as the gradient by counting them
-            # only on each doc's representative row (row_number()==1 —
-            # exact integers, no fractional-weight float drift), and the
-            # driver sums the k per-term partials.  The only shuffle per
-            # epoch is k terms x n_partitions partial rows.
-            dot = (
-                F.sum(w_map[F.col("term")] * F.col("value")).over(wdoc)
-                + F.lit(float(weights[0]))
-            )
+            dot = F.lit(float(weights[0]))
+            for i in range(k):
+                dot = dot + F.lit(float(weights[i + 1])) * F.col(f"v{i}")
             sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-dot))
-            rows = design.select(
-                "term",
-                "value",
+            err = (sig - F.col("y")).alias("err")
+            rows = wide.select(
                 "y",
-                (sig - F.col("y")).alias("err"),
+                *[F.col(f"v{i}") for i in range(k)],
+                err,
                 (sig >= F.lit(float(threshold))).cast("int").alias("pred"),
-                (F.row_number().over(wrep) == 1).alias("rep"),
             )
-            rep = F.col("rep")
             y1 = F.col("y") == 1.0
             p1 = F.col("pred") == 1
-            agg = (
-                rows.groupBy("term")
-                .agg(
-                    F.sum(F.col("err") * F.col("value")).alias("g"),
-                    F.sum(F.when(rep, F.col("err"))).alias("g0"),
-                    F.sum(rep.cast("long")).alias("n_docs"),
-                    F.sum(F.when(rep, F.abs(F.col("err")))).alias(
-                        "total_err"
-                    ),
-                    F.sum((rep & y1 & p1).cast("long")).alias("tp"),
-                    F.sum((rep & ~y1 & ~p1).cast("long")).alias("tn"),
-                    F.sum((rep & ~y1 & p1).cast("long")).alias("fp"),
-                    F.sum((rep & y1 & ~p1).cast("long")).alias("fn"),
-                )
-                .collect()
-            )
-            g = {r["term"]: r["g"] for r in agg}
-            stats = {
-                k: float(sum(r[k] or 0 for r in agg))
-                for k in ("g0", "n_docs", "total_err", "tp", "tn", "fp", "fn")
-            }
+            e = F.col("err")
+            row = rows.agg(
+                *[
+                    F.sum(e * F.col(f"v{i}")).alias(f"g{i}")
+                    for i in range(k)
+                ],
+                F.sum(e).alias("gint"),
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.abs(e)).alias("total_err"),
+                F.sum((y1 & p1).cast("long")).alias("tp"),
+                F.sum((~y1 & ~p1).cast("long")).alias("tn"),
+                F.sum((~y1 & p1).cast("long")).alias("fp"),
+                F.sum((y1 & ~p1).cast("long")).alias("fn"),
+            ).collect()[0]
             # mean gradient: step magnitude independent of corpus size
-            n_docs = float(stats["n_docs"]) or 1.0
-            weights[0] -= alpha * float(stats["g0"]) / n_docs
-            for i, t in enumerate(terms):
-                weights[i + 1] -= alpha * float(g.get(t, 0.0)) / n_docs
+            n_docs = float(row["n_docs"]) or 1.0
+            weights[0] -= alpha * float(row["gint"]) / n_docs
+            for i in range(k):
+                weights[i + 1] -= (
+                    alpha * float(row[f"g{i}"] or 0.0) / n_docs
+                )
             out.append(
                 {
                     "iteration": it,
                     "weights": list(weights),
-                    "error": float(stats["total_err"]),
-                    "truePositive_i": int(stats["tp"]),
-                    "trueNegative_i": int(stats["tn"]),
-                    "falsePositive_i": int(stats["fp"]),
-                    "falseNegative_i": int(stats["fn"]),
+                    "error": float(row["total_err"]),
+                    "truePositive_i": int(row["tp"]),
+                    "trueNegative_i": int(row["tn"]),
+                    "falsePositive_i": int(row["fp"]),
+                    "falseNegative_i": int(row["fn"]),
                 }
             )
         return out
     finally:
-        design.unpersist()
+        wide.unpersist()
 
 
 def predict_logit(
@@ -297,6 +318,7 @@ def predict_logit(
     """ClassifyStream (solrj-streaming/.../io/stream/ClassifyStream.java):
     score docs with a trained model.  Adds probability_d and prediction
     columns; docs with no feature term get sigmoid(intercept)."""
+    df = _spread(df)
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), _TOKEN_SPLIT), lambda x: x != ""
     )
