@@ -129,7 +129,15 @@ def export_sorted(
 
 def write_response(df: DataFrame, path: str, fmt: str = "json") -> None:
     """Response writers (response/JSONResponseWriter.java,
-    CSVResponseWriter.java, ...) -> df.write.<fmt>."""
+    CSVResponseWriter.java, response/CborResponseWriter.java, ...) ->
+    df.write.<fmt>.
+
+    ``fmt="cbor"``: one RFC 8949 payload file per partition (an array of
+    doc maps — the shape read_cbor_docs round-trips), encoded with the
+    repo's own cbor_dumps tables.  Executors write directly to ``path``,
+    which therefore must be a filesystem every executor can reach (local
+    dir in local mode, a shared mount on a cluster; an object-store
+    committer is the documented seam)."""
     writer = df.write.mode("overwrite")
     if fmt == "json":
         writer.json(path)
@@ -137,6 +145,25 @@ def write_response(df: DataFrame, path: str, fmt: str = "json") -> None:
         writer.option("header", "true").csv(path)
     elif fmt == "parquet":
         writer.parquet(path)
+    elif fmt == "cbor":
+        import os as _os
+
+        from apache___solr_spark.sources.binformats import cbor_dumps
+
+        _os.makedirs(path, exist_ok=True)
+        cols = df.columns
+
+        def _write_part(idx: int, rows):
+            docs = [dict(zip(cols, r)) for r in rows]
+            if not docs:
+                return iter(())
+            tmp = _os.path.join(path, f".part-{idx:05d}.cbor.tmp")
+            with open(tmp, "wb") as f:
+                f.write(cbor_dumps(docs))
+            _os.replace(tmp, _os.path.join(path, f"part-{idx:05d}.cbor"))
+            return iter(())
+
+        df.rdd.mapPartitionsWithIndex(_write_part).count()
     else:
         raise NotImplementedError(f"format {fmt!r}")
 

@@ -139,3 +139,107 @@ def test_random_fq_is_docset_intersection(fuzz_engine, tree, fq_tree):
         if semantics(tree, terms) and semantics(fq_tree, terms)
     }
     assert got == want, f"q={q!r} fq={f!r}"
+
+
+# ---- JSON Request API front door (query/json_request.py) -------------------
+
+
+def to_json_query(node):
+    """AST -> the JSON Request API's bool DSL (JsonQueryConverter shapes)."""
+    kind = node[0]
+    if kind == "term":
+        return node[1]
+    _, a, b = node
+    if kind == "and":
+        return {"bool": {"must": [to_json_query(a), to_json_query(b)]}}
+    if kind == "or":
+        return {"bool": {"should": [to_json_query(a), to_json_query(b)]}}
+    return {
+        "bool": {"must": [to_json_query(a)], "must_not": [to_json_query(b)]}
+    }
+
+
+def _leaves(node) -> list:
+    if node[0] == "term":
+        return [node[1]]
+    return _leaves(node[1]) + _leaves(node[2])
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(tree=ast, fq_tree=ast)
+def test_random_json_request_matches_classic(fuzz_engine, tree, fq_tree):
+    """JSON Request API property: {"query": <bool DSL>, "filter": [f]}
+    returns the SAME docs AND scores as the classic-grammar twin with an
+    fq — the front door is a pure translation layer, fuzz-checked over
+    arbitrary nested bool bodies.
+
+    Restricted to distinct leaves: a term DUPLICATED across SHOULD
+    branches scores once on the classic flat path but once per clause
+    through the {!bool} translation (Lucene itself merges duplicate
+    clauses by summing boosts) — a documented clause-dedup divergence,
+    not a translation defect."""
+    from hypothesis import assume
+
+    from apache___solr_spark.query.json_request import json_request
+
+    lv = _leaves(tree)
+    assume(len(lv) == len(set(lv)))
+    eng, url_terms = fuzz_engine
+    q, f = render(tree), render(fq_tree)
+    got = {
+        (r["url"], round(float(r["score"]), 4))
+        for r in json_request(
+            eng,
+            {"query": to_json_query(tree), "filter": [f], "limit": N_DOCS + 1},
+        ).collect()
+    }
+    want = {
+        (r["url"], round(float(r["score"]), 4))
+        for r in eng.search(q, k=N_DOCS + 1, fq=[f]).collect()
+    }
+    assert got == want, f"q={q!r} fq={f!r}"
+    # the doc set also matches the shared-nothing semantics oracle
+    assert {u for u, _ in got} == {
+        u
+        for u, terms in url_terms.items()
+        if semantics(tree, terms) and semantics(fq_tree, terms)
+    }
+
+
+# ---- {!collapse} over arbitrary boolean + fq combos ------------------------
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(tree=ast, fq_tree=ast, nmod=st.integers(min_value=2, max_value=9))
+def test_random_collapse_matches_groupwise_argmax(fuzz_engine, tree, fq_tree, nmod):
+    """collapsed_search property: for ANY boolean query + fq, collapsing
+    on a derived key equals groupwise argmax (score desc, doc_id asc)
+    over the full scored match set, then top-k — verified against a
+    python oracle fed by the (independently fuzz-verified) scored
+    search."""
+    eng, url_terms = fuzz_engine
+    q, f = render(tree), render(fq_tree)
+    full = eng.search(q, k=N_DOCS + 1, fq=[f], prune=False).collect()
+    best: dict[int, tuple] = {}
+    for r in full:
+        g = r["doc_id"] % nmod
+        key = (-float(r["score"]), r["doc_id"])
+        if g not in best or key < best[g]:
+            best[g] = key
+    want = sorted(best.values())[:10]
+    want = [(d, round(-s, 4)) for s, d in want]
+    got = [
+        (r["doc_id"], round(float(r["score"]), 4))
+        for r in eng.collapsed_search(
+            q, by=f"pmod(doc_id, {nmod})", k=10, fq=[f]
+        ).collect()
+    ]
+    assert got == want, f"q={q!r} fq={f!r} nmod={nmod}"

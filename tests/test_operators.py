@@ -261,6 +261,29 @@ def test_write_response_roundtrips(spark, tmp_path):
         write_response(df, out, fmt=fmt)
         got = {(r["id"], r["name"], r["score"]) for r in read(out).collect()}
         assert got == want, fmt
+    # CBOR (response/CborResponseWriter.java): RFC 8949 payload files the
+    # CborLoader-equivalent reads straight back — full writer->loader
+    # round-trip through the repo's own encoder/decoder tables
+    from apache___solr_spark.sources.binformats import cbor_loads
+    from apache___solr_spark.sources.loaders import read_cbor_docs
+
+    out = str(tmp_path / "resp_cbor")
+    write_response(df, out, fmt="cbor")
+    import glob as _glob
+
+    files = sorted(_glob.glob(out + "/part-*.cbor"))
+    assert files and not _glob.glob(out + "/.part-*")  # atomic renames
+    raw_docs = []
+    for f in files:
+        raw_docs.extend(cbor_loads(open(f, "rb").read()))
+    assert {(d["id"], d.get("name"), d["score"]) for d in raw_docs} == want
+    back = read_cbor_docs(spark, out, unique_key="id")
+    got = {
+        (r["id"], r["name"] if "name" in back.columns else None, r["score"])
+        for r in back.collect()
+    }
+    assert got == want
+
     import pytest as _pytest
 
     with _pytest.raises(NotImplementedError):
