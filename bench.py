@@ -292,11 +292,40 @@ def _q_xml_query(spark, sf_dir):
     return dispatch_query(eng, "{!xml}" + xml, k=20)
 
 
+def _quiet_probe() -> dict:
+    """Pin the quiet-probe gate INTO the bench (round-3 verdict item): a
+    short no-Spark multiprocessing probe (bench_ceiling's workload) must be
+    STABLE — two consecutive probes within 25% — before the timed suite
+    starts, so round-to-round comparisons stop depending on host mood.
+    Budget-bounded (SPARK_GRAFT_PROBE_BUDGET_SEC, default 600; 0 disables);
+    on budget exhaustion the bench runs anyway and records the probes, so a
+    permanently-busy host degrades to the old behavior, visibly."""
+    budget = float(os.environ.get("SPARK_GRAFT_PROBE_BUDGET_SEC", "600"))
+    if budget <= 0:
+        return {"probe_gate": "disabled"}
+    from bench_ceiling import run as ceiling_run
+
+    cores = min(int(CPUS), os.cpu_count() or int(CPUS))
+    deadline = time.time() + budget
+    probes: list[float] = []
+    while True:
+        probes.append(round(ceiling_run(cores, tasks=64), 2))
+        if len(probes) >= 2:
+            a, b = probes[-2], probes[-1]
+            if min(a, b) / max(a, b) >= 0.75:
+                return {"probe_gate": "stable", "probes_tasks_per_sec": probes}
+        if time.time() > deadline:
+            return {"probe_gate": "budget_exhausted",
+                    "probes_tasks_per_sec": probes}
+        time.sleep(20)
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from apache___solr_spark.index.builder import build_index
     from apache___solr_spark.session import get_spark
 
+    probe = _quiet_probe()
     spark = get_spark("bench", cores=CPUS)
     n_docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).count()
 
@@ -396,19 +425,25 @@ def main() -> None:
         "span_nested": _q_span_nested,
     }
     qs = {**fallbacks, **entrymod.queries()}
-    # best-of-2 per query: this host is shared and noisy (the scaling bench
-    # gates on quiet probes for the same reason) — a single pass smears a
-    # passing contention window over whichever queries it hits; min-of-2
-    # reports the query's real cost.
+    # per-entry p50 over 3 reps, min and spread recorded alongside: this
+    # host is shared and noisy (the scaling bench gates on quiet probes for
+    # the same reason) — the median resists one contended rep, and the
+    # recorded spread lets round-over-round comparisons see host mood
+    # instead of guessing at it.
+    reps_per_entry = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    entry_min: dict[str, float] = {}
+    entry_spread: dict[str, float] = {}
     for name in HEADLINE:
-        best = None
-        for _ in range(2):
+        samples = []
+        for _ in range(reps_per_entry):
             t0 = time.time()
             df = qs[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
-            el = time.time() - t0
-            best = el if best is None or el < best else best
-        timings[name] = round(best, 3)
+            samples.append(time.time() - t0)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)
+        entry_min[name] = round(samples[0], 3)
+        entry_spread[name] = round(samples[-1] - samples[0], 3)
 
     # Query p50/p99 latency on the reference query set (the BASELINE metric
     # names "query p50/p99 latency with rank-identical BM25 top-k on the
@@ -462,6 +497,10 @@ def main() -> None:
                 "query_p99_sec": round(q_p99, 3),
                 "query_set_size": len(query_set),
                 "query_reps": reps,
+                "entry_reps": reps_per_entry,
+                "queries_min": entry_min,
+                "queries_spread": entry_spread,
+                **probe,
             }
         )
     )
