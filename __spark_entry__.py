@@ -1648,12 +1648,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf": q_rrf,
         "features_igain": q_features_igain,
         "json_facet_nested": q_json_facet_nested,
-        # ---- rows-only tail (no SQL oracle; approximate / non-SQL ops,
+        # oracle-backed since round 4 (deterministic DuckDB twins: the GD
+        # epoch unroll in SQL / the positions-export span-window oracle)
+        "classify_logit": q_classify_logit,
+        "span_near_unordered": q_span_near,
+        # ---- rows-only tail (no SQL oracle; honestly-approximate ops,
         # each covered by pytest goldens): keep AFTER every oracle entry
         "near_dup_candidates": q_near_dup_candidates,
         "ann_topk": q_ann_topk,
-        "classify_logit": q_classify_logit,
-        "span_near_unordered": q_span_near,
     }
 
 

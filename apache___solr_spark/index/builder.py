@@ -4,11 +4,15 @@ Pipeline (reference parity: the /update indexing path,
 solr/core/src/java/org/apache/solr/update/DirectUpdateHandler2.java:407-513 +
 DocumentBuilder.toDocument:99-123, re-expressed Spark-first):
 
-  pages ──repartitionByRange(url) + sort──► url-ordered partitions
-        ──fused mapInPandas: dense doc_id + extract_text + analyze──►
-          analyzed(url, doc_id, terms[], tfs[], doclen)           [1 UDF pass]
-        ──explode──► (term, doc_id, tf, norm_byte)
-        ──repartition(term, salt) + sorted streaming encode──► postings rows
+  pages ──analysis UDF──► analyzed_raw checkpoint                [1 UDF pass]
+        ──repartitionByRange(url) + sort + persist──► url-ordered partitions
+          (executor MEMORY_AND_DISK; counts collect ⇒ offsets + stats)
+        ──mapInArrow──► numbered(url, doc_id, terms[], tfs[], positions,
+          doclen) — consumed STRAIGHT from the persisted frame by BOTH the
+          docs write and the segment encoder (no intermediate parquet hop;
+          cfg.checkpoint_numbered=True restores one)
+        ──numpy segment encode──► packed (term, salt) rows
+        ──repartition(bucket, salt) + sorted streaming merge──► postings
         ──metadata agg──► dictionary(term, df, cf, max_impact)
         plus scalar stats(N, avgdl).
 
@@ -104,7 +108,17 @@ class IndexPaths:
 
     @property
     def analyzed(self) -> str:
+        # optional durable checkpoint of the numbered analyzed table
+        # (cfg.checkpoint_numbered=True, or any pre-fusion build); the
+        # default fused build keeps these rows in executor persist()
+        # storage only and this directory is never written
         return os.path.join(self.root, "analyzed")
+
+    @property
+    def numbering(self) -> str:
+        # metrics-only manifest dir for the fused numbering pass (wall
+        # time + per-range-partition row lineage); holds no data
+        return os.path.join(self.root, "numbering")
 
     @property
     def postings(self) -> str:
@@ -203,15 +217,34 @@ def _analyze_raw(pages: DataFrame, cfg: IndexConfig = DEFAULT_CONFIG) -> DataFra
     )
 
 
+def _range_parts(rows: int | None, shuffle_parts: int, parallelism: int) -> int:
+    """Range-partition count for the numbering shuffle (which also sets the
+    parallelism of every downstream pass over the persisted analyzed rows —
+    the docs write and the heavy segment-encode UDF).  Target ~25k docs per
+    partition so the python-heavy stages run in MULTIPLE WAVES per core
+    (straggler smoothing: one slow task in a single wave of exactly
+    #cores tasks sets the whole stage's wall), clamped to
+    [shuffle_parts, 4*parallelism] so tiny builds don't pay per-task
+    overhead and huge builds don't explode the task count."""
+    lo = shuffle_parts
+    hi = max(shuffle_parts, 4 * parallelism)
+    if not rows:
+        return max(lo, 2 * parallelism)
+    return int(min(max(lo, -(-rows // 25_000)), hi))
+
+
 def _number_docs(
     spark: SparkSession, raw: DataFrame, n_parts: int
-) -> tuple[DataFrame, int, int]:
+) -> tuple[DataFrame, int, int, DataFrame, list]:
     """Range shuffle of the narrow analyzed rows to assign the dense global
     doc_id = rank of url — deterministic and invariant to input partitioning
     (mirrors Lucene's stable docIDs; control-vs-distributed tests depend on
-    it).  Returns (numbered_df, n_docs, total_len): the offsets pass already
-    scans every row, so corpus stats ride along for free and the separate
-    stage-2 stats job disappears on fresh builds.
+    it, and the fused build's resume path depends on a RE-computation
+    yielding identical ids, which rank-of-url guarantees).  Returns
+    (numbered_df, n_docs, total_len, ranged_df, per_partition_counts): the
+    offsets pass already scans every row, so corpus stats and the numbering
+    manifest's lineage ride along for free.  ``ranged_df`` is the persisted
+    frame the caller must unpersist once downstream stages are done.
 
     The ranged frame is persisted so the offsets pass and the numbering pass
     see the SAME partition boundaries — a separate url-only shuffle was
@@ -260,7 +293,11 @@ def _number_docs(
                 names=["url", "doc_id", "terms", "tfs", "positions", "doclen"],
             )
 
-    return ranged.mapInArrow(number, schema=ANALYZED_SCHEMA), acc, total_len
+    numbered = ranged.mapInArrow(number, schema=ANALYZED_SCHEMA)
+    part_counts = [
+        {"partition": int(r["pid"]), "rows": int(r["count"])} for r in counts
+    ]
+    return numbered, acc, total_len, ranged, part_counts
 
 
 def _permutation_metrics() -> tuple:
@@ -644,6 +681,7 @@ def build_index(
         # additionally gives the resume path snapshot isolation (the
         # resumed read sees the same snapshot the manifests were cut from).
         pages = read_pages(spark, pages, validate=False)
+    n_parts_explicit = n_parts is not None
     if n_parts is None:
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     paths = IndexPaths(out_dir)
@@ -699,36 +737,81 @@ def build_index(
             and prev.get("input_digest") == in_digest
         )
 
-    # ---- stage 1b: dense doc_id assignment -> analyzed -------------------
-    t0 = time.time()
-    numbered_fresh = False
-    if not (resume and ckpt.stage_complete(paths.analyzed, cfg_digest, in_digest)):
-        numbered_fresh = True
-        raw = spark.read.parquet(paths.analyzed_raw)
-        analyzed, _n_docs, _total_len = _number_docs(spark, raw, n_parts)
-        analyzed.write.mode("overwrite").parquet(paths.analyzed)
-        lineage = ckpt.parquet_lineage(paths.analyzed)
-        ckpt.publish_manifest(
-            paths.analyzed,
-            stage="analyzed",
-            config_digest=cfg_digest,
-            input_digest=in_digest,
-            rows=sum(p["rows"] for p in lineage),
-            partitions=lineage,
-            started_at=t0,
-        )
-    analyzed = spark.read.parquet(paths.analyzed)
+    # ---- stage plan ------------------------------------------------------
+    # Decide up front which stages need (re)building: the fused pipeline
+    # materializes the numbered analyzed rows only when some consumer stage
+    # actually runs (a fully-resumed build does zero numbering work).
+    need_docs = not (resume and ckpt.stage_complete(paths.docs, cfg_digest, in_digest))
+    need_postings = not (
+        resume and ckpt.stage_complete(paths.postings, cfg_digest, in_digest)
+    )
+
+    # ---- stage 1b: dense doc_id assignment (fused — no parquet hop) ------
+    # The numbered rows feed the docs write and the segment encoder straight
+    # from executor persist() storage (MEMORY_AND_DISK).  Rounds 1-3 wrote
+    # them to parquet and re-read them twice; that full-corpus write + two
+    # reads and their stage barriers were pure fixed cost at the 4N level
+    # (BENCH/BASELINE.md session-C stage walls: the numbering stage scaled
+    # 1.66x against a 3.31x ceiling).  cfg.checkpoint_numbered=True restores
+    # the durable hop; a pre-fusion index with a valid analyzed checkpoint
+    # is still consumed (legacy resume).
+    analyzed = None
+    ranged = None
+    stats_fresh = False
+    if need_docs or need_postings:
+        t0 = time.time()
+        if resume and ckpt.stage_complete(paths.analyzed, cfg_digest, in_digest):
+            analyzed = spark.read.parquet(paths.analyzed)
+        else:
+            raw = spark.read.parquet(paths.analyzed_raw)
+            raw_rows = (ckpt.load_manifest(paths.analyzed_raw) or {}).get("rows")
+            n_range = (
+                n_parts
+                if n_parts_explicit
+                else _range_parts(
+                    raw_rows, n_parts, spark.sparkContext.defaultParallelism
+                )
+            )
+            analyzed, n_docs_, total_len_, ranged, part_counts = _number_docs(
+                spark, raw, n_range
+            )
+            if not _stats_reusable():
+                _write_stats(n_docs_, total_len_)
+                stats_fresh = True
+            os.makedirs(paths.numbering, exist_ok=True)
+            ckpt.publish_manifest(
+                paths.numbering,
+                stage="numbering",
+                config_digest=cfg_digest,
+                input_digest=in_digest,
+                rows=n_docs_,
+                partitions=part_counts,
+                started_at=t0,
+                extra={"materialized": bool(cfg.checkpoint_numbered)},
+            )
+            if cfg.checkpoint_numbered:
+                t1 = time.time()
+                analyzed.write.mode("overwrite").parquet(paths.analyzed)
+                lineage = ckpt.parquet_lineage(paths.analyzed)
+                ckpt.publish_manifest(
+                    paths.analyzed,
+                    stage="analyzed",
+                    config_digest=cfg_digest,
+                    input_digest=in_digest,
+                    rows=sum(p["rows"] for p in lineage),
+                    partitions=lineage,
+                    started_at=t1,
+                )
+                ranged.unpersist()
+                ranged = None
+                analyzed = spark.read.parquet(paths.analyzed)
 
     # ---- stage 1c: docs table (+ observed stats & permutation check) -----
     # The permutation guard and the global stats (exact — ExactStatsCache
     # semantics, solr/core/.../search/stats/ExactStatsCache.java) both ride
-    # the docs write via df.observe(): zero extra Spark jobs where rounds
-    # 1-2 spent two full column scans.
+    # the docs write via df.observe(): zero extra Spark jobs.
     t0 = time.time()
-    stats_fresh = False
-    if numbered_fresh or not (
-        resume and ckpt.stage_complete(paths.docs, cfg_digest, in_digest)
-    ):
+    if need_docs:
         from pyspark.sql import Observation
 
         obs = Observation("docs_metrics")
@@ -766,7 +849,7 @@ def build_index(
 
     # ---- stage 3: postings (map-side segments -> salted merge) ----------
     t0 = time.time()
-    if not (resume and ckpt.stage_complete(paths.postings, cfg_digest, in_digest)):
+    if need_postings:
         # segments: numpy explode+sort+encode inside the UDF — raw postings
         # never cross the JVM or a shuffle
         segments = analyzed.select(
@@ -794,6 +877,8 @@ def build_index(
             started_at=t0,
             extra={"avgdl": stats["avgdl"], "N": stats["N"]},
         )
+    if ranged is not None:
+        ranged.unpersist()
     postings = spark.read.parquet(paths.postings)
 
     # ---- stage 4: dictionary (term -> df, cf, global max impact) --------

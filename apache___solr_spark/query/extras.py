@@ -120,6 +120,40 @@ def _mlt_select_terms(
     return [t for _, t in weighted[:max_query_terms]]
 
 
+def _term_vector_row(engine: "SearchEngine", doc_id: int) -> list:
+    """The source doc's (terms, tfs) — Lucene term-vectors analog.
+
+    Pre-fusion indexes carry a numbered ``analyzed`` checkpoint and read it
+    directly (one pushed doc_id filter).  Fused builds (the default since
+    round 4) keep no such table, so the lookup becomes two pushed-predicate
+    point reads: doc_id -> url via the docs table, then url -> (terms, tfs)
+    via the analyzed_raw checkpoint — same rows, no extra index state."""
+    import os
+
+    spark, paths = engine.spark, engine.paths
+    if os.path.exists(os.path.join(paths.analyzed, "_MANIFEST.json")):
+        return (
+            spark.read.parquet(paths.analyzed)
+            .filter(F.col("doc_id") == doc_id)
+            .select("terms", "tfs")
+            .collect()
+        )
+    urls = (
+        spark.read.parquet(paths.docs)
+        .filter(F.col("doc_id") == doc_id)
+        .select("url")
+        .collect()
+    )
+    if not urls:
+        return []
+    return (
+        spark.read.parquet(paths.analyzed_raw)
+        .filter(F.col("url") == urls[0]["url"])
+        .select("terms", "tfs")
+        .collect()
+    )
+
+
 def more_like_this(
     engine: SearchEngine,
     doc_id: int,
@@ -136,12 +170,7 @@ def more_like_this(
     setMinTermFreq): source-doc terms with tf below it contribute no
     query term.  Default 1 = no filtering (the handler default is 2;
     the {!mlt} dispatch passes the param through)."""
-    analyzed = engine.spark.read.parquet(engine.paths.analyzed)
-    row = (
-        analyzed.filter(F.col("doc_id") == doc_id)
-        .select("terms", "tfs")
-        .collect()
-    )
+    row = _term_vector_row(engine, doc_id)
     if not row:
         return engine.spark.createDataFrame(
             [], "rank int, doc_id long, url string, score float"

@@ -78,7 +78,7 @@ def tree_cpu_all(root):
 cpu_live = tree_cpu_all(os.getpid())  # includes self's live utime+stime
 cpu_dead = ru_c.ru_utime + ru_c.ru_stime
 stages = {}
-for name in ("analyzed_raw", "analyzed", "docs", "postings", "dictionary"):
+for name in ("analyzed_raw", "numbering", "analyzed", "docs", "postings", "dictionary"):
     m = ckpt.load_manifest(os.path.join(idx, name))
     if m:
         stages[name] = m["wall_sec"]

@@ -189,8 +189,67 @@ def test_resume_after_partial_failure(spark, corpus, tmp_path_factory):
     assert before == after
 
 
+def test_checkpoint_numbered_identity(spark, corpus, built, tmp_path_factory):
+    """cfg.checkpoint_numbered=True (durable numbering hop, the pre-fusion
+    layout) builds a bit-identical index to the fused default and writes
+    the analyzed checkpoint + manifest; the storage knob does not change
+    the config digest (it changes where intermediate bytes live, never an
+    output bit)."""
+    import dataclasses
+
+    path, _ = corpus
+    out2 = str(tmp_path_factory.mktemp("ckptnum") / "idx")
+    cfg2 = dataclasses.replace(CFG, checkpoint_numbered=True)
+    assert cfg2.digest() == CFG.digest()
+    build_index(spark, path, out2, cfg=cfg2)
+    assert os.path.exists(os.path.join(out2, "analyzed", "_MANIFEST.json"))
+    assert not os.path.exists(os.path.join(built, "analyzed", "_MANIFEST.json"))
+    for stage, key in (("docs", "doc_id"), ("dictionary", "term")):
+        a = spark.read.parquet(os.path.join(built, stage)).orderBy(key).collect()
+        b = spark.read.parquet(os.path.join(out2, stage)).orderBy(key).collect()
+        assert a == b, stage
+    pa_ = (
+        spark.read.parquet(os.path.join(built, "postings"))
+        .orderBy("term", "salt")
+        .collect()
+    )
+    pb = (
+        spark.read.parquet(os.path.join(out2, "postings"))
+        .orderBy("term", "salt")
+        .collect()
+    )
+    assert pa_ == pb
+
+
+def test_fused_resume_recomputes_numbering(spark, corpus, tmp_path_factory):
+    """Fused build resume: with docs complete but postings invalidated, the
+    numbering pass is recomputed from the analyzed_raw checkpoint (rank-of-
+    url is partition-invariant, so the recompute yields the SAME doc_ids)
+    and the rebuilt postings are identical."""
+    path, _ = corpus
+    out = str(tmp_path_factory.mktemp("fresume") / "idx")
+    build_index(spark, path, out, cfg=CFG)
+    before = (
+        spark.read.parquet(os.path.join(out, "postings"))
+        .orderBy("term", "salt")
+        .collect()
+    )
+    os.remove(os.path.join(out, "postings", "_MANIFEST.json"))
+    build_index(spark, path, out, cfg=CFG)
+    after = (
+        spark.read.parquet(os.path.join(out, "postings"))
+        .orderBy("term", "salt")
+        .collect()
+    )
+    assert before == after
+
+
 def test_manifests_carry_lineage(built):
-    for stage in ("analyzed", "docs", "postings", "dictionary"):
+    # "numbering" is the fused stage's metrics-only manifest (no data dir);
+    # its lineage rows are the per-range-partition counts from the offsets
+    # pass.  The pre-fusion "analyzed" parquet checkpoint only exists when
+    # cfg.checkpoint_numbered=True (covered by test_checkpoint_numbered).
+    for stage in ("numbering", "docs", "postings", "dictionary"):
         with open(os.path.join(built, stage, "_MANIFEST.json")) as f:
             m = json.load(f)
         assert m["rows"] > 0
