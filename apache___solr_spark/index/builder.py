@@ -69,16 +69,13 @@ from apache___solr_spark.index.codec import (
 from apache___solr_spark.index.smallfloat import NORM_TABLE, int_to_byte4_np
 from apache___solr_spark.sources.loaders import read_pages
 
-# tfs / positions are vbyte-packed binaries, NOT int arrays: the doc-id
+# Analyzed-row layout (analysis output AND, +doc_id, the numbered table):
+# tfs / positions are vbyte-packed binaries, NOT int arrays — the doc-id
 # numbering range-shuffle moves every analyzed row through an exchange, and
 # packed bytes cut that payload ~4x vs UnsafeRow int arrays (measured: the
 # numbering stage was the #2 cost of the build after positions landed).
 # tfs holds one count per term (term-major); positions holds doclen raw
 # position values (term-major, ascending within term).
-ANALYZED_SCHEMA = (
-    "url string, doc_id long, terms array<string>, tfs binary, "
-    "positions binary, doclen int"
-)
 
 # positions: one vbyte stream per (term, salt) row — for each posting, tf
 # position values (first raw, rest delta-gapped), indices into the
@@ -250,7 +247,20 @@ def _number_docs(
     see the SAME partition boundaries — a separate url-only shuffle was
     tried and produced different range-sampler boundaries (caught by
     the permutation check in build_index, which stays as a permanent
-    guard)."""
+    guard).
+
+    doc_id is a PURE JVM PROJECTION over the persisted frame:
+    ``offset[spark_partition_id] + (monotonically_increasing_id & 2^33-1)``
+    — mono ids are ``pid<<33 | row-index-in-partition``, so subtracting the
+    pid bits yields the row's dense rank within its url-sorted partition,
+    and adding the collected per-partition offset makes it the global url
+    rank.  Rounds 1-3 did this with a mapInArrow pass; that blocked column
+    pruning for every consumer (mapInArrow consumes all columns), so the
+    narrow docs write decoded the full terms/tfs/positions payload through
+    Python once per consumer.  As a projection, consumers prune: the docs
+    write touches only (url, doclen) cache columns and no Python worker at
+    all; the permutation check on the docs write remains the guard that
+    the recomputed row order is the same dense rank."""
     ranged = (
         raw.repartitionByRange(n_parts, "url").sortWithinPartitions("url").persist()
     )
@@ -267,33 +277,18 @@ def _number_docs(
         offsets[r["pid"]] = acc
         acc += r["count"]
         total_len += int(r["dl"] or 0)
-    b_offsets = spark.sparkContext.broadcast(offsets)
-
-    def number(batches):  # Iterator[pa.RecordBatch] -> Iterator[pa.RecordBatch]
-        import pyarrow as pa
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        base = b_offsets.value.get(pid, 0)
-        seen = 0
-        for rb in batches:
-            n = rb.num_rows
-            ids = pa.array(np.arange(base + seen, base + seen + n, dtype=np.int64))
-            seen += n
-            # zero-copy passthrough of the array columns
-            yield pa.RecordBatch.from_arrays(
-                [
-                    rb.column(0),
-                    ids,
-                    rb.column(1),
-                    rb.column(2),
-                    rb.column(3),
-                    rb.column(4),
-                ],
-                names=["url", "doc_id", "terms", "tfs", "positions", "doclen"],
-            )
-
-    numbered = ranged.mapInArrow(number, schema=ANALYZED_SCHEMA)
+    off_arr = F.array(
+        *[F.lit(int(offsets.get(i, 0))) for i in range(n_parts)]
+    )
+    pid = F.spark_partition_id()
+    doc_id = (
+        F.element_at(off_arr, pid + F.lit(1)).cast("long")
+        + F.monotonically_increasing_id()
+        - F.shiftleft(pid.cast("long"), 33)
+    ).alias("doc_id")
+    numbered = ranged.select(
+        "url", doc_id, "terms", "tfs", "positions", "doclen"
+    )
     part_counts = [
         {"partition": int(r["pid"]), "rows": int(r["count"])} for r in counts
     ]
