@@ -261,8 +261,19 @@ def _number_docs(
     write touches only (url, doclen) cache columns and no Python worker at
     all; the permutation check on the docs write remains the guard that
     the recomputed row order is the same dense rank."""
+    # Sort key is a TOTAL order over the row (url is the de-facto uniqueKey,
+    # but duplicate-url inputs exist in the wild): under a bare url sort,
+    # equal-url rows have nondeterministic tie order across shuffle
+    # refetch, so a postings-only resume or cache-partition loss could
+    # renumber them relative to the already-written docs table — and the
+    # dense-permutation check cannot see a swap.  The extra keys cost
+    # nothing on unique urls (comparator short-circuits on the first key)
+    # and make recompute identity unconditional; rows identical in every
+    # column are interchangeable, so their tie order is immaterial.
     ranged = (
-        raw.repartitionByRange(n_parts, "url").sortWithinPartitions("url").persist()
+        raw.repartitionByRange(n_parts, "url")
+        .sortWithinPartitions("url", "doclen", "terms", "tfs", "positions")
+        .persist()
     )
     counts = (
         ranged.groupBy(F.spark_partition_id().alias("pid"))
@@ -753,127 +764,132 @@ def build_index(
     analyzed = None
     ranged = None
     stats_fresh = False
-    if need_docs or need_postings:
-        t0 = time.time()
-        if resume and ckpt.stage_complete(paths.analyzed, cfg_digest, in_digest):
-            analyzed = spark.read.parquet(paths.analyzed)
-        else:
-            raw = spark.read.parquet(paths.analyzed_raw)
-            raw_rows = (ckpt.load_manifest(paths.analyzed_raw) or {}).get("rows")
-            n_range = (
-                n_parts
-                if n_parts_explicit
-                else _range_parts(
-                    raw_rows, n_parts, spark.sparkContext.defaultParallelism
+    try:
+        if need_docs or need_postings:
+            t0 = time.time()
+            if resume and ckpt.stage_complete(paths.analyzed, cfg_digest, in_digest):
+                analyzed = spark.read.parquet(paths.analyzed)
+            else:
+                raw = spark.read.parquet(paths.analyzed_raw)
+                raw_rows = (ckpt.load_manifest(paths.analyzed_raw) or {}).get("rows")
+                n_range = (
+                    n_parts
+                    if n_parts_explicit
+                    else _range_parts(
+                        raw_rows, n_parts, spark.sparkContext.defaultParallelism
+                    )
                 )
-            )
-            analyzed, n_docs_, total_len_, ranged, part_counts = _number_docs(
-                spark, raw, n_range
-            )
-            if not _stats_reusable():
-                _write_stats(n_docs_, total_len_)
-                stats_fresh = True
-            os.makedirs(paths.numbering, exist_ok=True)
-            ckpt.publish_manifest(
-                paths.numbering,
-                stage="numbering",
-                config_digest=cfg_digest,
-                input_digest=in_digest,
-                rows=n_docs_,
-                partitions=part_counts,
-                started_at=t0,
-                extra={"materialized": bool(cfg.checkpoint_numbered)},
-            )
-            if cfg.checkpoint_numbered:
-                t1 = time.time()
-                analyzed.write.mode("overwrite").parquet(paths.analyzed)
-                lineage = ckpt.parquet_lineage(paths.analyzed)
+                analyzed, n_docs_, total_len_, ranged, part_counts = _number_docs(
+                    spark, raw, n_range
+                )
+                if not _stats_reusable():
+                    _write_stats(n_docs_, total_len_)
+                    stats_fresh = True
+                os.makedirs(paths.numbering, exist_ok=True)
                 ckpt.publish_manifest(
-                    paths.analyzed,
-                    stage="analyzed",
+                    paths.numbering,
+                    stage="numbering",
                     config_digest=cfg_digest,
                     input_digest=in_digest,
-                    rows=sum(p["rows"] for p in lineage),
-                    partitions=lineage,
-                    started_at=t1,
+                    rows=n_docs_,
+                    partitions=part_counts,
+                    started_at=t0,
+                    extra={"materialized": bool(cfg.checkpoint_numbered)},
                 )
-                ranged.unpersist()
-                ranged = None
-                analyzed = spark.read.parquet(paths.analyzed)
+                if cfg.checkpoint_numbered:
+                    t1 = time.time()
+                    analyzed.write.mode("overwrite").parquet(paths.analyzed)
+                    lineage = ckpt.parquet_lineage(paths.analyzed)
+                    ckpt.publish_manifest(
+                        paths.analyzed,
+                        stage="analyzed",
+                        config_digest=cfg_digest,
+                        input_digest=in_digest,
+                        rows=sum(p["rows"] for p in lineage),
+                        partitions=lineage,
+                        started_at=t1,
+                    )
+                    ranged.unpersist()
+                    ranged = None
+                    analyzed = spark.read.parquet(paths.analyzed)
 
-    # ---- stage 1c: docs table (+ observed stats & permutation check) -----
-    # The permutation guard and the global stats (exact — ExactStatsCache
-    # semantics, solr/core/.../search/stats/ExactStatsCache.java) both ride
-    # the docs write via df.observe(): zero extra Spark jobs.
-    t0 = time.time()
-    if need_docs:
-        from pyspark.sql import Observation
+        # ---- stage 1c: docs table (+ observed stats & permutation check) -----
+        # The permutation guard and the global stats (exact — ExactStatsCache
+        # semantics, solr/core/.../search/stats/ExactStatsCache.java) both ride
+        # the docs write via df.observe(): zero extra Spark jobs.
+        t0 = time.time()
+        if need_docs:
+            from pyspark.sql import Observation
 
-        obs = Observation("docs_metrics")
-        docs = (
-            analyzed.select("url", "doc_id", "doclen")
-            .observe(obs, *_permutation_metrics())
-            .withColumn("norm_byte", _norm_byte_udf(F.col("doclen")))
-        )
-        docs.write.mode("overwrite").parquet(paths.docs)
-        m = obs.get
-        _assert_doc_id_permutation(m)
-        _write_stats(int(m["n"]), int(m["tl"] or 0))
-        stats_fresh = True
-        lineage = ckpt.parquet_lineage(paths.docs)
-        ckpt.publish_manifest(
-            paths.docs,
-            stage="docs",
-            config_digest=cfg_digest,
-            input_digest=in_digest,
-            rows=sum(p["rows"] for p in lineage),
-            partitions=lineage,
-            started_at=t0,
-        )
-    docs = spark.read.parquet(paths.docs)
+            obs = Observation("docs_metrics")
+            docs = (
+                analyzed.select("url", "doc_id", "doclen")
+                .observe(obs, *_permutation_metrics())
+                .withColumn("norm_byte", _norm_byte_udf(F.col("doclen")))
+            )
+            docs.write.mode("overwrite").parquet(paths.docs)
+            m = obs.get
+            _assert_doc_id_permutation(m)
+            _write_stats(int(m["n"]), int(m["tl"] or 0))
+            stats_fresh = True
+            lineage = ckpt.parquet_lineage(paths.docs)
+            ckpt.publish_manifest(
+                paths.docs,
+                stage="docs",
+                config_digest=cfg_digest,
+                input_digest=in_digest,
+                rows=sum(p["rows"] for p in lineage),
+                partitions=lineage,
+                started_at=t0,
+            )
+        docs = spark.read.parquet(paths.docs)
 
-    # ---- stage 2: stats fallback (resume path where both stage-1 outputs
-    # were reused but stats.json is missing/stale) -------------------------
-    if not stats_fresh and not _stats_reusable():
-        agg = docs.agg(
-            F.count("*").alias("n"), F.sum("doclen").alias("total_len")
-        ).collect()[0]
-        _write_stats(agg["n"], int(agg["total_len"] or 0))
-    with open(paths.stats) as f:
-        stats = json.load(f)
+        # ---- stage 2: stats fallback (resume path where both stage-1 outputs
+        # were reused but stats.json is missing/stale) -------------------------
+        if not stats_fresh and not _stats_reusable():
+            agg = docs.agg(
+                F.count("*").alias("n"), F.sum("doclen").alias("total_len")
+            ).collect()[0]
+            _write_stats(agg["n"], int(agg["total_len"] or 0))
+        with open(paths.stats) as f:
+            stats = json.load(f)
 
-    # ---- stage 3: postings (map-side segments -> salted merge) ----------
-    t0 = time.time()
-    if need_postings:
-        # segments: numpy explode+sort+encode inside the UDF — raw postings
-        # never cross the JVM or a shuffle
-        segments = analyzed.select(
-            "doc_id", "doclen", "terms", "tfs", "positions"
-        ).mapInArrow(_segment_encode(cfg, stats["avgdl"]), schema=SEGMENT_SCHEMA)
-        # merge shuffle moves only packed rows; key (term-bucket, salt) so
-        # head terms split across salts (skew) and each task writes into few
-        # bucket dirs.  first_doc in the sort keeps fragments in doc order.
-        bucket_expr = F.pmod(F.xxhash64("term"), F.lit(cfg.n_buckets)).cast("int")
-        blocks = (
-            segments.repartition(n_parts, bucket_expr, F.col("salt"))
-            .sortWithinPartitions("term", "salt", "first_doc")
-            .mapInPandas(_merge_segments(cfg, stats["avgdl"]), schema=SEGMENT_SCHEMA)
-            .withColumn("bucket", bucket_expr)
-        )
-        blocks.write.mode("overwrite").partitionBy("bucket").parquet(paths.postings)
-        lineage = ckpt.parquet_lineage(paths.postings)
-        ckpt.publish_manifest(
-            paths.postings,
-            stage="postings",
-            config_digest=cfg_digest,
-            input_digest=in_digest,
-            rows=sum(p["rows"] for p in lineage),
-            partitions=lineage,
-            started_at=t0,
-            extra={"avgdl": stats["avgdl"], "N": stats["N"]},
-        )
-    if ranged is not None:
-        ranged.unpersist()
+        # ---- stage 3: postings (map-side segments -> salted merge) ----------
+        t0 = time.time()
+        if need_postings:
+            # segments: numpy explode+sort+encode inside the UDF — raw postings
+            # never cross the JVM or a shuffle
+            segments = analyzed.select(
+                "doc_id", "doclen", "terms", "tfs", "positions"
+            ).mapInArrow(_segment_encode(cfg, stats["avgdl"]), schema=SEGMENT_SCHEMA)
+            # merge shuffle moves only packed rows; key (term-bucket, salt) so
+            # head terms split across salts (skew) and each task writes into few
+            # bucket dirs.  first_doc in the sort keeps fragments in doc order.
+            bucket_expr = F.pmod(F.xxhash64("term"), F.lit(cfg.n_buckets)).cast("int")
+            blocks = (
+                segments.repartition(n_parts, bucket_expr, F.col("salt"))
+                .sortWithinPartitions("term", "salt", "first_doc")
+                .mapInPandas(_merge_segments(cfg, stats["avgdl"]), schema=SEGMENT_SCHEMA)
+                .withColumn("bucket", bucket_expr)
+            )
+            blocks.write.mode("overwrite").partitionBy("bucket").parquet(paths.postings)
+            lineage = ckpt.parquet_lineage(paths.postings)
+            ckpt.publish_manifest(
+                paths.postings,
+                stage="postings",
+                config_digest=cfg_digest,
+                input_digest=in_digest,
+                rows=sum(p["rows"] for p in lineage),
+                partitions=lineage,
+                started_at=t0,
+                extra={"avgdl": stats["avgdl"], "N": stats["N"]},
+            )
+    finally:
+        # unpersist the MEMORY_AND_DISK full corpus on EVERY exit:
+        # a failed docs/postings write or a tripped permutation check
+        # must not leak the cache for the life of the Spark session.
+        if ranged is not None:
+            ranged.unpersist()
     postings = spark.read.parquet(paths.postings)
 
     # ---- stage 4: dictionary (term -> df, cf, global max impact) --------

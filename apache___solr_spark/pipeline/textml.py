@@ -56,17 +56,53 @@ __all__ = ["select_features_igain", "train_text_logit", "term_vectors", "top_fea
 _TOKEN_SPLIT = "[^a-z0-9]+"
 
 
+def _size_bytes(conf_val: str) -> int:
+    """Parse a Spark byte-size conf string ('134217728b', '128m', '1g')."""
+    s = conf_val.strip().lower()
+    mult = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    for suffix in ("kb", "mb", "gb", "b", "k", "m", "g"):
+        if s.endswith(suffix):
+            return int(float(s[: -len(suffix)])) * mult[suffix[0]]
+    return int(float(s))
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Widen tiny inputs to the cluster's parallelism before CPU-bound
     tokenize stages: heavily-compressed small parquet can yield fewer
     splits than cores, capping the regex/explode stage far below the box.
-    At web scale input splits exceed defaultParallelism and this is a
-    no-op (no shuffle added)."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+
+    Decides from file-level stats only (``inputFiles()`` + local sizes vs
+    ``spark.sql.files.maxPartitionBytes``) — never ``df.rdd``, which forces
+    a physical-plan analysis barrier per call.  Conservative: any case the
+    scan would already parallelize (>= target files, remote store, unknown
+    size, or total bytes large enough to split to >= target partitions) is
+    a no-op with no shuffle added."""
+    import os
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if not files or len(files) >= target:
+        return df
+    total = 0
+    for f in files:
+        p = urlparse(f)
+        if p.scheme not in ("", "file"):
+            return df
+        try:
+            total += os.path.getsize(p.path)
+        except OSError:
+            return df
+    max_part = _size_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    )
+    if total >= max_part * target:
+        return df
+    return df.repartition(target)
 
 
 def _doc_terms(df: DataFrame, text_col: str, distinct: bool) -> DataFrame:

@@ -127,11 +127,21 @@ def _term_vector_row(engine: "SearchEngine", doc_id: int) -> list:
     directly (one pushed doc_id filter).  Fused builds (the default since
     round 4) keep no such table, so the lookup becomes two pushed-predicate
     point reads: doc_id -> url via the docs table, then url -> (terms, tfs)
-    via the analyzed_raw checkpoint — same rows, no extra index state."""
-    import os
+    via the analyzed_raw checkpoint — same rows, no extra index state.
+
+    The analyzed checkpoint is used only when its manifest digests match
+    the live index's (engine.stats carries both): after an in-place
+    rebuild with a changed config or input the fused build leaves the
+    stale analyzed/ dir in place, and reading it would silently return
+    stale terms and a stale doc_id->row mapping."""
+    from apache___solr_spark.index import checkpoint as ckpt
 
     spark, paths = engine.spark, engine.paths
-    if os.path.exists(os.path.join(paths.analyzed, "_MANIFEST.json")):
+    if ckpt.stage_complete(
+        paths.analyzed,
+        engine.stats.get("config_digest"),
+        engine.stats.get("input_digest"),
+    ):
         return (
             spark.read.parquet(paths.analyzed)
             .filter(F.col("doc_id") == doc_id)

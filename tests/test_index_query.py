@@ -3153,3 +3153,102 @@ def test_classic_grammar_fuzz_vs_oracle(spark, built, oracle_idx):
         except AssertionError:
             print("FUZZ QUERY FAILED:", q)
             raise
+
+
+# ---------------------------------------------------------------------------
+# Round-5 hardening regressions (ADVICE r4): cache-leak on failed build,
+# duplicate-url numbering determinism, stale analyzed-checkpoint rejection.
+# ---------------------------------------------------------------------------
+
+
+def test_failed_build_unpersists_cache(spark, corpus, tmp_path_factory, monkeypatch):
+    """An exception mid-build (here: a tripped permutation check) must not
+    leak the MEMORY_AND_DISK-persisted corpus for the life of the session —
+    build_index unpersists via try/finally on every exit path."""
+    from apache___solr_spark.index import builder as builder_mod
+
+    path, _ = corpus
+    out = str(tmp_path_factory.mktemp("leak") / "idx")
+
+    def boom(m):
+        raise RuntimeError("injected permutation failure")
+
+    monkeypatch.setattr(builder_mod, "_assert_doc_id_permutation", boom)
+    n_before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    with pytest.raises(RuntimeError, match="injected"):
+        build_index(spark, path, out, cfg=CFG)
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == n_before
+
+
+def test_duplicate_url_numbering_deterministic(spark, corpus, tmp_path_factory):
+    """Duplicate-url inputs: the numbering sort is a total order over the
+    row, so a postings-only resume (docs kept, numbering recomputed from
+    analyzed_raw) re-derives the SAME doc_id for each physical row even when
+    urls tie — under a bare url sort the tie order was shuffle-refetch
+    nondeterministic and the dense-permutation check could not see a swap."""
+    import pyarrow as pa
+
+    _, table = corpus
+    rows = table.to_pylist()[:60]
+    # same url, different content — the dangerous case
+    rows[1]["url"] = rows[0]["url"]
+    rows[7]["url"] = rows[0]["url"]
+    rows[13]["url"] = rows[12]["url"]
+    dup_path = str(tmp_path_factory.mktemp("dupurl") / "pages.parquet")
+    pq.write_table(pa.Table.from_pylist(rows, schema=table.schema), dup_path)
+    out = str(tmp_path_factory.mktemp("dupidx") / "idx")
+    build_index(spark, dup_path, out, cfg=CFG)
+    docs = spark.read.parquet(os.path.join(out, "docs"))
+    assert docs.count() == 60  # every physical row numbered (dense: checked in-build)
+    assert docs.filter(F.col("url") == rows[0]["url"]).count() == 3
+    before = (
+        spark.read.parquet(os.path.join(out, "postings"))
+        .orderBy("term", "salt")
+        .collect()
+    )
+    docs_before = docs.orderBy("doc_id").collect()
+    os.remove(os.path.join(out, "postings", "_MANIFEST.json"))
+    build_index(spark, dup_path, out, cfg=CFG)
+    after = (
+        spark.read.parquet(os.path.join(out, "postings"))
+        .orderBy("term", "salt")
+        .collect()
+    )
+    assert before == after
+    assert docs_before == spark.read.parquet(os.path.join(out, "docs")).orderBy("doc_id").collect()
+
+
+def test_mlt_ignores_stale_analyzed_checkpoint(spark, corpus, tmp_path_factory):
+    """After an in-place rebuild with a changed config, the leftover
+    analyzed/ checkpoint (digest-stale) must NOT be read by the term-vector
+    lookup — it would return stale terms and a stale doc_id->row mapping."""
+    import dataclasses
+
+    from apache___solr_spark.query.extras import _term_vector_row
+
+    path, _ = corpus
+    out = str(tmp_path_factory.mktemp("staleidx") / "idx")
+    cfg1 = dataclasses.replace(CFG, checkpoint_numbered=True)
+    build_index(spark, path, out, cfg=cfg1)
+    assert os.path.exists(os.path.join(out, "analyzed", "_MANIFEST.json"))
+    # in-place rebuild, fused, analysis-changing config: stale analyzed/ stays
+    cfg2 = dataclasses.replace(CFG, max_token_len=4)
+    assert cfg2.digest() != cfg1.digest()
+    build_index(spark, path, out, cfg=cfg2, resume=False)
+    assert os.path.exists(os.path.join(out, "analyzed", "_MANIFEST.json"))
+    eng = SearchEngine(spark, out, cfg=cfg2)
+    row = _term_vector_row(eng, 5)
+    assert row
+    got_terms = list(row[0]["terms"])
+    assert all(len(t) <= 4 for t in got_terms), "stale (pre-truncation) terms leaked"
+    url = (
+        spark.read.parquet(os.path.join(out, "docs"))
+        .filter(F.col("doc_id") == 5)
+        .collect()[0]["url"]
+    )
+    fresh = (
+        spark.read.parquet(os.path.join(out, "analyzed_raw"))
+        .filter(F.col("url") == url)
+        .collect()[0]
+    )
+    assert got_terms == list(fresh["terms"])
