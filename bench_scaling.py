@@ -49,12 +49,24 @@ for spec in generate_queries()[:8]:
     lat.append(time.time() - q0)
 lat.sort()
 n = spark.read.parquet(pages_path).count()
+# per-stage wall attribution (r4 VERDICT #2: the 32-core build showed a
+# 2.2x spread between identical runs — stage walls say WHICH stage ate
+# the variance: the Python-heavy analysis UDF pass is the
+# contention-sensitive one; the JVM shuffle/encode stages are stable).
+# Every build stage publishes wall_sec in its checkpoint manifest.
+stages = {}
+for st in ("analyzed_raw", "numbering", "docs", "postings", "dictionary"):
+    mp = os.path.join(out, "idx", st, "_MANIFEST.json")
+    if os.path.exists(mp):
+        with open(mp) as f:
+            stages[st] = json.load(f).get("wall_sec")
 print("RESULT " + json.dumps({
     "cores": cores, "build_sec": round(build_sec, 2),
     "docs_per_sec": round(n / build_sec, 1),
     "query_p50_sec": round(lat[len(lat)//2], 3),
     "query_p99_sec": round(lat[-1], 3),
     "n_docs": n,
+    "stage_wall_sec": stages,
 }))
 spark.stop()
 """
@@ -235,7 +247,7 @@ def main() -> None:
     print(json.dumps(result, indent=2))
 
     os.makedirs("BENCH", exist_ok=True)
-    out_name = (
+    out_name = os.environ.get("SCALING_OUT") or (
         "BENCH/scaling.json"
         if (lo, hi) == (8, 32)
         else f"BENCH/scaling_{lo}_{hi}.json"

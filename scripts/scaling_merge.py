@@ -1,0 +1,107 @@
+"""Merge >=3 quiet-gated scaling sessions into the bankable headline.
+
+r4 VERDICT #1: a single best-of-session efficiency number is not bankable
+on a shared host whose own ceiling swings 0.78-0.87 — the protocol is
+MEDIAN-over-sessions: run bench_scaling.py >= 3 times (each invocation is
+one quiet-probe-gated session writing BENCH/scaling_r5_session*.json),
+then merge here.  The merged headline reports the median raw efficiency,
+the median ceiling-normalized efficiency, every session's own ceiling
+probe, and the per-stage build walls that attribute any variance
+(analysis UDF pass vs shuffle/encode stages).
+
+Usage:
+    python scripts/scaling_merge.py BENCH/scaling_r5_sessionP*.json \
+        [--out BENCH/scaling.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+
+
+def session_summary(path: str) -> dict | None:
+    with open(path) as f:
+        d = json.load(f)
+    best = d.get("best_round") or {}
+    if best.get("raw_efficiency") is None:
+        return None
+    lo_key = next(k for k in d if k.startswith("N="))
+    hi_key = next(k for k in d if k.startswith("4N="))
+    return {
+        "file": path,
+        "raw_efficiency": best["raw_efficiency"],
+        "ceiling_efficiency": best.get("ceiling_efficiency"),
+        "normalized": best.get("normalized"),
+        "lo": {
+            "cores": d[lo_key]["cores"],
+            "build_sec": d[lo_key]["build_sec"],
+            "docs_per_sec": d[lo_key]["docs_per_sec"],
+            "stage_wall_sec": d[lo_key].get("stage_wall_sec"),
+        },
+        "hi": {
+            "cores": d[hi_key]["cores"],
+            "build_sec": d[hi_key]["build_sec"],
+            "docs_per_sec": d[hi_key]["docs_per_sec"],
+            "stage_wall_sec": d[hi_key].get("stage_wall_sec"),
+        },
+        "quiet_probes": d.get("quiet_probes"),
+        "measured_at": d.get("measured_at"),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sessions", nargs="+")
+    ap.add_argument("--out", default="BENCH/scaling.json")
+    args = ap.parse_args()
+
+    sessions = [s for s in (session_summary(p) for p in args.sessions) if s]
+    if len(sessions) < 3:
+        raise SystemExit(
+            f"protocol needs >= 3 complete sessions, got {len(sessions)}"
+        )
+    raws = [s["raw_efficiency"] for s in sessions]
+    norms = [s["normalized"] for s in sessions if s["normalized"] is not None]
+    ceils = [
+        s["ceiling_efficiency"]
+        for s in sessions
+        if s["ceiling_efficiency"] is not None
+    ]
+    med_raw = round(statistics.median(raws), 3)
+    med_norm = round(statistics.median(norms), 3) if norms else None
+    lo_c = sessions[0]["lo"]["cores"]
+    hi_c = sessions[0]["hi"]["cores"]
+    result = {
+        "protocol": (
+            f"median over {len(sessions)} quiet-probe-gated sessions "
+            f"(each: fresh-JVM build at local[{lo_c}] then local[{hi_c}] on "
+            "the same corpus, adjacent-pair efficiency, same-session "
+            "no-Spark multiprocessing ceiling probe; absolute per-level "
+            "probe floors gate admission)"
+        ),
+        "scaling_efficiency": med_raw,
+        "ceiling_normalized_efficiency": med_norm,
+        "raw_efficiency_sessions": raws,
+        "normalized_sessions": norms,
+        "hw_ceiling_sessions": ceils,
+        "raw_spread": [min(raws), max(raws)],
+        "sessions": sessions,
+        "criterion": {
+            "rule": "throughput efficiency >= 0.8 from N to 4N executors",
+            "sandbox_note": (
+                "no real cluster: same job at two parallelism levels on "
+                "one shared VM whose own 8->32 multiprocessing ceiling is "
+                "the hw_ceiling_sessions column — raw efficiency is bounded "
+                "by it regardless of the code under test"
+            ),
+        },
+    }
+    print(json.dumps(result, indent=2))
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
