@@ -222,12 +222,21 @@ def _range_parts(rows: int | None, shuffle_parts: int, parallelism: int) -> int:
     (straggler smoothing: one slow task in a single wave of exactly
     #cores tasks sets the whole stage's wall), clamped to
     [shuffle_parts, 4*parallelism] so tiny builds don't pay per-task
-    overhead and huge builds don't explode the task count."""
+    overhead and huge builds don't explode the task count.
+
+    The count is then rounded UP to a whole number of waves: a count like
+    60 on 32 cores runs as 1.875 waves — the second wave leaves half the
+    cores idle while the stage wall waits on it (r5 stage-wall sessions
+    P1/P2 measured the postings map side at 0.75 efficiency against a 0.94
+    same-session hardware ceiling; wave quantization was the largest
+    attributable slice)."""
     lo = shuffle_parts
     hi = max(shuffle_parts, 4 * parallelism)
     if not rows:
-        return max(lo, 2 * parallelism)
-    return int(min(max(lo, -(-rows // 25_000)), hi))
+        n = max(lo, 2 * parallelism)
+    else:
+        n = int(min(max(lo, -(-rows // 25_000)), hi))
+    return -(-n // parallelism) * parallelism
 
 
 def _number_docs(
@@ -865,9 +874,21 @@ def build_index(
             # merge shuffle moves only packed rows; key (term-bucket, salt) so
             # head terms split across salts (skew) and each task writes into few
             # bucket dirs.  first_doc in the sort keeps fragments in doc order.
+            # The reduce side gets a wave-aligned >=2-waves partition count:
+            # bare spark.sql.shuffle.partitions (= core count in our session
+            # factory) is exactly ONE wave, so a single straggling merge task
+            # sets the whole stage wall — measurably worse the more cores
+            # there are (r5 scaling sessions P1/P2).  Group integrity is
+            # unaffected: (bucket, salt) hash-routes every fragment of a
+            # (term, salt) group to one partition at any partition count.
+            if n_parts_explicit:
+                merge_parts = n_parts
+            else:
+                par = max(1, spark.sparkContext.defaultParallelism)
+                merge_parts = -(-max(n_parts, 2 * par) // par) * par
             bucket_expr = F.pmod(F.xxhash64("term"), F.lit(cfg.n_buckets)).cast("int")
             blocks = (
-                segments.repartition(n_parts, bucket_expr, F.col("salt"))
+                segments.repartition(merge_parts, bucket_expr, F.col("salt"))
                 .sortWithinPartitions("term", "salt", "first_doc")
                 .mapInPandas(_merge_segments(cfg, stats["avgdl"]), schema=SEGMENT_SCHEMA)
                 .withColumn("bucket", bucket_expr)
