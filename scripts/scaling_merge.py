@@ -27,6 +27,12 @@ def session_summary(path: str) -> dict | None:
     best = d.get("best_round") or {}
     if best.get("raw_efficiency") is None:
         return None
+    # sessions recorded by the post-probe protocol (r5) carry an explicit
+    # admission verdict: every level's window must still have met its
+    # probe floor AFTER the level ran.  Pre-protocol sessions have no
+    # flag and are admitted by default (callers exclude them by hand).
+    if d.get("admitted") is False:
+        return None
     lo_key = next(k for k in d if k.startswith("N="))
     hi_key = next(k for k in d if k.startswith("4N="))
     return {
@@ -55,12 +61,31 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("sessions", nargs="+")
     ap.add_argument("--out", default="BENCH/scaling.json")
+    ap.add_argument(
+        "--exclude",
+        action="append",
+        default=[],
+        metavar="FILE:REASON",
+        help="session file excluded from the merge, with the reason "
+        "recorded in the output (e.g. measured a pre-fix build)",
+    )
+    ap.add_argument(
+        "--min-sessions",
+        type=int,
+        default=3,
+        help="fail below this many admitted sessions (protocol default 3)",
+    )
     args = ap.parse_args()
 
+    excluded = []
+    for spec in args.exclude:
+        f, _, why = spec.partition(":")
+        excluded.append({"file": f, "reason": why or "excluded"})
     sessions = [s for s in (session_summary(p) for p in args.sessions) if s]
-    if len(sessions) < 3:
+    if len(sessions) < args.min_sessions:
         raise SystemExit(
-            f"protocol needs >= 3 complete sessions, got {len(sessions)}"
+            f"protocol needs >= {args.min_sessions} admitted sessions, "
+            f"got {len(sessions)}"
         )
     raws = [s["raw_efficiency"] for s in sessions]
     norms = [s["normalized"] for s in sessions if s["normalized"] is not None]
@@ -88,6 +113,7 @@ def main() -> None:
         "hw_ceiling_sessions": ceils,
         "raw_spread": [min(raws), max(raws)],
         "sessions": sessions,
+        "excluded_sessions": excluded,
         "criterion": {
             "rule": "throughput efficiency >= 0.8 from N to 4N executors",
             "sandbox_note": (
