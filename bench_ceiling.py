@@ -43,6 +43,49 @@ def run(workers: int, tasks: int = 128) -> float:
         return tasks / (time.time() - t0)
 
 
+def _touch_gib(gib: int) -> int:
+    """Touch `gib` GiB of fresh anonymous memory (1 GiB chunks), then free."""
+    import numpy as np
+
+    for _ in range(gib):
+        a = np.empty(1 << 30, dtype=np.uint8)
+        a[::4096] = 1
+        del a
+    return gib
+
+
+def prefault(gib: int = 96, workers: int = 8) -> float:
+    """Fault-in `gib` GiB of guest memory and return the wall seconds.
+
+    On a snapshot-resumed / lazily-backed VM, the FIRST touch of each
+    guest-physical page since resume goes through the hypervisor's fault
+    path at a globally-serialized ~0.5-3 GB/s (measured r5: cold 4k
+    fault-in 0.57 GB/s single-thread, THP-madvise 0.05 GB/s, while
+    PRE-TOUCHED memory moves at ~300 GB/s aggregate) — which makes the
+    first heavy run after resume measure the host, not the code.  Touching
+    most of guest RAM once up front moves that cost out of the measured
+    window.  Measured effect on the 1.5M-doc local[32] index build:
+    266 s -> 126 s from prefault alone (BENCH/BASELINE.md round 5)."""
+    with mp.Pool(workers) as p:
+        t0 = time.time()
+        p.map(_touch_gib, [max(1, gib // workers)] * workers)
+        return time.time() - t0
+
+
+def fault_probe(mb: int = 512) -> float:
+    """GB/s to first-touch `mb` MiB of fresh anonymous memory, single
+    thread — the virtualization fault-path health metric that the compute
+    probe (cache-resident, allocation-free) cannot see.  Recorded in every
+    scaling session so a fault-path collapse is attributable."""
+    import numpy as np
+
+    sz = mb << 20
+    a = np.empty(sz, dtype=np.uint8)
+    t0 = time.time()
+    a[::4096] = 1
+    return sz / (time.time() - t0) / 1e9
+
+
 def main() -> None:
     samples = {8: [], 32: []}
     for _ in range(2):
