@@ -20,6 +20,17 @@ import sys
 import tempfile
 import time
 
+# Fault-path mitigations (BENCH/BASELINE.md round 5): on a lazily-backed
+# VM the hypervisor serializes first-touch page faults, so glibc must
+# REUSE big Arrow/numpy buffers instead of munmap->mmap cycling them.
+# Must be in the env before the JVM (and its python-worker daemons) fork;
+# a real deployment sets the same via spark-submit executorEnv.  Opt out
+# with SPARK_GRAFT_FAULT_MITIGATION=0.
+if os.environ.get("SPARK_GRAFT_FAULT_MITIGATION", "1") == "1":
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 62))
+    os.environ.setdefault("MALLOC_MMAP_MAX_", "0")
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
